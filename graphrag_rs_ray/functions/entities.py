@@ -1,0 +1,497 @@
+"""Deterministic pattern/gazetteer mention detection + relationship inference.
+
+Port of the reference's pattern ``EntityExtractor``
+(``graphrag-core/src/entity/mod.rs``):
+
+- 4-phase person extraction: known-name gazetteer (``:332-390``) →
+  title-based (``:392-440``) → two-word Cap-Cap (``:442-482``) → single
+  capitalized word (``:307-327``), with the stop lists at ``:165-279``.
+- organization suffix/prefix matching (``:485-549``),
+- known-location gazetteer (``:552-583``),
+- concept / event / object keyword extraction (``:897-1036``),
+- generic capitalized-word fallback (``:1039-1068``),
+- per-type confidence formula (``:700-738``),
+- per-chunk dedup by (name, type) keeping max confidence and merged
+  mentions (``:767-788``),
+- mention offsets via non-overlapping substring scan (``:586-614``),
+- entity id = ``{TYPE}_{normalize_name(name)}`` (``:594, 758-764``),
+- co-occurrence relationship extraction + predicate inference
+  (``:791-858``).
+
+Determinism note: the reference's final per-chunk entity order is a Rust
+``HashMap::into_values`` (arbitrary).  Here dict insertion order is kept, so
+entity order (and therefore subj/obj direction of emitted pairs) is
+deterministic: extraction-phase order — persons, organizations, locations,
+then any extra configured types.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+PERSON_TITLES = frozenset({
+    "mr", "mrs", "ms", "dr", "prof", "professor", "sir", "lady", "lord",
+    "captain", "major", "colonel", "general", "admiral", "judge", "father",
+    "mother", "brother", "sister", "aunt", "uncle", "grandfather", "grandmother",
+})
+
+NON_PERSON_WORDS = frozenset({
+    "chapter", "the", "and", "but", "or", "in", "on", "at", "to", "for", "with",
+    "by", "from", "about", "into", "through", "during", "before", "after",
+    "above", "below", "up", "down", "out", "off", "over", "under", "again",
+    "further", "then", "once", "here", "there", "when", "where", "why", "how",
+    "all", "any", "both", "each", "few", "more", "most", "other", "some",
+    "such", "only", "own", "same", "so", "than", "too", "very", "can", "will",
+    "just", "should", "now", "temptations", "strategic", "movements", "decides",
+    "upon", "whitewashing", "saturday", "monday", "tuesday", "wednesday",
+    "thursday", "friday", "sunday", "january", "february", "march", "april",
+    "may", "june", "july", "august", "september", "october", "november",
+    "december", "adventures", "complete",
+})
+
+# Reference ``entity/mod.rs:341-354`` — fixture gazetteer, kept verbatim for
+# parity with the reference's own tests.
+KNOWN_PERSON_NAMES: tuple[str, ...] = (
+    "Entity Name", "Second Entity", "Guardian Entity", "Friend Entity",
+    "Companion Entity", "Third Entity", "Fourth Entity", "Fifth Entity",
+    "Sixth Entity", "Seventh Entity", "Eighth Entity", "Ninth Entity",
+)
+
+ORG_SUFFIXES: tuple[str, ...] = (
+    "Inc", "Corp", "LLC", "Ltd", "Company", "Corporation", "Group",
+    "Solutions", "Technologies",
+)
+ORG_PREFIXES: tuple[str, ...] = ("University of", "Institute of", "Department of")
+ORG_INDICATORS: tuple[str, ...] = (
+    "Inc", "Corp", "LLC", "Ltd", "Company", "Corporation", "University", "Institute",
+)
+
+KNOWN_LOCATIONS: tuple[str, ...] = (
+    "United States", "New York", "California", "London", "Paris", "Tokyo",
+    "Berlin", "Washington", "Boston", "Chicago",
+)
+
+NAME_ENDINGS = ("son", "sen", "ton", "ham", "ford", "ley", "ment", "ard", "ert")
+NAME_PREFIXES = ("mc", "mac", "o'", "de", "van", "von", "la", "le")
+SHORT_NON_NAMES = frozenset({
+    "it", "is", "as", "at", "be", "by", "do", "go", "he", "if", "in", "me",
+    "my", "no", "of", "on", "or", "so", "to", "up", "us", "we",
+})
+
+CONCEPT_INDICATORS: tuple[str, ...] = (
+    "Theory", "Concept", "Principle", "Philosophy", "Doctrine", "Idea",
+    "Method", "Approach", "Framework", "Model", "Paradigm", "Thesis",
+)
+EVENT_WORDS: tuple[str, ...] = (
+    "meeting", "conference", "ceremony", "celebration", "festival",
+    "competition", "war", "battle", "expedition", "journey", "trial",
+)
+OBJECT_WORDS: tuple[str, ...] = (
+    "sword", "shield", "book", "manuscript", "scroll", "tablet", "ring",
+    "crown", "treasure", "coin", "tool", "weapon",
+)
+
+COMMON_WORDS = frozenset(w.lower() for w in (
+    "the", "and", "but", "or", "in", "on", "at", "to", "for", "with", "by",
+    "from", "about", "into", "through", "during", "before", "after", "above",
+    "below", "up", "down", "out", "off", "over", "under", "again", "further",
+    "then", "once", "here", "there", "when", "where", "why", "how", "all",
+    "any", "both", "each", "few", "more", "most", "other", "some", "such",
+    "only", "own", "same", "so", "than", "too", "very", "can", "will", "just",
+    "should", "now", "could", "would", "said", "says", "told", "asked",
+    "went", "came", "come", "going", "chapter", "page", "section", "part",
+    "book", "volume",
+))
+
+DEFAULT_ENTITY_TYPES: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION")
+
+PERSON_LIKE = frozenset({"PERSON", "CHARACTER", "RESEARCHER", "SPEAKER", "DIALOGUE_SPEAKER"})
+ORG_LIKE = frozenset({"ORGANIZATION", "INSTITUTION", "BRAND", "COMPANY"})
+LOC_LIKE = frozenset({"LOCATION", "SETTING", "PLACE"})
+CONCEPT_LIKE = frozenset({"CONCEPT", "THEORY", "THEME", "ARGUMENT", "IDEA"})
+EVENT_LIKE = frozenset({"EVENT", "EXPERIMENT", "HAPPENING"})
+OBJECT_LIKE = frozenset({"OBJECT", "TOOL", "ARTIFACT", "ITEM"})
+
+
+@dataclass
+class Mention:
+    start: int
+    end: int
+    confidence: float
+
+
+@dataclass
+class ExtractedEntity:
+    entity_id: str
+    name: str
+    entity_type: str
+    confidence: float
+    mentions: list[Mention] = field(default_factory=list)
+
+
+def clean_word(word: str) -> str:
+    """Port of ``entity/mod.rs:622-628`` — keep alphabetic + apostrophes."""
+    return "".join(c for c in word if c.isalpha() or c == "'").rstrip("'")
+
+
+def is_capitalized(word: str) -> bool:
+    """First char uppercase, on the RAW token (``entity/mod.rs:617-619``)."""
+    return bool(word) and word[0].isupper()
+
+
+def is_likely_person_word(word: str) -> bool:
+    """Port of ``entity/mod.rs:631-668``."""
+    if len(word) < 2:
+        return False
+    lower = word.lower()
+    has_ending = lower.endswith(NAME_ENDINGS)
+    has_prefix = lower.startswith(NAME_PREFIXES)
+    proper = word[0].isupper() and all(c.isalpha() or c == "'" for c in word)
+    if len(word) <= 2 and lower in SHORT_NON_NAMES:
+        return False
+    return proper and (len(word) >= 3 or has_ending or has_prefix)
+
+
+def is_likely_person_name(name: str) -> bool:
+    parts = name.split()
+    return len(parts) == 2 and all(is_capitalized(p) for p in parts)
+
+
+def is_likely_organization(name: str) -> bool:
+    return any(ind in name for ind in ORG_INDICATORS)
+
+
+def is_known_location(name: str) -> bool:
+    return any(loc in name for loc in KNOWN_LOCATIONS)
+
+
+def is_common_word(word: str) -> bool:
+    return word.lower() in COMMON_WORDS
+
+
+def normalize_name(name: str) -> str:
+    """Port of ``entity/mod.rs:758-764``: lowercase then keep only
+    alphanumerics and underscores — note this REMOVES spaces, so
+    "John Smith" → "johnsmith" (exactly as the reference does)."""
+    return "".join(c for c in name.lower() if c.isalnum() or c == "_")
+
+
+def entity_id_for(name: str, entity_type: str) -> str:
+    return f"{entity_type}_{normalize_name(name)}"
+
+
+def calculate_confidence(name: str, entity_type: str) -> float:
+    """Port of ``entity/mod.rs:700-738``."""
+    confidence = 0.5
+    if entity_type == "PERSON":
+        if "Dr." in name or "Prof." in name:
+            confidence += 0.3
+        if len(name.split()) == 2:
+            confidence += 0.2
+    elif entity_type == "ORGANIZATION":
+        if "Inc" in name or "Corp" in name or "LLC" in name:
+            confidence += 0.3
+        if "University" in name or "Institute" in name:
+            confidence += 0.2
+    elif entity_type == "LOCATION":
+        if "," in name:
+            confidence += 0.2
+        if is_known_location(name):
+            confidence += 0.3
+    if name and name[0].isupper():
+        confidence += 0.1
+    return min(confidence, 1.0)
+
+
+def find_mentions(name: str, text: str, confidence: float) -> list[Mention]:
+    """Non-overlapping substring scan; port of ``entity/mod.rs:596-608``."""
+    mentions = []
+    start = 0
+    while True:
+        pos = text.find(name, start)
+        if pos == -1:
+            break
+        mentions.append(Mention(start=pos, end=pos + len(name), confidence=confidence))
+        start = pos + len(name)
+    return mentions
+
+
+class PatternEntityExtractor:
+    """The deterministic mention detector.
+
+    Stateless apart from config; one instance is held per Ray actor (regex
+    compilation / gazetteers are module-level constants, loaded once per
+    worker process).
+    """
+
+    def __init__(self, min_confidence: float = 0.7,
+                 entity_types: tuple[str, ...] = DEFAULT_ENTITY_TYPES,
+                 allowed_patterns: tuple[str, ...] = (),
+                 excluded_patterns: tuple[str, ...] = ()):
+        import re
+        self.min_confidence = min_confidence
+        self.entity_types = tuple(entity_types)
+        self.allowed = [re.compile(p) for p in allowed_patterns]
+        self.excluded = [re.compile(p) for p in excluded_patterns]
+
+    # ---- person phases ------------------------------------------------
+
+    def _extract_known_names(self, words, processed, entities, text):
+        for i in range(len(words)):
+            if i in processed:
+                continue
+            for name in KNOWN_PERSON_NAMES:
+                name_words = name.split()
+                if i + len(name_words) <= len(words):
+                    if all(clean_word(words[i + j]).lower() == expected.lower()
+                           for j, expected in enumerate(name_words)):
+                        if 0.95 >= self.min_confidence:
+                            entities.append(self._mk(name, "PERSON", 0.95, text))
+                        for j in range(len(name_words)):
+                            processed.add(i + j)
+                        break
+
+    def _extract_title_based(self, words, processed, entities, text):
+        for i in range(len(words)):
+            if i in processed:
+                continue
+            if clean_word(words[i]).lower() in PERSON_TITLES and i + 1 < len(words) \
+                    and (i + 1) not in processed:
+                next_word = clean_word(words[i + 1])
+                if is_capitalized(words[i + 1]) and is_likely_person_word(next_word):
+                    if i + 2 < len(words) and (i + 2) not in processed:
+                        third = clean_word(words[i + 2])
+                        if is_capitalized(words[i + 2]) and is_likely_person_word(third):
+                            processed.add(i + 2)
+                            name = f"{next_word} {third}"
+                        else:
+                            name = next_word
+                    else:
+                        name = next_word
+                    if 0.9 >= self.min_confidence:
+                        entities.append(self._mk(name, "PERSON", 0.9, text))
+                    processed.add(i)
+                    processed.add(i + 1)
+
+    def _extract_two_word(self, words, processed, entities, text):
+        for i in range(len(words) - 1):
+            if i in processed or (i + 1) in processed:
+                continue
+            first, second = clean_word(words[i]), clean_word(words[i + 1])
+            if (is_capitalized(words[i]) and is_capitalized(words[i + 1])
+                    and is_likely_person_word(first) and is_likely_person_word(second)
+                    and first.lower() not in NON_PERSON_WORDS
+                    and second.lower() not in NON_PERSON_WORDS):
+                name = f"{first} {second}"
+                if is_likely_person_name(name):
+                    conf = calculate_confidence(name, "PERSON")
+                    if conf >= self.min_confidence:
+                        entities.append(self._mk(name, "PERSON", conf, text))
+                    processed.add(i)
+                    processed.add(i + 1)
+
+    def _extract_single_word(self, words, processed, entities, text):
+        for i, raw in enumerate(words):
+            if i in processed:
+                continue
+            word = clean_word(raw)
+            if len(word) < 2 or word.lower() in NON_PERSON_WORDS:
+                continue
+            if is_capitalized(raw) and is_likely_person_word(word):
+                conf = calculate_confidence(word, "PERSON")
+                if conf >= self.min_confidence:
+                    entities.append(self._mk(word, "PERSON", conf, text))
+
+    def extract_persons(self, text: str) -> list[ExtractedEntity]:
+        words = text.split()
+        processed: set[int] = set()
+        entities: list[ExtractedEntity] = []
+        self._extract_known_names(words, processed, entities, text)
+        self._extract_title_based(words, processed, entities, text)
+        self._extract_two_word(words, processed, entities, text)
+        self._extract_single_word(words, processed, entities, text)
+        return entities
+
+    # ---- other types ---------------------------------------------------
+
+    def extract_organizations(self, text: str) -> list[ExtractedEntity]:
+        entities = []
+        for suffix in ORG_SUFFIXES:
+            pos = text.find(suffix)  # FIRST occurrence only, as in the reference
+            if pos != -1:
+                sp = text.rfind(" ", 0, pos)
+                start = sp + 1 if sp != -1 else 0
+                name = text[start:pos + len(suffix)].strip()
+                if name and is_likely_organization(name):
+                    conf = calculate_confidence(name, "ORGANIZATION")
+                    if conf >= self.min_confidence:
+                        entities.append(self._mk(name, "ORGANIZATION", conf, text))
+        for prefix in ORG_PREFIXES:
+            pos = text.find(prefix)
+            if pos != -1:
+                dot = text.find(".", pos)
+                end = dot if dot != -1 else min(len(text), pos + 50)
+                name = text[pos:end].strip()
+                if name and len(name) > len(prefix):
+                    conf = calculate_confidence(name, "ORGANIZATION")
+                    if conf >= self.min_confidence:
+                        entities.append(self._mk(name, "ORGANIZATION", conf, text))
+        return entities
+
+    def extract_locations(self, text: str) -> list[ExtractedEntity]:
+        entities = []
+        for location in KNOWN_LOCATIONS:
+            if location in text:
+                conf = calculate_confidence(location, "LOCATION")
+                if conf >= self.min_confidence:
+                    entities.append(self._mk(location, "LOCATION", conf, text))
+        return entities
+
+    def extract_concepts(self, text: str, entity_type: str) -> list[ExtractedEntity]:
+        entities = []
+        for raw in text.split():
+            cw = clean_word(raw)
+            if any(ind in cw for ind in CONCEPT_INDICATORS):
+                if 0.75 >= self.min_confidence:
+                    entities.append(self._mk(cw, entity_type, 0.75, text))
+            if is_capitalized(raw) and len(raw) > 4:
+                cw = clean_word(raw)
+                if not is_common_word(cw):
+                    if 0.6 >= self.min_confidence:
+                        entities.append(self._mk(cw, entity_type, 0.6, text))
+        return entities
+
+    def extract_events(self, text: str) -> list[ExtractedEntity]:
+        entities = []
+        lower = text.lower()
+        for w in EVENT_WORDS:
+            if w in lower:
+                if 0.7 >= self.min_confidence:
+                    entities.append(self._mk(w, "EVENT", 0.7, text))
+        return entities
+
+    def extract_objects(self, text: str) -> list[ExtractedEntity]:
+        entities = []
+        lower = text.lower()
+        for w in OBJECT_WORDS:
+            if w in lower:
+                if 0.65 >= self.min_confidence:
+                    entities.append(self._mk(w, "OBJECT", 0.65, text))
+        return entities
+
+    def extract_generic(self, text: str, entity_type: str) -> list[ExtractedEntity]:
+        entities = []
+        for raw in text.split():
+            if is_capitalized(raw) and len(raw) > 3:
+                cw = clean_word(raw)
+                if not is_common_word(cw):
+                    if 0.5 >= self.min_confidence:
+                        entities.append(self._mk(cw, entity_type, 0.5, text))
+        return entities
+
+    # ---- assembly ------------------------------------------------------
+
+    def _mk(self, name: str, entity_type: str, confidence: float, text: str) -> ExtractedEntity:
+        return ExtractedEntity(
+            entity_id=entity_id_for(name, entity_type),
+            name=name,
+            entity_type=entity_type,
+            confidence=confidence,
+            mentions=find_mentions(name, text, confidence),
+        )
+
+    def extract(self, text: str) -> list[ExtractedEntity]:
+        """Dispatch + filter + dedup; port of ``entity/mod.rs:97-156``."""
+        entities: list[ExtractedEntity] = []
+        for et in self.entity_types:
+            if et in PERSON_LIKE:
+                entities.extend(self.extract_persons(text))
+            elif et in ORG_LIKE:
+                entities.extend(self.extract_organizations(text))
+            elif et in LOC_LIKE:
+                entities.extend(self.extract_locations(text))
+            elif et in CONCEPT_LIKE:
+                entities.extend(self.extract_concepts(text, et))
+            elif et in EVENT_LIKE:
+                entities.extend(self.extract_events(text))
+            elif et in OBJECT_LIKE:
+                entities.extend(self.extract_objects(text))
+            else:
+                entities.extend(self.extract_generic(text, et))
+        entities = self._apply_pattern_filters(entities)
+        entities = deduplicate_entities(entities)
+        return [e for e in entities if e.confidence >= self.min_confidence]
+
+    def _apply_pattern_filters(self, entities):
+        if not self.allowed and not self.excluded:
+            return entities
+        out = []
+        for e in entities:
+            if self.allowed and not any(p.search(e.name) for p in self.allowed):
+                continue
+            if self.excluded and any(p.search(e.name) for p in self.excluded):
+                continue
+            out.append(e)
+        return out
+
+
+def deduplicate_entities(entities: list[ExtractedEntity]) -> list[ExtractedEntity]:
+    """(name, type) dedup, merged mentions, max confidence
+    (``entity/mod.rs:767-788``) — insertion-ordered, hence deterministic."""
+    unique: dict[tuple[str, str], ExtractedEntity] = {}
+    for e in entities:
+        key = (e.name, e.entity_type)
+        existing = unique.get(key)
+        if existing is not None:
+            existing.mentions.extend(e.mentions)
+            if e.confidence > existing.confidence:
+                existing.confidence = e.confidence
+        else:
+            unique[key] = e
+    return list(unique.values())
+
+
+# ---- relationships ------------------------------------------------------
+
+def infer_relationship_type(type1: str, type2: str, context: str) -> str:
+    """Port of ``entity/mod.rs:820-858`` — symmetric in the type pair."""
+    pair = {type1, type2}
+    if pair == {"PERSON", "ORGANIZATION"}:
+        if "works for" in context or "employed by" in context:
+            return "WORKS_FOR"
+        if "founded" in context or "CEO" in context:
+            return "LEADS"
+        return "ASSOCIATED_WITH"
+    if pair == {"PERSON", "LOCATION"}:
+        if "born in" in context or "from" in context:
+            return "BORN_IN"
+        if "lives in" in context or "based in" in context:
+            return "LOCATED_IN"
+        return "ASSOCIATED_WITH"
+    if pair == {"ORGANIZATION", "LOCATION"}:
+        if "headquartered" in context or "based in" in context:
+            return "HEADQUARTERED_IN"
+        return "LOCATED_IN"
+    if type1 == "PERSON" and type2 == "PERSON":
+        if "married" in context or "spouse" in context:
+            return "MARRIED_TO"
+        if "colleague" in context or "partner" in context:
+            return "COLLEAGUE_OF"
+        return "KNOWS"
+    return "RELATED_TO"
+
+
+def extract_relationships(entities: list[ExtractedEntity], chunk_text: str) -> list[tuple[str, str, str]]:
+    """All co-occurring pairs (i<j in deterministic entity order) with an
+    inferred predicate; port of ``entity/mod.rs:791-817``.
+
+    Returns ``(subj, pred, obj)`` triples (the reference returns
+    (source, target, type) tuples; we normalize to subject-predicate-object
+    order everywhere downstream)."""
+    out = []
+    for i in range(len(entities)):
+        for j in range(i + 1, len(entities)):
+            e1, e2 = entities[i], entities[j]
+            pred = infer_relationship_type(e1.entity_type, e2.entity_type, chunk_text)
+            out.append((e1.entity_id, pred, e2.entity_id))
+    return out
