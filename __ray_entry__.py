@@ -1,44 +1,236 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in graphrag_rs_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship KG pipeline at smoke scale — sf0.001 documents
+  joined with a deterministic synthetic Common-Crawl-style `pages` table
+  (BASELINE.json input_hint shape; the sf tables contain no capitalized
+  text, so the synthetic pages carry the entity-bearing load).
+- ``queries()``: one entry per implemented operator (SURVEY.md §2 +
+  training-data extensions).  KG queries synthesize pages at a size scaled
+  from ``sf_dir`` (seed-fixed ⇒ deterministic row counts).
+- ``oracle_sql()``: DuckDB equivalents with IDENTICAL column names for
+  every SQL-expressible operator.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+from graphrag_rs_ray.config import KGConfig
+from graphrag_rs_ray.pipelines import training_data as td
+from graphrag_rs_ray.pipelines.kg import (
+    build_kg,
+    pages_to_chunks,
+    chunks_to_combined,
+    triples_dataset,
+)
+from graphrag_rs_ray.sources.pages import pages_dataset
+from graphrag_rs_ray.stages.extract_text import extract_text_stage
+from graphrag_rs_ray.stages.kg_extract import entities_only
+from graphrag_rs_ray.functions.textstats import STOP_WORDS
+
+_SF_PAGES = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}
+
+
+def _n_pages(sf_dir: str) -> int:
+    return _SF_PAGES.get(os.path.basename(os.path.normpath(sf_dir)), 500)
+
+
+def _pages_from_documents(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+            "warc_ts": pa.array([None] * len(ids), pa.timestamp("us")),
+            "html": pa.array([None] * len(ids), pa.binary()),
+            "text": batch.column("text"),
+            "lang": batch.column("lang"),
+            "title": pa.array([""] * len(ids), pa.string()),
+        })
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 documents + synthetic pages → deduped triples."""
+    sf_dir = "/root/testdata/sf0.001"
+    pages = _pages_from_documents(sf_dir).union(pages_dataset(200, seed=42))
+    return triples_dataset(pages, KGConfig())
+
+
+# ----------------------------------------------------------- queries() --
+
+def _kg_pages(sf_dir: str):
+    return pages_dataset(_n_pages(sf_dir), seed=42)
+
+
+def q_kg_triples(sf_dir: str):
+    return triples_dataset(_kg_pages(sf_dir), KGConfig())
+
+
+def q_kg_entities(sf_dir: str):
+    res = build_kg(_kg_pages(sf_dir), KGConfig())
+    return res.entities
+
+
+def q_kg_entities_fuzzy(sf_dir: str):
+    res = build_kg(_kg_pages(sf_dir), KGConfig(fuzzy_linking=True))
+    return res.entities
+
+
+def q_kg_mentions(sf_dir: str):
+    cfg = KGConfig()
+    combined = chunks_to_combined(pages_to_chunks(_kg_pages(sf_dir), cfg), cfg)
+    return combined.map_batches(entities_only, batch_format="pyarrow")
+
+
+def q_kg_chunks(sf_dir: str):
+    return pages_to_chunks(_kg_pages(sf_dir), KGConfig())
+
+
+def q_extract_text(sf_dir: str):
+    return _kg_pages(sf_dir).map_batches(extract_text_stage, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # flagship KG construction (non-SQL-expressible → rows-only checks)
+        "kg_triples": q_kg_triples,
+        "kg_entities": q_kg_entities,
+        "kg_entities_fuzzy": q_kg_entities_fuzzy,
+        "kg_mentions": q_kg_mentions,
+        "kg_chunks": q_kg_chunks,
+        "kg_extract_text": q_extract_text,
+        # training-data ops with DuckDB oracles
+        "exact_dedup": td.exact_dedup,
+        "doc_fingerprints": td.doc_fingerprints,
+        "token_stats": td.token_stats,
+        "language_id": td.language_id,
+        "quality_scores": td.quality_scores,
+        "bm25_df": td.bm25_df,
+        "bm25_corpus_stats": td.bm25_corpus_stats,
+        "knn_bruteforce": td.knn_bruteforce,
+        "cosine_dup_pairs": lambda sf: td.cosine_dup_pairs(sf, threshold=0.35),
+        "windowed_event_counts": td.windowed_event_counts,
+        # near-dup family (signatures/LSH — not SQL-expressible)
+        "minhash_lsh_candidates": td.minhash_lsh_candidates,
+        "simhash_signatures": td.simhash_signatures,
+        "ngram_dedup_pairs": td.ngram_dedup_pairs,
+        "lsh_buckets": td.lsh_buckets,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -------------------------------------------------------- oracle_sql() --
+
+_STOPLIST_SQL = "(" + ",".join(f"'{w}'" for w in sorted(STOP_WORDS)) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": """
+            SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+                   length(text)::BIGINT AS n_chars
+            FROM documents
+        """,
+        "language_id": """
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[ñóéíáú]') THEN 'es'
+                        WHEN regexp_matches(text, '[çãõ]') THEN 'pt'
+                        WHEN regexp_matches(text, '[àèùò]') THEN 'fr'
+                        ELSE 'en' END AS lang_pred
+            FROM documents
+        """,
+        "quality_scores": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+              FROM documents)
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   len(words)::BIGINT AS n_words,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE length(regexp_replace(text, '[\\p{L}\\p{N}\\p{Z}\\s]', '', 'g')) * 1.0
+                             / length(text) END AS punct_ratio,
+                   CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE len(list_filter(words, x -> lower(x) IN {stop})) * 1.0
+                             / len(words) END AS stopword_ratio
+            FROM w
+        """.replace("{stop}", _STOPLIST_SQL),
+        "bm25_df": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_replace(lower(unnest(regexp_split_to_array(trim(text), '\\s+'))),
+                                    '[^\\p{L}\\p{N}]', '', 'g') AS term
+              FROM documents WHERE length(trim(text)) > 0)
+            SELECT term, count(DISTINCT doc_id) AS df
+            FROM toks
+            WHERE length(term) > 2 AND term NOT IN {stop}
+            GROUP BY term
+        """.replace("{stop}", _STOPLIST_SQL),
+        "bm25_corpus_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_replace(lower(unnest(regexp_split_to_array(trim(text), '\\s+'))),
+                                    '[^\\p{L}\\p{N}]', '', 'g') AS term
+              FROM documents WHERE length(trim(text)) > 0),
+            lens AS (
+              SELECT d.doc_id,
+                     (SELECT count(*) FROM toks t
+                      WHERE t.doc_id = d.doc_id
+                        AND length(t.term) > 2 AND t.term NOT IN {stop}) AS doc_len
+              FROM documents d)
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(doc_len)::BIGINT AS total_tokens,
+                   avg(doc_len) AS avg_doc_len
+            FROM lens
+        """.replace("{stop}", _STOPLIST_SQL),
+        "knn_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS score,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                e.vec_id ASC) AS rank
+              FROM q CROSS JOIN embeddings e)
+            SELECT query_id, vec_id, rank::BIGINT AS rank
+            FROM scored WHERE rank <= 10
+        """,
+        "cosine_dup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        "windowed_event_counts": """
+            SELECT event_type,
+                   to_timestamp((epoch_us(ts) // 3600000000) * 3600)::TIMESTAMP AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 3) AS sum_value
+            FROM events
+            GROUP BY event_type, window_start
+        """,
+    }

@@ -1,0 +1,195 @@
+"""The flagship dataflow: Parquet web pages → knowledge-graph shards.
+
+Mirrors the reference's 7-stage indexing path (``graph/mod.rs:89-150``,
+``HOW_IT_WORKS.md`` stages 1-5) re-expressed Ray-Data-first:
+
+    read_parquet(pages)                              # url, warc_ts, html, text, lang
+      → map_batches(extract_text)                    # automaton; drop html col
+      → map_batches(ChunkStage)                      # 1 doc → N chunk rows
+      → map_batches(ExtractKG, concurrency=N)        # actor pool → entity+triple rows
+      → [entities] partial agg → groupby(entity_id)  # exact canonicalization
+      → [fuzzy]   blocked greedy links, broadcast    # near-dup tier
+      → [triples] remap → partial agg → groupby(s,p,o)  # exact triple dedup
+      → write entities.parquet + triples shards partitioned by hash(subj)%P
+        with per-stage manifests (checkpoint-resume)
+
+Single-consumption variants (``triples_dataset``) stay fully lazy — one
+streaming pass, no materialization.  ``build_kg`` consumes the combined
+extraction stream twice (entities + triples), so it stages it to Parquet
+(resumable) or the object store first.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from ..config import KGConfig
+from ..functions.similarity import LinkingConfig
+from ..stages.canonicalize import (
+    finalize_entities,
+    partial_entity_agg,
+    partial_triple_agg,
+)
+from ..stages.chunk import ChunkStage
+from ..stages.extract_text import extract_text_stage
+from ..stages.kg_extract import ExtractKG, entities_only, triples_only
+from ..stages.linking import compute_links, make_remap_entities, make_remap_triples
+from ..state.manifests import fingerprint_config, stage_complete, write_manifest
+
+
+def pages_to_chunks(pages_ds, cfg: KGConfig):
+    docs = pages_ds.map_batches(extract_text_stage, batch_format="pyarrow")
+    return docs.map_batches(ChunkStage(cfg), batch_format="pyarrow")
+
+
+def chunks_to_combined(chunks_ds, cfg: KGConfig):
+    concurrency = cfg.extract_concurrency
+    if concurrency is None:
+        # autoscale the actor pool up to the cluster CPU count; leaving the
+        # floor at 1 lets the scheduler balance against the read/shuffle
+        # stages instead of starving them
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (1, max(2, cpus))
+    return chunks_ds.map_batches(ExtractKG, fn_constructor_args=(cfg,),
+                                 batch_format="pyarrow", batch_size=cfg.batch_size,
+                                 concurrency=concurrency)
+
+
+def dedup_triples(triples_rows_ds, cfg: KGConfig):
+    """(subj, pred, obj) exact dedup: per-batch combiner (pyarrow group_by,
+    no shuffle) then a NATIVE vectorized groupby aggregate — no per-group
+    Python.  ``context_sample`` is the global-min chunk_id (deterministic);
+    ``n_contexts`` preserves the full context count (the reference's
+    unbounded ``context: Vec<ChunkId>`` does not scale; SURVEY §2.5)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    partial = triples_rows_ds.map_batches(partial_triple_agg, batch_format="pyarrow")
+    return partial.groupby(["subj", "pred", "obj"]).aggregate(
+        Max("conf", alias_name="conf"),
+        Sum("n_contexts", alias_name="n_contexts"),
+        Min("context_sample", alias_name="context_sample"),
+    )
+
+
+def triples_dataset(pages_ds, cfg: KGConfig | None = None):
+    """Lazy pages → deduped triples (no fuzzy tier): the single-pass
+    benchmark path."""
+    cfg = cfg or KGConfig()
+    combined = chunks_to_combined(pages_to_chunks(pages_ds, cfg), cfg)
+    triples = combined.map_batches(triples_only, batch_format="pyarrow")
+    return dedup_triples(triples, cfg)
+
+
+@dataclass
+class KGResult:
+    entities: "object"            # ray.data.Dataset — entities table
+    triples: "object"             # ray.data.Dataset — deduped triples
+    links: dict[str, str]         # fuzzy-tier canonicalization map
+
+
+def build_kg(pages_ds, cfg: KGConfig | None = None, work_dir: str | None = None) -> KGResult:
+    """Full build.  ``work_dir`` (recommended) stages the combined
+    extraction output to Parquet so (a) both downstream branches read it
+    without recomputing the extractor and (b) a rerun with the same config
+    resumes from it (manifest fingerprint)."""
+    import ray
+    import ray.data as rd
+
+    cfg = cfg or KGConfig()
+    if work_dir:
+        combined_dir = os.path.join(work_dir, "combined")
+        fp = fingerprint_config("combined", cfg)
+        if not stage_complete(combined_dir, fp):
+            combined = chunks_to_combined(pages_to_chunks(pages_ds, cfg), cfg)
+            os.makedirs(combined_dir, exist_ok=True)
+            combined.write_parquet(combined_dir)
+            write_manifest(combined_dir, "combined", fp)
+        combined = rd.read_parquet(combined_dir)
+    else:
+        combined = chunks_to_combined(pages_to_chunks(pages_ds, cfg), cfg).materialize()
+
+    # ---- entities: exact tier -----------------------------------------
+    e_rows = combined.map_batches(entities_only, batch_format="pyarrow")
+    entities = (e_rows
+                .map_batches(partial_entity_agg, batch_format="pyarrow")
+                .groupby("entity_id")
+                .map_groups(finalize_entities, batch_format="pandas"))
+
+    links: dict[str, str] = {}
+    if cfg.fuzzy_linking:
+        entities = entities.materialize()
+        links = compute_links(entities, LinkingConfig(
+            min_similarity=cfg.min_similarity, use_phonetic=cfg.use_phonetic))
+        if links:
+            links_ref = ray.put(links)
+            entities = (entities
+                        .map_batches(make_remap_entities(links_ref), batch_format="pyarrow")
+                        .map_batches(partial_entity_agg_from_final, batch_format="pyarrow")
+                        .groupby("entity_id")
+                        .map_groups(finalize_entities, batch_format="pandas"))
+
+    # ---- triples -------------------------------------------------------
+    t_rows = combined.map_batches(triples_only, batch_format="pyarrow")
+    if links:
+        links_ref2 = ray.put(links)
+        t_rows = t_rows.map_batches(make_remap_triples(links_ref2), batch_format="pyarrow")
+    triples = dedup_triples(t_rows, cfg)
+
+    return KGResult(entities=entities, triples=triples, links=links)
+
+
+def partial_entity_agg_from_final(batch: pa.Table) -> pa.Table:
+    """Re-shape final entity rows back into partial-agg rows so the merge
+    groupby can run again after fuzzy remapping (name_count := mention_count
+    so canonical-name voting weights by corpus frequency)."""
+    return pa.table({
+        "entity_id": batch.column("entity_id"),
+        "name": batch.column("name"),
+        "type": batch.column("type"),
+        "conf": batch.column("conf"),
+        "mention_count": batch.column("mention_count"),
+        "name_count": batch.column("mention_count"),
+    })
+
+
+def write_graph(result: KGResult, out_dir: str, num_shards: int = 16) -> dict:
+    """Materialize the graph: ``entities/`` + ``triples/shard=K/`` adjacency
+    shards partitioned by hash(subj) % P, each with a manifest (lineage +
+    counts) for resume and metrics."""
+    import pyarrow.compute as pc
+
+    ent_dir = os.path.join(out_dir, "entities")
+    tri_dir = os.path.join(out_dir, "triples")
+    os.makedirs(ent_dir, exist_ok=True)
+    os.makedirs(tri_dir, exist_ok=True)
+
+    result.entities.write_parquet(ent_dir)
+    n_entities = None  # counts recorded from shard manifests below
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        h = pc.cast(pa.array(
+            [hash_subj(s, num_shards) for s in batch.column("subj").to_pylist()],
+            pa.int32()), pa.int32())
+        return batch.append_column("shard", h)
+
+    sharded = result.triples.map_batches(add_shard, batch_format="pyarrow")
+    sharded.write_parquet(tri_dir, partition_cols=["shard"])
+
+    import pyarrow.dataset as pads
+    n_triples = pads.dataset(tri_dir, partitioning="hive").count_rows()
+    n_entities = pads.dataset(ent_dir).count_rows()
+    manifest = write_manifest(out_dir, "graph", fingerprint_config("graph", num_shards),
+                              rows=n_triples,
+                              extra={"n_entities": n_entities, "n_triples": n_triples,
+                                     "num_shards": num_shards,
+                                     "n_fuzzy_links": len(result.links)})
+    return manifest
+
+
+def hash_subj(subj: str, num_shards: int) -> int:
+    import hashlib
+    return int.from_bytes(hashlib.blake2b(subj.encode(), digest_size=4).digest(), "little") % num_shards

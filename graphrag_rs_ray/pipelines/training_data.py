@@ -1,0 +1,409 @@
+"""Training-data operators over the local test tables (documents /
+embeddings / events) — the web-scale data-prep extensions: dedup families,
+similarity search, text analysis, windowed aggregates.
+
+Every operator takes ``sf_dir`` and returns a lazy ``ray.data.Dataset``
+(aggregates are small; heavy stages are vectorized map_batches).  Operators
+with an exact SQL equivalent carry a DuckDB oracle in
+``__ray_entry__.oracle_sql`` with IDENTICAL column names.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.dedup import MinHasher, SimHasher
+from ..functions.textstats import (
+    STOP_WORDS,
+    bm25_tokenize,
+    detect_language,
+    fingerprint,
+    quality_stats,
+)
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=list(columns))
+
+
+# ---------------------------------------------------------------- dedup --
+
+def exact_dedup(sf_dir: str):
+    """Exact dedup groups: one row per distinct md5(text) with the
+    representative (min) doc_id and group size.  Hash-partitioned groupby;
+    md5 matches DuckDB's ``md5()`` so the oracle is exact."""
+    from ray.data.aggregate import Count, Min
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        fps = [fingerprint(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("fp", pa.array(fps, pa.string()))
+
+    return (_docs(sf_dir)
+            .map_batches(add_fp, batch_format="pyarrow")
+            .groupby("fp")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Count(alias_name="n_dups")))
+
+
+def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
+    """Per-doc MinHash signature + LSH band hashes (flat band rows).
+    Scale path for near-dedup: equal (band, band_hash) ⇒ candidate pair."""
+    class MinHashStage:
+        def __init__(self):
+            self.mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_ids, bands, band_hashes = [], [], []
+            for did, text in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("text").to_pylist()):
+                sig = self.mh.signature(text)
+                for b, h in enumerate(self.mh.bands(sig, num_bands=16)):
+                    doc_ids.append(did)
+                    bands.append(b)
+                    band_hashes.append(h)
+            return pa.table({
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.uint64()),
+            })
+
+    return _docs(sf_dir).map_batches(MinHashStage, concurrency=2, batch_format="pyarrow")
+
+
+def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
+    """Candidate near-dup pairs (shingle→minhash→band→bucket groupby).
+
+    Two-phase to dodge per-group Python overhead: (1) a native vectorized
+    groupby counts bucket occupancy; only COLLIDING buckets (n>1, a tiny
+    set) are kept, broadcast, and (2) the band rows filtered to those
+    buckets go through the pair-emitting map_groups.  On mostly-unique
+    corpora this reduces the Python-group count from |docs|×bands to
+    ~|duplicates|."""
+    import pandas as pd
+    import ray
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Count
+
+    bands = minhash_signatures(sf_dir, num_perm, shingle_k).materialize()
+    counts = bands.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
+    hot = counts.filter(expr="n > 1").to_pandas()
+    hot_keys = set(zip(hot["band"].astype(int), hot["band_hash"].astype("uint64")))
+    hot_ref = ray.put(hot_keys)
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        bs = batch.column("band").to_pylist()
+        hs = batch.column("band_hash").to_pylist()
+        mask = pa.array([(b, h) in keys for b, h in zip(bs, hs)], pa.bool_())
+        return batch.filter(mask)
+
+    def pairs(group: pd.DataFrame) -> pa.Table:
+        ids = sorted(set(group["doc_id"]))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i]); b.append(ids[j])
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
+
+    cand = (bands.map_batches(only_hot, batch_format="pyarrow")
+            .groupby(["band", "band_hash"])
+            .map_groups(pairs, batch_format="pandas"))
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def simhash_signatures(sf_dir: str):
+    """64-bit SimHash per document."""
+    class SimHashStage:
+        def __init__(self):
+            self.sh = SimHasher()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sigs = [self.sh.signature(t) for t in batch.column("text").to_pylist()]
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(np.array(sigs, dtype=np.uint64)),
+            })
+
+    return _docs(sf_dir).map_batches(SimHashStage, concurrency=2, batch_format="pyarrow")
+
+
+def ngram_dedup_pairs(sf_dir: str, threshold: float = 0.8, n: int = 3):
+    """LSH candidates verified by character n-gram Jaccard ≥ threshold.
+    Broadcasts the text lookup (small side) into the verify stage."""
+    import ray
+
+    texts_tbl = _docs(sf_dir).to_pandas()
+    text_by_id = dict(zip(texts_tbl["doc_id"], texts_tbl["text"]))
+    ref = ray.put(text_by_id)
+
+    cand = minhash_lsh_candidates(sf_dir)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        from ..functions.dedup import ngram_jaccard
+        lookup = ray.get(ref)
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        keep_a, keep_b, sims = [], [], []
+        for x, y in zip(a, b):
+            s = ngram_jaccard(lookup[x], lookup[y], n)
+            if s >= threshold:
+                keep_a.append(x); keep_b.append(y); sims.append(round(s, 4))
+        return pa.table({"doc_a": pa.array(keep_a, pa.int64()),
+                         "doc_b": pa.array(keep_b, pa.int64()),
+                         "jaccard": pa.array(sims, pa.float64())})
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- similarity search --
+
+def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Brute-force cosine top-k: the first ``n_queries`` vectors (by vec_id)
+    are the query set, broadcast once (``ray.put``); each batch computes a
+    numpy matmul partial; global top-k via sort+limit per query."""
+    import ray
+    import ray.data as rd
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    import pyarrow.parquet as pq
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    order = pc.sort_indices(head.column("vec_id"))[:n_queries]
+    qids = pc.take(head.column("vec_id"), order).to_pylist()
+    qmat = np.array(pc.take(head.column("embedding"), order).to_pylist(), dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qref = ray.put((qids, qmat))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_, qm = ray.get(qref)
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = vecs @ qm.T                      # (n, nq)
+        vid = batch.column("vec_id").to_pylist()
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(ids_):
+            col = sims[:, qi]
+            top = np.argsort(-col)[:k]          # per-batch partial top-k
+            for t in top:
+                out_q.append(qid); out_v.append(vid[t]); out_s.append(col[t])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        return pa.table({
+            "query_id": pa.array(g["query_id"].tolist(), pa.int64()),
+            "vec_id": pa.array(g["vec_id"].tolist(), pa.int64()),
+            "rank": pa.array(range(1, len(g) + 1), pa.int64()),
+        })
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def cosine_dup_pairs(sf_dir: str, threshold: float = 0.8):
+    """Embedding-cosine near-dup pairs (vec_a < vec_b, cosine ≥ threshold).
+    Small side (full matrix) broadcast once; per-batch matmul against it.
+    Scale path: replace broadcast with LSH bucketing (`lsh_buckets`)."""
+    import ray
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+    all_tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    all_ids = np.asarray(all_tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(all_tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((all_ids, mat))
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, m = ray.get(ref)
+        vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = vecs @ m.T
+        rows_a, rows_b = [], []
+        for i in range(len(vid)):
+            hits = np.where(sims[i] >= threshold)[0]
+            for j in hits:
+                if vid[i] < ids_all[j]:
+                    rows_a.append(int(vid[i])); rows_b.append(int(ids_all[j]))
+        return pa.table({"vec_a": pa.array(rows_a, pa.int64()),
+                         "vec_b": pa.array(rows_b, pa.int64())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def lsh_buckets(sf_dir: str, n_planes: int = 12, seed: int = 7):
+    """Random-hyperplane LSH bucket id per vector — the IVF/LSH scale path
+    for ANN (bucket co-membership ⇒ candidate)."""
+    import ray
+    import ray.data as rd
+
+    def make_planes(dim):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        return rng.normal(size=(n_planes, dim))
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    planes_cache = {}
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        dim = vecs.shape[1]
+        if dim not in planes_cache:
+            planes_cache[dim] = make_planes(dim)
+        bits = (vecs @ planes_cache[dim].T) > 0
+        ids = np.packbits(bits, axis=1, bitorder="little")
+        buckets = np.zeros(len(vecs), dtype=np.int64)
+        for i in range(ids.shape[1]):
+            buckets |= ids[:, i].astype(np.int64) << (8 * i)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "bucket": pa.array(buckets, pa.int64())})
+
+    return ds.map_batches(bucket, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- text analysis --
+
+def language_id(sf_dir: str):
+    """Accent-heuristic language id (reference ``text/mod.rs:525-545``)."""
+    def lang(batch: pa.Table) -> pa.Table:
+        preds = [detect_language(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang_pred": pa.array(preds, pa.string())})
+    return _docs(sf_dir).map_batches(lang, batch_format="pyarrow")
+
+
+def token_stats(sf_dir: str):
+    """Whitespace token count + char count per doc (vectorized Arrow)."""
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        # count whitespace-separated tokens via split_pattern lengths
+        toks = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(text), r"\s+"))
+        empty = pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(text)), 0)
+        toks = pc.if_else(empty, pa.scalar(0, pa.int32()), toks)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(toks, pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        })
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def quality_scores(sf_dir: str):
+    """Per-doc quality features (length / punct / stopword ratios)."""
+    def q(batch: pa.Table) -> pa.Table:
+        rows = [quality_stats(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+            "n_words": pa.array([r["n_words"] for r in rows], pa.int64()),
+            # raw IEEE f64 divisions — bit-identical to DuckDB's k*1.0/n,
+            # so the oracle hash matches without rounding
+            "punct_ratio": pa.array([r["punct_ratio"] for r in rows], pa.float64()),
+            "stopword_ratio": pa.array([r["stopword_ratio"] for r in rows], pa.float64()),
+        })
+    return _docs(sf_dir).map_batches(q, batch_format="pyarrow")
+
+
+def doc_fingerprints(sf_dir: str):
+    """md5 fingerprint per doc (oracle-exact vs DuckDB md5())."""
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [fingerprint(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fp": pa.array(fps, pa.string())})
+    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def bm25_df(sf_dir: str):
+    """Corpus document frequencies over the BM25 tokenizer
+    (``retrieval/bm25.rs:70-113``): two-phase — per-batch distinct
+    (term, doc) pairs, then groupby(term).count."""
+    from ray.data.aggregate import Count
+
+    def term_docs(batch: pa.Table) -> pa.Table:
+        terms, dids = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for t in set(bm25_tokenize(text)):
+                terms.append(t); dids.append(did)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "doc_id": pa.array(dids, pa.int64())})
+
+    return (_docs(sf_dir)
+            .map_batches(term_docs, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Count(alias_name="df")))
+
+
+def bm25_corpus_stats(sf_dir: str):
+    """Global BM25 corpus stats: total docs, total tokens, avg doc length."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    def doclen(batch: pa.Table) -> pa.Table:
+        lens = [len(bm25_tokenize(t)) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "doc_len": pa.array(lens, pa.int64())})
+
+    agg = (_docs(sf_dir)
+           .map_batches(doclen, batch_format="pyarrow")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("doc_len", alias_name="total_tokens"),
+                      Mean("doc_len", alias_name="avg_doc_len")))
+    # Dataset.aggregate returns a plain dict — shape it into a 1-row table
+    return pa.table({
+        "n_docs": pa.array([int(agg["n_docs"])], pa.int64()),
+        "total_tokens": pa.array([int(agg["total_tokens"])], pa.int64()),
+        "avg_doc_len": pa.array([float(agg["avg_doc_len"])], pa.float64()),
+    })
+
+
+# ------------------------------------------------- windowed aggregates --
+
+def windowed_event_counts(sf_dir: str, window_minutes: int = 60):
+    """Tumbling-window aggregate over the events stream: per (event_type,
+    window) count + sum(value).  Ray Data has no event-time windows; the
+    window key is computed per batch (epoch floor) and the aggregate is a
+    plain groupby — the documented batch equivalent (ray_guide streaming
+    section)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value"])
+    w_us = window_minutes * 60 * 1_000_000
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())     # µs since epoch
+        win = pc.multiply(pc.divide(ts, w_us), w_us)     # integer floor
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "window_start": pc.cast(win, pa.timestamp("us")),
+            "value": batch.column("value"),
+        })
+
+    out = (ds.map_batches(add_window, batch_format="pyarrow")
+             .groupby(["event_type", "window_start"])
+             .aggregate(Count(alias_name="n_events"),
+                        Sum("value", alias_name="sum_value")))
+
+    def round_sum(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("sum_value"), "sum_value",
+            pc.round(batch.column("sum_value"), 3))
+    return out.map_batches(round_sum, batch_format="pyarrow")

@@ -1,0 +1,91 @@
+"""Canonicalization + dedup aggregates, two-phase (combiner → groupby).
+
+Exact-tier canonicalization is a ``groupby(entity_id)`` merge — possible
+without any join because entity ids are content-derived
+(``{TYPE}_{normalized_name}``).  Merge semantics follow the reference:
+max confidence, summed mentions (``entity/mod.rs:767-788``,
+``graph/mod.rs:210-232``), canonical display name = most frequent, ties →
+longest (``corpus/entity_linker.rs:468-481``).
+
+Skew design (SURVEY §4): both merges are associative, so each runs as a
+per-batch PARTIAL aggregate inside ``map_batches`` (pyarrow ``group_by``,
+no shuffle) followed by a global ``groupby`` over the already-collapsed
+partials — a hub entity contributes ONE row per block to the shuffle
+instead of one row per mention, which is the salted-combine pattern without
+needing an explicit salt column.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.similarity import select_canonical_name
+
+ENTITIES_SCHEMA = pa.schema([
+    ("entity_id", pa.string()),
+    ("name", pa.string()),
+    ("type", pa.string()),
+    ("conf", pa.float32()),
+    ("mention_count", pa.int64()),
+])
+
+TRIPLES_SCHEMA = pa.schema([
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("conf", pa.float32()),
+    ("n_contexts", pa.int64()),
+    ("context", pa.list_(pa.string())),
+])
+
+
+def partial_entity_agg(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: collapse entity rows to one row per
+    (entity_id, name) with summed mentions / max conf / row count."""
+    g = batch.group_by(["entity_id", "name", "type"]).aggregate([
+        ("conf", "max"), ("mention_count", "sum"), ("chunk_id", "count"),
+    ])
+    return g.rename_columns(["entity_id", "name", "type", "conf", "mention_count", "name_count"])
+
+
+def finalize_entities(group: pd.DataFrame) -> pa.Table:
+    """Global per-entity_id merge (runs inside groupby().map_groups).
+    Returns Arrow (fixed schema, no object-dtype size-estimation noise)."""
+    name_counts: dict[str, int] = {}
+    for n, c in zip(group["name"], group["name_count"]):
+        name_counts[n] = name_counts.get(n, 0) + int(c)
+    return pa.table({
+        "entity_id": pa.array([group["entity_id"].iloc[0]], pa.string()),
+        "name": pa.array([select_canonical_name(name_counts)], pa.string()),
+        "type": pa.array([group["type"].iloc[0]], pa.string()),
+        "conf": pa.array([float(group["conf"].max())], pa.float32()),
+        "mention_count": pa.array([int(group["mention_count"].sum())], pa.int64()),
+    })
+
+
+def partial_triple_agg(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for triples: one row per (subj, pred, obj) with
+    max conf, occurrence count, and a deterministic sample context
+    (min chunk_id)."""
+    g = batch.group_by(["subj", "pred", "obj"]).aggregate([
+        ("conf", "max"), ("chunk_id", "count"), ("chunk_id", "min"),
+    ])
+    return g.rename_columns(["subj", "pred", "obj", "conf", "n_contexts", "context_sample"])
+
+
+def make_finalize_triples(max_context_chunks: int = 8):
+    def finalize_triples(group: pd.DataFrame) -> pa.Table:
+        contexts = sorted(set(group["context_sample"]))[:max_context_chunks]
+        return pa.table({
+            "subj": pa.array([group["subj"].iloc[0]], pa.string()),
+            "pred": pa.array([group["pred"].iloc[0]], pa.string()),
+            "obj": pa.array([group["obj"].iloc[0]], pa.string()),
+            "conf": pa.array([float(group["conf"].max())], pa.float32()),
+            "n_contexts": pa.array([int(group["n_contexts"].sum())], pa.int64()),
+            "context": pa.array([contexts], pa.list_(pa.string())),
+        })
+    return finalize_triples
+
+
+finalize_triples = make_finalize_triples()

@@ -1,0 +1,100 @@
+"""chunks → combined (entity rows + triple rows): THE core extraction stage.
+
+One pass over chunk text runs the pattern/gazetteer detector
+(``functions/entities.py``, port of ``entity/mod.rs``) and emits BOTH
+per-chunk entity aggregates and co-occurrence triples in a single combined
+Arrow stream discriminated by a ``kind`` column ("e" / "t").  Rationale:
+the detector dominates pipeline cost; emitting both outputs from one pass
+avoids either running it twice or shuffling entities back together by
+chunk_id (pairs only need chunk-local state).
+
+Entity ids are content-derived (``{TYPE}_{normalized_name}``,
+``entity/mod.rs:594``), so the exact tier of canonicalization is a plain
+``groupby(entity_id)`` downstream — no join required to resolve triple
+endpoints.
+
+Runs as an actor pool (``map_batches(ExtractKG, concurrency=N)``): the
+extractor (regex compilation, gazetteer frozensets) is built once per
+actor.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import KGConfig
+from ..functions.entities import PatternEntityExtractor, extract_relationships
+
+COMBINED_SCHEMA = pa.schema([
+    ("kind", pa.string()),           # "e" | "t"
+    ("chunk_id", pa.string()),
+    ("doc_id", pa.string()),
+    ("entity_id", pa.string()),      # e-rows
+    ("name", pa.string()),
+    ("type", pa.string()),
+    ("conf", pa.float32()),
+    ("mention_count", pa.int64()),
+    ("subj", pa.string()),           # t-rows
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+])
+
+
+class ExtractKG:
+    def __init__(self, cfg: KGConfig | None = None):
+        cfg = cfg or KGConfig()
+        self.cfg = cfg
+        self.extractor = PatternEntityExtractor(
+            min_confidence=cfg.min_confidence,
+            entity_types=cfg.entity_types,
+            allowed_patterns=cfg.allowed_patterns,
+            excluded_patterns=cfg.excluded_patterns,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        chunk_ids = batch.column("chunk_id").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+
+        kind, c_cid, c_did = [], [], []
+        eid, name, etype, conf, mcount = [], [], [], [], []
+        subj, pred, obj = [], [], []
+
+        for chunk_id, doc_id, text in zip(chunk_ids, doc_ids, texts):
+            entities = self.extractor.extract(text)
+            for e in entities:
+                kind.append("e"); c_cid.append(chunk_id); c_did.append(doc_id)
+                eid.append(e.entity_id); name.append(e.name); etype.append(e.entity_type)
+                conf.append(e.confidence); mcount.append(len(e.mentions))
+                subj.append(None); pred.append(None); obj.append(None)
+            for s, p, o in extract_relationships(entities, text):
+                kind.append("t"); c_cid.append(chunk_id); c_did.append(doc_id)
+                eid.append(None); name.append(None); etype.append(None)
+                conf.append(cfg.relationship_confidence); mcount.append(0)
+                subj.append(s); pred.append(p); obj.append(o)
+
+        return pa.table({
+            "kind": pa.array(kind, pa.string()),
+            "chunk_id": pa.array(c_cid, pa.string()),
+            "doc_id": pa.array(c_did, pa.string()),
+            "entity_id": pa.array(eid, pa.string()),
+            "name": pa.array(name, pa.string()),
+            "type": pa.array(etype, pa.string()),
+            "conf": pa.array(conf, pa.float32()),
+            "mention_count": pa.array(mcount, pa.int64()),
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(pred, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+        })
+
+
+def entities_only(batch: pa.Table) -> pa.Table:
+    t = batch.filter(pc.equal(batch.column("kind"), "e"))
+    return t.select(["chunk_id", "doc_id", "entity_id", "name", "type", "conf", "mention_count"])
+
+
+def triples_only(batch: pa.Table) -> pa.Table:
+    t = batch.filter(pc.equal(batch.column("kind"), "t"))
+    return t.select(["chunk_id", "doc_id", "subj", "pred", "obj", "conf"])

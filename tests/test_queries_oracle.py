@@ -1,0 +1,93 @@
+"""Driver-style parity gate: run every queries() entry at sf0.001 and,
+where an oracle exists, compare against DuckDB (sorted columns, sorted
+rows, exact values with float tolerance 0 — the driver hashes values, so
+anything failing here would fail there)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _to_pandas(result):
+    import ray.data as rd
+    import pyarrow as pa
+    if isinstance(result, rd.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+SQL_CHECKED = [
+    "exact_dedup", "doc_fingerprints", "token_stats", "language_id",
+    "quality_scores", "bm25_df", "bm25_corpus_stats", "knn_bruteforce",
+    "cosine_dup_pairs", "windowed_event_counts",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(ray_session, name):
+    import __ray_entry__ as e
+    ray_df = _normalize(_to_pandas(e.queries()[name](SF_DIR)))
+    con = _duck()
+    oracle_df = _normalize(con.execute(e.oracle_sql()[name]).df())
+    con.close()
+    assert list(ray_df.columns) == list(oracle_df.columns), \
+        f"{name}: columns {list(ray_df.columns)} != {list(oracle_df.columns)}"
+    assert len(ray_df) == len(oracle_df), \
+        f"{name}: rows {len(ray_df)} != {len(oracle_df)}"
+    for c in ray_df.columns:
+        a, b = ray_df[c].to_numpy(), oracle_df[c].to_numpy()
+        if np.issubdtype(ray_df[c].dtype, np.floating):
+            assert np.allclose(a.astype(float), b.astype(float), atol=0, rtol=0), \
+                f"{name}.{c}: float mismatch (driver hashes exact values)"
+        else:
+            assert (a == b).all(), f"{name}.{c}: value mismatch"
+
+
+ROWS_ONLY = ["kg_triples", "kg_entities", "kg_entities_fuzzy", "kg_mentions",
+             "kg_chunks", "kg_extract_text", "minhash_lsh_candidates",
+             "simhash_signatures", "ngram_dedup_pairs", "lsh_buckets"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(ray_session, name):
+    import __ray_entry__ as e
+    df = _to_pandas(e.queries()[name](SF_DIR))
+    assert df is not None
+    assert len(df.columns) > 0
+    if name in ("kg_triples", "kg_entities", "kg_mentions", "kg_chunks",
+                "kg_extract_text", "simhash_signatures", "lsh_buckets"):
+        assert len(df) > 0, f"{name} unexpectedly empty"
+
+
+def test_entry_runs(ray_session):
+    import __ray_entry__ as e
+    ds = e.entry()
+    df = _to_pandas(ds)
+    assert len(df) > 0
+    assert {"subj", "pred", "obj", "conf"} <= set(df.columns)
