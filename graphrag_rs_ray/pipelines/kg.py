@@ -29,13 +29,14 @@ import pyarrow as pa
 from ..config import KGConfig
 from ..functions.similarity import LinkingConfig
 from ..stages.canonicalize import (
-    finalize_entities,
+    entity_bucket_merge,
     partial_entity_agg,
     partial_triple_agg,
 )
+from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
 from ..stages.chunk import ChunkStage
 from ..stages.extract_text import extract_text_stage
-from ..stages.kg_extract import ExtractKG, entities_only, triples_only
+from ..stages.kg_extract import ExtractKG, entities_only, make_extract_fn, triples_only
 from ..stages.linking import compute_links, make_remap_entities, make_remap_triples
 from ..state.manifests import fingerprint_config, stage_complete, write_manifest
 
@@ -46,33 +47,41 @@ def pages_to_chunks(pages_ds, cfg: KGConfig):
 
 
 def chunks_to_combined(chunks_ds, cfg: KGConfig):
-    concurrency = cfg.extract_concurrency
-    if concurrency is None:
-        # autoscale the actor pool up to the cluster CPU count; leaving the
-        # floor at 1 lets the scheduler balance against the read/shuffle
-        # stages instead of starving them
-        import ray
-        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (1, max(2, cpus))
+    """Extraction stage.  Default: stateless tasks with a per-worker-process
+    extractor memo (elastic, no pool sizing).  An explicit
+    ``cfg.extract_concurrency`` opts into an actor pool (useful when the
+    extractor state becomes genuinely heavy, e.g. a model), capped below
+    the cluster CPU count so the read/shuffle stages never starve."""
+    if cfg.extract_concurrency is None:
+        return chunks_ds.map_batches(make_extract_fn(cfg), batch_format="pyarrow",
+                                     batch_size=cfg.batch_size)
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    conc = cfg.extract_concurrency
+    if isinstance(conc, int):
+        conc = min(conc, max(1, cpus - 2))
     return chunks_ds.map_batches(ExtractKG, fn_constructor_args=(cfg,),
                                  batch_format="pyarrow", batch_size=cfg.batch_size,
-                                 concurrency=concurrency)
+                                 concurrency=conc)
 
 
 def dedup_triples(triples_rows_ds, cfg: KGConfig):
     """(subj, pred, obj) exact dedup: per-batch combiner (pyarrow group_by,
-    no shuffle) then a NATIVE vectorized groupby aggregate — no per-group
-    Python.  ``context_sample`` is the global-min chunk_id (deterministic);
+    no shuffle) then a hash-bucketed shuffle with vectorized C++
+    aggregation per bucket (Ray's native groupby pays ~0.3 ms Python per
+    GROUP — fatal at triple cardinality; see ``stages/hashagg.py``).
+    ``context_sample`` is the global-min chunk_id (deterministic);
     ``n_contexts`` preserves the full context count (the reference's
     unbounded ``context: Vec<ChunkId>`` does not scale; SURVEY §2.5)."""
-    from ray.data.aggregate import Max, Min, Sum
-
     partial = triples_rows_ds.map_batches(partial_triple_agg, batch_format="pyarrow")
-    return partial.groupby(["subj", "pred", "obj"]).aggregate(
-        Max("conf", alias_name="conf"),
-        Sum("n_contexts", alias_name="n_contexts"),
-        Min("context_sample", alias_name="context_sample"),
-    )
+    return hash_grouped_aggregate(
+        partial, ["subj", "pred", "obj"],
+        grouped_arrow_agg(["subj", "pred", "obj"],
+                          [("conf", "max"), ("n_contexts", "sum"),
+                           ("context_sample", "min")],
+                          rename=["subj", "pred", "obj", "conf", "n_contexts",
+                                  "context_sample"]),
+        num_buckets=cfg.num_shards * 4)
 
 
 def triples_dataset(pages_ds, cfg: KGConfig | None = None):
@@ -114,10 +123,9 @@ def build_kg(pages_ds, cfg: KGConfig | None = None, work_dir: str | None = None)
 
     # ---- entities: exact tier -----------------------------------------
     e_rows = combined.map_batches(entities_only, batch_format="pyarrow")
-    entities = (e_rows
-                .map_batches(partial_entity_agg, batch_format="pyarrow")
-                .groupby("entity_id")
-                .map_groups(finalize_entities, batch_format="pandas"))
+    entities = hash_grouped_aggregate(
+        e_rows.map_batches(partial_entity_agg, batch_format="pyarrow"),
+        ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
 
     links: dict[str, str] = {}
     if cfg.fuzzy_linking:
@@ -126,11 +134,11 @@ def build_kg(pages_ds, cfg: KGConfig | None = None, work_dir: str | None = None)
             min_similarity=cfg.min_similarity, use_phonetic=cfg.use_phonetic))
         if links:
             links_ref = ray.put(links)
-            entities = (entities
-                        .map_batches(make_remap_entities(links_ref), batch_format="pyarrow")
-                        .map_batches(partial_entity_agg_from_final, batch_format="pyarrow")
-                        .groupby("entity_id")
-                        .map_groups(finalize_entities, batch_format="pandas"))
+            entities = hash_grouped_aggregate(
+                entities
+                .map_batches(make_remap_entities(links_ref), batch_format="pyarrow")
+                .map_batches(partial_entity_agg_from_final, batch_format="pyarrow"),
+                ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards)
 
     # ---- triples -------------------------------------------------------
     t_rows = combined.map_batches(triples_only, batch_format="pyarrow")

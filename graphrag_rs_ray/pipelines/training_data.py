@@ -38,17 +38,17 @@ def exact_dedup(sf_dir: str):
     """Exact dedup groups: one row per distinct md5(text) with the
     representative (min) doc_id and group size.  Hash-partitioned groupby;
     md5 matches DuckDB's ``md5()`` so the oracle is exact."""
-    from ray.data.aggregate import Count, Min
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
 
     def add_fp(batch: pa.Table) -> pa.Table:
         fps = [fingerprint(t) for t in batch.column("text").to_pylist()]
         return batch.append_column("fp", pa.array(fps, pa.string()))
 
-    return (_docs(sf_dir)
-            .map_batches(add_fp, batch_format="pyarrow")
-            .groupby("fp")
-            .aggregate(Min("doc_id", alias_name="doc_id"),
-                       Count(alias_name="n_dups")))
+    return hash_grouped_aggregate(
+        _docs(sf_dir).map_batches(add_fp, batch_format="pyarrow"),
+        ["fp"],
+        grouped_arrow_agg(["fp"], [("doc_id", "min"), ("doc_id", "count")],
+                          rename=["fp", "doc_id", "n_dups"]))
 
 
 def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
@@ -87,11 +87,13 @@ def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
     ~|duplicates|."""
     import pandas as pd
     import ray
-    import pyarrow.compute as pc2
-    from ray.data.aggregate import Count
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
 
     bands = minhash_signatures(sf_dir, num_perm, shingle_k).materialize()
-    counts = bands.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
+    counts = hash_grouped_aggregate(
+        bands, ["band", "band_hash"],
+        grouped_arrow_agg(["band", "band_hash"], [("doc_id", "count")],
+                          rename=["band", "band_hash", "n"]))
     hot = counts.filter(expr="n > 1").to_pandas()
     hot_keys = set(zip(hot["band"].astype(int), hot["band_hash"].astype("uint64")))
     hot_ref = ray.put(hot_keys)
@@ -115,7 +117,10 @@ def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
     cand = (bands.map_batches(only_hot, batch_format="pyarrow")
             .groupby(["band", "band_hash"])
             .map_groups(pairs, batch_format="pandas"))
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    return hash_grouped_aggregate(
+        cand, ["doc_a", "doc_b"],
+        grouped_arrow_agg(["doc_a", "doc_b"], [("doc_a", "count")],
+                          rename=["doc_a", "doc_b", "n_bands"]))
 
 
 def simhash_signatures(sf_dir: str):
@@ -333,8 +338,9 @@ def doc_fingerprints(sf_dir: str):
 def bm25_df(sf_dir: str):
     """Corpus document frequencies over the BM25 tokenizer
     (``retrieval/bm25.rs:70-113``): two-phase — per-batch distinct
-    (term, doc) pairs, then groupby(term).count."""
-    from ray.data.aggregate import Count
+    (term, doc) pairs, then a hash-bucketed vectorized count (vocab is a
+    high-cardinality key; see ``stages/hashagg.py``)."""
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
 
     def term_docs(batch: pa.Table) -> pa.Table:
         terms, dids = [], []
@@ -345,10 +351,10 @@ def bm25_df(sf_dir: str):
         return pa.table({"term": pa.array(terms, pa.string()),
                          "doc_id": pa.array(dids, pa.int64())})
 
-    return (_docs(sf_dir)
-            .map_batches(term_docs, batch_format="pyarrow")
-            .groupby("term")
-            .aggregate(Count(alias_name="df")))
+    return hash_grouped_aggregate(
+        _docs(sf_dir).map_batches(term_docs, batch_format="pyarrow"),
+        ["term"],
+        grouped_arrow_agg(["term"], [("doc_id", "count")], rename=["term", "df"]))
 
 
 def bm25_corpus_stats(sf_dir: str):

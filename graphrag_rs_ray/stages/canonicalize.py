@@ -51,7 +51,9 @@ def partial_entity_agg(batch: pa.Table) -> pa.Table:
 
 def finalize_entities(group: pd.DataFrame) -> pa.Table:
     """Global per-entity_id merge (runs inside groupby().map_groups).
-    Returns Arrow (fixed schema, no object-dtype size-estimation noise)."""
+    Returns Arrow (fixed schema, no object-dtype size-estimation noise).
+    NOTE: prefer ``entity_bucket_merge`` (vectorized per hash bucket) in
+    pipelines; this per-group variant is kept for small inputs/tests."""
     name_counts: dict[str, int] = {}
     for n, c in zip(group["name"], group["name_count"]):
         name_counts[n] = name_counts.get(n, 0) + int(c)
@@ -61,6 +63,33 @@ def finalize_entities(group: pd.DataFrame) -> pa.Table:
         "type": pa.array([group["type"].iloc[0]], pa.string()),
         "conf": pa.array([float(group["conf"].max())], pa.float32()),
         "mention_count": pa.array([int(group["mention_count"].sum())], pa.int64()),
+    })
+
+
+def entity_bucket_merge(t: pa.Table) -> pa.Table:
+    """Vectorized per-bucket entity merge (pandas groupby, no per-key
+    Python): same semantics as ``finalize_entities`` — canonical name by
+    (total count, length, lexicographic) vote, max conf, summed mentions."""
+    df = t.to_pandas()
+    per_name = (df.groupby(["entity_id", "name", "type"], as_index=False)
+                  .agg(conf=("conf", "max"),
+                       mention_count=("mention_count", "sum"),
+                       name_count=("name_count", "sum")))
+    per_name["_len"] = per_name["name"].str.len()
+    ranked = per_name.sort_values(
+        ["entity_id", "name_count", "_len", "name"],
+        ascending=[True, False, False, False])
+    canon = ranked.drop_duplicates("entity_id", keep="first")[["entity_id", "name"]]
+    totals = (per_name.groupby("entity_id", as_index=False)
+                      .agg(type=("type", "first"), conf=("conf", "max"),
+                           mention_count=("mention_count", "sum")))
+    out = totals.merge(canon, on="entity_id")
+    return pa.table({
+        "entity_id": pa.array(out["entity_id"], pa.string()),
+        "name": pa.array(out["name"], pa.string()),
+        "type": pa.array(out["type"], pa.string()),
+        "conf": pa.array(out["conf"], pa.float32()),
+        "mention_count": pa.array(out["mention_count"], pa.int64()),
     })
 
 

@@ -1,0 +1,65 @@
+"""Hash-bucketed grouped aggregation — the scalable groupby.
+
+Ray Data's native ``groupby().aggregate()`` pays per-GROUP Python overhead
+(~0.3 ms/group measured on Ray 2.49), which is unusable for
+high-cardinality keys (entity ids, triples, vocab terms).  This module
+implements the classic two-level pattern instead:
+
+    map_batches: bucket = H(key) % P          (vectorized, no shuffle)
+    groupby("bucket")                          (shuffle on ONE small int key)
+    map_groups: pyarrow group_by inside bucket (vectorized C++ per bucket)
+
+Per-group Python cost drops from O(#distinct keys) to O(P).  All rows of
+one key land in one bucket, so any per-key aggregate stays exact.  P is
+the shuffle-parallelism knob: a few × cluster cores locally; thousands on
+a real cluster (keeps each reduce partition in memory).
+
+The hash is pandas' stable 64-bit column hash (vectorized); bucket ids
+never appear in outputs, so only run-internal consistency matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _bucket_of(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
+    df = batch.select(keys).to_pandas()
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    return pa.array((h % num_buckets).astype("int64"), pa.int64())
+
+
+def hash_grouped_aggregate(ds, keys: list[str],
+                           per_bucket_fn: Callable[[pa.Table], pa.Table],
+                           num_buckets: int = 64):
+    """``per_bucket_fn`` receives every row of a bucket (all rows of each
+    contained key) as one Arrow table and returns the aggregated rows."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_bucket", _bucket_of(batch, keys, num_buckets))
+
+    def run_bucket(group: pa.Table) -> pa.Table:
+        return per_bucket_fn(group.drop_columns(["_bucket"]))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(run_bucket, batch_format="pyarrow"))
+
+
+def grouped_arrow_agg(group_keys: list[str], aggregations: list[tuple[str, str]],
+                      rename: list[str] | None = None):
+    """Build a per-bucket fn running ``pa.Table.group_by().aggregate()``
+    (C++ hash aggregation).  ``aggregations`` are (column, fn) pairs as
+    pyarrow expects; ``rename`` (optional) renames the FULL output column
+    list (keys first, then aggregates)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = t.group_by(group_keys).aggregate(aggregations)
+        if rename:
+            out = out.rename_columns(rename)
+        return out
+
+    return fn

@@ -90,6 +90,28 @@ class ExtractKG:
         })
 
 
+# Per-worker-process extractor cache: Ray tasks run in long-lived worker
+# processes, so this gives "state loaded once per worker" (gazetteers are
+# module constants; the instance is memoized per config) WITHOUT an actor
+# pool — stateless tasks scale elastically and can't starve other stages.
+_EXTRACTOR_CACHE: dict = {}
+
+
+def make_extract_fn(cfg: KGConfig | None = None):
+    cfg = cfg or KGConfig()
+    key = (cfg.min_confidence, cfg.entity_types, cfg.allowed_patterns,
+           cfg.excluded_patterns, cfg.relationship_confidence)
+
+    def extract_fn(batch: pa.Table) -> pa.Table:
+        stage = _EXTRACTOR_CACHE.get(key)
+        if stage is None:
+            stage = ExtractKG(cfg)
+            _EXTRACTOR_CACHE[key] = stage
+        return stage(batch)
+
+    return extract_fn
+
+
 def entities_only(batch: pa.Table) -> pa.Table:
     t = batch.filter(pc.equal(batch.column("kind"), "e"))
     return t.select(["chunk_id", "doc_id", "entity_id", "name", "type", "conf", "mention_count"])
