@@ -103,6 +103,50 @@ def q_extract_text(sf_dir: str):
     return _kg_pages(sf_dir).map_batches(extract_text_stage, batch_format="pyarrow")
 
 
+def q_entity_to_chunks(sf_dir: str):
+    from graphrag_rs_ray.pipelines.graph_ops import entity_to_chunks
+    return entity_to_chunks(q_kg_mentions(sf_dir))
+
+
+def q_chunk_to_entities(sf_dir: str):
+    from graphrag_rs_ray.pipelines.graph_ops import chunk_to_entities
+    return chunk_to_entities(q_kg_mentions(sf_dir))
+
+
+def q_co_occurring_entities(sf_dir: str):
+    from graphrag_rs_ray.pipelines.graph_ops import co_occurring_entities
+    return co_occurring_entities(q_kg_mentions(sf_dir))
+
+
+def q_semantic_edges(sf_dir: str):
+    from graphrag_rs_ray.pipelines.graph_ops import semantic_edges
+    from graphrag_rs_ray.stages.embed import EmbedStage
+    ents = q_kg_entities(sf_dir).map_batches(
+        EmbedStage, fn_constructor_args=("name", 64),
+        batch_format="pyarrow", concurrency=2)
+    return semantic_edges(ents.materialize(), similarity_threshold=0.8)
+
+
+def q_multimodal_features(sf_dir: str):
+    from graphrag_rs_ray.stages.multimodal import decode_features, media_from_documents
+    return decode_features(media_from_documents(sf_dir))
+
+
+def q_concept_mentions(sf_dir: str):
+    from graphrag_rs_ray.pipelines.concepts import concept_mention_rows
+    return concept_mention_rows(q_kg_chunks(sf_dir))
+
+
+def q_concept_table(sf_dir: str):
+    from graphrag_rs_ray.pipelines.concepts import concept_table
+    return concept_table(q_kg_chunks(sf_dir))
+
+
+def q_concept_edges(sf_dir: str):
+    from graphrag_rs_ray.pipelines.concepts import concept_edges
+    return concept_edges(q_kg_chunks(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -123,17 +167,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": td.knn_bruteforce,
         "cosine_dup_pairs": lambda sf: td.cosine_dup_pairs(sf, threshold=0.35),
         "windowed_event_counts": td.windowed_event_counts,
+        "tfidf_topk": td.tfidf_topk,
         # near-dup family (signatures/LSH — not SQL-expressible)
         "minhash_lsh_candidates": td.minhash_lsh_candidates,
         "simhash_signatures": td.simhash_signatures,
         "ngram_dedup_pairs": td.ngram_dedup_pairs,
         "lsh_buckets": td.lsh_buckets,
+        # LazyGraphRAG concept-graph path + enrichment (rows-only)
+        "concept_mentions": q_concept_mentions,
+        "concept_table": q_concept_table,
+        "concept_edges": q_concept_edges,
+        "enriched_chunks": td.enriched_chunks,
+        # derived graph tables / similarity edges / multimodal plumbing
+        "entity_to_chunks": q_entity_to_chunks,
+        "chunk_to_entities": q_chunk_to_entities,
+        "co_occurring_entities": q_co_occurring_entities,
+        "semantic_edges": q_semantic_edges,
+        "multimodal_features": q_multimodal_features,
     }
 
 
 # -------------------------------------------------------- oracle_sql() --
 
 _STOPLIST_SQL = "(" + ",".join(f"'{w}'" for w in sorted(STOP_WORDS)) + ")"
+
+from graphrag_rs_ray.functions.keywords import TFIDF_STOPWORDS  # noqa: E402
+
+_TFIDF_STOPLIST_SQL = "(" + ",".join(f"'{w}'" for w in sorted(TFIDF_STOPWORDS)) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -225,6 +285,32 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         """,
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     lower(regexp_replace(unnest(regexp_split_to_array(trim(text), '\\s+')),
+                                          '[^\\p{L}\\p{N}\\-_]', '', 'g')) AS term
+              FROM documents WHERE length(trim(text)) > 0),
+            filtered AS (
+              SELECT doc_id, term FROM toks
+              WHERE length(term) > 2 AND term NOT IN {tfstop}
+                AND NOT regexp_matches(term, '^[0-9]+$')),
+            tf AS (
+              SELECT doc_id, term,
+                     count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY doc_id) AS tf
+              FROM filtered GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM filtered GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * greatest(ln((SELECT count(*) FROM documents) * 1.0 / df.df), 0) AS score
+              FROM tf JOIN df USING (term)),
+            ranked AS (
+              SELECT doc_id, term,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term ASC) AS rank
+              FROM scored)
+            SELECT doc_id, rank::BIGINT AS rank, term FROM ranked WHERE rank <= 5
+        """.replace("{tfstop}", _TFIDF_STOPLIST_SQL),
         "windowed_event_counts": """
             SELECT event_type,
                    to_timestamp((epoch_us(ts) // 3600000000) * 3600)::TIMESTAMP AS window_start,

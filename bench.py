@@ -40,7 +40,14 @@ def run_bench() -> dict:
     import __ray_entry__ as e
     q = e.queries()
 
-    # warm the page-cache / worker pool with one untimed small read
+    # Warm the worker pool with an untimed SMALL run of the same pipeline:
+    # spawns all workers, imports the library + numpy in each, and touches
+    # the parquet page cache — so the timed runs measure compute + shuffle,
+    # not process spawn (ray_guide: "warm the OS page cache ... first").
+    from graphrag_rs_ray.config import KGConfig
+    from graphrag_rs_ray.pipelines.kg import triples_dataset
+    from graphrag_rs_ray.sources.pages import pages_dataset
+    triples_dataset(pages_dataset(500, seed=1), KGConfig()).count()
     q["token_stats"](sf_dir).count()
 
     timings: dict[str, float] = {}

@@ -1,0 +1,92 @@
+"""LazyGraphRAG-style concept graph construction (deterministic, no LLM).
+
+Reference path: ``lightrag/concept_graph.rs`` — concepts per chunk, global
+concept→chunk-set table, co-occurrence edges (shared-chunk count ≥ 2) with
+Jaccard confidence.
+
+Ray design: concepts of one chunk are batch-local, so PAIRS are emitted at
+extraction time (no self-join shuffle, SURVEY §2.5 "avoids O(n²) pair
+loop"); shared-chunk counts come from a hash-bucketed count over pair
+rows; Jaccard denominators come from the (small) per-concept count table
+broadcast via ``ray.put`` — the documented assumption is that the concept
+VOCABULARY fits in driver memory (chunk sets never materialize anywhere).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.concepts import extract_concepts, jaccard_confidence
+from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+
+def concept_mention_rows(chunks_ds):
+    """chunks → (concept, chunk_id) rows (one per concept per chunk)."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        concepts, chunk_ids = [], []
+        for cid, text in zip(batch.column("chunk_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for c in extract_concepts(text):
+                concepts.append(c)
+                chunk_ids.append(cid)
+        return pa.table({"concept": pa.array(concepts, pa.string()),
+                         "chunk_id": pa.array(chunk_ids, pa.string())})
+
+    return chunks_ds.map_batches(extract, batch_format="pyarrow")
+
+
+def concept_pair_rows(chunks_ds):
+    """chunks → (concept_a < concept_b, chunk_id) co-occurrence pair rows."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        a_out, b_out, cid_out = [], [], []
+        for cid, text in zip(batch.column("chunk_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            cs = extract_concepts(text)   # sorted + deduped
+            for i in range(len(cs)):
+                for j in range(i + 1, len(cs)):
+                    a_out.append(cs[i]); b_out.append(cs[j]); cid_out.append(cid)
+        return pa.table({"concept_a": pa.array(a_out, pa.string()),
+                         "concept_b": pa.array(b_out, pa.string()),
+                         "chunk_id": pa.array(cid_out, pa.string())})
+
+    return chunks_ds.map_batches(extract, batch_format="pyarrow")
+
+
+def concept_table(chunks_ds):
+    """concept → n_chunks (hash-bucketed count)."""
+    return hash_grouped_aggregate(
+        concept_mention_rows(chunks_ds), ["concept"],
+        grouped_arrow_agg(["concept"], [("chunk_id", "count")],
+                          rename=["concept", "n_chunks"]))
+
+
+def concept_edges(chunks_ds, co_occurrence_threshold: int = 2):
+    """Edges with shared-chunk count ≥ threshold and Jaccard confidence
+    (``concept_graph.rs:389-448``)."""
+    import ray
+
+    counts_df = concept_table(chunks_ds).to_pandas()
+    counts = dict(zip(counts_df["concept"], counts_df["n_chunks"].astype(int)))
+    counts_ref = ray.put(counts)
+
+    pair_counts = hash_grouped_aggregate(
+        concept_pair_rows(chunks_ds), ["concept_a", "concept_b"],
+        grouped_arrow_agg(["concept_a", "concept_b"], [("chunk_id", "count")],
+                          rename=["concept_a", "concept_b", "count"]))
+
+    thr = co_occurrence_threshold
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cm = ray.get(counts_ref)
+        batch = batch.filter(pc.greater_equal(batch.column("count"), thr))
+        a = batch.column("concept_a").to_pylist()
+        b = batch.column("concept_b").to_pylist()
+        n = batch.column("count").to_pylist()
+        conf = [jaccard_confidence(cm.get(x, 0), cm.get(y, 0), s)
+                for x, y, s in zip(a, b, n)]
+        return batch.append_column("confidence", pa.array(conf, pa.float64()))
+
+    return pair_counts.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,173 @@
+"""Derived graph tables + merge operators.
+
+- Bidirectional index (``entity/bidirectional_index.rs:93-123,291-357``):
+  entity→chunk lists, chunk→entity lists, co-occurring entity pairs with
+  shared-chunk counts ≥ threshold — all derived tables, no materialized
+  index object (SURVEY §2.4).
+- Incremental entity merge (``graph/incremental.rs:242-257,721-747``):
+  KeepExisting / KeepNew / Merge conflict strategies over two entity
+  tables.
+- Semantic similarity edges (``graph/mod.rs:235-275``): per-entity top-k
+  cosine neighbours over a broadcast embedding matrix (the canonical
+  entity table is the small side by construction; the scale path is the
+  LSH-bucketed variant in ``training_data.lsh_buckets``).
+- JSON graph sink (``core/mod.rs:536-658``): debug-grade export.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+
+# ---- bidirectional index ------------------------------------------------
+
+def entity_to_chunks(mentions_ds):
+    """entity_id → sorted chunk list + count."""
+    def finish(t: pa.Table) -> pa.Table:
+        out = t.group_by(["entity_id"]).aggregate([("chunk_id", "distinct")])
+        chunks = [sorted(x) for x in out.column("chunk_id_distinct").to_pylist()]
+        return pa.table({
+            "entity_id": out.column("entity_id"),
+            "chunks": pa.array(chunks, pa.list_(pa.string())),
+            "n_chunks": pa.array([len(c) for c in chunks], pa.int64()),
+        })
+    return hash_grouped_aggregate(mentions_ds, ["entity_id"], finish)
+
+
+def chunk_to_entities(mentions_ds):
+    """chunk_id → sorted entity list + count."""
+    def finish(t: pa.Table) -> pa.Table:
+        out = t.group_by(["chunk_id"]).aggregate([("entity_id", "distinct")])
+        ents = [sorted(x) for x in out.column("entity_id_distinct").to_pylist()]
+        return pa.table({
+            "chunk_id": out.column("chunk_id"),
+            "entities": pa.array(ents, pa.list_(pa.string())),
+            "n_entities": pa.array([len(e) for e in ents], pa.int64()),
+        })
+    return hash_grouped_aggregate(mentions_ds, ["chunk_id"], finish)
+
+
+def co_occurring_entities(mentions_ds, min_shared_chunks: int = 2):
+    """Entity pairs sharing ≥ N chunks (``bidirectional_index.rs:291-313``).
+    Pairs are emitted per chunk (chunk-local, no self-join) then counted."""
+    import pyarrow.compute as pc
+
+    def pairs(t: pa.Table) -> pa.Table:
+        out = t.group_by(["chunk_id"]).aggregate([("entity_id", "distinct")])
+        a_l, b_l = [], []
+        for ents in out.column("entity_id_distinct").to_pylist():
+            es = sorted(set(ents))
+            for i in range(len(es)):
+                for j in range(i + 1, len(es)):
+                    a_l.append(es[i]); b_l.append(es[j])
+        return pa.table({"entity_a": pa.array(a_l, pa.string()),
+                         "entity_b": pa.array(b_l, pa.string())})
+
+    pair_rows = hash_grouped_aggregate(mentions_ds, ["chunk_id"], pairs)
+    counted = hash_grouped_aggregate(
+        pair_rows, ["entity_a", "entity_b"],
+        grouped_arrow_agg(["entity_a", "entity_b"], [("entity_a", "count")],
+                          rename=["entity_a", "entity_b", "shared_chunks"]))
+    thr = min_shared_chunks
+    return counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("shared_chunks"), thr)),
+        batch_format="pyarrow")
+
+
+# ---- incremental merge --------------------------------------------------
+
+KEEP_EXISTING, KEEP_NEW, MERGE = "keep_existing", "keep_new", "merge"
+
+
+def merge_entity_tables(existing_ds, new_ds, strategy: str = MERGE):
+    """Merge two canonical entity tables under a conflict strategy
+    (``graph/incremental.rs:242-257,721-747``).  Merge semantics: higher
+    confidence wins name+type, mention counts sum."""
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("_side", pa.array([side] * t.num_rows, pa.int8()))
+        return fn
+
+    unioned = existing_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        new_ds.map_batches(tag(1), batch_format="pyarrow"))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if strategy == KEEP_EXISTING:
+            df = df.sort_values(["entity_id", "_side"]).drop_duplicates("entity_id", keep="first")
+        elif strategy == KEEP_NEW:
+            df = df.sort_values(["entity_id", "_side"]).drop_duplicates("entity_id", keep="last")
+        else:
+            mc = df.groupby("entity_id", as_index=False)["mention_count"].sum()
+            best = (df.sort_values(["entity_id", "conf", "_side"],
+                                   ascending=[True, False, False])
+                      .drop_duplicates("entity_id", keep="first")
+                      .drop(columns=["mention_count"]))
+            df = best.merge(mc, on="entity_id")
+        df = df.drop(columns=["_side"])
+        return pa.table({
+            "entity_id": pa.array(df["entity_id"], pa.string()),
+            "name": pa.array(df["name"], pa.string()),
+            "type": pa.array(df["type"], pa.string()),
+            "conf": pa.array(df["conf"], pa.float32()),
+            "mention_count": pa.array(df["mention_count"], pa.int64()),
+        })
+
+    return hash_grouped_aggregate(unioned, ["entity_id"], resolve)
+
+
+# ---- semantic similarity edges -----------------------------------------
+
+def semantic_edges(entities_with_embeddings_ds, similarity_threshold: float = 0.8,
+                   max_connections: int = 10):
+    """Top-k cosine edges per entity (``graph/mod.rs:235-275``): broadcast
+    the full (id, embedding) matrix once; per-batch numpy matmul; emit
+    SEMANTICALLY_SIMILAR edges above threshold."""
+    import ray
+
+    all_df = entities_with_embeddings_ds.to_pandas()
+    ids = all_df["entity_id"].to_numpy()
+    mat = np.array(list(all_df["embedding"]), dtype=np.float32)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(norms, 1e-12)
+    ref = ray.put((ids, mat))
+
+    def edges(batch: pa.Table) -> pa.Table:
+        all_ids, m = ray.get(ref)
+        bids = batch.column("entity_id").to_pylist()
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float32)
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        sims = emb @ m.T
+        src, dst, conf = [], [], []
+        for i, eid in enumerate(bids):
+            row = sims[i]
+            order = np.argsort(-row)
+            taken = 0
+            for j in order:
+                if all_ids[j] == eid:
+                    continue
+                if row[j] <= similarity_threshold or taken >= max_connections:
+                    break
+                src.append(eid); dst.append(all_ids[j]); conf.append(float(row[j]))
+                taken += 1
+        return pa.table({"subj": pa.array(src, pa.string()),
+                         "pred": pa.array(["SEMANTICALLY_SIMILAR"] * len(src), pa.string()),
+                         "obj": pa.array(dst, pa.string()),
+                         "conf": pa.array(conf, pa.float32())})
+
+    return entities_with_embeddings_ds.map_batches(edges, batch_format="pyarrow")
+
+
+# ---- JSON sink ----------------------------------------------------------
+
+def write_graph_json(entities_ds, triples_ds, out_dir: str):
+    """Debug-grade JSON export (``core/mod.rs:536-658`` writes one file;
+    we write one directory per table — same content, scalable layout)."""
+    import os
+    entities_ds.write_json(os.path.join(out_dir, "entities"))
+    triples_ds.write_json(os.path.join(out_dir, "triples"))

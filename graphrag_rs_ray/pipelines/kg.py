@@ -73,7 +73,10 @@ def dedup_triples(triples_rows_ds, cfg: KGConfig):
     ``context_sample`` is the global-min chunk_id (deterministic);
     ``n_contexts`` preserves the full context count (the reference's
     unbounded ``context: Vec<ChunkId>`` does not scale; SURVEY §2.5)."""
-    partial = triples_rows_ds.map_batches(partial_triple_agg, batch_format="pyarrow")
+    # batch_size=None → combine over the WHOLE block (max pre-shuffle
+    # collapse; a hub triple contributes one row per block to the shuffle)
+    partial = triples_rows_ds.map_batches(partial_triple_agg, batch_format="pyarrow",
+                                          batch_size=None)
     return hash_grouped_aggregate(
         partial, ["subj", "pred", "obj"],
         grouped_arrow_agg(["subj", "pred", "obj"],
@@ -124,7 +127,7 @@ def build_kg(pages_ds, cfg: KGConfig | None = None, work_dir: str | None = None)
     # ---- entities: exact tier -----------------------------------------
     e_rows = combined.map_batches(entities_only, batch_format="pyarrow")
     entities = hash_grouped_aggregate(
-        e_rows.map_batches(partial_entity_agg, batch_format="pyarrow"),
+        e_rows.map_batches(partial_entity_agg, batch_format="pyarrow", batch_size=None),
         ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
 
     links: dict[str, str] = {}

@@ -379,6 +379,68 @@ def bm25_corpus_stats(sf_dir: str):
     })
 
 
+def tfidf_topk(sf_dir: str, top_k: int = 5):
+    """Per-doc TF-IDF top-k keywords with a CORPUS DF table
+    (``text/keyword_extraction.rs:37-58,143-153``): DF via hash-bucketed
+    count, broadcast once (vocab is the small side), per-doc scoring
+    vectorized in the map stage.  Output: (doc_id, rank, term)."""
+    import ray
+    from ..functions.keywords import tfidf_keywords, tfidf_tokenize
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    def term_docs(batch: pa.Table) -> pa.Table:
+        terms, dids = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for t in set(tfidf_tokenize(text)):
+                terms.append(t); dids.append(did)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "doc_id": pa.array(dids, pa.int64())})
+
+    df_tbl = hash_grouped_aggregate(
+        _docs(sf_dir).map_batches(term_docs, batch_format="pyarrow"),
+        ["term"],
+        grouped_arrow_agg(["term"], [("doc_id", "count")], rename=["term", "df"])
+    ).to_pandas()
+    df_map = dict(zip(df_tbl["term"], df_tbl["df"].astype(int)))
+    import pyarrow.parquet as _pq
+    total_docs = _pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    ref = ray.put(df_map)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(ref)
+        dids, ranks, terms = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for r, (term, _score) in enumerate(
+                    tfidf_keywords(text, dfm, total_docs, top_k), 1):
+                dids.append(did); ranks.append(r); terms.append(term)
+        return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                         "rank": pa.array(ranks, pa.int64()),
+                         "term": pa.array(terms, pa.string())})
+
+    return _docs(sf_dir).map_batches(topk, batch_format="pyarrow")
+
+
+def enriched_chunks(sf_dir: str):
+    """Chunk + enrich the documents table (chapter/keywords/summary)."""
+    import ray.data as rd
+    from ..config import KGConfig
+    from ..stages.enrich import EnrichedChunkStage
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def to_str_ids(batch: pa.Table) -> pa.Table:
+        ids = [f"doc{i}" for i in batch.column("doc_id").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "text": batch.column("text")})
+
+    cfg = KGConfig(chunk_size=400, chunk_overlap=50)
+    return (ds.map_batches(to_str_ids, batch_format="pyarrow")
+              .map_batches(EnrichedChunkStage(cfg), batch_format="pyarrow"))
+
+
 # ------------------------------------------------- windowed aggregates --
 
 def windowed_event_counts(sf_dir: str, window_minutes: int = 60):

@@ -1,0 +1,162 @@
+"""Data import (CSV/JSON/JSONL + validation), incremental merge
+strategies, multimodal plumbing, checkpoint-resume."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tmpdir_mod(tmp_path_factory):
+    return tmp_path_factory.mktemp("import")
+
+
+def test_csv_import(ray_session, tmpdir_mod):
+    from graphrag_rs_ray.sources.readers import ColumnMappings, ImportConfig, import_csv
+    p = tmpdir_mod / "ents.csv"
+    p.write_text(
+        "id,name,type,src,dst,rel,note\n"
+        "e1,Alice,PERSON,e1,e2,KNOWS,hello\n"
+        "e2,Bob,PERSON,,,,\n"
+        ",missing,PERSON,,,,\n"            # invalid: empty id → dropped
+        "e3,Carol,PERSON,e3,e1,WORKS_WITH,\n")
+    cfg = ImportConfig(column_mappings=ColumnMappings(
+        entity_id="id", entity_name="name", entity_type="type",
+        relationship_source="src", relationship_target="dst",
+        relationship_type="rel"))
+    ents, rels = import_csv(str(p), cfg)
+    edf = ents.to_pandas()
+    assert sorted(edf["id"]) == ["e1", "e2", "e3"]
+    assert json.loads(edf.set_index("id").loc["e1", "attributes"]) == {
+        "src": "e1", "dst": "e2", "rel": "KNOWS", "note": "hello"}
+    rdf = rels.to_pandas()
+    assert sorted(zip(rdf["source"], rdf["target"], rdf["relation_type"])) == [
+        ("e1", "e2", "KNOWS"), ("e3", "e1", "WORKS_WITH")]
+
+
+def test_csv_missing_column_aborts(ray_session, tmpdir_mod):
+    from graphrag_rs_ray.sources.readers import ImportAborted, ImportConfig, import_csv
+    p = tmpdir_mod / "bad.csv"
+    p.write_text("a,b\n1,2\n")
+    with pytest.raises(ImportAborted):
+        import_csv(str(p), ImportConfig())
+
+
+def test_json_graph_import(ray_session, tmpdir_mod):
+    from graphrag_rs_ray.sources.readers import import_json_graph
+    p = tmpdir_mod / "graph.json"
+    p.write_text(json.dumps({
+        "entities": [
+            {"id": "e1", "name": "Alice", "entity_type": "PERSON"},
+            {"id": "", "name": "bad", "entity_type": "PERSON"},
+        ],
+        "relationships": [
+            {"source": "e1", "target": "e1", "relation_type": "SELF"},
+        ]}))
+    ents, rels, errors = import_json_graph(str(p))
+    assert ents.count() == 1
+    assert rels.count() == 1
+    assert len(errors) == 1
+
+
+def test_jsonl_import_and_abort(ray_session, tmpdir_mod):
+    from graphrag_rs_ray.sources.readers import ImportAborted, ImportConfig, import_jsonl
+    p = tmpdir_mod / "recs.jsonl"
+    lines = [
+        {"type": "entity", "id": "e1", "name": "A", "entity_type": "PERSON"},
+        {"type": "relationship", "source": "e1", "target": "e2", "relation_type": "KNOWS"},
+        {"type": "entity", "id": "", "name": "bad", "entity_type": "X"},
+    ]
+    p.write_text("\n".join(json.dumps(x) for x in lines) + "\nnot json at all\n")
+    ents, rels, errors = import_jsonl(str(p), ImportConfig(max_errors=10))
+    assert ents.count() == 1
+    assert rels.count() == 1
+    assert errors.count() == 2
+    with pytest.raises(ImportAborted):
+        import_jsonl(str(p), ImportConfig(max_errors=2))
+
+
+def test_rdf_graphml_stubs():
+    from graphrag_rs_ray.sources.readers import import_graphml, import_rdf
+    with pytest.raises(NotImplementedError):
+        import_rdf("/tmp/x.rdf")
+    with pytest.raises(NotImplementedError):
+        import_graphml("/tmp/x.graphml")
+
+
+def _ents_ds(rows):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "entity_id": pa.array([r[0] for r in rows], pa.string()),
+        "name": pa.array([r[1] for r in rows], pa.string()),
+        "type": pa.array([r[2] for r in rows], pa.string()),
+        "conf": pa.array([r[3] for r in rows], pa.float32()),
+        "mention_count": pa.array([r[4] for r in rows], pa.int64()),
+    }))
+
+
+def test_merge_strategies(ray_session):
+    from graphrag_rs_ray.pipelines.graph_ops import (
+        KEEP_EXISTING, KEEP_NEW, MERGE, merge_entity_tables)
+    old = _ents_ds([("PERSON_a", "Alice", "PERSON", 0.9, 5),
+                    ("PERSON_b", "Bob", "PERSON", 0.7, 2)])
+    new = _ents_ds([("PERSON_a", "ALICE", "PERSON", 0.95, 3),
+                    ("PERSON_c", "Carol", "PERSON", 0.8, 1)])
+
+    m = merge_entity_tables(old, new, MERGE).to_pandas().set_index("entity_id")
+    assert m.loc["PERSON_a", "name"] == "ALICE"            # higher conf wins
+    assert m.loc["PERSON_a", "mention_count"] == 8          # mentions sum
+    assert set(m.index) == {"PERSON_a", "PERSON_b", "PERSON_c"}
+
+    ke = merge_entity_tables(old, new, KEEP_EXISTING).to_pandas().set_index("entity_id")
+    assert ke.loc["PERSON_a", "name"] == "Alice"
+    kn = merge_entity_tables(old, new, KEEP_NEW).to_pandas().set_index("entity_id")
+    assert kn.loc["PERSON_a", "name"] == "ALICE"
+    assert kn.loc["PERSON_a", "mention_count"] == 3
+
+
+def test_multimodal_plumbing(ray_session):
+    from graphrag_rs_ray.stages.multimodal import (
+        DeterministicFakeDecoder, StrictDecoder, decode_features, media_from_documents)
+    media = media_from_documents("/root/testdata/sf0.001")
+    feats = decode_features(media).to_pandas()
+    assert len(feats) == 500
+    assert all(len(f) == 16 for f in feats["feature"])
+    # deterministic across instantiations
+    one = DeterministicFakeDecoder()._decode_one(b"payload")
+    two = DeterministicFakeDecoder()._decode_one(b"payload")
+    assert (one[0] == two[0]).all() and one[1:] == two[1:]
+    with pytest.raises(NotImplementedError):
+        StrictDecoder()(pa.table({"media_id": ["x"], "media_type": ["image"],
+                                  "payload": [b""], "n_bytes": [0]}))
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    """build_kg with a work_dir stages the combined stream; a rerun with
+    the same config skips re-extraction (manifest fingerprint) and yields
+    identical outputs."""
+    from graphrag_rs_ray.config import KGConfig
+    from graphrag_rs_ray.pipelines.kg import build_kg
+    from graphrag_rs_ray.sources.pages import pages_dataset
+    from graphrag_rs_ray.state.manifests import read_manifest
+
+    wd = str(tmp_path / "wd")
+    cfg = KGConfig()
+    r1 = build_kg(pages_dataset(60, seed=7), cfg, work_dir=wd)
+    t1 = r1.triples.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    m1 = read_manifest(os.path.join(wd, "combined"))
+    assert m1 is not None
+
+    r2 = build_kg(pages_dataset(60, seed=7), cfg, work_dir=wd)
+    t2 = r2.triples.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    m2 = read_manifest(os.path.join(wd, "combined"))
+    assert m2["completed_at"] == m1["completed_at"]   # stage was skipped
+    assert t1.equals(t2)
+
+    # changed config → different fingerprint → stage re-runs
+    r3 = build_kg(pages_dataset(60, seed=7), KGConfig(chunk_size=500), work_dir=wd)
+    r3.triples.count()
+    m3 = read_manifest(os.path.join(wd, "combined"))
+    assert m3["fingerprint"] != m1["fingerprint"]

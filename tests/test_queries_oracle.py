@@ -45,7 +45,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 SQL_CHECKED = [
     "exact_dedup", "doc_fingerprints", "token_stats", "language_id",
     "quality_scores", "bm25_df", "bm25_corpus_stats", "knn_bruteforce",
-    "cosine_dup_pairs", "windowed_event_counts",
+    "cosine_dup_pairs", "windowed_event_counts", "tfidf_topk",
 ]
 
 
@@ -71,7 +71,10 @@ def test_query_matches_oracle(ray_session, name):
 
 ROWS_ONLY = ["kg_triples", "kg_entities", "kg_entities_fuzzy", "kg_mentions",
              "kg_chunks", "kg_extract_text", "minhash_lsh_candidates",
-             "simhash_signatures", "ngram_dedup_pairs", "lsh_buckets"]
+             "simhash_signatures", "ngram_dedup_pairs", "lsh_buckets",
+             "concept_mentions", "concept_table", "concept_edges",
+             "enriched_chunks", "entity_to_chunks", "chunk_to_entities",
+             "co_occurring_entities", "semantic_edges", "multimodal_features"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
@@ -81,7 +84,10 @@ def test_rows_only_queries_run(ray_session, name):
     assert df is not None
     assert len(df.columns) > 0
     if name in ("kg_triples", "kg_entities", "kg_mentions", "kg_chunks",
-                "kg_extract_text", "simhash_signatures", "lsh_buckets"):
+                "kg_extract_text", "simhash_signatures", "lsh_buckets",
+                "concept_mentions", "concept_table", "enriched_chunks",
+                "entity_to_chunks", "chunk_to_entities",
+                "co_occurring_entities", "multimodal_features"):
         assert len(df) > 0, f"{name} unexpectedly empty"
 
 
