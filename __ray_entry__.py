@@ -127,6 +127,19 @@ def q_semantic_edges(sf_dir: str):
     return semantic_edges(ents.materialize(), similarity_threshold=0.8)
 
 
+def q_pagerank(sf_dir: str):
+    from graphrag_rs_ray.pipelines.graph_ops import pagerank
+    return pagerank(q_kg_triples(sf_dir))
+
+
+def q_chunk_embeddings(sf_dir: str):
+    from graphrag_rs_ray.stages.embed import EmbedStage
+    return q_kg_chunks(sf_dir).map_batches(
+        EmbedStage, fn_constructor_args=("text", 64),
+        batch_format="pyarrow", concurrency=2).map_batches(
+        lambda t: t.select(["chunk_id", "embedding"]), batch_format="pyarrow")
+
+
 def q_multimodal_features(sf_dir: str):
     from graphrag_rs_ray.stages.multimodal import decode_features, media_from_documents
     return decode_features(media_from_documents(sf_dir))
@@ -184,6 +197,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_occurring_entities": q_co_occurring_entities,
         "semantic_edges": q_semantic_edges,
         "multimodal_features": q_multimodal_features,
+        "pagerank": q_pagerank,
+        "chunk_embeddings": q_chunk_embeddings,
+        # BM25 scoring + sentence stats (oracle-checked)
+        "bm25_scores": td.bm25_scores,
+        "sentence_stats": td.sentence_stats,
     }
 
 
@@ -285,6 +303,42 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         """,
+        "sentence_stats": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '[.!?]'),
+                                   x -> length(trim(x)) > 0))::BIGINT AS n_sentences
+            FROM documents
+        """,
+        "bm25_scores": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_replace(lower(unnest(regexp_split_to_array(trim(text), '\\s+'))),
+                                    '[^\\p{L}\\p{N}]', '', 'g') AS term
+              FROM documents WHERE length(trim(text)) > 0),
+            filt AS (
+              SELECT doc_id, term FROM toks
+              WHERE length(term) > 2 AND term NOT IN {stop}),
+            dl AS (SELECT doc_id, count(*) AS dl FROM filt GROUP BY doc_id),
+            stats AS (
+              SELECT avg(dl) AS avg_dl FROM (
+                SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+                FROM documents d LEFT JOIN dl USING (doc_id))),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM filt
+                   WHERE term IN ('fast','hash','join') GROUP BY term),
+            tf AS (SELECT doc_id, term, count(*) AS c FROM filt
+                   WHERE term IN ('fast','hash','join') GROUP BY doc_id, term),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum((ln(n.n * 1.0 / df.df) + 1.0)
+                         * ((tf.c * 1.0 / dl.dl) * 2.2)
+                         / ((tf.c * 1.0 / dl.dl)
+                            + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avg_dl))) AS s
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN n CROSS JOIN stats
+              GROUP BY tf.doc_id)
+            SELECT doc_id, round(s, 6) AS score FROM scored WHERE s > 0
+        """.replace("{stop}", _STOPLIST_SQL),
         "tfidf_topk": """
             WITH toks AS (
               SELECT doc_id,

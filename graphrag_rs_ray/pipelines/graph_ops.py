@@ -163,6 +163,99 @@ def semantic_edges(entities_with_embeddings_ds, similarity_threshold: float = 0.
     return entities_with_embeddings_ds.map_batches(edges, batch_format="pyarrow")
 
 
+# ---- PageRank -----------------------------------------------------------
+
+def pagerank(triples_ds, damping: float = 0.85, max_iter: int = 20,
+             tolerance: float = 1e-6):
+    """Distributed PageRank power iteration over the triple/edge table
+    (config mirrors ``graph/pagerank.rs:17-88``: damping, max_iter,
+    tolerance).  Per iteration: broadcast the score vector (``ray.put``),
+    one vectorized map over edge blocks emits (target, contribution),
+    a hash-bucketed sum reduces — edges never leave the cluster; only the
+    O(#nodes) score vector visits the driver (documented assumption:
+    node count ≪ edge count; for >driver-memory node sets, keep scores as
+    a Dataset and join per iteration)."""
+    import ray
+    import pandas as pd
+
+    edges = triples_ds.map_batches(
+        lambda t: t.select(["subj", "obj"]), batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "score": pa.array([], pa.float64())})
+
+    # node set + out-degrees (vectorized)
+    deg_df = hash_grouped_aggregate(
+        edges, ["subj"],
+        grouped_arrow_agg(["subj"], [("obj", "count")], rename=["node", "out_deg"])
+    ).to_pandas()
+    nodes = set(deg_df["node"])
+    obj_nodes = edges.map_batches(
+        lambda t: t.select(["obj"]).rename_columns(["node"]),
+        batch_format="pyarrow").to_pandas()
+    nodes |= set(obj_nodes["node"])
+    nodes = sorted(nodes)
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "score": pa.array([], pa.float64())})
+    out_deg = dict(zip(deg_df["node"], deg_df["out_deg"].astype(int)))
+    scores = {v: 1.0 / n for v in nodes}
+
+    for _ in range(max_iter):
+        ref = ray.put((scores, out_deg))
+
+        def contribs(t: pa.Table) -> pa.Table:
+            sc, od = ray.get(ref)
+            subs = t.column("subj").to_pylist()
+            objs = t.column("obj").to_pylist()
+            vals = [damping * sc[s] / od[s] for s in subs]
+            return pa.table({"node": pa.array(objs, pa.string()),
+                             "c": pa.array(vals, pa.float64())})
+
+        summed = hash_grouped_aggregate(
+            edges.map_batches(contribs, batch_format="pyarrow"), ["node"],
+            grouped_arrow_agg(["node"], [("c", "sum")], rename=["node", "c"])
+        ).to_pandas()
+        base = (1.0 - damping) / n
+        new_scores = {v: base for v in nodes}
+        for v, c in zip(summed["node"], summed["c"]):
+            new_scores[v] = base + float(c)
+        delta = sum(abs(new_scores[v] - scores[v]) for v in nodes)
+        scores = new_scores
+        if delta < tolerance:
+            break
+
+    return pa.table({"node": pa.array(nodes, pa.string()),
+                     "score": pa.array([round(scores[v], 10) for v in nodes],
+                                       pa.float64())})
+
+
+# ---- graph statistics ---------------------------------------------------
+
+def graph_statistics(entities_ds, triples_ds, mentions_ds=None):
+    """Counts + entity-type histogram + avg entities/chunk
+    (``graph/mod.rs:316-354``)."""
+    type_hist = hash_grouped_aggregate(
+        entities_ds, ["type"],
+        grouped_arrow_agg(["type"], [("entity_id", "count")],
+                          rename=["type", "n"])).to_pandas()
+    stats = {
+        "n_entities": int(entities_ds.count()),
+        "n_triples": int(triples_ds.count()),
+        "type_histogram": dict(zip(type_hist["type"], type_hist["n"].astype(int))),
+    }
+    if mentions_ds is not None:
+        per_chunk = hash_grouped_aggregate(
+            mentions_ds, ["chunk_id"],
+            grouped_arrow_agg(["chunk_id"], [("entity_id", "count")],
+                              rename=["chunk_id", "n"]))
+        df = per_chunk.to_pandas()
+        stats["n_chunks"] = len(df)
+        stats["avg_entities_per_chunk"] = float(df["n"].mean()) if len(df) else 0.0
+    return stats
+
+
 # ---- JSON sink ----------------------------------------------------------
 
 def write_graph_json(entities_ds, triples_ds, out_dir: str):

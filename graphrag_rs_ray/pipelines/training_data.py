@@ -11,6 +11,7 @@ with an exact SQL equivalent carry a DuckDB oracle in
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 
 import numpy as np
@@ -377,6 +378,70 @@ def bm25_corpus_stats(sf_dir: str):
         "total_tokens": pa.array([int(agg["total_tokens"])], pa.int64()),
         "avg_doc_len": pa.array([float(agg["avg_doc_len"])], pa.float64()),
     })
+
+
+def bm25_scores(sf_dir: str, query: str = "fast hash join", k1: float = 1.2, b: float = 0.75):
+    """BM25 scoring of all documents against a fixed query — the full
+    index-side semantics of ``retrieval/bm25.rs:70-153``: normalized TF
+    (count/doc_len), Lucene IDF ln(N/df)+1, k1/b length normalization.
+    Corpus stats (N, df per query term, avg doc length) are computed
+    distributed, broadcast once, then scoring is a stateless map."""
+    import ray
+
+    q_terms = sorted(set(bm25_tokenize(query)))
+    df_tbl = bm25_df(sf_dir).to_pandas()
+    df_map = {t: int(v) for t, v in zip(df_tbl["term"], df_tbl["df"]) if t in q_terms}
+    import pyarrow.parquet as _pq
+    n_docs = _pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    # avg doc length over the bm25 tokenizer
+    stats = bm25_corpus_stats(sf_dir)
+    avg_len = float(stats.column("avg_doc_len")[0].as_py())
+    ref = ray.put((q_terms, df_map))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms, dfm = ray.get(ref)
+        out_id, out_score = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = bm25_tokenize(text)
+            dl = len(toks)
+            if dl == 0:
+                continue
+            counts: dict[str, int] = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            s = 0.0
+            for t in terms:
+                c = counts.get(t)
+                if not c:
+                    continue
+                df_t = dfm.get(t, 0)
+                if df_t == 0:
+                    continue
+                idf = math.log(n_docs / df_t) + 1.0
+                tf = c / dl                       # normalized TF (bm25.rs:88-90)
+                s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avg_len))
+            if s > 0.0:
+                out_id.append(did)
+                out_score.append(round(s, 6))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "score": pa.array(out_score, pa.float64())})
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def sentence_stats(sf_dir: str):
+    """Sentence count per doc (split on ``.!?``, non-empty trimmed
+    segments; ``text/mod.rs:339-363``)."""
+    from ..functions.textstats import sentence_count
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ns = [sentence_count(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_sentences": pa.array(ns, pa.int64())})
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
 def tfidf_topk(sf_dir: str, top_k: int = 5):

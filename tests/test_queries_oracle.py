@@ -46,6 +46,7 @@ SQL_CHECKED = [
     "exact_dedup", "doc_fingerprints", "token_stats", "language_id",
     "quality_scores", "bm25_df", "bm25_corpus_stats", "knn_bruteforce",
     "cosine_dup_pairs", "windowed_event_counts", "tfidf_topk",
+    "bm25_scores", "sentence_stats",
 ]
 
 
@@ -74,7 +75,8 @@ ROWS_ONLY = ["kg_triples", "kg_entities", "kg_entities_fuzzy", "kg_mentions",
              "simhash_signatures", "ngram_dedup_pairs", "lsh_buckets",
              "concept_mentions", "concept_table", "concept_edges",
              "enriched_chunks", "entity_to_chunks", "chunk_to_entities",
-             "co_occurring_entities", "semantic_edges", "multimodal_features"]
+             "co_occurring_entities", "semantic_edges", "multimodal_features",
+             "pagerank", "chunk_embeddings"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
@@ -87,7 +89,8 @@ def test_rows_only_queries_run(ray_session, name):
                 "kg_extract_text", "simhash_signatures", "lsh_buckets",
                 "concept_mentions", "concept_table", "enriched_chunks",
                 "entity_to_chunks", "chunk_to_entities",
-                "co_occurring_entities", "multimodal_features"):
+                "co_occurring_entities", "multimodal_features",
+                "pagerank", "chunk_embeddings"):
         assert len(df) > 0, f"{name} unexpectedly empty"
 
 

@@ -1,0 +1,88 @@
+"""Workspace manager + PageRank + graph statistics."""
+
+import pyarrow as pa
+import pytest
+
+
+def _triples_ds(edges):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "subj": pa.array([e[0] for e in edges], pa.string()),
+        "pred": pa.array(["RELATED_TO"] * len(edges), pa.string()),
+        "obj": pa.array([e[1] for e in edges], pa.string()),
+        "conf": pa.array([0.8] * len(edges), pa.float32()),
+    }))
+
+
+def test_pagerank_simple_cycle(ray_session):
+    from graphrag_rs_ray.pipelines.graph_ops import pagerank
+    # a -> b -> c -> a : symmetric cycle → equal scores
+    t = pagerank(_triples_ds([("a", "b"), ("b", "c"), ("c", "a")]), max_iter=50)
+    scores = dict(zip(t.column("node").to_pylist(), t.column("score").to_pylist()))
+    assert set(scores) == {"a", "b", "c"}
+    assert abs(scores["a"] - scores["b"]) < 1e-6
+    assert abs(sum(scores.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_sink_preference(ray_session):
+    from graphrag_rs_ray.pipelines.graph_ops import pagerank
+    # everything points at 'hub' → hub gets the highest score
+    t = pagerank(_triples_ds([("a", "hub"), ("b", "hub"), ("c", "hub"),
+                              ("hub", "a")]), max_iter=30)
+    scores = dict(zip(t.column("node").to_pylist(), t.column("score").to_pylist()))
+    assert scores["hub"] == max(scores.values())
+    # deterministic across runs
+    t2 = pagerank(_triples_ds([("a", "hub"), ("b", "hub"), ("c", "hub"),
+                               ("hub", "a")]), max_iter=30)
+    assert t.equals(t2)
+
+
+def test_pagerank_empty(ray_session):
+    from graphrag_rs_ray.pipelines.graph_ops import pagerank
+    assert pagerank(_triples_ds([])).num_rows == 0
+
+
+def test_graph_statistics(ray_session):
+    from graphrag_rs_ray.config import KGConfig
+    from graphrag_rs_ray.pipelines.graph_ops import graph_statistics
+    from graphrag_rs_ray.pipelines.kg import build_kg, chunks_to_combined, pages_to_chunks
+    from graphrag_rs_ray.sources.pages import pages_dataset
+    from graphrag_rs_ray.stages.kg_extract import entities_only
+
+    cfg = KGConfig()
+    pages = pages_dataset(50, seed=5)
+    res = build_kg(pages, cfg)
+    mentions = chunks_to_combined(pages_to_chunks(pages_dataset(50, seed=5), cfg), cfg) \
+        .map_batches(entities_only, batch_format="pyarrow")
+    stats = graph_statistics(res.entities, res.triples, mentions)
+    assert stats["n_entities"] > 0
+    assert stats["n_triples"] > 0
+    assert "PERSON" in stats["type_histogram"]
+    assert stats["avg_entities_per_chunk"] > 0
+
+
+def test_workspace_roundtrip(ray_session, tmp_path):
+    from graphrag_rs_ray.config import KGConfig
+    from graphrag_rs_ray.pipelines.kg import build_kg
+    from graphrag_rs_ray.sources.pages import pages_dataset
+    from graphrag_rs_ray.state.workspace import WorkspaceManager
+
+    wm = WorkspaceManager(str(tmp_path / "ws"))
+    res = build_kg(pages_dataset(40, seed=9), KGConfig())
+    meta = wm.save("round1", res, num_shards=4)
+    assert meta["n_triples"] > 0
+
+    listed = wm.list()
+    assert [m["name"] for m in listed] == ["round1"]
+
+    ents, tris, meta2 = wm.load("round1")
+    assert ents.count() == meta["n_entities"]
+    assert tris.count() == meta["n_triples"]
+    assert meta2["created_at"] == meta["created_at"]
+
+    assert wm.delete("round1") is True
+    assert wm.list() == []
+    with pytest.raises(FileNotFoundError):
+        wm.load("round1")
+    with pytest.raises(ValueError):
+        wm.save("../evil", res)
