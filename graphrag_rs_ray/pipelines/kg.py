@@ -116,6 +116,9 @@ def build_kg(pages_ds, cfg: KGConfig | None = None, work_dir: str | None = None)
         combined_dir = os.path.join(work_dir, "combined")
         fp = fingerprint_config("combined", cfg)
         if not stage_complete(combined_dir, fp):
+            import shutil
+            if os.path.exists(combined_dir):   # stale/partial stage output
+                shutil.rmtree(combined_dir)    # (write_parquet APPENDS by default)
             combined = chunks_to_combined(pages_to_chunks(pages_ds, cfg), cfg)
             os.makedirs(combined_dir, exist_ok=True)
             combined.write_parquet(combined_dir)
@@ -173,10 +176,13 @@ def write_graph(result: KGResult, out_dir: str, num_shards: int = 16) -> dict:
     counts) for resume and metrics."""
     import pyarrow.compute as pc
 
+    import shutil
     ent_dir = os.path.join(out_dir, "entities")
     tri_dir = os.path.join(out_dir, "triples")
-    os.makedirs(ent_dir, exist_ok=True)
-    os.makedirs(tri_dir, exist_ok=True)
+    for d in (ent_dir, tri_dir):               # write_parquet APPENDS —
+        if os.path.exists(d):                  # a rerun must not duplicate
+            shutil.rmtree(d)
+        os.makedirs(d)
 
     result.entities.write_parquet(ent_dir)
     n_entities = None  # counts recorded from shard manifests below
