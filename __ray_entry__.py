@@ -369,7 +369,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    to_timestamp((epoch_us(ts) // 3600000000) * 3600)::TIMESTAMP AS window_start,
                    count(*) AS n_events,
-                   round(sum(value), 3) AS sum_value
+                   sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
             FROM events
             GROUP BY event_type, window_start
         """,

@@ -524,19 +524,17 @@ def windowed_event_counts(sf_dir: str, window_minutes: int = 60):
     def add_window(batch: pa.Table) -> pa.Table:
         ts = pc.cast(batch.column("ts"), pa.int64())     # µs since epoch
         win = pc.multiply(pc.divide(ts, w_us), w_us)     # integer floor
+        # exact integer cents: float sums are order-dependent in the last
+        # ulp across engines, which breaks value-hash comparison; values
+        # carry 2 decimals, so cents are exact in int64
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100)), pa.int64())
         return pa.table({
             "event_type": batch.column("event_type"),
             "window_start": pc.cast(win, pa.timestamp("us")),
-            "value": batch.column("value"),
+            "cents": cents,
         })
 
-    out = (ds.map_batches(add_window, batch_format="pyarrow")
-             .groupby(["event_type", "window_start"])
-             .aggregate(Count(alias_name="n_events"),
-                        Sum("value", alias_name="sum_value")))
-
-    def round_sum(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.column_names.index("sum_value"), "sum_value",
-            pc.round(batch.column("sum_value"), 3))
-    return out.map_batches(round_sum, batch_format="pyarrow")
+    return (ds.map_batches(add_window, batch_format="pyarrow")
+              .groupby(["event_type", "window_start"])
+              .aggregate(Count(alias_name="n_events"),
+                         Sum("cents", alias_name="sum_value_cents")))
