@@ -127,6 +127,23 @@ def q_semantic_edges(sf_dir: str):
     return semantic_edges(ents.materialize(), similarity_threshold=0.8)
 
 
+def q_incremental_update(sf_dir: str):
+    """Delta ingest: a second page batch merged into an existing graph
+    (entity merge strategies + triple union-dedup) — the table-level
+    equivalent of ``graph/incremental.rs`` apply_delta."""
+    from graphrag_rs_ray.pipelines.graph_ops import MERGE, merge_entity_tables, merge_triple_tables
+    n = max(_n_pages(sf_dir) // 2, 50)
+    base = build_kg(pages_dataset(n, seed=42), KGConfig())
+    delta = build_kg(pages_dataset(n, seed=4242), KGConfig())
+    entities = merge_entity_tables(base.entities, delta.entities, MERGE)
+    triples = merge_triple_tables(base.triples, delta.triples)
+    n_t = triples.count()
+    import pyarrow as _pa
+    return entities.map_batches(
+        lambda t: t.append_column("graph_triples", _pa.array([n_t] * t.num_rows, _pa.int64())),
+        batch_format="pyarrow")
+
+
 def q_pagerank(sf_dir: str):
     from graphrag_rs_ray.pipelines.graph_ops import pagerank
     return pagerank(q_kg_triples(sf_dir))
@@ -202,6 +219,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BM25 scoring + sentence stats (oracle-checked)
         "bm25_scores": td.bm25_scores,
         "sentence_stats": td.sentence_stats,
+        # relational patterns (broadcast join, global top-k) — oracle-checked
+        "orders_by_segment": td.orders_by_segment,
+        "top_parts_by_size": td.top_parts_by_size,
+        # incremental delta ingest (rows-only)
+        "incremental_update": q_incremental_update,
     }
 
 
@@ -302,6 +324,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment AS segment,
+                   count(*) AS n_orders,
+                   sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "top_parts_by_size": """
+            SELECT p_partkey, p_name, p_size FROM part
+            ORDER BY p_size DESC, p_partkey ASC LIMIT 10
         """,
         "sentence_stats": """
             SELECT doc_id,

@@ -163,6 +163,19 @@ def semantic_edges(entities_with_embeddings_ds, similarity_threshold: float = 0.
     return entities_with_embeddings_ds.map_batches(edges, batch_format="pyarrow")
 
 
+def merge_triple_tables(a_ds, b_ds):
+    """Union + re-dedup of two deduped triple tables (the delta-apply of
+    ``graph/incremental.rs:750-771`` at table level): max conf, summed
+    context counts, min context sample."""
+    return hash_grouped_aggregate(
+        a_ds.union(b_ds), ["subj", "pred", "obj"],
+        grouped_arrow_agg(["subj", "pred", "obj"],
+                          [("conf", "max"), ("n_contexts", "sum"),
+                           ("context_sample", "min")],
+                          rename=["subj", "pred", "obj", "conf", "n_contexts",
+                                  "context_sample"]))
+
+
 # ---- PageRank -----------------------------------------------------------
 
 def pagerank(triples_ds, damping: float = 0.85, max_iter: int = 20,

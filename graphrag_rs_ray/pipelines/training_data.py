@@ -506,6 +506,51 @@ def enriched_chunks(sf_dir: str):
               .map_batches(EnrichedChunkStage(cfg), batch_format="pyarrow"))
 
 
+# ------------------------------------------------ relational patterns --
+
+def orders_by_segment(sf_dir: str):
+    """Broadcast hash join (orders ⋈ customer on custkey) + grouped
+    aggregate — the canonical small-side join pattern (SURVEY §2.4 /
+    ray_guide joins): the dimension table is ``ray.put`` once, looked up
+    per batch with a vectorized pandas map; money sums in exact cents."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as _pq
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    cust = _pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(zip(cust.column("c_custkey").to_pylist(),
+                       cust.column("c_mktsegment").to_pylist()))
+    ref = ray.put(seg_map)
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        m = ray.get(ref)
+        df = batch.to_pandas()
+        seg = df["o_custkey"].map(m)
+        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        return pa.table({"segment": pa.array(seg.astype(str), pa.string()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    return hash_grouped_aggregate(
+        orders.map_batches(join, batch_format="pyarrow"), ["segment"],
+        grouped_arrow_agg(["segment"], [("cents", "count"), ("cents", "sum")],
+                          rename=["segment", "n_orders", "total_cents"]))
+
+
+def top_parts_by_size(sf_dir: str, k: int = 10):
+    """Global top-k via sort+limit (SURVEY §2.7): k largest parts by
+    (p_size desc, p_partkey asc) — deterministic tie-break."""
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name", "p_size"])
+    return (ds.sort(["p_size", "p_partkey"], descending=[True, False]).limit(k))
+
+
 # ------------------------------------------------- windowed aggregates --
 
 def windowed_event_counts(sf_dir: str, window_minutes: int = 60):

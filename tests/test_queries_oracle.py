@@ -46,7 +46,7 @@ SQL_CHECKED = [
     "exact_dedup", "doc_fingerprints", "token_stats", "language_id",
     "quality_scores", "bm25_df", "bm25_corpus_stats", "knn_bruteforce",
     "cosine_dup_pairs", "windowed_event_counts", "tfidf_topk",
-    "bm25_scores", "sentence_stats",
+    "bm25_scores", "sentence_stats", "orders_by_segment", "top_parts_by_size",
 ]
 
 
@@ -76,7 +76,7 @@ ROWS_ONLY = ["kg_triples", "kg_entities", "kg_entities_fuzzy", "kg_mentions",
              "concept_mentions", "concept_table", "concept_edges",
              "enriched_chunks", "entity_to_chunks", "chunk_to_entities",
              "co_occurring_entities", "semantic_edges", "multimodal_features",
-             "pagerank", "chunk_embeddings"]
+             "pagerank", "chunk_embeddings", "incremental_update"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
