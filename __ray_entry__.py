@@ -127,6 +127,14 @@ def q_semantic_edges(sf_dir: str):
     return semantic_edges(ents.materialize(), similarity_threshold=0.8)
 
 
+def q_ner_mentions(sf_dir: str):
+    """Rule-engine NER (gazetteer/regex/contextual) on an actor pool."""
+    from graphrag_rs_ray.stages.ner import DEMO_ENTITY_TYPES, DEMO_RULES, NERStage
+    return q_kg_chunks(sf_dir).map_batches(
+        NERStage, fn_constructor_args=(DEMO_ENTITY_TYPES, DEMO_RULES),
+        batch_format="pyarrow", batch_size=256, concurrency=2)
+
+
 def q_incremental_update(sf_dir: str):
     """Delta ingest: a second page batch merged into an existing graph
     (entity merge strategies + triple union-dedup) — the table-level
@@ -224,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_size": td.top_parts_by_size,
         # incremental delta ingest (rows-only)
         "incremental_update": q_incremental_update,
+        # rule-engine NER on actor pool (rows-only)
+        "ner_mentions": q_ner_mentions,
     }
 
 

@@ -76,7 +76,8 @@ ROWS_ONLY = ["kg_triples", "kg_entities", "kg_entities_fuzzy", "kg_mentions",
              "concept_mentions", "concept_table", "concept_edges",
              "enriched_chunks", "entity_to_chunks", "chunk_to_entities",
              "co_occurring_entities", "semantic_edges", "multimodal_features",
-             "pagerank", "chunk_embeddings", "incremental_update"]
+             "pagerank", "chunk_embeddings", "incremental_update",
+             "ner_mentions"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
