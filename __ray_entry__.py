@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concept_table": q_concept_table,
         "concept_edges": q_concept_edges,
         "enriched_chunks": td.enriched_chunks,
+        "semantic_chunks": td.semantic_chunks,
         # derived graph tables / similarity edges / multimodal plumbing
         "entity_to_chunks": q_entity_to_chunks,
         "chunk_to_entities": q_chunk_to_entities,

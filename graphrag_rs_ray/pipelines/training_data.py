@@ -487,6 +487,33 @@ def tfidf_topk(sf_dir: str, top_k: int = 5):
     return _docs(sf_dir).map_batches(topk, batch_format="pyarrow")
 
 
+def semantic_chunks(sf_dir: str):
+    """Semantic chunking over documents — actor pool (the embedder's
+    word-vector memo is per-actor state)."""
+    import ray.data as rd
+    from ..functions.semantic_chunking import SemanticChunker, SemanticChunkerConfig
+
+    class SemanticChunkStage:
+        def __init__(self):
+            self.chunker = SemanticChunker(SemanticChunkerConfig(
+                breakpoint_strategy="percentile", threshold_amount=80.0))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            dids, idxs, texts, counts = [], [], [], []
+            for did, text in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("text").to_pylist()):
+                for i, c in enumerate(self.chunker.chunk(text or "")):
+                    dids.append(did); idxs.append(i)
+                    texts.append(c["text"]); counts.append(c["sentence_count"])
+            return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                             "chunk_idx": pa.array(idxs, pa.int64()),
+                             "text": pa.array(texts, pa.string()),
+                             "sentence_count": pa.array(counts, pa.int64())})
+
+    return _docs(sf_dir).map_batches(SemanticChunkStage, batch_format="pyarrow",
+                                     batch_size=128, concurrency=2)
+
+
 def enriched_chunks(sf_dir: str):
     """Chunk + enrich the documents table (chapter/keywords/summary)."""
     import ray.data as rd
