@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": td.knn_bruteforce,
         "cosine_dup_pairs": lambda sf: td.cosine_dup_pairs(sf, threshold=0.35),
         "windowed_event_counts": td.windowed_event_counts,
+        "temporal_edges": td.temporal_edges,
         "tfidf_topk": td.tfidf_topk,
         # near-dup family (signatures/LSH — not SQL-expressible)
         "minhash_lsh_candidates": td.minhash_lsh_candidates,
@@ -409,6 +410,12 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, rank::BIGINT AS rank, term FROM ranked WHERE rank <= 5
         """.replace("{tfstop}", _TFIDF_STOPLIST_SQL),
+        "temporal_edges": """
+            SELECT user_id, event_type,
+                   min(ts) AS first_seen, max(ts) AS last_seen,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id, event_type
+        """,
         "windowed_event_counts": """
             SELECT event_type,
                    to_timestamp((epoch_us(ts) // 3600000000) * 3600)::TIMESTAMP AS window_start,

@@ -62,6 +62,8 @@ def run_bench() -> dict:
     n_triples = timed("kg_triples", lambda: q["kg_triples"](sf_dir).count())
 
     timed("kg_entities", lambda: q["kg_entities"](sf_dir).count())
+    timed("concept_edges", lambda: q["concept_edges"](sf_dir).count())
+    timed("ner_mentions", lambda: q["ner_mentions"](sf_dir).count())
     timed("exact_dedup", lambda: q["exact_dedup"](sf_dir).count())
     timed("minhash_lsh_candidates", lambda: q["minhash_lsh_candidates"](sf_dir).count())
     timed("bm25_df", lambda: q["bm25_df"](sf_dir).count())

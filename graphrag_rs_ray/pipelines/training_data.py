@@ -580,6 +580,24 @@ def top_parts_by_size(sf_dir: str, k: int = 10):
 
 # ------------------------------------------------- windowed aggregates --
 
+def temporal_edges(sf_dir: str):
+    """Timestamped graph edges from the event stream: one edge per
+    (user, event_type) with first_seen / last_seen / count — the
+    table-shaped equivalent of the reference's temporal graph edges
+    (``graph/temporal.rs``: timestamped edges with validity intervals)."""
+    import ray.data as rd
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+    return hash_grouped_aggregate(
+        ds, ["user_id", "event_type"],
+        grouped_arrow_agg(["user_id", "event_type"],
+                          [("ts", "min"), ("ts", "max"), ("ts", "count")],
+                          rename=["user_id", "event_type", "first_seen",
+                                  "last_seen", "n_events"]))
+
+
 def windowed_event_counts(sf_dir: str, window_minutes: int = 60):
     """Tumbling-window aggregate over the events stream: per (event_type,
     window) count + sum(value).  Ray Data has no event-time windows; the
