@@ -62,17 +62,54 @@ def concept_table(chunks_ds):
                           rename=["concept", "n_chunks"]))
 
 
+def concept_combined(chunks_ds):
+    """ONE extraction pass emitting both mention rows (kind="m") and
+    within-chunk pair rows (kind="p") — concept regex extraction dominates
+    the cost, so running it once and splitting the stream halves the
+    pipeline (same trick as ``stages/kg_extract.py``)."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        kind, a_out, b_out, cid_out = [], [], [], []
+        for cid, text in zip(batch.column("chunk_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            cs = extract_concepts(text)
+            for c in cs:
+                kind.append("m"); a_out.append(c); b_out.append(None); cid_out.append(cid)
+            for i in range(len(cs)):
+                for j in range(i + 1, len(cs)):
+                    kind.append("p"); a_out.append(cs[i]); b_out.append(cs[j]); cid_out.append(cid)
+        return pa.table({"kind": pa.array(kind, pa.string()),
+                         "concept_a": pa.array(a_out, pa.string()),
+                         "concept_b": pa.array(b_out, pa.string()),
+                         "chunk_id": pa.array(cid_out, pa.string())})
+
+    return chunks_ds.map_batches(extract, batch_format="pyarrow")
+
+
 def concept_edges(chunks_ds, co_occurrence_threshold: int = 2):
     """Edges with shared-chunk count ≥ threshold and Jaccard confidence
     (``concept_graph.rs:389-448``)."""
     import ray
+    import pyarrow.compute as _pc
 
-    counts_df = concept_table(chunks_ds).to_pandas()
+    combined = concept_combined(chunks_ds).materialize()
+
+    mention_rows = combined.map_batches(
+        lambda t: t.filter(_pc.equal(t.column("kind"), "m"))
+                   .select(["concept_a", "chunk_id"]).rename_columns(["concept", "chunk_id"]),
+        batch_format="pyarrow")
+    counts_df = hash_grouped_aggregate(
+        mention_rows, ["concept"],
+        grouped_arrow_agg(["concept"], [("chunk_id", "count")],
+                          rename=["concept", "n_chunks"])).to_pandas()
     counts = dict(zip(counts_df["concept"], counts_df["n_chunks"].astype(int)))
     counts_ref = ray.put(counts)
 
+    pair_rows = combined.map_batches(
+        lambda t: t.filter(_pc.equal(t.column("kind"), "p")),
+        batch_format="pyarrow")
     pair_counts = hash_grouped_aggregate(
-        concept_pair_rows(chunks_ds), ["concept_a", "concept_b"],
+        pair_rows, ["concept_a", "concept_b"],
         grouped_arrow_agg(["concept_a", "concept_b"], [("chunk_id", "count")],
                           rename=["concept_a", "concept_b", "count"]))
 

@@ -63,13 +63,23 @@ class ExtractKG:
         subj, pred, obj = [], [], []
 
         for chunk_id, doc_id, text in zip(chunk_ids, doc_ids, texts):
-            entities = self.extractor.extract(text)
+            try:
+                entities = self.extractor.extract(text or "")
+                rels = extract_relationships(entities, text or "")
+            except Exception as ex:  # noqa: BLE001 — poison-pill row routing
+                # SURVEY §4: a bad row must not fail the run; emit an error
+                # row ("x") so failures are countable downstream.
+                kind.append("x"); c_cid.append(chunk_id); c_did.append(doc_id)
+                eid.append(None); name.append(str(ex)[:200]); etype.append(None)
+                conf.append(0.0); mcount.append(0)
+                subj.append(None); pred.append(None); obj.append(None)
+                continue
             for e in entities:
                 kind.append("e"); c_cid.append(chunk_id); c_did.append(doc_id)
                 eid.append(e.entity_id); name.append(e.name); etype.append(e.entity_type)
                 conf.append(e.confidence); mcount.append(len(e.mentions))
                 subj.append(None); pred.append(None); obj.append(None)
-            for s, p, o in extract_relationships(entities, text):
+            for s, p, o in rels:
                 kind.append("t"); c_cid.append(chunk_id); c_did.append(doc_id)
                 eid.append(None); name.append(None); etype.append(None)
                 conf.append(cfg.relationship_confidence); mcount.append(0)
@@ -120,3 +130,11 @@ def entities_only(batch: pa.Table) -> pa.Table:
 def triples_only(batch: pa.Table) -> pa.Table:
     t = batch.filter(pc.equal(batch.column("kind"), "t"))
     return t.select(["chunk_id", "doc_id", "subj", "pred", "obj", "conf"])
+
+
+def errors_only(batch: pa.Table) -> pa.Table:
+    """Poison-pill rows routed by the extraction stage."""
+    t = batch.filter(pc.equal(batch.column("kind"), "x"))
+    return pa.table({"chunk_id": t.column("chunk_id"),
+                     "doc_id": t.column("doc_id"),
+                     "error": t.column("name")})
