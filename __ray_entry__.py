@@ -26,10 +26,27 @@ from graphrag_rs_ray.config import KGConfig
 from graphrag_rs_ray.pipelines import training_data as td
 from graphrag_rs_ray.pipelines.kg import (
     build_kg,
-    pages_to_chunks,
     chunks_to_combined,
+    pages_to_chunks,
     triples_dataset,
 )
+
+
+def q_text_clean(sf_dir: str):
+    """Whitespace-normalizing text cleaner (``text/mod.rs:327-336``)."""
+    import os as _os
+    import ray.data as rd
+
+    ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def clean(batch):
+        texts = [" ".join((t or "").split()) for t in batch.column("text").to_pylist()]
+        import pyarrow as _pa
+        return _pa.table({"doc_id": batch.column("doc_id"),
+                          "clean_text": _pa.array(texts, _pa.string())})
+
+    return ds.map_batches(clean, batch_format="pyarrow")
 from graphrag_rs_ray.sources.pages import pages_dataset
 from graphrag_rs_ray.stages.extract_text import extract_text_stage
 from graphrag_rs_ray.stages.kg_extract import entities_only
@@ -80,8 +97,8 @@ def q_kg_triples(sf_dir: str):
 
 
 def q_kg_entities(sf_dir: str):
-    res = build_kg(_kg_pages(sf_dir), KGConfig())
-    return res.entities
+    from graphrag_rs_ray.pipelines.kg import entities_dataset
+    return entities_dataset(_kg_pages(sf_dir), KGConfig())
 
 
 def q_kg_entities_fuzzy(sf_dir: str):
@@ -195,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_chunks": q_kg_chunks,
         "kg_extract_text": q_extract_text,
         # training-data ops with DuckDB oracles
+        "text_clean": q_text_clean,
         "exact_dedup": td.exact_dedup,
         "doc_fingerprints": td.doc_fingerprints,
         "token_stats": td.token_stats,
@@ -250,6 +268,13 @@ _TFIDF_STOPLIST_SQL = "(" + ",".join(f"'{w}'" for w in sorted(TFIDF_STOPWORDS)) 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_clean": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN ''
+                        ELSE array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')
+                   END AS clean_text
+            FROM documents
+        """,
         "exact_dedup": """
             SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)

@@ -63,16 +63,43 @@ class MinHasher:
         sh = shingles(text, self.shingle_k)
         if not sh:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        xs = np.fromiter((_stable_hash64(s.encode()) for s in sh),
-                         dtype=np.uint64, count=len(sh))
-        # (num_perm, n_shingles) — modmul in python ints is exact; use
-        # object-free trick: compute in uint64 with the Mersenne-prime mod
-        # via float-safe chunks is messy, so do it with Python ints only
-        # when n_shingles is small, else vectorized mod on uint128 via two
-        # 64-bit multiplies.  Simpler: numpy uint64 wraps mod 2^64, which is
-        # itself a fine universal-ish family for dedup purposes.
-        prod = (self.a[:, None] * xs[None, :]) + self.b[:, None]  # wraps mod 2^64
+        xs = self._hash_shingles(sorted(sh))
+        # wrap-around mod 2^64 is a fine universal-ish family for dedup
+        prod = (self.a[:, None] * xs[None, :]) + self.b[:, None]
         return prod.min(axis=1)
+
+    @staticmethod
+    def _hash_shingles(sh: list[str]) -> np.ndarray:
+        """Vectorized stable 64-bit hashes for a shingle list (pandas'
+        C string hasher — stable within a run and across processes for a
+        fixed hash_key, which is all MinHash needs)."""
+        import pandas as pd
+        return pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
+
+    def signatures_batch(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_perm) signatures with ONE vectorized hash pass and
+        a segmented min (`np.minimum.reduceat`) — no per-shingle Python."""
+        all_sh: list[str] = []
+        offsets = [0]
+        for t in texts:
+            sh = sorted(shingles(t, self.shingle_k))
+            all_sh.extend(sh)
+            offsets.append(len(all_sh))
+        out = np.full((len(texts), self.num_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        if not all_sh:
+            return out
+        xs = self._hash_shingles(all_sh)                       # (S,)
+        prod = (self.a[:, None] * xs[None, :]) + self.b[:, None]  # (P, S)
+        starts = np.asarray(offsets[:-1])
+        nonempty = np.asarray([offsets[i + 1] > offsets[i] for i in range(len(texts))])
+        if nonempty.any():
+            # empty segments share a start with their successor; dropping
+            # them leaves a strictly-increasing partition of the array
+            seg_starts = starts[nonempty]
+            mins = np.minimum.reduceat(prod, seg_starts, axis=1)
+            out[np.where(nonempty)[0]] = mins.T
+        return out
 
     def bands(self, sig: np.ndarray, num_bands: int = 16) -> list[int]:
         """LSH band hashes: split the signature into ``num_bands`` rows and

@@ -96,6 +96,17 @@ def triples_dataset(pages_ds, cfg: KGConfig | None = None):
     return dedup_triples(triples, cfg)
 
 
+def entities_dataset(pages_ds, cfg: KGConfig | None = None):
+    """Lazy pages → canonical entities (exact tier): single streaming pass
+    with no materialization — use when triples are not needed."""
+    cfg = cfg or KGConfig()
+    combined = chunks_to_combined(pages_to_chunks(pages_ds, cfg), cfg)
+    e_rows = combined.map_batches(entities_only, batch_format="pyarrow")
+    return hash_grouped_aggregate(
+        e_rows.map_batches(partial_entity_agg, batch_format="pyarrow", batch_size=None),
+        ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
+
+
 @dataclass
 class KGResult:
     entities: "object"            # ray.data.Dataset — entities table

@@ -60,10 +60,11 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
             self.mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            ids = batch.column("doc_id").to_pylist()
+            sigs = self.mh.signatures_batch(texts)   # vectorized, one hash pass
             doc_ids, bands, band_hashes = [], [], []
-            for did, text in zip(batch.column("doc_id").to_pylist(),
-                                 batch.column("text").to_pylist()):
-                sig = self.mh.signature(text)
+            for did, sig in zip(ids, sigs):
                 for b, h in enumerate(self.mh.bands(sig, num_bands=16)):
                     doc_ids.append(did)
                     bands.append(b)
