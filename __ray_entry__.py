@@ -144,6 +144,23 @@ def q_semantic_edges(sf_dir: str):
     return semantic_edges(ents.materialize(), similarity_threshold=0.8)
 
 
+def q_gleaning_triples(sf_dir: str):
+    """Gleaning extraction (mock-LLM actor pool with response cache) over
+    a small slice of the synthetic pages — exercises the LLM-path plumbing
+    deterministically."""
+    from graphrag_rs_ray.stages.gleaning import GleaningExtractStage
+    import pyarrow.compute as _pc
+    n = max(_n_pages(sf_dir) // 10, 50)
+    chunks = pages_to_chunks(pages_dataset(n, seed=42), KGConfig())
+    combined = chunks.map_batches(GleaningExtractStage, fn_constructor_args=(3,),
+                                  batch_format="pyarrow", batch_size=128,
+                                  concurrency=2)
+    return combined.map_batches(
+        lambda t: t.filter(_pc.equal(t.column("kind"), "t"))
+                   .select(["chunk_id", "subj", "pred", "obj"]),
+        batch_format="pyarrow")
+
+
 def q_ner_mentions(sf_dir: str):
     """Rule-engine NER (gazetteer/regex/contextual) on an actor pool."""
     from graphrag_rs_ray.stages.ner import DEMO_ENTITY_TYPES, DEMO_RULES, NERStage
@@ -254,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_update": q_incremental_update,
         # rule-engine NER on actor pool (rows-only)
         "ner_mentions": q_ner_mentions,
+        # mock-LLM gleaning path (rows-only)
+        "gleaning_triples": q_gleaning_triples,
     }
 
 
