@@ -210,10 +210,23 @@ def write_graph(result: KGResult, out_dir: str, num_shards: int = 16) -> dict:
     import pyarrow.dataset as pads
     n_triples = pads.dataset(tri_dir, partitioning="hive").count_rows()
     n_entities = pads.dataset(ent_dir).count_rows()
+
+    # per-partition lineage: one manifest per adjacency shard (SURVEY §4 —
+    # resume/metrics at partition granularity) + the top-level rollup
+    shard_counts = {}
+    for name in sorted(os.listdir(tri_dir)):
+        shard_dir = os.path.join(tri_dir, name)
+        if os.path.isdir(shard_dir) and name.startswith("shard="):
+            n = pads.dataset(shard_dir).count_rows()
+            shard_counts[name] = n
+            write_manifest(shard_dir, "triples_shard",
+                           fingerprint_config("graph", num_shards, name),
+                           rows=n)
     manifest = write_manifest(out_dir, "graph", fingerprint_config("graph", num_shards),
                               rows=n_triples,
                               extra={"n_entities": n_entities, "n_triples": n_triples,
                                      "num_shards": num_shards,
+                                     "shard_rows": shard_counts,
                                      "n_fuzzy_links": len(result.links)})
     return manifest
 

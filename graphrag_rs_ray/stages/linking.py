@@ -45,17 +45,27 @@ def make_block_clusterer(cfg: LinkingConfig):
     return cluster_block
 
 
-def compute_links(entities_ds, cfg: LinkingConfig | None = None) -> dict[str, str]:
+def compute_links(entities_ds, cfg: LinkingConfig | None = None,
+                  stats: dict | None = None) -> dict[str, str]:
     """entities Dataset → {entity_id: canonical_id}.  Materializes only the
-    link rows (small by assumption, see module docstring)."""
+    link rows (small by assumption, see module docstring).  Pass ``stats``
+    to collect linking metrics (mirrors ``corpus/entity_linker.rs:44-85``
+    LinkingStatistics: totals + linked counts + ratio)."""
     cfg = cfg or LinkingConfig()
     blocked = entities_ds.map_batches(add_block_key, batch_format="pyarrow")
     links_ds = blocked.groupby("block_key").map_groups(
         make_block_clusterer(cfg), batch_format="pandas")
     df = links_ds.to_pandas()
-    if df.empty:
-        return {}
-    return dict(zip(df["entity_id"], df["canonical_id"]))
+    links = {} if df.empty else dict(zip(df["entity_id"], df["canonical_id"]))
+    if stats is not None:
+        total = entities_ds.count()
+        stats.update({
+            "total_entities": int(total),
+            "linked_entities": len(links),
+            "canonical_targets": len(set(links.values())),
+            "link_ratio": (len(links) / total) if total else 0.0,
+        })
+    return links
 
 
 def make_remap_triples(links_ref):
