@@ -129,9 +129,27 @@ class ExtractedEntity:
     mentions: list[Mention] = field(default_factory=list)
 
 
+_CLEAN_MEMO: dict[str, str] = {}
+_CLEAN_MEMO_MAX = 500_000
+
+
 def clean_word(word: str) -> str:
-    """Port of ``entity/mod.rs:622-628`` — keep alphabetic + apostrophes."""
-    return "".join(c for c in word if c.isalpha() or c == "'").rstrip("'")
+    """Port of ``entity/mod.rs:622-628`` — keep alphabetic + apostrophes.
+    Memoized per worker process (corpus vocabulary ≪ token occurrences)."""
+    cached = _CLEAN_MEMO.get(word)
+    if cached is None:
+        cached = "".join(c for c in word if c.isalpha() or c == "'").rstrip("'")
+        if len(_CLEAN_MEMO) < _CLEAN_MEMO_MAX:
+            _CLEAN_MEMO[word] = cached
+    return cached
+
+
+# first-word index for the known-name gazetteer phase: lowercase first
+# token → candidate names (turns the O(words × names) scan into O(words))
+_KNOWN_BY_FIRST: dict[str, list[list[str]]] = {}
+for _name in KNOWN_PERSON_NAMES:
+    _parts = _name.split()
+    _KNOWN_BY_FIRST.setdefault(_parts[0].lower(), []).append(_parts)
 
 
 def is_capitalized(word: str) -> bool:
@@ -236,20 +254,24 @@ class PatternEntityExtractor:
 
     # ---- person phases ------------------------------------------------
 
-    def _extract_known_names(self, words, processed, entities, text):
-        for i in range(len(words)):
+    def _extract_known_names(self, words, clean_lower, processed, entities, text):
+        n = len(words)
+        for i in range(n):
             if i in processed:
                 continue
-            for name in KNOWN_PERSON_NAMES:
-                name_words = name.split()
-                if i + len(name_words) <= len(words):
-                    if all(clean_word(words[i + j]).lower() == expected.lower()
-                           for j, expected in enumerate(name_words)):
-                        if 0.95 >= self.min_confidence:
-                            entities.append(self._mk(name, "PERSON", 0.95, text))
-                        for j in range(len(name_words)):
-                            processed.add(i + j)
-                        break
+            candidates = _KNOWN_BY_FIRST.get(clean_lower[i])
+            if not candidates:
+                continue
+            for name_words in candidates:
+                k = len(name_words)
+                if i + k <= n and all(clean_lower[i + j] == name_words[j].lower()
+                                      for j in range(1, k)):
+                    name = " ".join(name_words)
+                    if 0.95 >= self.min_confidence:
+                        entities.append(self._mk(name, "PERSON", 0.95, text))
+                    for j in range(k):
+                        processed.add(i + j)
+                    break
 
     def _extract_title_based(self, words, processed, entities, text):
         for i in range(len(words)):
@@ -304,9 +326,10 @@ class PatternEntityExtractor:
 
     def extract_persons(self, text: str) -> list[ExtractedEntity]:
         words = text.split()
+        clean_lower = [clean_word(w).lower() for w in words]
         processed: set[int] = set()
         entities: list[ExtractedEntity] = []
-        self._extract_known_names(words, processed, entities, text)
+        self._extract_known_names(words, clean_lower, processed, entities, text)
         self._extract_title_based(words, processed, entities, text)
         self._extract_two_word(words, processed, entities, text)
         self._extract_single_word(words, processed, entities, text)
