@@ -45,13 +45,25 @@ def is_valid_concept(phrase: str, min_length: int = MIN_LENGTH,
     return stop <= len(words) // 2
 
 
+_TRIM_NON_ALNUM = re.compile(r"^[\W_]+|[\W_]+$")
+_KEYWORD_MEMO: dict[str, str] = {}
+
+
+def _trim_word(word: str) -> str:
+    """Rust ``trim_matches(|c| !c.is_alphanumeric())`` equivalent, memoized."""
+    w = _KEYWORD_MEMO.get(word)
+    if w is None:
+        w = _TRIM_NON_ALNUM.sub("", word.lower())
+        if len(_KEYWORD_MEMO) < 500_000:
+            _KEYWORD_MEMO[word] = w
+    return w
+
+
 def extract_keywords(text: str, min_length: int = MIN_LENGTH) -> list[str]:
     """Top-20 frequency keywords with freq ≥ 2 (``:222-244``)."""
     counts: dict[str, int] = {}
     for word in text.split():
-        w = word.lower().strip("".join(c for c in word.lower() if not c.isalnum()))
-        # Rust trim_matches(|c| !c.is_alphanumeric()) strips non-alnum ends:
-        w = re.sub(r"^[^0-9a-z]+|[^0-9a-z]+$", "", word.lower())
+        w = _trim_word(word)
         if len(w) >= min_length and w not in CONCEPT_STOPWORDS:
             counts[w] = counts.get(w, 0) + 1
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
