@@ -16,6 +16,12 @@ a real cluster (keeps each reduce partition in memory).
 
 The hash is pandas' stable 64-bit column hash (vectorized); bucket ids
 never appear in outputs, so only run-internal consistency matters.
+
+The per-block-combiner-then-bucketed-merge shape is the classic skew
+mitigation from the shuffle literature (cf. PAPERS.md: FP-Hadoop VLDB'15,
+"Rock you like a hurricane" EuroSys'18, Hyper Dimension Shuffle VLDB'19):
+hot keys collapse to one row per block BEFORE the exchange, so hub
+entities cost O(#blocks), not O(#occurrences), on the wire.
 """
 
 from __future__ import annotations
