@@ -16,6 +16,7 @@ class KGConfig:
     chunk_size: int = 1000
     chunk_overlap: int = 100
     min_chunk_size: int = 50            # chunking.rs:29
+    chunker: str = "hierarchical"       # "hierarchical" | "legacy" (text/mod.rs:123)
 
     # extraction
     min_confidence: float = 0.7          # config/mod.rs:859-861

@@ -93,6 +93,67 @@ def chunk_text(text: str, chunk_size: int, overlap: int,
     return chunks
 
 
+ABBREVIATIONS = ("Dr", "Mr", "Mrs", "Ms", "Prof", "Jr", "Sr", "Inc", "Corp",
+                 "Ltd", "Co", "etc", "vs", "e.g", "i.e", "cf", "pp")
+
+
+def _is_likely_abbreviation(text: str, period_pos: int) -> bool:
+    """Port of ``chunking.rs:199-227``."""
+    if period_pos == 0:
+        return False
+    before = text[:period_pos]
+    sp = before.rfind(" ")
+    if sp != -1:
+        candidate = before[sp + 1:]
+        return any(candidate.lower() == a.lower() for a in ABBREVIATIONS)
+    if period_pos == 1 and before[:1].isupper():
+        return True
+    return False
+
+
+def find_sentence_boundary(text: str, start: int, preferred_end: int) -> int | None:
+    """Last sentence end (``.!?`` + whitespace, non-abbreviation) within the
+    trailing 300-char window; port of ``chunking.rs:155-196``."""
+    if start >= preferred_end:
+        return None
+    window = text[start:preferred_end]
+    search_start = max(len(window) - 300, 0)
+    search = window[search_start:]
+    last = None
+    for i, ch in enumerate(search):
+        if ch in ".!?":
+            nxt = i + 1
+            if nxt >= len(search):
+                last = start + search_start + nxt
+            else:
+                nc = search[nxt]
+                if nc in ("\n", " ") and not _is_likely_abbreviation(search, i):
+                    last = start + search_start + nxt
+    return last
+
+
+def chunk_text_legacy(text: str, chunk_size: int, overlap: int) -> list[tuple[str, int, int]]:
+    """The reference's DEFAULT chunker (``text/mod.rs:123-168``): fixed-size
+    windows cut back to the last sentence boundary (abbreviation-guarded),
+    next start = end − overlap with forced ≥1 progress."""
+    n = len(text)
+    chunks: list[tuple[str, int, int]] = []
+    start = 0
+    while start < n:
+        end = min(start + chunk_size, n)
+        if end < n:
+            actual_end = find_sentence_boundary(text, start, end) or end
+        else:
+            actual_end = end
+        content = text[start:actual_end]
+        if content.strip():
+            chunks.append((content, start, actual_end))
+        if actual_end >= n:
+            break
+        start = max(start + 1, actual_end - overlap)
+    return chunks
+
+
 def chunk_document(doc_id: str, text: str, chunk_size: int, overlap: int,
                    min_chunk_size: int = MIN_CHUNK_SIZE) -> list[dict]:
     """One document → chunk rows with ids ``{doc_id}_{i}``.

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..config import KGConfig
-from ..functions.chunking import chunk_text
+from ..functions.chunking import chunk_text, chunk_text_legacy
 
 CHUNKS_SCHEMA = pa.schema([
     ("chunk_id", pa.string()),
@@ -37,8 +37,12 @@ class ChunkStage:
         for doc_id, text, lang in zip(doc_ids, texts, langs):
             if not text:
                 continue
-            for i, (content, s, e) in enumerate(
-                    chunk_text(text, cfg.chunk_size, cfg.chunk_overlap, cfg.min_chunk_size)):
+            if cfg.chunker == "legacy":
+                pieces = chunk_text_legacy(text, cfg.chunk_size, cfg.chunk_overlap)
+            else:
+                pieces = chunk_text(text, cfg.chunk_size, cfg.chunk_overlap,
+                                    cfg.min_chunk_size)
+            for i, (content, s, e) in enumerate(pieces):
                 out_cid.append(f"{doc_id}_{i}")
                 out_did.append(doc_id)
                 out_txt.append(content)

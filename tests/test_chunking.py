@@ -61,6 +61,45 @@ def test_chunker_properties(text, chunk_size, overlap):
         prev_start = s
 
 
+def test_legacy_chunker_sentence_boundaries():
+    from graphrag_rs_ray.functions.chunking import chunk_text_legacy, find_sentence_boundary
+    text = ("Dr. Smith went to the store. He bought some milk. "
+            "Then he went home. " * 10)
+    chunks = chunk_text_legacy(text, 120, 20)
+    assert chunks
+    for c, s, e in chunks:
+        assert text[s:e] == c
+        # non-final chunks end right after a sentence terminator
+        if e < len(text):
+            assert c.rstrip()[-1] in ".!?"
+    # abbreviation guard: never break right after "Dr."
+    b = find_sentence_boundary("Dr. Smith went to the store. He left.", 0, 30)
+    assert b is not None
+    assert not "Dr. Smith went to the store. He left."[:b].rstrip().endswith("Dr.")
+    # full coverage: every char of text covered by at least one chunk
+    covered = set()
+    for _, s, e in chunks:
+        covered.update(range(s, e))
+    assert covered == set(range(len(text)))
+
+
+def test_legacy_chunker_via_config(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from graphrag_rs_ray.config import KGConfig
+    from graphrag_rs_ray.stages.chunk import ChunkStage
+    docs = rd.from_arrow(pa.table({
+        "doc_id": ["d1"],
+        "text": ["A sentence here. " * 60],
+        "lang": ["en"],
+    }))
+    out = docs.map_batches(ChunkStage(KGConfig(chunker="legacy", chunk_size=200,
+                                               chunk_overlap=40)),
+                           batch_format="pyarrow").to_pandas()
+    assert len(out) > 1
+    assert out["chunk_id"].iloc[0] == "d1_0"
+
+
 @settings(max_examples=30, deadline=None)
 @given(st.integers(min_value=0, max_value=5))
 def test_chunker_deterministic(seed):
