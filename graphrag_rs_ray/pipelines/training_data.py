@@ -10,7 +10,6 @@ with an exact SQL equivalent carry a DuckDB oracle in
 
 from __future__ import annotations
 
-import hashlib
 import math
 import os
 

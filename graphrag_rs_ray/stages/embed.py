@@ -8,7 +8,6 @@ this is a callable class, not a bare function.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ..functions.embedding import HashEmbedder
