@@ -52,7 +52,7 @@ from graphrag_rs_ray.stages.extract_text import extract_text_stage
 from graphrag_rs_ray.stages.kg_extract import entities_only
 from graphrag_rs_ray.functions.textstats import STOP_WORDS
 
-_SF_PAGES = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}
+_SF_PAGES = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 100000}
 
 
 def _n_pages(sf_dir: str) -> int:
