@@ -51,6 +51,7 @@ from graphrag_rs_ray.sources.pages import pages_dataset
 from graphrag_rs_ray.stages.extract_text import extract_text_stage
 from graphrag_rs_ray.stages.kg_extract import entities_only
 from graphrag_rs_ray.functions.textstats import STOP_WORDS
+from graphrag_rs_ray.stages.hashagg import auto_pool
 
 _SF_PAGES = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 100000}
 
@@ -140,7 +141,7 @@ def q_semantic_edges(sf_dir: str):
     from graphrag_rs_ray.stages.embed import EmbedStage
     ents = q_kg_entities(sf_dir).map_batches(
         EmbedStage, fn_constructor_args=("name", 64),
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=auto_pool())
     return semantic_edges(ents.materialize(), similarity_threshold=0.8)
 
 
@@ -154,7 +155,7 @@ def q_gleaning_triples(sf_dir: str):
     chunks = pages_to_chunks(pages_dataset(n, seed=42), KGConfig())
     combined = chunks.map_batches(GleaningExtractStage, fn_constructor_args=(3,),
                                   batch_format="pyarrow", batch_size=128,
-                                  concurrency=2)
+                                  concurrency=auto_pool())
     return combined.map_batches(
         lambda t: t.filter(_pc.equal(t.column("kind"), "t"))
                    .select(["chunk_id", "subj", "pred", "obj"]),
@@ -166,7 +167,7 @@ def q_ner_mentions(sf_dir: str):
     from graphrag_rs_ray.stages.ner import DEMO_ENTITY_TYPES, DEMO_RULES, NERStage
     return q_kg_chunks(sf_dir).map_batches(
         NERStage, fn_constructor_args=(DEMO_ENTITY_TYPES, DEMO_RULES),
-        batch_format="pyarrow", batch_size=256, concurrency=2)
+        batch_format="pyarrow", batch_size=256, concurrency=auto_pool())
 
 
 def q_incremental_update(sf_dir: str):
@@ -195,7 +196,7 @@ def q_chunk_embeddings(sf_dir: str):
     from graphrag_rs_ray.stages.embed import EmbedStage
     return q_kg_chunks(sf_dir).map_batches(
         EmbedStage, fn_constructor_args=("text", 64),
-        batch_format="pyarrow", concurrency=2).map_batches(
+        batch_format="pyarrow", concurrency=auto_pool()).map_batches(
         lambda t: t.select(["chunk_id", "embedding"]), batch_format="pyarrow")
 
 

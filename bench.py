@@ -61,6 +61,15 @@ def run_bench() -> dict:
     # headline: full synthetic-pages → deduped triples pipeline
     n_triples = timed("kg_triples", lambda: q["kg_triples"](sf_dir).count())
 
+    if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
+        headline = timings["kg_triples"]
+        result = {"metric": "kg_e2e", "value": headline, "unit": "sec",
+                  "queries": timings, "sf": sf_name, "num_cpus": num_cpus,
+                  "triples": int(n_triples),
+                  "triples_per_sec": round(n_triples / headline, 1) if headline else None}
+        ray.shutdown()
+        return result
+
     timed("kg_entities", lambda: q["kg_entities"](sf_dir).count())
     timed("concept_edges", lambda: q["concept_edges"](sf_dir).count())
     timed("ner_mentions", lambda: q["ner_mentions"](sf_dir).count())
@@ -88,7 +97,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))

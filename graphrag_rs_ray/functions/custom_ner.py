@@ -136,9 +136,10 @@ class CustomNER:
         before, target, after = (p.lower() for p in parts)
         out = []
         words = text.split()
+        lowers = [w.lower() for w in words]       # once, not per window
         for i in range(len(words) - 2):
-            w0, w1, w2 = words[i], words[i + 1], words[i + 2]
-            if before in w0.lower() and target in w1.lower() and after in w2.lower():
+            if before in lowers[i] and target in lowers[i + 1] and after in lowers[i + 2]:
+                w1 = words[i + 1]
                 pos = text.find(w1)
                 if pos != -1:
                     out.append(NERMatch(w1, rule.entity_type, pos, pos + len(w1),

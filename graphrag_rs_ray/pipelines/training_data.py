@@ -13,6 +13,8 @@ from __future__ import annotations
 import math
 import os
 
+from ..stages.hashagg import auto_pool
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -74,7 +76,7 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
                 "band_hash": pa.array(band_hashes, pa.uint64()),
             })
 
-    return _docs(sf_dir).map_batches(MinHashStage, concurrency=2, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(MinHashStage, concurrency=auto_pool(), batch_format="pyarrow")
 
 
 def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
@@ -137,7 +139,7 @@ def simhash_signatures(sf_dir: str):
                 "simhash": pa.array(np.array(sigs, dtype=np.uint64)),
             })
 
-    return _docs(sf_dir).map_batches(SimHashStage, concurrency=2, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(SimHashStage, concurrency=auto_pool(), batch_format="pyarrow")
 
 
 def ngram_dedup_pairs(sf_dir: str, threshold: float = 0.8, n: int = 3):
@@ -511,7 +513,7 @@ def semantic_chunks(sf_dir: str):
                              "sentence_count": pa.array(counts, pa.int64())})
 
     return _docs(sf_dir).map_batches(SemanticChunkStage, batch_format="pyarrow",
-                                     batch_size=128, concurrency=2)
+                                     batch_size=128, concurrency=auto_pool())
 
 
 def enriched_chunks(sf_dir: str):
