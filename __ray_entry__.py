@@ -22,6 +22,12 @@ from typing import Any
 
 import pyarrow as pa
 
+try:  # engine tuning, not session ownership: see bench.py note
+    from ray.data.context import DataContext as _DC
+    _DC.get_current().op_resource_reservation_enabled = False
+except Exception:  # noqa: BLE001 — ray absent/changed API: keep defaults
+    pass
+
 from graphrag_rs_ray.config import KGConfig
 from graphrag_rs_ray.pipelines import training_data as td
 from graphrag_rs_ray.pipelines.kg import (
@@ -57,6 +63,9 @@ _SF_PAGES = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 100000}
 
 
 def _n_pages(sf_dir: str) -> int:
+    override = os.environ.get("GRAFT_PAGES")
+    if override:
+        return int(override)
     return _SF_PAGES.get(os.path.basename(os.path.normpath(sf_dir)), 500)
 
 
