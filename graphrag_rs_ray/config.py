@@ -18,7 +18,9 @@ class KGConfig:
     min_chunk_size: int = 50            # chunking.rs:29
     chunker: str = "hierarchical"       # "hierarchical" | "legacy" (text/mod.rs:123)
 
-    # extraction
+    # extraction — registry name (SURVEY §2.13): "pattern" | "gleaning"
+    # (+ any name registered via stages.registry.register_extractor)
+    extractor: str = "pattern"
     min_confidence: float = 0.7          # config/mod.rs:859-861
     entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION")
     allowed_patterns: tuple[str, ...] = ()

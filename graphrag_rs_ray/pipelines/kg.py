@@ -46,21 +46,37 @@ def pages_to_chunks(pages_ds, cfg: KGConfig):
     return docs.map_batches(ChunkStage(cfg), batch_format="pyarrow")
 
 
+class RegistryStage:
+    """Actor-pool wrapper: builds the configured extractor once per actor
+    from the stage registry (SURVEY §2.13)."""
+
+    def __init__(self, cfg: KGConfig):
+        from ..stages.registry import make_extractor
+        self.stage = make_extractor(cfg)
+
+    def __call__(self, batch):
+        return self.stage(batch)
+
+
 def chunks_to_combined(chunks_ds, cfg: KGConfig):
-    """Extraction stage.  Default: stateless tasks with a per-worker-process
-    extractor memo (elastic, no pool sizing).  An explicit
-    ``cfg.extract_concurrency`` opts into an actor pool (useful when the
-    extractor state becomes genuinely heavy, e.g. a model), capped below
-    the cluster CPU count so the read/shuffle stages never starve."""
-    if cfg.extract_concurrency is None:
+    """Extraction stage, selected by ``cfg.extractor`` (registry).
+
+    Pattern path default: stateless tasks with a per-worker-process
+    extractor memo (elastic, no pool sizing).  Any other extractor (or an
+    explicit ``cfg.extract_concurrency``) runs as an actor pool — capped
+    below the cluster CPU count so the read/shuffle stages never starve."""
+    if cfg.extractor == "pattern" and cfg.extract_concurrency is None:
         return chunks_ds.map_batches(make_extract_fn(cfg), batch_format="pyarrow",
                                      batch_size=cfg.batch_size)
     import ray
+    from ..stages.hashagg import auto_pool
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     conc = cfg.extract_concurrency
-    if isinstance(conc, int):
+    if conc is None:
+        conc = auto_pool()
+    elif isinstance(conc, int):
         conc = min(conc, max(1, cpus - 2))
-    return chunks_ds.map_batches(ExtractKG, fn_constructor_args=(cfg,),
+    return chunks_ds.map_batches(RegistryStage, fn_constructor_args=(cfg,),
                                  batch_format="pyarrow", batch_size=cfg.batch_size,
                                  concurrency=conc)
 
