@@ -35,6 +35,8 @@ class KGConfig:
     fuzzy_linking: bool = False
     min_similarity: float = 0.85         # string_similarity_linker.rs:43
     use_phonetic: bool = False
+    # batched hash-embedding refinement of candidate links (None = off)
+    link_embedding_threshold: float | None = None
 
     # embeddings
     embedding_dim: int = 64

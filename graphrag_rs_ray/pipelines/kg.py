@@ -163,8 +163,11 @@ def build_kg(pages_ds, cfg: KGConfig | None = None, work_dir: str | None = None)
     links: dict[str, str] = {}
     if cfg.fuzzy_linking:
         entities = entities.materialize()
-        links = compute_links(entities, LinkingConfig(
-            min_similarity=cfg.min_similarity, use_phonetic=cfg.use_phonetic))
+        links = compute_links(
+            entities,
+            LinkingConfig(min_similarity=cfg.min_similarity,
+                          use_phonetic=cfg.use_phonetic),
+            embedding_threshold=cfg.link_embedding_threshold)
         if links:
             links_ref = ray.put(links)
             entities = hash_grouped_aggregate(

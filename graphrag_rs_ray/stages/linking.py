@@ -34,10 +34,34 @@ def add_block_key(batch: pa.Table) -> pa.Table:
     return batch.append_column("block_key", pa.array(keys, pa.string()))
 
 
-def make_block_clusterer(cfg: LinkingConfig):
+def make_block_clusterer(cfg: LinkingConfig, embedding_threshold: float | None = None,
+                         embedding_dim: int = 64):
+    """Per-block greedy clustering, optionally refined by BATCHED hash-
+    embedding scoring (SURVEY §7.2 step 5): all candidate names in the
+    block are embedded in one batch (deterministic hash embedder, state
+    amortized per actor) and a string-similarity link survives only if the
+    embedding cosine also clears ``embedding_threshold`` — the candidate-
+    disambiguation role the reference assigns to embeddings
+    (``vector/mod.rs:587-644`` + ``corpus/entity_linker.rs``
+    SemanticSimilarity strategy)."""
+
     def cluster_block(group: pd.DataFrame) -> pa.Table:
         items = list(zip(group["entity_id"], group["name"], group["conf"]))
         links = greedy_cluster(items, cfg)
+        if links and embedding_threshold is not None:
+            import numpy as np
+            from ..functions.embedding import HashEmbedder
+            name_of = dict(zip(group["entity_id"], group["name"]))
+            embedder = HashEmbedder(dim=embedding_dim)
+            ids = sorted({*links.keys(), *links.values()})
+            mat = embedder.embed_many([name_of[i] for i in ids])
+            row = {i: k for k, i in enumerate(ids)}
+            kept = {}
+            for src, dst in links.items():
+                a, b = mat[row[src]], mat[row[dst]]
+                if float(np.dot(a, b)) >= embedding_threshold:  # unit vectors
+                    kept[src] = dst
+            links = kept
         return pa.table({
             "entity_id": pa.array(list(links.keys()), pa.string()),
             "canonical_id": pa.array(list(links.values()), pa.string()),
@@ -46,7 +70,8 @@ def make_block_clusterer(cfg: LinkingConfig):
 
 
 def compute_links(entities_ds, cfg: LinkingConfig | None = None,
-                  stats: dict | None = None) -> dict[str, str]:
+                  stats: dict | None = None,
+                  embedding_threshold: float | None = None) -> dict[str, str]:
     """entities Dataset → {entity_id: canonical_id}.  Materializes only the
     link rows (small by assumption, see module docstring).  Pass ``stats``
     to collect linking metrics (mirrors ``corpus/entity_linker.rs:44-85``
@@ -54,7 +79,8 @@ def compute_links(entities_ds, cfg: LinkingConfig | None = None,
     cfg = cfg or LinkingConfig()
     blocked = entities_ds.map_batches(add_block_key, batch_format="pyarrow")
     links_ds = blocked.groupby("block_key").map_groups(
-        make_block_clusterer(cfg), batch_format="pandas")
+        make_block_clusterer(cfg, embedding_threshold=embedding_threshold),
+        batch_format="pandas")
     df = links_ds.to_pandas()
     links = {} if df.empty else dict(zip(df["entity_id"], df["canonical_id"]))
     if stats is not None:

@@ -50,6 +50,28 @@ def test_links_invariant_to_batching_and_order(ray_session):
         assert src.split("_")[0] == dst.split("_")[0]
 
 
+def test_embedding_scored_linking(ray_session):
+    """Batched embedding refinement: links that share tokens survive
+    (cosine of mean-pooled word vectors high); phonetic-only matches with
+    disjoint tokens are rejected."""
+    from graphrag_rs_ray.functions.similarity import LinkingConfig
+    from graphrag_rs_ray.stages.linking import compute_links
+
+    rows = ROWS + [
+        ("PERSON_smith", "Smith", "PERSON", 0.9),
+        ("PERSON_smyth", "Smyth", "PERSON", 0.6),   # phonetic match, no shared token
+    ]
+    cfg = LinkingConfig(use_phonetic=True)
+    plain = compute_links(_entities_ds(rows, 50), cfg)
+    refined = compute_links(_entities_ds(rows, 50), cfg, embedding_threshold=0.4)
+    # string/phonetic tier links Smyth→Smith; embedding tier rejects it
+    assert "PERSON_smyth" in plain
+    assert "PERSON_smyth" not in refined
+    # token-sharing typo variants survive refinement
+    assert refined.get("PERSON_jonsmith") == "PERSON_johnsmith"
+    assert refined == compute_links(_entities_ds(rows, 3), cfg, embedding_threshold=0.4)
+
+
 def test_full_fuzzy_pipeline_deterministic(ray_session):
     from graphrag_rs_ray.config import KGConfig
     from graphrag_rs_ray.pipelines.kg import build_kg
