@@ -106,6 +106,19 @@ def run_bench() -> dict:
         ray.shutdown()
         return result
 
+    # full build + sharded Parquet sink (entities/ + triples/shard=K/ with
+    # per-partition manifests) — the complete end-to-end job
+    def full_write():
+        import shutil
+        from graphrag_rs_ray.pipelines.kg import build_kg, write_graph
+        out = "/tmp/graft_bench_graph"
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        res = build_kg(rd.read_parquet(pages_dir), KGConfig())
+        return write_graph(res, out, num_shards=16)["n_triples"]
+
+    timed("kg_build_write_shards", full_write)
+
     timed("kg_entities", lambda: q["kg_entities"](sf_dir).count())
     timed("concept_edges", lambda: q["concept_edges"](sf_dir).count())
     timed("ner_mentions", lambda: q["ner_mentions"](sf_dir).count())
