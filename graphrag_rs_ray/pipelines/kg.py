@@ -65,6 +65,10 @@ def chunks_to_combined(chunks_ds, cfg: KGConfig):
     extractor memo (elastic, no pool sizing).  Any other extractor (or an
     explicit ``cfg.extract_concurrency``) runs as an actor pool — capped
     below the cluster CPU count so the read/shuffle stages never starve."""
+    from ..stages.registry import EXTRACTORS
+    if cfg.extractor not in EXTRACTORS:   # fail on the driver, not in an actor
+        raise ValueError(f"unknown extractor {cfg.extractor!r}; "
+                         f"registered: {sorted(EXTRACTORS)}")
     if cfg.extractor == "pattern" and cfg.extract_concurrency is None:
         return chunks_ds.map_batches(make_extract_fn(cfg), batch_format="pyarrow",
                                      batch_size=cfg.batch_size)
