@@ -148,9 +148,10 @@ def q_co_occurring_entities(sf_dir: str):
 def q_semantic_edges(sf_dir: str):
     from graphrag_rs_ray.pipelines.graph_ops import semantic_edges
     from graphrag_rs_ray.stages.embed import EmbedStage
-    ents = q_kg_entities(sf_dir).map_batches(
-        EmbedStage, fn_constructor_args=("name", 64),
-        batch_format="pyarrow", concurrency=auto_pool())
+    from graphrag_rs_ray.stages.memo import memoized_stage
+    fn = memoized_stage(("embed", "name", 64), lambda: EmbedStage("name", 64))
+    ents = q_kg_entities(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                             batch_size=None)
     return semantic_edges(ents.materialize(), similarity_threshold=0.8)
 
 
@@ -159,12 +160,12 @@ def q_gleaning_triples(sf_dir: str):
     a small slice of the synthetic pages — exercises the LLM-path plumbing
     deterministically."""
     from graphrag_rs_ray.stages.gleaning import GleaningExtractStage
+    from graphrag_rs_ray.stages.memo import memoized_stage
     import pyarrow.compute as _pc
     n = max(_n_pages(sf_dir) // 10, 50)
     chunks = pages_to_chunks(pages_dataset(n, seed=42), KGConfig())
-    combined = chunks.map_batches(GleaningExtractStage, fn_constructor_args=(3,),
-                                  batch_format="pyarrow", batch_size=128,
-                                  concurrency=auto_pool())
+    fn = memoized_stage("gleaning-3", lambda: GleaningExtractStage(max_rounds=3))
+    combined = chunks.map_batches(fn, batch_format="pyarrow", batch_size=None)
     return combined.map_batches(
         lambda t: t.filter(_pc.equal(t.column("kind"), "t"))
                    .select(["chunk_id", "subj", "pred", "obj"]),
@@ -172,11 +173,14 @@ def q_gleaning_triples(sf_dir: str):
 
 
 def q_ner_mentions(sf_dir: str):
-    """Rule-engine NER (gazetteer/regex/contextual) on an actor pool."""
+    """Rule-engine NER (gazetteer/regex/contextual); rules built once per
+    worker process (cheap state → stateless tasks, see stages/memo.py)."""
+    from graphrag_rs_ray.stages.memo import memoized_stage
     from graphrag_rs_ray.stages.ner import DEMO_ENTITY_TYPES, DEMO_RULES, NERStage
-    return q_kg_chunks(sf_dir).map_batches(
-        NERStage, fn_constructor_args=(DEMO_ENTITY_TYPES, DEMO_RULES),
-        batch_format="pyarrow", batch_size=256, concurrency=auto_pool())
+    fn = memoized_stage("demo-ner",
+                        lambda: NERStage(DEMO_ENTITY_TYPES, DEMO_RULES))
+    return q_kg_chunks(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                           batch_size=None)
 
 
 def q_incremental_update(sf_dir: str):
@@ -203,9 +207,10 @@ def q_pagerank(sf_dir: str):
 
 def q_chunk_embeddings(sf_dir: str):
     from graphrag_rs_ray.stages.embed import EmbedStage
-    return q_kg_chunks(sf_dir).map_batches(
-        EmbedStage, fn_constructor_args=("text", 64),
-        batch_format="pyarrow", concurrency=auto_pool()).map_batches(
+    from graphrag_rs_ray.stages.memo import memoized_stage
+    fn = memoized_stage(("embed", "text", 64), lambda: EmbedStage("text", 64))
+    return q_kg_chunks(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                           batch_size=None).map_batches(
         lambda t: t.select(["chunk_id", "embedding"]), batch_format="pyarrow")
 
 

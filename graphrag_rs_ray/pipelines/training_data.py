@@ -76,7 +76,9 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
                 "band_hash": pa.array(band_hashes, pa.uint64()),
             })
 
-    return _docs(sf_dir).map_batches(MinHashStage, concurrency=auto_pool(), batch_format="pyarrow")
+    from ..stages.memo import memoized_stage
+    fn = memoized_stage(("minhash", num_perm, shingle_k), MinHashStage)
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
@@ -139,7 +141,9 @@ def simhash_signatures(sf_dir: str):
                 "simhash": pa.array(np.array(sigs, dtype=np.uint64)),
             })
 
-    return _docs(sf_dir).map_batches(SimHashStage, concurrency=auto_pool(), batch_format="pyarrow")
+    from ..stages.memo import memoized_stage
+    fn = memoized_stage("simhash", SimHashStage)
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def ngram_dedup_pairs(sf_dir: str, threshold: float = 0.8, n: int = 3):
@@ -512,8 +516,9 @@ def semantic_chunks(sf_dir: str):
                              "text": pa.array(texts, pa.string()),
                              "sentence_count": pa.array(counts, pa.int64())})
 
-    return _docs(sf_dir).map_batches(SemanticChunkStage, batch_format="pyarrow",
-                                     batch_size=128, concurrency=auto_pool())
+    from ..stages.memo import memoized_stage
+    fn = memoized_stage("semantic-chunks", SemanticChunkStage)
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def enriched_chunks(sf_dir: str):

@@ -32,17 +32,19 @@ import pandas as pd
 import pyarrow as pa
 
 
-def auto_pool(lo: int = 1) -> tuple[int, int]:
+def auto_pool(lo: int = 4) -> tuple[int, int]:
     """Autoscaling actor-pool bounds sized to the cluster: (lo, cpus-2).
     Never a fixed pool = all CPUs (that starves sibling stages — measured
     pipeline stall), never a tiny fixed cap (a concurrency=2 pool was the
-    bottleneck of several per-op benchmarks)."""
+    bottleneck of several per-op benchmarks); floor 4 because ramping up
+    from 1 actor dominates short jobs."""
     try:
         import ray
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     except Exception:  # noqa: BLE001
         cpus = 4
-    return (lo, max(2, cpus - 2))
+    hi = max(2, cpus - 2)
+    return (min(lo, hi), hi)
 
 
 def _bucket_of(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
