@@ -256,6 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs": lambda sf: td.cosine_dup_pairs(sf, threshold=0.35),
         "windowed_event_counts": td.windowed_event_counts,
         "temporal_edges": td.temporal_edges,
+        "session_windows": td.session_windows,
+        "sliding_window_counts": td.sliding_window_counts,
         "tfidf_topk": td.tfidf_topk,
         # near-dup family (signatures/LSH — not SQL-expressible)
         "minhash_lsh_candidates": td.minhash_lsh_candidates,
@@ -469,6 +471,33 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, rank::BIGINT AS rank, term FROM ranked WHERE rank <= 5
         """.replace("{tfstop}", _TFIDF_STOPLIST_SQL),
+        "sliding_window_counts": """
+            WITH exploded AS (
+              SELECT event_type,
+                     to_timestamp(((epoch_us(ts) // 900000000) - k) * 900)::TIMESTAMP
+                       AS window_start
+              FROM events, (SELECT unnest([0, 1, 2, 3]) AS k))
+            SELECT event_type, window_start, count(*) AS n_events
+            FROM exploded GROUP BY event_type, window_start
+        """,
+        "session_windows": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            numbered AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM marked)
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM numbered GROUP BY user_id, session_id
+        """,
         "temporal_edges": """
             SELECT user_id, event_type,
                    min(ts) AS first_seen, max(ts) AS last_seen,

@@ -605,6 +605,75 @@ def temporal_edges(sf_dir: str):
                                   "last_seen", "n_events"]))
 
 
+def session_windows(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based session windows per user: a new session starts when the
+    gap to the previous event exceeds ``gap_minutes``.  Ray Data has no
+    event-time sessions; the documented batch equivalent (ray_guide
+    streaming section) is hash-partition by key + per-key ts-sorted
+    sessionization — implemented vectorized (pandas diff/cumsum) inside
+    hash buckets.  Session ids are per-user ordinals (1-based), so output
+    is deterministic and oracle-checkable with window functions."""
+    import ray.data as rd
+    import pandas as pd
+    from ..stages.hashagg import hash_grouped_aggregate
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessionize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts"])
+        new_sess = (df.groupby("user_id")["ts"].diff() > gap) | \
+                   df.groupby("user_id")["ts"].diff().isna()
+        df["session_id"] = new_sess.groupby(df["user_id"]).cumsum().astype("int64")
+        out = (df.groupby(["user_id", "session_id"], as_index=False)
+                 .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                      n_events=("ts", "count")))
+        return pa.table({
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "session_id": pa.array(out["session_id"], pa.int64()),
+            "session_start": pa.array(out["session_start"], pa.timestamp("us")),
+            "session_end": pa.array(out["session_end"], pa.timestamp("us")),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+        })
+
+    return hash_grouped_aggregate(ds, ["user_id"], sessionize)
+
+
+def sliding_window_counts(sf_dir: str, window_minutes: int = 60, slide_minutes: int = 15):
+    """SLIDING windows (size 60 min, slide 15 min): each event lands in
+    size/slide windows — emitted by a vectorized flat map (one row per
+    covering window), counted with the hash-bucketed aggregate.  The
+    batch-mode equivalent of a sliding event-time window."""
+    import ray.data as rd
+    import numpy as np
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type"])
+    slide_us = slide_minutes * 60 * 1_000_000
+    k = window_minutes // slide_minutes
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        base = ts // slide_us                          # last slide boundary ≤ ts
+        offs = np.arange(k, dtype=np.int64)
+        starts = ((base[:, None] - offs[None, :]) * slide_us).ravel()
+        types = np.repeat(et, k)
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "window_start": pa.array(starts, pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    return hash_grouped_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        grouped_arrow_agg(["event_type", "window_start"],
+                          [("window_start", "count")],
+                          rename=["event_type", "window_start", "n_events"]))
+
+
 def windowed_event_counts(sf_dir: str, window_minutes: int = 60):
     """Tumbling-window aggregate over the events stream: per (event_type,
     window) count + sum(value).  Ray Data has no event-time windows; the

@@ -47,7 +47,8 @@ SQL_CHECKED = [
     "quality_scores", "bm25_df", "bm25_corpus_stats", "knn_bruteforce",
     "cosine_dup_pairs", "windowed_event_counts", "tfidf_topk",
     "bm25_scores", "sentence_stats", "orders_by_segment", "top_parts_by_size",
-    "temporal_edges", "text_clean",
+    "temporal_edges", "text_clean", "session_windows",
+    "sliding_window_counts",
 ]
 
 
