@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats": td.sentence_stats,
         # relational patterns (broadcast join, global top-k) — oracle-checked
         "orders_by_segment": td.orders_by_segment,
+        "order_priority_revenue": td.order_priority_revenue,
         "top_parts_by_size": td.top_parts_by_size,
         # incremental delta ingest (rows-only)
         "incremental_update": q_incremental_update,
@@ -404,6 +405,13 @@ def oracle_sql() -> dict[str, str]:
                    sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "order_priority_revenue": """
+            SELECT o.o_orderpriority,
+                   count(*) AS n_items,
+                   sum(round(l.l_extendedprice * 100)::BIGINT)::BIGINT AS total_cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "top_parts_by_size": """
             SELECT p_partkey, p_name, p_size FROM part

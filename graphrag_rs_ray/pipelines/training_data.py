@@ -585,6 +585,36 @@ def top_parts_by_size(sf_dir: str, k: int = 10):
     return (ds.sort(["p_size", "p_partkey"], descending=[True, False]).limit(k))
 
 
+def order_priority_revenue(sf_dir: str):
+    """LARGE×LARGE partitioned hash join (lineitem ⋈ orders on orderkey,
+    no broadcast — `stages/hashagg.bucketed_join`) + grouped aggregate:
+    item count and exact-cent revenue per order priority."""
+    import ray.data as rd
+    from ..stages.hashagg import bucketed_join, grouped_arrow_agg, hash_grouped_aggregate
+
+    lineitem = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_extendedprice"])
+
+    def li_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("l_extendedprice"), 100)),
+                        pa.int64())
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "cents": cents})
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow")
+
+    joined = bucketed_join(lineitem.map_batches(li_cents, batch_format="pyarrow"),
+                           orders, on=["l_orderkey"])
+    return hash_grouped_aggregate(
+        joined, ["o_orderpriority"],
+        grouped_arrow_agg(["o_orderpriority"], [("cents", "count"), ("cents", "sum")],
+                          rename=["o_orderpriority", "n_items", "total_cents"]))
+
+
 # ------------------------------------------------- windowed aggregates --
 
 def temporal_edges(sf_dir: str):

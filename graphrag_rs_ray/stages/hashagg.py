@@ -70,6 +70,56 @@ def hash_grouped_aggregate(ds, keys: list[str],
               .map_groups(run_bucket, batch_format="pyarrow"))
 
 
+def bucketed_join(left_ds, right_ds, on: list[str],
+                  num_buckets: int = 64, how: str = "inner"):
+    """Partitioned hash join of two LARGE datasets (ray_guide joins: "add
+    a bucket column to both sides … join matching buckets pairwise"):
+    both sides are tagged, union'd, hash-bucketed on the join key, and
+    each bucket is joined with a vectorized pandas merge.  No full-table
+    broadcast; skewed keys spread only as far as their bucket (salt the
+    key upstream for pathological hubs)."""
+    left_schema, right_schema = left_ds.schema(), right_ds.schema()
+    left_cols, right_cols = left_schema.names, right_schema.names
+    if set(left_cols) & set(right_cols) != set(on):
+        raise ValueError("bucketed_join: non-key column names must be disjoint")
+
+    # pad both sides to a shared schema (union needs identical schemas)
+    def _type_of(schema, name):
+        return schema.base_schema.field(name).type
+
+    all_cols = list(left_cols) + [c for c in right_cols if c not in on]
+
+    def tag(side, own_cols, other_schema):
+        def fn(t: pa.Table) -> pa.Table:
+            arrays, names = [], []
+            for c in all_cols:
+                names.append(c)
+                if c in own_cols:
+                    arrays.append(t.column(c))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, _type_of(other_schema, c)))
+            names.append("_side")
+            arrays.append(pa.array([side] * t.num_rows, pa.int8()))
+            return pa.table(dict(zip(names, arrays)))
+        return fn
+
+    unioned = left_ds.map_batches(tag(0, left_cols, right_schema),
+                                  batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1, right_cols, left_schema), batch_format="pyarrow"))
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # split in Arrow (type-preserving) — a whole-table to_pandas would
+        # coerce null-padded int columns to float64
+        lt = t.filter(pc.equal(t.column("_side"), 0)).select(list(left_cols)).to_pandas()
+        rt = t.filter(pc.equal(t.column("_side"), 1)).select(list(right_cols)).to_pandas()
+        out = lt.merge(rt, on=on, how=how)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return hash_grouped_aggregate(unioned, on, join_bucket,
+                                  num_buckets=num_buckets)
+
+
 def grouped_arrow_agg(group_keys: list[str], aggregations: list[tuple[str, str]],
                       rename: list[str] | None = None):
     """Build a per-bucket fn running ``pa.Table.group_by().aggregate()``

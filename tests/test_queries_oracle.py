@@ -48,7 +48,7 @@ SQL_CHECKED = [
     "cosine_dup_pairs", "windowed_event_counts", "tfidf_topk",
     "bm25_scores", "sentence_stats", "orders_by_segment", "top_parts_by_size",
     "temporal_edges", "text_clean", "session_windows",
-    "sliding_window_counts",
+    "sliding_window_counts", "order_priority_revenue",
 ]
 
 
