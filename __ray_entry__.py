@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_edges": td.temporal_edges,
         "session_windows": td.session_windows,
         "sliding_window_counts": td.sliding_window_counts,
+        "purchases_asof_click": td.purchases_asof_click,
         "tfidf_topk": td.tfidf_topk,
         # near-dup family (signatures/LSH — not SQL-expressible)
         "minhash_lsh_candidates": td.minhash_lsh_candidates,
@@ -479,6 +480,13 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, rank::BIGINT AS rank, term FROM ranked WHERE rank <= 5
         """.replace("{tfstop}", _TFIDF_STOPLIST_SQL),
+        "purchases_asof_click": """
+            SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+                   c.ts AS last_click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts > c.ts
+        """,
         "sliding_window_counts": """
             WITH exploded AS (
               SELECT event_type,

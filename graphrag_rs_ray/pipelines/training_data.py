@@ -615,6 +615,42 @@ def order_priority_revenue(sf_dir: str):
                           rename=["o_orderpriority", "n_items", "total_cents"]))
 
 
+def purchases_asof_click(sf_dir: str):
+    """AS-OF join (a custom operator Ray Data lacks): each purchase event
+    joined to the user's most recent STRICTLY-PRIOR click.  Implemented as
+    the documented composition (ray_guide joins): hash-partition by key,
+    sort within partition, ``pd.merge_asof`` per bucket.  Oracle: DuckDB
+    ``ASOF LEFT JOIN``."""
+    import ray.data as rd
+    import pandas as pd
+    from ..stages.hashagg import hash_grouped_aggregate
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("event_type"),
+                                    value_set=pa.array(["purchase", "click"]))),
+        batch_format="pyarrow")
+
+    def asof_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        p = df[df["event_type"] == "purchase"].sort_values("ts")
+        c = df[df["event_type"] == "click"].sort_values("ts")
+        out = pd.merge_asof(
+            p[["event_id", "user_id", "ts"]],
+            c[["user_id", "ts"]].rename(columns={"ts": "last_click_ts"}),
+            left_on="ts", right_on="last_click_ts", by="user_id",
+            direction="backward", allow_exact_matches=False)
+        return pa.table({
+            "event_id": pa.array(out["event_id"], pa.int64()),
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "purchase_ts": pa.array(out["ts"], pa.timestamp("us")),
+            "last_click_ts": pa.array(out["last_click_ts"], pa.timestamp("us")),
+        })
+
+    return hash_grouped_aggregate(ds, ["user_id"], asof_bucket)
+
+
 # ------------------------------------------------- windowed aggregates --
 
 def temporal_edges(sf_dir: str):

@@ -48,7 +48,7 @@ SQL_CHECKED = [
     "cosine_dup_pairs", "windowed_event_counts", "tfidf_topk",
     "bm25_scores", "sentence_stats", "orders_by_segment", "top_parts_by_size",
     "temporal_edges", "text_clean", "session_windows",
-    "sliding_window_counts", "order_priority_revenue",
+    "sliding_window_counts", "order_priority_revenue", "purchases_asof_click",
 ]
 
 
@@ -64,12 +64,16 @@ def test_query_matches_oracle(ray_session, name):
     assert len(ray_df) == len(oracle_df), \
         f"{name}: rows {len(ray_df)} != {len(oracle_df)}"
     for c in ray_df.columns:
-        a, b = ray_df[c].to_numpy(), oracle_df[c].to_numpy()
-        if np.issubdtype(ray_df[c].dtype, np.floating):
-            assert np.allclose(a.astype(float), b.astype(float), atol=0, rtol=0), \
+        a, b = ray_df[c], oracle_df[c]
+        if np.issubdtype(a.dtype, np.floating):
+            assert np.allclose(a.to_numpy().astype(float), b.to_numpy().astype(float),
+                               atol=0, rtol=0), \
                 f"{name}.{c}: float mismatch (driver hashes exact values)"
         else:
-            assert (a == b).all(), f"{name}.{c}: value mismatch"
+            # NaN/NaT-aware exact compare (nulls on both sides are equal)
+            assert a.reset_index(drop=True).equals(
+                b.astype(a.dtype).reset_index(drop=True)), \
+                f"{name}.{c}: value mismatch"
 
 
 ROWS_ONLY = ["kg_triples", "kg_entities", "kg_entities_fuzzy", "kg_mentions",
