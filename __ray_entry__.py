@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": td.session_windows,
         "sliding_window_counts": td.sliding_window_counts,
         "purchases_asof_click": td.purchases_asof_click,
+        "shipped_within_window": td.shipped_within_window,
         "tfidf_topk": td.tfidf_topk,
         # near-dup family (signatures/LSH — not SQL-expressible)
         "minhash_lsh_candidates": td.minhash_lsh_candidates,
@@ -480,6 +481,13 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, rank::BIGINT AS rank, term FROM ranked WHERE rank <= 5
         """.replace("{tfstop}", _TFIDF_STOPLIST_SQL),
+        "shipped_within_window": """
+            SELECT l.l_returnflag, count(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= o.o_orderdate
+              AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+            GROUP BY l.l_returnflag
+        """,
         "purchases_asof_click": """
             SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
                    c.ts AS last_click_ts

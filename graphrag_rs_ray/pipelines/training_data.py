@@ -651,6 +651,39 @@ def purchases_asof_click(sf_dir: str):
     return hash_grouped_aggregate(ds, ["user_id"], asof_bucket)
 
 
+def shipped_within_window(sf_dir: str, days: int = 30):
+    """Equi+range join: lineitems shipped within ``days`` of their order's
+    date (partitioned hash join on orderkey, vectorized interval filter,
+    grouped count by return flag) — the range-join pattern on top of
+    ``bucketed_join``."""
+    import ray.data as rd
+    from ..stages.hashagg import bucketed_join, grouped_arrow_agg, hash_grouped_aggregate
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]),
+        batch_format="pyarrow")
+
+    joined = bucketed_join(li, orders, on=["l_orderkey"])
+    window_us = days * 86400 * 1_000_000
+
+    def in_window(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t.column("l_shipdate"), pa.int64())
+        odate = pc.cast(t.column("o_orderdate"), pa.int64())
+        delta = pc.subtract(ship, odate)
+        mask = pc.and_(pc.greater_equal(delta, 0), pc.less(delta, window_us))
+        return t.filter(mask)
+
+    return hash_grouped_aggregate(
+        joined.map_batches(in_window, batch_format="pyarrow"),
+        ["l_returnflag"],
+        grouped_arrow_agg(["l_returnflag"], [("l_orderkey", "count")],
+                          rename=["l_returnflag", "n_items"]))
+
+
 # ------------------------------------------------- windowed aggregates --
 
 def temporal_edges(sf_dir: str):
