@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": td.sliding_window_counts,
         "purchases_asof_click": td.purchases_asof_click,
         "shipped_within_window": td.shipped_within_window,
+        "customers_without_orders": td.customers_without_orders,
         "tfidf_topk": td.tfidf_topk,
         # near-dup family (signatures/LSH — not SQL-expressible)
         "minhash_lsh_candidates": td.minhash_lsh_candidates,
@@ -481,6 +482,11 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, rank::BIGINT AS rank, term FROM ranked WHERE rank <= 5
         """.replace("{tfstop}", _TFIDF_STOPLIST_SQL),
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+        """,
         "shipped_within_window": """
             SELECT l.l_returnflag, count(*) AS n_items
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

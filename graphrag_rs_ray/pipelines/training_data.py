@@ -684,6 +684,31 @@ def shipped_within_window(sf_dir: str, days: int = 30):
                           rename=["l_returnflag", "n_items"]))
 
 
+def customers_without_orders(sf_dir: str):
+    """ANTI join via broadcast key set (ray_guide: "broadcast the key set
+    (or a Bloom filter of it) and filter inside map_batches"): customers
+    with no orders.  The order-key set is the small side (distinct
+    custkeys ≪ orders)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as _pq
+
+    keys = set(_pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey"]).column("o_custkey").to_pylist())
+    ref = ray.put(keys)
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        mask = pa.array([c not in k for c in batch.column("c_custkey").to_pylist()],
+                        pa.bool_())
+        return batch.filter(mask)
+
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
 # ------------------------------------------------- windowed aggregates --
 
 def temporal_edges(sf_dir: str):
