@@ -260,7 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": td.sliding_window_counts,
         "purchases_asof_click": td.purchases_asof_click,
         "shipped_within_window": td.shipped_within_window,
-        "customers_without_orders": td.customers_without_orders,
+        "customers_with_orders": td.customers_semi_anti,
         "tfidf_topk": td.tfidf_topk,
         # near-dup family (signatures/LSH — not SQL-expressible)
         "minhash_lsh_candidates": td.minhash_lsh_candidates,
@@ -482,10 +482,10 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, rank::BIGINT AS rank, term FROM ranked WHERE rank <= 5
         """.replace("{tfstop}", _TFIDF_STOPLIST_SQL),
-        "customers_without_orders": """
+        "customers_with_orders": """
             SELECT c_custkey, c_name FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o
-                              WHERE o.o_custkey = c.c_custkey)
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
         """,
         "shipped_within_window": """
             SELECT l.l_returnflag, count(*) AS n_items

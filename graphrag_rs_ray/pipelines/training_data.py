@@ -684,11 +684,11 @@ def shipped_within_window(sf_dir: str, days: int = 30):
                           rename=["l_returnflag", "n_items"]))
 
 
-def customers_without_orders(sf_dir: str):
-    """ANTI join via broadcast key set (ray_guide: "broadcast the key set
-    (or a Bloom filter of it) and filter inside map_batches"): customers
-    with no orders.  The order-key set is the small side (distinct
-    custkeys ≪ orders)."""
+def customers_semi_anti(sf_dir: str, anti: bool = False):
+    """SEMI (default) / ANTI join via broadcast key set (ray_guide:
+    "broadcast the key set (or a Bloom filter of it) and filter inside
+    map_batches"): customers with (semi) / without (anti) orders.  The
+    distinct order-custkey set is the small side."""
     import ray
     import ray.data as rd
     import pyarrow.parquet as _pq
@@ -700,13 +700,13 @@ def customers_without_orders(sf_dir: str):
     cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                            columns=["c_custkey", "c_name"])
 
-    def anti(batch: pa.Table) -> pa.Table:
+    def fltr(batch: pa.Table) -> pa.Table:
         k = ray.get(ref)
-        mask = pa.array([c not in k for c in batch.column("c_custkey").to_pylist()],
-                        pa.bool_())
+        member = [c in k for c in batch.column("c_custkey").to_pylist()]
+        mask = pa.array([not m for m in member] if anti else member, pa.bool_())
         return batch.filter(mask)
 
-    return cust.map_batches(anti, batch_format="pyarrow")
+    return cust.map_batches(fltr, batch_format="pyarrow")
 
 
 # ------------------------------------------------- windowed aggregates --
