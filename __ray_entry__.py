@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchases_asof_click": td.purchases_asof_click,
         "shipped_within_window": td.shipped_within_window,
         "customers_with_orders": td.customers_semi_anti,
+        "hybrid_search": td.hybrid_search,
         "tfidf_topk": td.tfidf_topk,
         # near-dup family (signatures/LSH — not SQL-expressible)
         "minhash_lsh_candidates": td.minhash_lsh_candidates,

@@ -179,15 +179,18 @@ def merge_triple_tables(a_ds, b_ds):
 # ---- PageRank -----------------------------------------------------------
 
 def pagerank(triples_ds, damping: float = 0.85, max_iter: int = 20,
-             tolerance: float = 1e-6):
-    """Distributed PageRank power iteration over the triple/edge table
-    (config mirrors ``graph/pagerank.rs:17-88``: damping, max_iter,
-    tolerance).  Per iteration: broadcast the score vector (``ray.put``),
-    one vectorized map over edge blocks emits (target, contribution),
-    a hash-bucketed sum reduces — edges never leave the cluster; only the
-    O(#nodes) score vector visits the driver (documented assumption:
-    node count ≪ edge count; for >driver-memory node sets, keep scores as
-    a Dataset and join per iteration)."""
+             tolerance: float = 1e-6,
+             reset_probabilities: dict[str, float] | None = None):
+    """Distributed (personalized) PageRank power iteration over the
+    triple/edge table (config mirrors ``graph/pagerank.rs:17-52``:
+    damping, max_iter, tolerance, personalized reset vector — scores
+    teleport to the seed distribution instead of uniformly,
+    ``pagerank.rs:184-223``).  Per iteration: broadcast the score vector
+    (``ray.put``), one vectorized map over edge blocks emits (target,
+    contribution), a hash-bucketed sum reduces — edges never leave the
+    cluster; only the O(#nodes) score vector visits the driver
+    (documented assumption: node count ≪ edge count; for >driver-memory
+    node sets, keep scores as a Dataset and join per iteration)."""
     import ray
     import pandas as pd
 
@@ -213,7 +216,15 @@ def pagerank(triples_ds, damping: float = 0.85, max_iter: int = 20,
         return pa.table({"node": pa.array([], pa.string()),
                          "score": pa.array([], pa.float64())})
     out_deg = dict(zip(deg_df["node"], deg_df["out_deg"].astype(int)))
-    scores = {v: 1.0 / n for v in nodes}
+
+    if reset_probabilities:
+        total = sum(w for v, w in reset_probabilities.items() if v in set(nodes))
+        if total <= 0:
+            raise ValueError("reset_probabilities contain no known node")
+        reset = {v: reset_probabilities.get(v, 0.0) / total for v in nodes}
+    else:
+        reset = {v: 1.0 / n for v in nodes}
+    scores = dict(reset)
 
     for _ in range(max_iter):
         ref = ray.put((scores, out_deg))
@@ -230,10 +241,9 @@ def pagerank(triples_ds, damping: float = 0.85, max_iter: int = 20,
             edges.map_batches(contribs, batch_format="pyarrow"), ["node"],
             grouped_arrow_agg(["node"], [("c", "sum")], rename=["node", "c"])
         ).to_pandas()
-        base = (1.0 - damping) / n
-        new_scores = {v: base for v in nodes}
+        new_scores = {v: (1.0 - damping) * reset[v] for v in nodes}
         for v, c in zip(summed["node"], summed["c"]):
-            new_scores[v] = base + float(c)
+            new_scores[v] += float(c)
         delta = sum(abs(new_scores[v] - scores[v]) for v in nodes)
         scores = new_scores
         if delta < tolerance:

@@ -709,6 +709,54 @@ def customers_semi_anti(sf_dir: str, anti: bool = False):
     return cust.map_batches(fltr, batch_format="pyarrow")
 
 
+def rrf_fuse(rankings: list[list], k: int = 60) -> list[tuple]:
+    """Reciprocal Rank Fusion: score(d) = Σ 1/(k + rank_i(d)) over the
+    rankers that returned d (``HOW_IT_WORKS.md:880-905``, k=60).
+    Deterministic tie-break by id."""
+    scores: dict = {}
+    for ranking in rankings:
+        for rank, doc in enumerate(ranking, 1):
+            scores[doc] = scores.get(doc, 0.0) + 1.0 / (k + rank)
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def hybrid_search(sf_dir: str, query: str = "fast hash join", top_k: int = 10):
+    """Hybrid retrieval (bonus beyond the indexing scope): BM25 ranking +
+    deterministic hash-embedding cosine ranking, fused with RRF k=60.
+    Both rankers run distributed; fusion happens on the tiny top lists."""
+    import ray
+    import ray.data as rd
+    import numpy as np
+    from ..functions.embedding import HashEmbedder
+
+    bm25 = bm25_scores(sf_dir, query=query).to_pandas()
+    bm25_rank = (bm25.sort_values(["score", "doc_id"], ascending=[False, True])
+                 ["doc_id"].head(50).tolist())
+
+    embedder = HashEmbedder(dim=64)
+    qv = embedder.embed(query)
+    qref = ray.put(qv)
+
+    def cos(batch: pa.Table) -> pa.Table:
+        e = HashEmbedder(dim=64)
+        qvec = ray.get(qref)
+        sims = [float(np.dot(e.embed(t), qvec))
+                for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "score": pa.array(sims, pa.float64())})
+
+    vec = _docs(sf_dir).map_batches(cos, batch_format="pyarrow").to_pandas()
+    vec_rank = (vec.sort_values(["score", "doc_id"], ascending=[False, True])
+                ["doc_id"].head(50).tolist())
+
+    fused = rrf_fuse([bm25_rank, vec_rank])[:top_k]
+    return pa.table({
+        "rank": pa.array(range(1, len(fused) + 1), pa.int64()),
+        "doc_id": pa.array([d for d, _ in fused], pa.int64()),
+        "rrf_score": pa.array([round(s, 8) for _, s in fused], pa.float64()),
+    })
+
+
 # ------------------------------------------------- windowed aggregates --
 
 def temporal_edges(sf_dir: str):

@@ -84,7 +84,8 @@ ROWS_ONLY = ["kg_triples", "kg_entities", "kg_entities_fuzzy", "kg_mentions",
              "enriched_chunks", "entity_to_chunks", "chunk_to_entities",
              "co_occurring_entities", "semantic_edges", "multimodal_features",
              "pagerank", "chunk_embeddings", "incremental_update",
-             "ner_mentions", "semantic_chunks", "gleaning_triples"]
+             "ner_mentions", "semantic_chunks", "gleaning_triples",
+             "hybrid_search"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

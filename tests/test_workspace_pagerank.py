@@ -37,6 +37,22 @@ def test_pagerank_sink_preference(ray_session):
     assert t.equals(t2)
 
 
+def test_personalized_pagerank_seeds(ray_session):
+    from graphrag_rs_ray.pipelines.graph_ops import pagerank
+    import pytest as _pytest
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "c")]
+    uniform = pagerank(_triples_ds(edges), max_iter=40)
+    seeded = pagerank(_triples_ds(edges), max_iter=40,
+                      reset_probabilities={"d": 1.0})
+    u = dict(zip(uniform.column("node").to_pylist(), uniform.column("score").to_pylist()))
+    s = dict(zip(seeded.column("node").to_pylist(), seeded.column("score").to_pylist()))
+    # teleporting to d boosts d (and its neighborhood) vs uniform
+    assert s["d"] > u["d"]
+    assert abs(sum(s.values()) - 1.0) < 1e-6
+    with _pytest.raises(ValueError, match="no known node"):
+        pagerank(_triples_ds(edges), reset_probabilities={"zz": 1.0})
+
+
 def test_pagerank_empty(ray_session):
     from graphrag_rs_ray.pipelines.graph_ops import pagerank
     assert pagerank(_triples_ds([])).num_rows == 0
