@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_embeddings": q_chunk_embeddings,
         # BM25 scoring + sentence stats (oracle-checked)
         "bm25_scores": td.bm25_scores,
+        "bm25_topk": td.bm25_topk,
         "sentence_stats": td.sentence_stats,
         # relational patterns (broadcast join, global top-k) — oracle-checked
         "orders_by_segment": td.orders_by_segment,
@@ -308,6 +309,13 @@ _TFIDF_STOPLIST_SQL = "(" + ",".join(f"'{w}'" for w in sorted(TFIDF_STOPWORDS)) 
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    d["bm25_topk"] = ("SELECT * FROM (" + d["bm25_scores"] +
+                      ") ORDER BY score DESC, doc_id ASC LIMIT 10")
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "text_clean": """
             SELECT doc_id,

@@ -437,6 +437,13 @@ def bm25_scores(sf_dir: str, query: str = "fast hash join", k1: float = 1.2, b: 
     return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
 
 
+def bm25_topk(sf_dir: str, query: str = "fast hash join", k: int = 10):
+    """BM25 search: global top-k by score (``retrieval/bm25.rs:115-153``
+    sort+truncate), deterministic tie-break by doc_id."""
+    return (bm25_scores(sf_dir, query=query)
+            .sort(["score", "doc_id"], descending=[True, False]).limit(k))
+
+
 def sentence_stats(sf_dir: str):
     """Sentence count per doc (split on ``.!?``, non-empty trimmed
     segments; ``text/mod.rs:339-363``)."""

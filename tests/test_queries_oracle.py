@@ -49,7 +49,7 @@ SQL_CHECKED = [
     "bm25_scores", "sentence_stats", "orders_by_segment", "top_parts_by_size",
     "temporal_edges", "text_clean", "session_windows",
     "sliding_window_counts", "order_priority_revenue", "purchases_asof_click",
-    "shipped_within_window", "customers_with_orders",
+    "shipped_within_window", "customers_with_orders", "bm25_topk",
 ]
 
 
