@@ -1,4 +1,6 @@
-"""docs → chunks: hierarchical chunking stage (1 doc row → N chunk rows).
+"""docs → chunks: chunking stage (1 doc row → N chunk rows); semantics in
+``functions/chunking.py`` (ports of ``text/chunking.rs:48-152`` and the
+legacy ``text/mod.rs:123-168`` chunker, selected by ``KGConfig.chunker``).
 
 A callable class so the config is bound once per worker.  The flat output
 keeps chunks of one document inside one output block, which the KG

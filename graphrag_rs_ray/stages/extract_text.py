@@ -1,7 +1,8 @@
 """pages → docs: HTML→text extraction stage.
 
 Stateless ``map_batches`` transform: applies the tag-strip automaton
-(per-url byte-identical contract, see ``functions/html.py``) and DROPS the
+(``text/parsers/html.rs:21-36`` port in ``functions/html.py``; per-url
+byte-identical contract) and DROPS the
 ``html`` column immediately — on web-scale input the binary column
 dominates block size, so it must not flow past this stage
 (SURVEY §4 memory note).
