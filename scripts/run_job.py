@@ -35,6 +35,12 @@ def main() -> int:
     ap.add_argument("--work-dir", default=None, help="staging dir for resume")
     ap.add_argument("--num-shards", type=int, default=16)
     ap.add_argument("--fuzzy", action="store_true", help="enable fuzzy linking tier")
+    ap.add_argument("--link-embedding-threshold", type=float, default=None,
+                    help="batched embedding refinement of fuzzy links")
+    ap.add_argument("--extractor", default="pattern",
+                    help="registry name: pattern | gleaning | custom-registered")
+    ap.add_argument("--chunker", default="hierarchical",
+                    choices=["hierarchical", "legacy"])
     ap.add_argument("--chunk-size", type=int, default=1000)
     ap.add_argument("--chunk-overlap", type=int, default=100)
     ap.add_argument("--min-confidence", type=float, default=0.7)
@@ -54,6 +60,8 @@ def main() -> int:
 
     cfg = KGConfig(chunk_size=args.chunk_size, chunk_overlap=args.chunk_overlap,
                    min_confidence=args.min_confidence, fuzzy_linking=args.fuzzy,
+                   link_embedding_threshold=args.link_embedding_threshold,
+                   extractor=args.extractor, chunker=args.chunker,
                    num_shards=args.num_shards)
 
     if args.pages_parquet:
