@@ -17,27 +17,7 @@ needing an explicit salt column.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
-
-from ..functions.similarity import select_canonical_name
-
-ENTITIES_SCHEMA = pa.schema([
-    ("entity_id", pa.string()),
-    ("name", pa.string()),
-    ("type", pa.string()),
-    ("conf", pa.float32()),
-    ("mention_count", pa.int64()),
-])
-
-TRIPLES_SCHEMA = pa.schema([
-    ("subj", pa.string()),
-    ("pred", pa.string()),
-    ("obj", pa.string()),
-    ("conf", pa.float32()),
-    ("n_contexts", pa.int64()),
-    ("context", pa.list_(pa.string())),
-])
 
 
 def partial_entity_agg(batch: pa.Table) -> pa.Table:
@@ -49,27 +29,11 @@ def partial_entity_agg(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["entity_id", "name", "type", "conf", "mention_count", "name_count"])
 
 
-def finalize_entities(group: pd.DataFrame) -> pa.Table:
-    """Global per-entity_id merge (runs inside groupby().map_groups).
-    Returns Arrow (fixed schema, no object-dtype size-estimation noise).
-    NOTE: prefer ``entity_bucket_merge`` (vectorized per hash bucket) in
-    pipelines; this per-group variant is kept for small inputs/tests."""
-    name_counts: dict[str, int] = {}
-    for n, c in zip(group["name"], group["name_count"]):
-        name_counts[n] = name_counts.get(n, 0) + int(c)
-    return pa.table({
-        "entity_id": pa.array([group["entity_id"].iloc[0]], pa.string()),
-        "name": pa.array([select_canonical_name(name_counts)], pa.string()),
-        "type": pa.array([group["type"].iloc[0]], pa.string()),
-        "conf": pa.array([float(group["conf"].max())], pa.float32()),
-        "mention_count": pa.array([int(group["mention_count"].sum())], pa.int64()),
-    })
-
-
 def entity_bucket_merge(t: pa.Table) -> pa.Table:
     """Vectorized per-bucket entity merge (pandas groupby, no per-key
-    Python): same semantics as ``finalize_entities`` — canonical name by
-    (total count, length, lexicographic) vote, max conf, summed mentions."""
+    Python): canonical name by (total count, length, lexicographic) vote
+    (= ``functions/similarity.select_canonical_name`` semantics), max conf,
+    summed mentions."""
     df = t.to_pandas()
     per_name = (df.groupby(["entity_id", "name", "type"], as_index=False)
                   .agg(conf=("conf", "max"),
@@ -101,20 +65,3 @@ def partial_triple_agg(batch: pa.Table) -> pa.Table:
         ("conf", "max"), ("chunk_id", "count"), ("chunk_id", "min"),
     ])
     return g.rename_columns(["subj", "pred", "obj", "conf", "n_contexts", "context_sample"])
-
-
-def make_finalize_triples(max_context_chunks: int = 8):
-    def finalize_triples(group: pd.DataFrame) -> pa.Table:
-        contexts = sorted(set(group["context_sample"]))[:max_context_chunks]
-        return pa.table({
-            "subj": pa.array([group["subj"].iloc[0]], pa.string()),
-            "pred": pa.array([group["pred"].iloc[0]], pa.string()),
-            "obj": pa.array([group["obj"].iloc[0]], pa.string()),
-            "conf": pa.array([float(group["conf"].max())], pa.float32()),
-            "n_contexts": pa.array([int(group["n_contexts"].sum())], pa.int64()),
-            "context": pa.array([contexts], pa.list_(pa.string())),
-        })
-    return finalize_triples
-
-
-finalize_triples = make_finalize_triples()
