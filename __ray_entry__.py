@@ -61,6 +61,40 @@ from graphrag_rs_ray.stages.hashagg import auto_pool
 
 _SF_PAGES = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 100000}
 
+# --------------------------------------------------- oracle staging -----
+# VERDICT r01 task 1: derived-table queries become driver-verifiable by
+# staging their PROCEDURAL input rows (mentions, raw triples, concept
+# mentions ...) to Parquet inside the query fn; the oracle SQL then runs
+# the same derivation over read_parquet(<staged>).  The staged rows feed
+# BOTH sides, so the oracle independently checks the derivation logic
+# (grouping / joining / merging), which is the SQL-expressible half of
+# each pipeline.
+
+_STAGE_ROOT = "/tmp/graft_oracle_stage"
+
+
+def _stage_path(query: str, sf_dir: str, sub: str = "input") -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_STAGE_ROOT, sf, query, sub)
+
+
+def _stage(ds, query: str, sf_dir: str, sub: str = "input"):
+    """Write a Dataset to the oracle staging dir and read it back, so the
+    exact same rows feed the Ray derivation and the DuckDB oracle."""
+    import shutil
+    import ray.data as rd
+    d = _stage_path(query, sf_dir, sub)
+    if os.path.exists(d):      # write_parquet APPENDS — never double-stage
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    ds.write_parquet(d)
+    return rd.read_parquet(d)
+
+
+def _staged_sql(query: str, sub: str = "input") -> str:
+    # the driver's oracle runs at sf0.01; tests at other sf rewrite the path
+    return f"read_parquet('{_STAGE_ROOT}/sf0.01/{query}/{sub}/*.parquet')"
+
 
 def _n_pages(sf_dir: str) -> int:
     override = os.environ.get("GRAFT_PAGES")
@@ -103,12 +137,33 @@ def _kg_pages(sf_dir: str):
 
 
 def q_kg_triples(sf_dir: str):
-    return triples_dataset(_kg_pages(sf_dir), KGConfig())
+    """Raw extracted triple rows are STAGED, then deduped from the staged
+    copy — the dedup aggregation (max conf / context count / min context)
+    is oracle-checked; extraction itself is gated by the repo goldens.
+    (bench.py times the un-staged ``triples_dataset`` path directly.)"""
+    from graphrag_rs_ray.pipelines.kg import dedup_triples
+    from graphrag_rs_ray.stages.kg_extract import triples_only
+    cfg = KGConfig()
+    combined = chunks_to_combined(pages_to_chunks(_kg_pages(sf_dir), cfg), cfg)
+    t_rows = _stage(combined.map_batches(triples_only, batch_format="pyarrow"),
+                    "kg_triples", sf_dir)
+    return dedup_triples(t_rows, cfg)
 
 
 def q_kg_entities(sf_dir: str):
-    from graphrag_rs_ray.pipelines.kg import entities_dataset
-    return entities_dataset(_kg_pages(sf_dir), KGConfig())
+    """Raw entity mention rows staged; canonicalization (two-phase merge:
+    per-(id,name) partials → canonical-name vote → totals) oracle-checked."""
+    from graphrag_rs_ray.stages.canonicalize import (
+        entity_bucket_merge, partial_entity_agg)
+    from graphrag_rs_ray.stages.hashagg import hash_grouped_aggregate
+    cfg = KGConfig()
+    combined = chunks_to_combined(pages_to_chunks(_kg_pages(sf_dir), cfg), cfg)
+    e_rows = _stage(combined.map_batches(entities_only, batch_format="pyarrow"),
+                    "kg_entities", sf_dir)
+    return hash_grouped_aggregate(
+        e_rows.map_batches(partial_entity_agg, batch_format="pyarrow",
+                           batch_size=None),
+        ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
 
 
 def q_kg_entities_fuzzy(sf_dir: str):
@@ -130,19 +185,35 @@ def q_extract_text(sf_dir: str):
     return _kg_pages(sf_dir).map_batches(extract_text_stage, batch_format="pyarrow")
 
 
+def _join_list_col(col: str):
+    """Format a list<string> column as a comma-joined string for the
+    driver's value-hash compare (list cells hash engine-dependently)."""
+    def fmt(t: pa.Table) -> pa.Table:
+        arrays = {c: t.column(c) for c in t.column_names}
+        arrays[col] = pa.array(
+            [",".join(x) for x in t.column(col).to_pylist()], pa.string())
+        return pa.table(arrays)
+    return fmt
+
+
 def q_entity_to_chunks(sf_dir: str):
     from graphrag_rs_ray.pipelines.graph_ops import entity_to_chunks
-    return entity_to_chunks(q_kg_mentions(sf_dir))
+    mentions = _stage(q_kg_mentions(sf_dir), "entity_to_chunks", sf_dir)
+    return entity_to_chunks(mentions).map_batches(
+        _join_list_col("chunks"), batch_format="pyarrow")
 
 
 def q_chunk_to_entities(sf_dir: str):
     from graphrag_rs_ray.pipelines.graph_ops import chunk_to_entities
-    return chunk_to_entities(q_kg_mentions(sf_dir))
+    mentions = _stage(q_kg_mentions(sf_dir), "chunk_to_entities", sf_dir)
+    return chunk_to_entities(mentions).map_batches(
+        _join_list_col("entities"), batch_format="pyarrow")
 
 
 def q_co_occurring_entities(sf_dir: str):
     from graphrag_rs_ray.pipelines.graph_ops import co_occurring_entities
-    return co_occurring_entities(q_kg_mentions(sf_dir))
+    mentions = _stage(q_kg_mentions(sf_dir), "co_occurring_entities", sf_dir)
+    return co_occurring_entities(mentions)
 
 
 def q_semantic_edges(sf_dir: str):
@@ -186,13 +257,19 @@ def q_ner_mentions(sf_dir: str):
 def q_incremental_update(sf_dir: str):
     """Delta ingest: a second page batch merged into an existing graph
     (entity merge strategies + triple union-dedup) — the table-level
-    equivalent of ``graph/incremental.rs`` apply_delta."""
+    equivalent of ``graph/incremental.rs`` apply_delta.  Both input graphs
+    are staged so the merge semantics (conf-argmax name/type, summed
+    mentions, distinct-triple count) are oracle-checked."""
     from graphrag_rs_ray.pipelines.graph_ops import MERGE, merge_entity_tables, merge_triple_tables
     n = max(_n_pages(sf_dir) // 2, 50)
     base = build_kg(pages_dataset(n, seed=42), KGConfig())
     delta = build_kg(pages_dataset(n, seed=4242), KGConfig())
-    entities = merge_entity_tables(base.entities, delta.entities, MERGE)
-    triples = merge_triple_tables(base.triples, delta.triples)
+    be = _stage(base.entities, "incremental_update", sf_dir, "base_entities")
+    de = _stage(delta.entities, "incremental_update", sf_dir, "delta_entities")
+    bt = _stage(base.triples, "incremental_update", sf_dir, "base_triples")
+    dt = _stage(delta.triples, "incremental_update", sf_dir, "delta_triples")
+    entities = merge_entity_tables(be, de, MERGE)
+    triples = merge_triple_tables(bt, dt)
     n_t = triples.count()
     import pyarrow as _pa
     return entities.map_batches(
@@ -225,13 +302,21 @@ def q_concept_mentions(sf_dir: str):
 
 
 def q_concept_table(sf_dir: str):
-    from graphrag_rs_ray.pipelines.concepts import concept_table
-    return concept_table(q_kg_chunks(sf_dir))
+    from graphrag_rs_ray.pipelines.concepts import (
+        concept_mention_rows, concept_table_from_mentions)
+    mentions = _stage(concept_mention_rows(q_kg_chunks(sf_dir)),
+                      "concept_table", sf_dir)
+    return concept_table_from_mentions(mentions)
 
 
 def q_concept_edges(sf_dir: str):
-    from graphrag_rs_ray.pipelines.concepts import concept_edges
-    return concept_edges(q_kg_chunks(sf_dir))
+    """Concept co-occurrence edges; the per-chunk concept lists are staged
+    as mention rows so the pair/Jaccard derivation is oracle-checked."""
+    from graphrag_rs_ray.pipelines.concepts import (
+        concept_chunk_lists, concept_edges_from_lists, mentions_from_lists)
+    lists = concept_chunk_lists(q_kg_chunks(sf_dir)).materialize()
+    _stage(mentions_from_lists(lists), "concept_edges", sf_dir)
+    return concept_edges_from_lists(lists)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -551,4 +636,96 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM events
             GROUP BY event_type, window_start
         """,
+        # ---- staged-input oracles (procedural rows staged to Parquet by
+        # the query fn; SQL checks the derivation) ------------------------
+        "kg_triples": """
+            SELECT subj, pred, obj, max(conf) AS conf,
+                   count(*)::BIGINT AS n_contexts,
+                   min(chunk_id) AS context_sample
+            FROM {t} GROUP BY subj, pred, obj
+        """.replace("{t}", _staged_sql("kg_triples")),
+        "kg_entities": """
+            WITH pn AS (
+              SELECT entity_id, name, type, max(conf) AS conf,
+                     sum(mention_count) AS mc, count(*) AS name_count
+              FROM {t} GROUP BY entity_id, name, type),
+            canon AS (
+              SELECT entity_id, name,
+                     row_number() OVER (PARTITION BY entity_id
+                       ORDER BY name_count DESC, length(name) DESC, name DESC) AS rn
+              FROM pn),
+            tot AS (
+              SELECT entity_id, min(type) AS type, max(conf) AS conf,
+                     sum(mc)::BIGINT AS mention_count
+              FROM pn GROUP BY entity_id)
+            SELECT t.entity_id, c.name, t.type, t.conf, t.mention_count
+            FROM tot t JOIN canon c ON t.entity_id = c.entity_id AND c.rn = 1
+        """.replace("{t}", _staged_sql("kg_entities")),
+        "entity_to_chunks": """
+            SELECT entity_id,
+                   array_to_string(list_sort(list(DISTINCT chunk_id)), ',') AS chunks,
+                   count(DISTINCT chunk_id)::BIGINT AS n_chunks
+            FROM {t} GROUP BY entity_id
+        """.replace("{t}", _staged_sql("entity_to_chunks")),
+        "chunk_to_entities": """
+            SELECT chunk_id,
+                   array_to_string(list_sort(list(DISTINCT entity_id)), ',') AS entities,
+                   count(DISTINCT entity_id)::BIGINT AS n_entities
+            FROM {t} GROUP BY chunk_id
+        """.replace("{t}", _staged_sql("chunk_to_entities")),
+        "co_occurring_entities": """
+            WITH m AS (SELECT DISTINCT chunk_id, entity_id FROM {t})
+            SELECT a.entity_id AS entity_a, b.entity_id AS entity_b,
+                   count(*)::BIGINT AS shared_chunks
+            FROM m a JOIN m b
+              ON a.chunk_id = b.chunk_id AND a.entity_id < b.entity_id
+            GROUP BY a.entity_id, b.entity_id
+            HAVING count(*) >= 2
+        """.replace("{t}", _staged_sql("co_occurring_entities")),
+        "concept_table": """
+            SELECT concept, count(*)::BIGINT AS n_chunks
+            FROM {t} GROUP BY concept
+        """.replace("{t}", _staged_sql("concept_table")),
+        "concept_edges": """
+            WITH m AS (SELECT concept, chunk_id FROM {t}),
+            cnt AS (SELECT concept, count(*) AS n FROM m GROUP BY concept),
+            pairs AS (
+              SELECT a.concept AS concept_a, b.concept AS concept_b,
+                     count(*) AS cnt
+              FROM m a JOIN m b
+                ON a.chunk_id = b.chunk_id AND a.concept < b.concept
+              GROUP BY a.concept, b.concept
+              HAVING count(*) >= 2)
+            SELECT p.concept_a, p.concept_b, p.cnt::BIGINT AS count,
+                   p.cnt * 1.0 / (ca.n + cb.n - p.cnt) AS confidence
+            FROM pairs p
+            JOIN cnt ca ON p.concept_a = ca.concept
+            JOIN cnt cb ON p.concept_b = cb.concept
+        """.replace("{t}", _staged_sql("concept_edges")),
+        "incremental_update": """
+            WITH u AS (
+              SELECT entity_id, name, type, conf, mention_count, 0 AS _side
+              FROM {be}
+              UNION ALL
+              SELECT entity_id, name, type, conf, mention_count, 1 AS _side
+              FROM {de}),
+            best AS (
+              SELECT entity_id, name, type, conf,
+                     row_number() OVER (PARTITION BY entity_id
+                       ORDER BY conf DESC, _side DESC) AS rn
+              FROM u),
+            mc AS (SELECT entity_id, sum(mention_count)::BIGINT AS mention_count
+                   FROM u GROUP BY entity_id),
+            nt AS (SELECT count(*)::BIGINT AS graph_triples FROM (
+                     SELECT DISTINCT subj, pred, obj FROM (
+                       SELECT subj, pred, obj FROM {bt}
+                       UNION ALL SELECT subj, pred, obj FROM {dt})))
+            SELECT b.entity_id, b.name, b.type, b.conf,
+                   m.mention_count, nt.graph_triples
+            FROM best b JOIN mc m USING (entity_id) CROSS JOIN nt
+            WHERE b.rn = 1
+        """.replace("{be}", _staged_sql("incremental_update", "base_entities"))
+           .replace("{de}", _staged_sql("incremental_update", "delta_entities"))
+           .replace("{bt}", _staged_sql("incremental_update", "base_triples"))
+           .replace("{dt}", _staged_sql("incremental_update", "delta_triples")),
     }

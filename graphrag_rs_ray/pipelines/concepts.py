@@ -4,146 +4,175 @@ Reference path: ``lightrag/concept_graph.rs`` — concepts per chunk, global
 concept→chunk-set table, co-occurrence edges (shared-chunk count ≥ 2) with
 Jaccard confidence.
 
-Ray design: concepts of one chunk are batch-local, so PAIRS are emitted at
-extraction time (no self-join shuffle, SURVEY §2.5 "avoids O(n²) pair
-loop"); shared-chunk counts come from a hash-bucketed count over pair
-rows; Jaccard denominators come from the (small) per-concept count table
-broadcast via ``ray.put`` — the documented assumption is that the concept
-VOCABULARY fits in driver memory (chunk sets never materialize anywhere).
+Ray design (round-2 rework, VERDICT r01 task 2): ONE extraction pass emits
+a ``(chunk_id, concepts: list<string>)`` row per chunk; everything else is
+vectorized off that small table —
+
+- mention rows via Arrow ``list_flatten`` / ``list_parent_indices``
+  (zero Python loops),
+- the concept vocabulary + per-concept chunk counts via the hash-bucketed
+  aggregate, broadcast once (documented assumption: the VOCABULARY fits in
+  worker memory; chunk sets never materialize anywhere),
+- within-chunk pairs as int32-encoded rows built with cached
+  ``np.triu_indices`` + fancy indexing (the pair explosion is O(c²) per
+  chunk — faithful to the reference — but each pair costs two int32 on
+  the wire, pre-collapsed by a per-batch pyarrow combiner BEFORE the
+  shuffle, so the exchange ships partial counts, not raw pairs).
+
+``max_concepts_per_chunk`` (optional) truncates each chunk's sorted
+concept list before pairing — the same spirit as the reference's top-20
+keyword cap (``concept_graph.rs:237-244``); None preserves the uncapped
+reference edge semantics.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..functions.concepts import extract_concepts, jaccard_confidence
+from ..functions.concepts import extract_concepts
 from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
 
 
-def concept_mention_rows(chunks_ds):
+def concept_chunk_lists(chunks_ds, max_concepts: int | None = None):
+    """chunks → one row per chunk: (chunk_id, concepts list, sorted+deduped
+    [, truncated to ``max_concepts``])."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        if max_concepts is None:
+            lists = [extract_concepts(t) for t in texts]
+        else:
+            lists = [extract_concepts(t)[:max_concepts] for t in texts]
+        return pa.table({"chunk_id": batch.column("chunk_id"),
+                         "concepts": pa.array(lists, pa.list_(pa.string()))})
+
+    return chunks_ds.map_batches(extract, batch_format="pyarrow")
+
+
+def mentions_from_lists(lists_ds):
+    """(chunk_id, concepts) → (concept, chunk_id) rows — fully vectorized."""
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        col = batch.column("concepts")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({
+            "concept": pc.list_flatten(col),
+            "chunk_id": pc.take(batch.column("chunk_id"),
+                                pc.list_parent_indices(col)),
+        })
+
+    return lists_ds.map_batches(flatten, batch_format="pyarrow")
+
+
+def concept_mention_rows(chunks_ds, max_concepts: int | None = None):
     """chunks → (concept, chunk_id) rows (one per concept per chunk)."""
-
-    def extract(batch: pa.Table) -> pa.Table:
-        concepts, chunk_ids = [], []
-        for cid, text in zip(batch.column("chunk_id").to_pylist(),
-                             batch.column("text").to_pylist()):
-            for c in extract_concepts(text):
-                concepts.append(c)
-                chunk_ids.append(cid)
-        return pa.table({"concept": pa.array(concepts, pa.string()),
-                         "chunk_id": pa.array(chunk_ids, pa.string())})
-
-    return chunks_ds.map_batches(extract, batch_format="pyarrow")
+    return mentions_from_lists(concept_chunk_lists(chunks_ds, max_concepts))
 
 
-def concept_pair_rows(chunks_ds):
-    """chunks → (concept_a < concept_b, chunk_id) co-occurrence pair rows."""
-
-    def extract(batch: pa.Table) -> pa.Table:
-        a_out, b_out, cid_out = [], [], []
-        for cid, text in zip(batch.column("chunk_id").to_pylist(),
-                             batch.column("text").to_pylist()):
-            cs = extract_concepts(text)   # sorted + deduped
-            for i in range(len(cs)):
-                for j in range(i + 1, len(cs)):
-                    a_out.append(cs[i]); b_out.append(cs[j]); cid_out.append(cid)
-        return pa.table({"concept_a": pa.array(a_out, pa.string()),
-                         "concept_b": pa.array(b_out, pa.string()),
-                         "chunk_id": pa.array(cid_out, pa.string())})
-
-    return chunks_ds.map_batches(extract, batch_format="pyarrow")
-
-
-def concept_table(chunks_ds):
-    """concept → n_chunks (hash-bucketed count)."""
+def concept_table_from_mentions(mentions_ds):
+    """concept → n_chunks (hash-bucketed count over mention rows)."""
     return hash_grouped_aggregate(
-        concept_mention_rows(chunks_ds), ["concept"],
+        mentions_ds, ["concept"],
         grouped_arrow_agg(["concept"], [("chunk_id", "count")],
                           rename=["concept", "n_chunks"]))
 
 
-def concept_combined(chunks_ds):
-    """ONE extraction pass emitting both mention rows (kind="m") and
-    within-chunk pair rows (kind="p") — concept regex extraction dominates
-    the cost, so running it once and splitting the stream halves the
-    pipeline (same trick as ``stages/kg_extract.py``)."""
-
-    def extract(batch: pa.Table) -> pa.Table:
-        kind, a_out, b_out, cid_out = [], [], [], []
-        for cid, text in zip(batch.column("chunk_id").to_pylist(),
-                             batch.column("text").to_pylist()):
-            cs = extract_concepts(text)
-            for c in cs:
-                kind.append("m"); a_out.append(c); b_out.append(None); cid_out.append(cid)
-            for i in range(len(cs)):
-                for j in range(i + 1, len(cs)):
-                    kind.append("p"); a_out.append(cs[i]); b_out.append(cs[j]); cid_out.append(cid)
-        return pa.table({"kind": pa.array(kind, pa.string()),
-                         "concept_a": pa.array(a_out, pa.string()),
-                         "concept_b": pa.array(b_out, pa.string()),
-                         "chunk_id": pa.array(cid_out, pa.string())})
-
-    return chunks_ds.map_batches(extract, batch_format="pyarrow")
+def concept_table(chunks_ds):
+    """concept → n_chunks (hash-bucketed count)."""
+    return concept_table_from_mentions(concept_mention_rows(chunks_ds))
 
 
-def concept_edges(chunks_ds, co_occurrence_threshold: int = 2):
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _triu(k: int) -> tuple[np.ndarray, np.ndarray]:
+    t = _TRIU_CACHE.get(k)
+    if t is None:
+        t = np.triu_indices(k, 1)
+        _TRIU_CACHE[k] = t
+    return t
+
+
+def concept_edges_from_lists(lists_ds, co_occurrence_threshold: int = 2):
     """Edges with shared-chunk count ≥ threshold and Jaccard confidence
-    (``concept_graph.rs:389-448``).
-
-    The pair exchange is DICTIONARY-ENCODED: the concept vocabulary (small
-    side) is broadcast as string→int32, pair rows ship two int32s instead
-    of two strings (~20× smaller shuffle), and edge rows decode back after
-    aggregation — the standard encoded-exchange trick for wide string
-    keys."""
-    import numpy as np
+    (``concept_graph.rs:389-448``) from a materialized per-chunk concept
+    list table.  The pair exchange is int32-dictionary-encoded against the
+    sorted vocabulary (concept lists are sorted, so encoded ia < ib holds
+    by construction) and pre-aggregated per batch before the shuffle."""
+    import pandas as pd
     import ray
-    import pyarrow.compute as _pc
 
-    combined = concept_combined(chunks_ds).materialize()
-
-    mention_rows = combined.map_batches(
-        lambda t: t.filter(_pc.equal(t.column("kind"), "m"))
-                   .select(["concept_a", "chunk_id"]).rename_columns(["concept", "chunk_id"]),
-        batch_format="pyarrow")
-    counts_df = hash_grouped_aggregate(
-        mention_rows, ["concept"],
-        grouped_arrow_agg(["concept"], [("chunk_id", "count")],
-                          rename=["concept", "n_chunks"])).to_pandas()
+    counts_df = concept_table_from_mentions(
+        mentions_from_lists(lists_ds)).to_pandas()
     counts_df = counts_df.sort_values("concept").reset_index(drop=True)
     vocab = counts_df["concept"].tolist()
-    n_chunks = counts_df["n_chunks"].astype(int).to_numpy()
-    vocab_ref = ray.put(({c: i for i, c in enumerate(vocab)}, vocab, n_chunks))
+    n_chunks = counts_df["n_chunks"].astype(np.int64).to_numpy()
+    vocab_ref = ray.put((vocab, n_chunks))
 
-    def encode_pairs(t: pa.Table) -> pa.Table:
-        cid_map, _, _ = ray.get(vocab_ref)
-        t = t.filter(_pc.equal(t.column("kind"), "p"))
-        a = np.fromiter((cid_map[x] for x in t.column("concept_a").to_pylist()),
-                        dtype=np.int32, count=t.num_rows)
-        b = np.fromiter((cid_map[x] for x in t.column("concept_b").to_pylist()),
-                        dtype=np.int32, count=t.num_rows)
-        return pa.table({"ia": pa.array(a), "ib": pa.array(b)})
+    # per-worker memo of the encode Index (the deserialized closure object
+    # is cached per worker process, so the dict persists across batches)
+    _worker_cache: dict[str, pd.Index] = {}
+
+    def encode_pairs(batch: pa.Table) -> pa.Table:
+        idx = _worker_cache.get("idx")
+        if idx is None:
+            voc, _ = ray.get(vocab_ref)
+            idx = pd.Index(voc)
+            _worker_cache["idx"] = idx
+        col = batch.column("concepts")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = idx.get_indexer(pc.list_flatten(col).to_pandas()).astype(np.int32)
+        lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        ia_parts, ib_parts = [], []
+        for o, k in zip(offs[:-1], lens):
+            if k > 1:
+                i, j = _triu(int(k))
+                ia_parts.append(enc[o + i])
+                ib_parts.append(enc[o + j])
+        if ia_parts:
+            ia = np.concatenate(ia_parts)
+            ib = np.concatenate(ib_parts)
+        else:
+            ia = ib = np.empty(0, np.int32)
+        # per-batch combiner: collapse duplicate pairs pre-shuffle
+        t = pa.table({"ia": pa.array(ia), "ib": pa.array(ib)})
+        g = t.group_by(["ia", "ib"]).aggregate([("ia", "count")])
+        return g.rename_columns(["ia", "ib", "n"])
 
     pair_counts = hash_grouped_aggregate(
-        combined.map_batches(encode_pairs, batch_format="pyarrow"),
+        lists_ds.map_batches(encode_pairs, batch_format="pyarrow"),
         ["ia", "ib"],
-        grouped_arrow_agg(["ia", "ib"], [("ia", "count")],
+        grouped_arrow_agg(["ia", "ib"], [("n", "sum")],
                           rename=["ia", "ib", "count"]))
 
     thr = co_occurrence_threshold
 
     def finish(batch: pa.Table) -> pa.Table:
-        _, voc, counts = ray.get(vocab_ref)
-        batch = batch.filter(_pc.greater_equal(batch.column("count"), thr))
+        voc, counts = ray.get(vocab_ref)
+        batch = batch.filter(pc.greater_equal(batch.column("count"), thr))
         ia = batch.column("ia").to_numpy()
         ib = batch.column("ib").to_numpy()
-        n = batch.column("count").to_numpy()
-        conf = [jaccard_confidence(int(counts[x]), int(counts[y]), int(s))
-                for x, y, s in zip(ia, ib, n)]
+        n = batch.column("count").to_numpy().astype(np.float64)
+        union = counts[ia].astype(np.float64) + counts[ib] - n
+        conf = np.divide(n, union, out=np.zeros_like(n), where=union != 0)
+        voc_arr = pa.array(voc, pa.string())
         return pa.table({
-            "concept_a": pa.array([voc[x] for x in ia], pa.string()),
-            "concept_b": pa.array([voc[y] for y in ib], pa.string()),
+            "concept_a": pc.take(voc_arr, pa.array(ia)),
+            "concept_b": pc.take(voc_arr, pa.array(ib)),
             "count": batch.column("count"),
             "confidence": pa.array(conf, pa.float64()),
         })
 
     return pair_counts.map_batches(finish, batch_format="pyarrow")
+
+
+def concept_edges(chunks_ds, co_occurrence_threshold: int = 2,
+                  max_concepts: int | None = None):
+    """Edges with shared-chunk count ≥ threshold and Jaccard confidence."""
+    lists = concept_chunk_lists(chunks_ds, max_concepts).materialize()
+    return concept_edges_from_lists(lists, co_occurrence_threshold)

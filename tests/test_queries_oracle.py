@@ -50,6 +50,12 @@ SQL_CHECKED = [
     "temporal_edges", "text_clean", "session_windows",
     "sliding_window_counts", "order_priority_revenue", "purchases_asof_click",
     "shipped_within_window", "customers_with_orders", "bm25_topk",
+    # staged-input oracles (query fn stages its procedural input; the
+    # oracle SQL reads the staged Parquet — paths baked for the driver's
+    # sf0.01 run, rewritten here for the sf0.001 test corpus)
+    "kg_triples", "kg_entities", "entity_to_chunks", "chunk_to_entities",
+    "co_occurring_entities", "concept_table", "concept_edges",
+    "incremental_update",
 ]
 
 
@@ -58,7 +64,8 @@ def test_query_matches_oracle(ray_session, name):
     import __ray_entry__ as e
     ray_df = _normalize(_to_pandas(e.queries()[name](SF_DIR)))
     con = _duck()
-    oracle_df = _normalize(con.execute(e.oracle_sql()[name]).df())
+    sql = e.oracle_sql()[name].replace("/sf0.01/", "/sf0.001/")
+    oracle_df = _normalize(con.execute(sql).df())
     con.close()
     assert list(ray_df.columns) == list(oracle_df.columns), \
         f"{name}: columns {list(ray_df.columns)} != {list(oracle_df.columns)}"
@@ -77,13 +84,12 @@ def test_query_matches_oracle(ray_session, name):
                 f"{name}.{c}: value mismatch"
 
 
-ROWS_ONLY = ["kg_triples", "kg_entities", "kg_entities_fuzzy", "kg_mentions",
+ROWS_ONLY = ["kg_entities_fuzzy", "kg_mentions",
              "kg_chunks", "kg_extract_text", "minhash_lsh_candidates",
              "simhash_signatures", "ngram_dedup_pairs", "lsh_buckets",
-             "concept_mentions", "concept_table", "concept_edges",
-             "enriched_chunks", "entity_to_chunks", "chunk_to_entities",
-             "co_occurring_entities", "semantic_edges", "multimodal_features",
-             "pagerank", "chunk_embeddings", "incremental_update",
+             "concept_mentions",
+             "enriched_chunks", "semantic_edges", "multimodal_features",
+             "pagerank", "chunk_embeddings",
              "ner_mentions", "semantic_chunks", "gleaning_triples",
              "hybrid_search"]
 
@@ -94,11 +100,10 @@ def test_rows_only_queries_run(ray_session, name):
     df = _to_pandas(e.queries()[name](SF_DIR))
     assert df is not None
     assert len(df.columns) > 0
-    if name in ("kg_triples", "kg_entities", "kg_mentions", "kg_chunks",
+    if name in ("kg_mentions", "kg_chunks",
                 "kg_extract_text", "simhash_signatures", "lsh_buckets",
-                "concept_mentions", "concept_table", "enriched_chunks",
-                "entity_to_chunks", "chunk_to_entities",
-                "co_occurring_entities", "multimodal_features",
+                "concept_mentions", "enriched_chunks",
+                "multimodal_features",
                 "pagerank", "chunk_embeddings"):
         assert len(df) > 0, f"{name} unexpectedly empty"
 
