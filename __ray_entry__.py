@@ -217,13 +217,26 @@ def q_co_occurring_entities(sf_dir: str):
 
 
 def q_semantic_edges(sf_dir: str):
+    """Per-entity top-k cosine edges; the (entity_id, embedding) table is
+    staged as list<double> so the threshold/top-k/tie-break derivation is
+    oracle-checked (sims rounded to 12 decimals on both sides)."""
     from graphrag_rs_ray.pipelines.graph_ops import semantic_edges
     from graphrag_rs_ray.stages.embed import EmbedStage
     from graphrag_rs_ray.stages.memo import memoized_stage
     fn = memoized_stage(("embed", "name", 64), lambda: EmbedStage("name", 64))
     ents = q_kg_entities(sf_dir).map_batches(fn, batch_format="pyarrow",
                                              batch_size=None)
-    return semantic_edges(ents.materialize(), similarity_threshold=0.8)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table({"entity_id": t.column("entity_id"),
+                         "embedding": emb.cast(pa.list_(pa.float64()))})
+
+    staged = _stage(ents.map_batches(fmt, batch_format="pyarrow"),
+                    "semantic_edges", sf_dir)
+    return semantic_edges(staged, similarity_threshold=0.8)
 
 
 def q_gleaning_triples(sf_dir: str):
@@ -353,6 +366,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": td.simhash_signatures,
         "ngram_dedup_pairs": td.ngram_dedup_pairs,
         "lsh_buckets": td.lsh_buckets,
+        # bucketed (LSH-blocked) scale path for embedding near-dup —
+        # oracle-exact at these settings (recall ≈ 1 - 1.5e-10)
+        "cosine_dup_pairs_bucketed": lambda sf: td.cosine_dup_pairs_bucketed(
+            sf, threshold=0.35, band_bits=2, n_bands=48),
         # LazyGraphRAG concept-graph path + enrichment (rows-only)
         "concept_mentions": q_concept_mentions,
         "concept_table": q_concept_table,
@@ -495,6 +512,14 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        "cosine_dup_pairs_bucketed": """
+            SELECT vec_a, vec_b, sim FROM (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 12) AS sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE sim >= 0.35
         """,
         "orders_by_segment": """
             SELECT c.c_mktsegment AS segment,
@@ -728,4 +753,19 @@ def _oracle_sql_base() -> dict[str, str]:
            .replace("{de}", _staged_sql("incremental_update", "delta_entities"))
            .replace("{bt}", _staged_sql("incremental_update", "base_triples"))
            .replace("{dt}", _staged_sql("incremental_update", "delta_triples")),
+        "semantic_edges": """
+            WITH e AS (SELECT entity_id, embedding FROM {t}),
+            scored AS (
+              SELECT a.entity_id AS subj, b.entity_id AS obj,
+                     round(list_cosine_similarity(a.embedding, b.embedding), 12) AS conf
+              FROM e a JOIN e b ON a.entity_id <> b.entity_id),
+            ranked AS (
+              SELECT subj, obj, conf,
+                     row_number() OVER (PARTITION BY subj
+                       ORDER BY conf DESC, obj ASC) AS rank
+              FROM scored WHERE conf > 0.8)
+            SELECT subj, 'SEMANTICALLY_SIMILAR' AS pred, obj, conf,
+                   rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 10
+        """.replace("{t}", _staged_sql("semantic_edges")),
     }

@@ -123,44 +123,101 @@ def merge_entity_tables(existing_ds, new_ds, strategy: str = MERGE):
 
 # ---- semantic similarity edges -----------------------------------------
 
-def semantic_edges(entities_with_embeddings_ds, similarity_threshold: float = 0.8,
-                   max_connections: int = 10):
-    """Top-k cosine edges per entity (``graph/mod.rs:235-275``): broadcast
-    the full (id, embedding) matrix once; per-batch numpy matmul; emit
-    SEMANTICALLY_SIMILAR edges above threshold."""
-    import ray
+def _edge_rows(topk_tbl: pa.Table) -> pa.Table:
+    return pa.table({
+        "subj": topk_tbl.column("src"),
+        "pred": pa.array(["SEMANTICALLY_SIMILAR"] * topk_tbl.num_rows,
+                         pa.string()),
+        "obj": topk_tbl.column("dst"),
+        "conf": topk_tbl.column("sim"),
+        "rank": topk_tbl.column("rank"),
+    })
 
-    all_df = entities_with_embeddings_ds.to_pandas()
-    ids = all_df["entity_id"].to_numpy()
-    mat = np.array(list(all_df["embedding"]), dtype=np.float32)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.maximum(norms, 1e-12)
-    ref = ray.put((ids, mat))
+
+def semantic_edges(entities_with_embeddings_ds, similarity_threshold: float = 0.8,
+                   max_connections: int = 10,
+                   max_broadcast_entities: int = 1_000_000):
+    """Top-k cosine edges per entity (``graph/mod.rs:235-275``), emitting
+    (subj, SEMANTICALLY_SIMILAR, obj, conf, rank), tie-break (sim desc,
+    obj asc).  Two paths on one semantics:
+
+    - ≤ ``max_broadcast_entities``: broadcast the (id, embedding) matrix
+      once (``ray.put``), per-batch float64 matmul — exact, oracle-checked
+      (sims rounded to 12 decimals = DuckDB ``round(list_cosine_similarity
+      (a,b), 12)``).
+    - above: hyperplane-LSH bucketed blocking (``stages/ann.py``) —
+      within-bucket exact cosine, per-node top-k via the hash-bucketed
+      aggregate; no driver materialization, no full broadcast.  Recall for
+      sim ≥ 0.8 with the default bands ≈ 1 - 6e-8 (see ann.py math);
+      ``test_semantic_edges_bucketed`` pins equality on the test corpus."""
+    n = entities_with_embeddings_ds.count()
+    if n <= max_broadcast_entities:
+        return _semantic_edges_broadcast(
+            entities_with_embeddings_ds.materialize(),
+            similarity_threshold, max_connections)
+    return semantic_edges_bucketed(entities_with_embeddings_ds,
+                                   similarity_threshold, max_connections)
+
+
+def _semantic_edges_broadcast(ds, similarity_threshold: float,
+                              max_connections: int):
+    import ray
+    from ..stages.ann import _emb_matrix
+
+    all_tbl = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    ids = np.asarray(all_tbl.column("entity_id").to_pylist(), dtype=object)
+    mat = _emb_matrix(all_tbl.column("embedding"))
+    norms = np.linalg.norm(mat, axis=1).clip(1e-300)
+    ref = ray.put((ids, mat, norms))
+
+    thr, k = similarity_threshold, max_connections
 
     def edges(batch: pa.Table) -> pa.Table:
-        all_ids, m = ray.get(ref)
-        bids = batch.column("entity_id").to_pylist()
-        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float32)
-        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        sims = emb @ m.T
-        src, dst, conf = [], [], []
+        import pandas as pd
+        all_ids, m, mn = ray.get(ref)
+        bids = np.asarray(batch.column("entity_id").to_pylist(), dtype=object)
+        emb = _emb_matrix(batch.column("embedding"))
+        en = np.linalg.norm(emb, axis=1).clip(1e-300)
+        sims = np.round((emb @ m.T) / np.outer(en, mn), 12)
+        src, dst, conf, rank = [], [], [], []
         for i, eid in enumerate(bids):
             row = sims[i]
-            order = np.argsort(-row)
-            taken = 0
-            for j in order:
-                if all_ids[j] == eid:
-                    continue
-                if row[j] <= similarity_threshold or taken >= max_connections:
-                    break
-                src.append(eid); dst.append(all_ids[j]); conf.append(float(row[j]))
-                taken += 1
-        return pa.table({"subj": pa.array(src, pa.string()),
-                         "pred": pa.array(["SEMANTICALLY_SIMILAR"] * len(src), pa.string()),
-                         "obj": pa.array(dst, pa.string()),
-                         "conf": pa.array(conf, pa.float32())})
+            hits = np.where(row > thr)[0]
+            hits = hits[all_ids[hits] != eid]
+            if not len(hits):
+                continue
+            g = pd.DataFrame({"obj": all_ids[hits], "sim": row[hits]})
+            g = g.sort_values(["sim", "obj"], ascending=[False, True]).head(k)
+            for r, (o, s) in enumerate(zip(g["obj"], g["sim"]), 1):
+                src.append(eid); dst.append(o); conf.append(float(s)); rank.append(r)
+        return _edge_rows(pa.table({
+            "src": pa.array(src, pa.string()),
+            "dst": pa.array(dst, pa.string()),
+            "sim": pa.array(conf, pa.float64()),
+            "rank": pa.array(rank, pa.int64())}))
 
-    return entities_with_embeddings_ds.map_batches(edges, batch_format="pyarrow")
+    return ds.map_batches(edges, batch_format="pyarrow")
+
+
+def semantic_edges_bucketed(ds, similarity_threshold: float = 0.8,
+                            max_connections: int = 10, n_bands: int = 32,
+                            band_bits: int = 4, seed: int = 7):
+    """Scale path: LSH-bucketed candidate pairs → exact within-bucket
+    cosine → per-node top-k.  Same output schema/semantics as the
+    broadcast path (sims > threshold; candidates with sim == threshold
+    are filtered after the ≥-threshold candidate pass)."""
+    import pyarrow.compute as pc
+    from ..stages.ann import lsh_cosine_candidates, topk_directed_edges
+
+    pairs = lsh_cosine_candidates(
+        ds, "entity_id", "embedding", threshold=similarity_threshold,
+        n_bands=n_bands, band_bits=band_bits, seed=seed)
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.greater(t.column("sim"), similarity_threshold)),
+        batch_format="pyarrow")
+    topk = topk_directed_edges(pairs, k=max_connections)
+    return topk.map_batches(_edge_rows, batch_format="pyarrow")
 
 
 def merge_triple_tables(a_ds, b_ds):

@@ -55,7 +55,9 @@ SQL_CHECKED = [
     # sf0.01 run, rewritten here for the sf0.001 test corpus)
     "kg_triples", "kg_entities", "entity_to_chunks", "chunk_to_entities",
     "co_occurring_entities", "concept_table", "concept_edges",
-    "incremental_update",
+    "incremental_update", "semantic_edges",
+    # LSH-blocked near-dup at effectively-exact recall settings
+    "cosine_dup_pairs_bucketed",
 ]
 
 
@@ -88,7 +90,7 @@ ROWS_ONLY = ["kg_entities_fuzzy", "kg_mentions",
              "kg_chunks", "kg_extract_text", "minhash_lsh_candidates",
              "simhash_signatures", "ngram_dedup_pairs", "lsh_buckets",
              "concept_mentions",
-             "enriched_chunks", "semantic_edges", "multimodal_features",
+             "enriched_chunks", "multimodal_features",
              "pagerank", "chunk_embeddings",
              "ner_mentions", "semantic_chunks", "gleaning_triples",
              "hybrid_search"]
