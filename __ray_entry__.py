@@ -295,6 +295,46 @@ def q_pagerank(sf_dir: str):
     return pagerank(q_kg_triples(sf_dir))
 
 
+def _staged_triples(query: str, sf_dir: str):
+    """Stage the deduped (subj, pred, obj) triple table for a graph-op
+    query + its oracle."""
+    cfg = KGConfig()
+    tri = triples_dataset(_kg_pages(sf_dir), cfg).map_batches(
+        lambda t: t.select(["subj", "pred", "obj"]), batch_format="pyarrow")
+    return _stage(tri, query, sf_dir)
+
+
+def q_k_hop(sf_dir: str):
+    """3-hop BFS neighbourhood (both directions, ``traversal.rs:85-151``)
+    from the 3 lexicographically-first subjects; oracle = DuckDB recursive
+    CTE over the staged triples."""
+    from graphrag_rs_ray.pipelines.graph_ops import k_hop
+    from graphrag_rs_ray.stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+    triples = _staged_triples("k_hop", sf_dir)
+    seeds_ds = hash_grouped_aggregate(
+        triples.map_batches(lambda t: t.select(["subj"]), batch_format="pyarrow"),
+        ["subj"], grouped_arrow_agg(["subj"], [("subj", "count")],
+                                    rename=["subj", "n"]))
+    seeds = [r["subj"] for r in seeds_ds.sort("subj").limit(3).take(3)]
+    return k_hop(triples, seeds, k=3, direction="both")
+
+
+def q_degree_stats(sf_dir: str):
+    """Per-node degree + centrality table (``graph/analytics.rs``)."""
+    from graphrag_rs_ray.pipelines.graph_ops import degree_stats
+    return degree_stats(_staged_triples("degree_stats", sf_dir))
+
+
+def q_communities(sf_dir: str):
+    """Leiden level-0 communities (``graph/leiden.rs`` via the
+    per-connected-component distribution in pipelines/communities.py);
+    procedural (iterative local move) → rows-only driver check, gated by
+    the ported reference unit tests + modularity assertions."""
+    from graphrag_rs_ray.pipelines.communities import detect_communities
+    cfg = KGConfig()
+    return detect_communities(triples_dataset(_kg_pages(sf_dir), cfg))
+
+
 def q_chunk_embeddings(sf_dir: str):
     from graphrag_rs_ray.stages.embed import EmbedStage
     from graphrag_rs_ray.stages.memo import memoized_stage
@@ -383,6 +423,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_edges": q_semantic_edges,
         "multimodal_features": q_multimodal_features,
         "pagerank": q_pagerank,
+        # graph ops over staged triples (oracle-checked) + communities
+        "k_hop": q_k_hop,
+        "degree_stats": q_degree_stats,
+        "communities": q_communities,
         "chunk_embeddings": q_chunk_embeddings,
         # BM25 scoring + sentence stats (oracle-checked)
         "bm25_scores": td.bm25_scores,
@@ -753,6 +797,34 @@ def _oracle_sql_base() -> dict[str, str]:
            .replace("{de}", _staged_sql("incremental_update", "delta_entities"))
            .replace("{bt}", _staged_sql("incremental_update", "base_triples"))
            .replace("{dt}", _staged_sql("incremental_update", "delta_triples")),
+        "k_hop": """
+            WITH RECURSIVE und AS (
+              SELECT subj AS src, obj AS dst FROM {t}
+              UNION SELECT obj, subj FROM {t}),
+            seeds AS (SELECT node FROM (SELECT DISTINCT subj AS node FROM {t})
+                      ORDER BY node LIMIT 3),
+            walk(node, hop) AS (
+              SELECT node, 0 FROM seeds
+              UNION
+              SELECT u.dst, w.hop + 1 FROM walk w
+              JOIN und u ON u.src = w.node WHERE w.hop < 3)
+            SELECT node, min(hop)::BIGINT AS hop FROM walk GROUP BY node
+        """.replace("{t}", _staged_sql("k_hop")),
+        "degree_stats": """
+            WITH ep AS (
+              SELECT subj AS node, 1 AS out_d, 0 AS in_d FROM {t}
+              UNION ALL SELECT obj, 0, 1 FROM {t}),
+            deg AS (SELECT node, sum(out_d)::BIGINT AS out_deg,
+                           sum(in_d)::BIGINT AS in_deg
+                    FROM ep GROUP BY node),
+            n AS (SELECT count(*) AS n FROM deg)
+            SELECT node, out_deg, in_deg,
+                   (out_deg + in_deg)::BIGINT AS degree,
+                   CASE WHEN n.n > 1
+                        THEN (out_deg + in_deg) * 1.0 / (n.n - 1)
+                        ELSE 0.0 END AS degree_centrality
+            FROM deg CROSS JOIN n
+        """.replace("{t}", _staged_sql("degree_stats")),
         "semantic_edges": """
             WITH e AS (SELECT entity_id, embedding FROM {t}),
             scored AS (

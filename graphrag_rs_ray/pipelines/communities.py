@@ -1,0 +1,185 @@
+"""Distributed community detection (Leiden level-0, ``graph/leiden.rs``;
+KG adapter ``core/mod.rs:813-899``).
+
+Key structural fact: the reference's local move only merges a node into a
+community it has an edge into, and its refinement splits disconnected
+communities — so every final community is contained in one connected
+component of the undirected relationship graph.  That makes components
+the natural distribution unit:
+
+    1. connected components via hash-to-min label propagation
+       (iterated ``bucketed_join`` + min-aggregate; O(diameter) rounds —
+       the standard CC-in-MapReduce construction),
+    2. edges grouped by component (one shuffle),
+    3. the sequential reference kernel (``functions/leiden.py``) runs
+       per component IN PARALLEL inside ``hash_grouped_aggregate``,
+       nodes ordered lexicographically for determinism.
+
+Community ids are the lexicographically-smallest member name — stable
+across runs and partitionings (the reference's integer ids depend on
+petgraph insertion order and are not reproducible anyway).
+
+Partitioning assumption (documented per the round brief): one component's
+edge set fits in one worker's memory.  Web-scale KGs have a giant
+connected component, so for >``max_component_edges`` the caller should
+pre-partition (e.g. drop low-confidence edges or run per shard);
+the group fn raises a clear error instead of silently OOMing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.leiden import LeidenConfig, leiden_communities
+from ..stages.hashagg import (
+    bucketed_join,
+    grouped_arrow_agg,
+    hash_grouped_aggregate,
+)
+
+
+def _und_edges(triples_ds):
+    """Triples → undirected (a, b) edge rows (self-loops dropped)."""
+    def fwd(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.invert(pc.equal(t.column("subj"), t.column("obj"))))
+        return pa.table({"a": keep.column("subj"), "b": keep.column("obj")})
+    return triples_ds.map_batches(fwd, batch_format="pyarrow")
+
+
+def connected_components(edges_ds, num_buckets: int = 64, max_rounds: int = 50):
+    """(a, b) edges → (node, component) with component = min reachable
+    node name (hash-to-min propagation until fixpoint)."""
+    sym = edges_ds.map_batches(
+        lambda t: pa.concat_tables([
+            pa.table({"a": t.column("a"), "b": t.column("b")}),
+            pa.table({"a": t.column("b"), "b": t.column("a")})]),
+        batch_format="pyarrow").materialize()
+
+    labels = hash_grouped_aggregate(
+        sym, ["a"],
+        grouped_arrow_agg(["a"], [("b", "min")], rename=["node", "nbr_min"]),
+        num_buckets=num_buckets).map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "label": pc.min_element_wise(
+                                t.column("node"), t.column("nbr_min"))}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(max_rounds):
+        lab_a = labels.map_batches(
+            lambda t: pa.table({"a": t.column("node"),
+                                "a_label": t.column("label")}),
+            batch_format="pyarrow")
+        prop = bucketed_join(sym, lab_a, on=["a"], num_buckets=num_buckets)
+        cand = prop.map_batches(
+            lambda t: pa.table({"node": t.column("b"),
+                                "label": t.column("a_label")}),
+            batch_format="pyarrow")
+        new_labels = hash_grouped_aggregate(
+            cand.union(labels), ["node"],
+            grouped_arrow_agg(["node"], [("label", "min")],
+                              rename=["node", "label"]),
+            num_buckets=num_buckets).materialize()
+
+        old = labels.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "old_label": t.column("label")}),
+            batch_format="pyarrow")
+        diff = bucketed_join(new_labels, old, on=["node"],
+                             num_buckets=num_buckets)
+        n_changed = diff.map_batches(
+            lambda t: pa.table({"chg": pc.cast(pc.invert(pc.equal(
+                t.column("label"), t.column("old_label"))), pa.int64())}),
+            batch_format="pyarrow").sum("chg")
+        labels = new_labels
+        if not n_changed:
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "component": t.column("label")}),
+        batch_format="pyarrow")
+
+
+def detect_communities(triples_ds, config: LeidenConfig | None = None,
+                       num_buckets: int = 64,
+                       max_component_edges: int = 5_000_000):
+    """Triples → (node, community) rows; community = min member name."""
+    config = config or LeidenConfig()
+    edges = _und_edges(triples_ds).materialize()
+    comp = connected_components(edges, num_buckets=num_buckets)
+    comp_a = comp.map_batches(
+        lambda t: pa.table({"a": t.column("node"),
+                            "component": t.column("component")}),
+        batch_format="pyarrow")
+    tagged = bucketed_join(edges, comp_a, on=["a"], num_buckets=num_buckets)
+
+    def run_component(t: pa.Table) -> pa.Table:
+        # t = every edge of one (or a few) components, keyed by component
+        import pandas as pd
+        if t.num_rows > max_component_edges:
+            raise ValueError(
+                f"component exceeds max_component_edges={max_component_edges}; "
+                "pre-partition the graph (confidence filter / per-shard run)")
+        df = t.to_pandas()
+        out_node, out_comm = [], []
+        for _, g in df.groupby("component", sort=True):
+            pairs = list(zip(g["a"], g["b"]))
+            nodes = sorted({v for e in pairs for v in e})
+            assign = leiden_communities(nodes, pairs, config)
+            # label each community by its smallest member
+            comm_min: dict[int, str] = {}
+            for v in nodes:                      # sorted ⇒ first hit is min
+                comm_min.setdefault(assign[v], v)
+            for v in nodes:
+                out_node.append(v)
+                out_comm.append(comm_min[assign[v]])
+        return pa.table({"node": pa.array(out_node, pa.string()),
+                         "community": pa.array(out_comm, pa.string())})
+
+    return hash_grouped_aggregate(tagged, ["component"], run_component,
+                                  num_buckets=num_buckets)
+
+
+def modularity_ds(triples_ds, assignment_ds, resolution: float = 1.0,
+                  num_buckets: int = 64) -> float:
+    """Global Newman modularity of a (node, community) assignment over the
+    undirected relationship multigraph — two bucketed joins tag each edge
+    with both endpoint communities; per-community sums reduce; the driver
+    sees only the per-community aggregate table."""
+    edges = _und_edges(triples_ds)
+    lab_a = assignment_ds.map_batches(
+        lambda t: pa.table({"a": t.column("node"),
+                            "comm_a": t.column("community")}),
+        batch_format="pyarrow")
+    lab_b = assignment_ds.map_batches(
+        lambda t: pa.table({"b": t.column("node"),
+                            "comm_b": t.column("community")}),
+        batch_format="pyarrow")
+    tagged = bucketed_join(bucketed_join(edges, lab_a, on=["a"],
+                                         num_buckets=num_buckets),
+                           lab_b, on=["b"], num_buckets=num_buckets)
+
+    def per_edge(t: pa.Table) -> pa.Table:
+        same = pc.cast(pc.equal(t.column("comm_a"), t.column("comm_b")),
+                       pa.int64())
+        return pa.concat_tables([
+            pa.table({"community": t.column("comm_a"),
+                      "deg": pa.array([1] * t.num_rows, pa.int64()),
+                      "within": same}),
+            pa.table({"community": t.column("comm_b"),
+                      "deg": pa.array([1] * t.num_rows, pa.int64()),
+                      "within": pa.array([0] * t.num_rows, pa.int64())}),
+        ])
+
+    per_comm = hash_grouped_aggregate(
+        tagged.map_batches(per_edge, batch_format="pyarrow"), ["community"],
+        grouped_arrow_agg(["community"], [("deg", "sum"), ("within", "sum")],
+                          rename=["community", "deg", "within"]),
+        num_buckets=num_buckets).to_pandas()
+    m = float(per_comm["deg"].sum()) / 2.0
+    if m == 0:
+        return 0.0
+    q = (per_comm["within"] / m
+         - resolution * (per_comm["deg"] / (2.0 * m)) ** 2).sum()
+    return float(q)

@@ -16,6 +16,10 @@ def ray_session():
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # the executor's 50% per-operator reservation starves long map/shuffle
+    # chains at num_cpus=4 (measured: dataset-mode pagerank 1.6 s/iter
+    # without reservation vs ~30 s/iter with) — same setting as bench.py
+    ctx.op_resource_reservation_enabled = False
     yield
     ray.shutdown()
 

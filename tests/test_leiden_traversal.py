@@ -1,0 +1,148 @@
+"""Leiden kernel (reference test expectations), distributed communities,
+k-hop traversal, degree stats."""
+
+import pyarrow as pa
+import pytest
+
+
+def _triples_ds(edges):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "subj": pa.array([e[0] for e in edges], pa.string()),
+        "pred": pa.array(["RELATED_TO"] * len(edges), pa.string()),
+        "obj": pa.array([e[1] for e in edges], pa.string()),
+    }))
+
+
+# ---- kernel (port of leiden.rs tests:779-839) ---------------------------
+
+REF_EDGES = [("A", "B"), ("B", "C"), ("C", "A"), ("C", "D")]
+REF_NODES = ["A", "B", "C", "D"]
+
+
+def test_leiden_basic():
+    """leiden.rs test_leiden_basic: detection succeeds, non-empty result."""
+    from graphrag_rs_ray.functions.leiden import LeidenConfig, leiden_communities
+    out = leiden_communities(REF_NODES, REF_EDGES, LeidenConfig())
+    assert set(out) == set(REF_NODES)
+    # deterministic partition of the triangle + appendage
+    assert out["A"] == out["B"]
+    assert out["C"] == out["D"]
+    assert out["A"] != out["C"]
+
+
+def test_leiden_config_defaults():
+    """leiden.rs test_config_defaults."""
+    from graphrag_rs_ray.functions.leiden import LeidenConfig
+    cfg = LeidenConfig()
+    assert cfg.max_cluster_size == 10
+    assert cfg.resolution == 1.0
+    assert cfg.max_levels == 5
+    assert cfg.use_lcc is True
+
+
+def test_leiden_refinement_splits_disconnected():
+    """A community that is internally disconnected must be split into its
+    connected components (the reference's refine_partition semantics)."""
+    from graphrag_rs_ray.functions.leiden import leiden_communities
+    # two disjoint triangles: local move keeps them separate communities,
+    # and refinement must never merge disconnected nodes
+    edges = [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+             ("b1", "b2"), ("b2", "b3"), ("b3", "b1")]
+    out = leiden_communities(["a1", "a2", "a3", "b1", "b2", "b3"], edges)
+    assert out["a1"] == out["a2"] == out["a3"]
+    assert out["b1"] == out["b2"] == out["b3"]
+    assert out["a1"] != out["b1"]
+
+
+def test_leiden_modularity_positive():
+    from graphrag_rs_ray.functions.leiden import leiden_communities, modularity
+    out = leiden_communities(REF_NODES, REF_EDGES)
+    q = modularity(REF_NODES, REF_EDGES, out)
+    singleton = modularity(REF_NODES, REF_EDGES, {v: i for i, v in enumerate(REF_NODES)})
+    assert q > singleton
+
+
+# ---- distributed pipeline ----------------------------------------------
+
+def test_detect_communities_matches_kernel(ray_session):
+    """Per-component distribution must reproduce the sequential kernel."""
+    from graphrag_rs_ray.functions.leiden import leiden_communities
+    from graphrag_rs_ray.pipelines.communities import detect_communities
+
+    edges = [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+             ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+             ("a3", "x"), ("x", "y")]
+    nodes = sorted({v for e in edges for v in e})
+    expected = leiden_communities(nodes, edges)
+    # relabel by min member (the pipeline's community key)
+    comm_min = {}
+    for v in nodes:
+        c = expected[v]
+        comm_min[c] = min(comm_min.get(c, v), v)
+    exp_map = {v: comm_min[expected[v]] for v in nodes}
+
+    got = detect_communities(_triples_ds(edges), num_buckets=4).to_pandas()
+    got_map = dict(zip(got["node"], got["community"]))
+    assert got_map == exp_map
+
+
+def test_modularity_ds_matches_kernel(ray_session):
+    from graphrag_rs_ray.functions.leiden import leiden_communities, modularity
+    from graphrag_rs_ray.pipelines.communities import detect_communities, modularity_ds
+    import ray.data as rd
+
+    edges = [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+             ("b1", "b2"), ("b2", "b3"), ("b3", "b1"), ("a1", "b1")]
+    nodes = sorted({v for e in edges for v in e})
+    assign = leiden_communities(nodes, edges)
+    q_kernel = modularity(nodes, edges, assign)
+
+    assign_ds = rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "community": pa.array([str(assign[v]) for v in nodes], pa.string())}))
+    q_ds = modularity_ds(_triples_ds(edges), assign_ds, num_buckets=4)
+    assert abs(q_ds - q_kernel) < 1e-12
+
+
+# ---- k-hop traversal ----------------------------------------------------
+
+def _bfs_python(edges, seeds, k, direction="both"):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        if direction == "both":
+            adj.setdefault(b, []).append(a)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for h in range(1, k + 1):
+        nxt = []
+        for v in frontier:
+            for u in adj.get(v, []):
+                if u not in dist:
+                    dist[u] = h
+                    nxt.append(u)
+        frontier = nxt
+    return dist
+
+
+@pytest.mark.parametrize("direction", ["both", "out"])
+def test_k_hop_matches_bfs(ray_session, direction):
+    from graphrag_rs_ray.pipelines.graph_ops import k_hop
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("e", "a"), ("b", "x"), ("x", "y"), ("z", "a")]
+    got = k_hop(_triples_ds(edges), ["a"], k=3, direction=direction,
+                num_buckets=4).to_pandas()
+    got_map = dict(zip(got["node"], got["hop"]))
+    assert got_map == _bfs_python(edges, ["a"], 3, direction)
+
+
+def test_degree_stats_values(ray_session):
+    from graphrag_rs_ray.pipelines.graph_ops import degree_stats
+    edges = [("a", "b"), ("a", "b"), ("a", "c"), ("c", "a")]
+    df = degree_stats(_triples_ds(edges), num_buckets=4).to_pandas()
+    d = df.set_index("node")
+    assert d.loc["a", "out_deg"] == 3 and d.loc["a", "in_deg"] == 1
+    assert d.loc["b", "in_deg"] == 2 and d.loc["b", "out_deg"] == 0
+    assert d.loc["a", "degree"] == 4
+    assert abs(d.loc["a", "degree_centrality"] - 4 / 2) < 1e-12

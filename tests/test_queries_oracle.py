@@ -58,6 +58,8 @@ SQL_CHECKED = [
     "incremental_update", "semantic_edges",
     # LSH-blocked near-dup at effectively-exact recall settings
     "cosine_dup_pairs_bucketed",
+    # graph ops over staged triples
+    "k_hop", "degree_stats",
 ]
 
 
@@ -93,7 +95,7 @@ ROWS_ONLY = ["kg_entities_fuzzy", "kg_mentions",
              "enriched_chunks", "multimodal_features",
              "pagerank", "chunk_embeddings",
              "ner_mentions", "semantic_chunks", "gleaning_triples",
-             "hybrid_search"]
+             "hybrid_search", "communities"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

@@ -58,6 +58,43 @@ def test_pagerank_empty(ray_session):
     assert pagerank(_triples_ds([])).num_rows == 0
 
 
+def test_pagerank_dataset_mode_matches_broadcast(ray_session):
+    """The Dataset-native mode (scores never on the driver) must agree
+    with the broadcast mode to rounding (both round to 10 decimals)."""
+    import numpy as np
+    from graphrag_rs_ray.pipelines.graph_ops import pagerank
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    nodes = [f"n{i}" for i in range(40)]
+    edges = [(nodes[rng.integers(40)], nodes[rng.integers(40)])
+             for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    bcast = pagerank(_triples_ds(edges), max_iter=12)
+    dset = pagerank(_triples_ds(edges), max_iter=12, max_driver_nodes=1,
+                    num_buckets=4)
+    b = dict(zip(bcast.column("node").to_pylist(), bcast.column("score").to_pylist()))
+    d = dict(zip(dset.to_pandas()["node"], dset.to_pandas()["score"]))
+    assert set(b) == set(d)
+    for k in b:
+        assert abs(b[k] - d[k]) < 1e-9, k
+
+
+def test_pagerank_dataset_personalized(ray_session):
+    from graphrag_rs_ray.pipelines.graph_ops import pagerank
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "c")]
+    bcast = pagerank(_triples_ds(edges), max_iter=15,
+                     reset_probabilities={"d": 1.0})
+    dset = pagerank(_triples_ds(edges), max_iter=15,
+                    reset_probabilities={"d": 1.0}, max_driver_nodes=1,
+                    num_buckets=4)
+    b = dict(zip(bcast.column("node").to_pylist(), bcast.column("score").to_pylist()))
+    ddf = dset.to_pandas()
+    d = dict(zip(ddf["node"], ddf["score"]))
+    for k in b:
+        assert abs(b[k] - d[k]) < 1e-9, k
+
+
 def test_graph_statistics(ray_session):
     from graphrag_rs_ray.config import KGConfig
     from graphrag_rs_ray.pipelines.graph_ops import graph_statistics
