@@ -372,6 +372,16 @@ def q_concept_edges(sf_dir: str):
     return concept_edges_from_lists(lists)
 
 
+def q_community_summaries(sf_dir: str):
+    """Extractive per-community summaries (``leiden.rs:139-230``) over the
+    detected communities + canonical entity metadata."""
+    from graphrag_rs_ray.pipelines.communities import (
+        community_summaries, detect_communities)
+    res = build_kg(_kg_pages(sf_dir), KGConfig())
+    assign = detect_communities(res.triples)
+    return community_summaries(res.entities, assign)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -427,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_hop": q_k_hop,
         "degree_stats": q_degree_stats,
         "communities": q_communities,
+        "community_summaries": q_community_summaries,
         "chunk_embeddings": q_chunk_embeddings,
         # BM25 scoring + sentence stats (oracle-checked)
         "bm25_scores": td.bm25_scores,

@@ -121,6 +121,9 @@ def run_bench() -> dict:
 
     timed("kg_entities", lambda: q["kg_entities"](sf_dir).count())
     timed("concept_edges", lambda: q["concept_edges"](sf_dir).count())
+    timed("semantic_edges", lambda: q["semantic_edges"](sf_dir).count())
+    timed("degree_stats", lambda: q["degree_stats"](sf_dir).count())
+    timed("communities", lambda: q["communities"](sf_dir).count())
     timed("ner_mentions", lambda: q["ner_mentions"](sf_dir).count())
     timed("exact_dedup", lambda: q["exact_dedup"](sf_dir).count())
     timed("minhash_lsh_candidates", lambda: q["minhash_lsh_candidates"](sf_dir).count())

@@ -141,6 +141,54 @@ def detect_communities(triples_ds, config: LeidenConfig | None = None,
                                   num_buckets=num_buckets)
 
 
+def community_summaries(entities_ds, assignment_ds, max_length: int = 500,
+                        num_buckets: int = 64):
+    """Extractive community summaries — port of
+    ``leiden.rs:139-230`` ``generate_community_summary``: a header, the
+    entity count, then one line per entity type listing up to 5 member
+    names (`` and N more`` overflow), truncated to ``max_length`` with
+    ``...``.  The reference iterates HashMaps (nondeterministic order);
+    this port sorts types ascending and entities by (mention_count desc,
+    name) so summaries are reproducible.
+
+    ``assignment_ds`` is (node=entity_id, community) from
+    ``detect_communities``; entity metadata joins in via ``bucketed_join``
+    (no driver-side entity map, unlike the reference's
+    ``build_entity_mapping``)."""
+
+    ents = entities_ds.map_batches(
+        lambda t: pa.table({"node": t.column("entity_id"),
+                            "name": t.column("name"),
+                            "type": t.column("type"),
+                            "mention_count": t.column("mention_count")}),
+        batch_format="pyarrow")
+    joined = bucketed_join(assignment_ds, ents, on=["node"],
+                           num_buckets=num_buckets)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        comms, counts, summaries = [], [], []
+        for comm, g in df.groupby("community", sort=True):
+            parts = [f"Community {comm} (Level 0)",
+                     f"Contains {len(g)} entities:"]
+            for typ, tg in g.groupby("type", sort=True):
+                tg = tg.sort_values(["mention_count", "name"],
+                                    ascending=[False, True])
+                names = tg["name"].head(5).tolist()
+                more = f" and {len(tg) - 5} more" if len(tg) > 5 else ""
+                parts.append(f"- {typ}: {', '.join(names)}{more}")
+            s = "\n".join(parts)
+            if len(s) > max_length:
+                s = s[:max(max_length - 3, 0)] + "..."
+            comms.append(comm); counts.append(len(g)); summaries.append(s)
+        return pa.table({"community": pa.array(comms, pa.string()),
+                         "n_entities": pa.array(counts, pa.int64()),
+                         "summary": pa.array(summaries, pa.string())})
+
+    return hash_grouped_aggregate(joined, ["community"], summarize,
+                                  num_buckets=num_buckets)
+
+
 def modularity_ds(triples_ds, assignment_ds, resolution: float = 1.0,
                   num_buckets: int = 64) -> float:
     """Global Newman modularity of a (node, community) assignment over the

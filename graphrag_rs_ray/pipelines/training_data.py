@@ -119,6 +119,8 @@ def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
         return pa.table({"doc_a": pa.array(a, pa.int64()),
                          "doc_b": pa.array(b, pa.int64())})
 
+    # native groupby is safe HERE (exception to the hashagg rule): the
+    # hot-bucket filter leaves ~|duplicates| groups, not |docs|×bands
     cand = (bands.map_batches(only_hot, batch_format="pyarrow")
             .groupby(["band", "band_hash"])
             .map_groups(pairs, batch_format="pandas"))
@@ -731,17 +733,19 @@ def customers_semi_anti(sf_dir: str, anti: bool = False):
     import ray.data as rd
     import pyarrow.parquet as _pq
 
-    keys = set(_pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                              columns=["o_custkey"]).column("o_custkey").to_pylist())
-    ref = ray.put(keys)
+    keys = _pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_custkey"]).column("o_custkey") \
+        .combine_chunks().unique()
+    ref = ray.put(keys)           # broadcast the Arrow key array itself
 
     cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                            columns=["c_custkey", "c_name"])
 
     def fltr(batch: pa.Table) -> pa.Table:
         k = ray.get(ref)
-        member = [c in k for c in batch.column("c_custkey").to_pylist()]
-        mask = pa.array([not m for m in member] if anti else member, pa.bool_())
+        mask = pc.is_in(batch.column("c_custkey"), value_set=k)
+        if anti:
+            mask = pc.invert(mask)
         return batch.filter(mask)
 
     return cust.map_batches(fltr, batch_format="pyarrow")

@@ -78,6 +78,8 @@ def compute_links(entities_ds, cfg: LinkingConfig | None = None,
     LinkingStatistics: totals + linked counts + ratio)."""
     cfg = cfg or LinkingConfig()
     blocked = entities_ds.map_batches(add_block_key, batch_format="pyarrow")
+    # native groupby is safe HERE (exception to the hashagg rule): block
+    # keys are coarse (first-char/phonetic), so group count ≪ entity count
     links_ds = blocked.groupby("block_key").map_groups(
         make_block_clusterer(cfg, embedding_threshold=embedding_threshold),
         batch_format="pandas")

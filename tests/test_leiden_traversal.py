@@ -87,6 +87,36 @@ def test_detect_communities_matches_kernel(ray_session):
     assert got_map == exp_map
 
 
+def test_community_summaries_format(ray_session):
+    """Summary format per leiden.rs generate_community_summary: header,
+    entity count, per-type top-5 lines, deterministic ordering."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.communities import (
+        community_summaries, detect_communities)
+
+    edges = [("PERSON_a", "ORG_x"), ("ORG_x", "PERSON_b"),
+             ("PERSON_b", "PERSON_a")]
+    triples = _triples_ds(edges)
+    assign = detect_communities(triples, num_buckets=4)
+    ents = rd.from_arrow(pa.table({
+        "entity_id": pa.array(["PERSON_a", "PERSON_b", "ORG_x"], pa.string()),
+        "name": pa.array(["Alice", "Bob", "Xcorp"], pa.string()),
+        "type": pa.array(["PERSON", "PERSON", "ORGANIZATION"], pa.string()),
+        "conf": pa.array([0.9, 0.8, 0.7], pa.float32()),
+        "mention_count": pa.array([5, 3, 2], pa.int64()),
+    }))
+    df = community_summaries(ents, assign, num_buckets=4).to_pandas()
+    assert len(df) == 1                       # one triangle community
+    s = df.iloc[0]["summary"]
+    assert df.iloc[0]["n_entities"] == 3
+    assert s.splitlines()[1] == "Contains 3 entities:"
+    assert "- ORGANIZATION: Xcorp" in s
+    assert "- PERSON: Alice, Bob" in s        # mention_count desc
+    # deterministic across runs
+    df2 = community_summaries(ents, assign, num_buckets=4).to_pandas()
+    assert df.equals(df2)
+
+
 def test_modularity_ds_matches_kernel(ray_session):
     from graphrag_rs_ray.functions.leiden import leiden_communities, modularity
     from graphrag_rs_ray.pipelines.communities import detect_communities, modularity_ds

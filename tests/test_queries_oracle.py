@@ -95,7 +95,7 @@ ROWS_ONLY = ["kg_entities_fuzzy", "kg_mentions",
              "enriched_chunks", "multimodal_features",
              "pagerank", "chunk_embeddings",
              "ner_mentions", "semantic_chunks", "gleaning_triples",
-             "hybrid_search", "communities"]
+             "hybrid_search", "communities", "community_summaries"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
