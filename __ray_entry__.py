@@ -167,8 +167,46 @@ def q_kg_entities(sf_dir: str):
 
 
 def q_kg_entities_fuzzy(sf_dir: str):
-    res = build_kg(_kg_pages(sf_dir), KGConfig(fuzzy_linking=True))
-    return res.entities
+    """Fuzzy-tier canonicalization: the exact-tier entity table and the
+    computed link set are BOTH staged, so the remap (links.get(id, id)) +
+    re-merge (conf max, mention sum, frequency-weighted name vote) is
+    oracle-checked; the link computation itself (blocked greedy
+    clustering) stays gated by the determinism/similarity unit tests."""
+    import ray
+    import ray.data as rd
+    from graphrag_rs_ray.functions.similarity import LinkingConfig
+    from graphrag_rs_ray.pipelines.kg import (
+        entities_dataset, partial_entity_agg_from_final)
+    from graphrag_rs_ray.stages.canonicalize import entity_bucket_merge
+    from graphrag_rs_ray.stages.hashagg import hash_grouped_aggregate
+    from graphrag_rs_ray.stages.linking import compute_links, make_remap_entities
+
+    cfg = KGConfig(fuzzy_linking=True)
+    exact = _stage(entities_dataset(_kg_pages(sf_dir), cfg).materialize(),
+                   "kg_entities_fuzzy", sf_dir, "exact_entities")
+    links = compute_links(
+        exact, LinkingConfig(min_similarity=cfg.min_similarity,
+                             use_phonetic=cfg.use_phonetic),
+        embedding_threshold=cfg.link_embedding_threshold)
+    links_tbl = pa.table({
+        "entity_id": pa.array(sorted(links.keys()), pa.string()),
+        "canonical_id": pa.array([links[k] for k in sorted(links.keys())],
+                                 pa.string())})
+    # write directly (a 0-row Dataset would emit no file for the oracle)
+    import pyarrow.parquet as _pq
+    ldir = _stage_path("kg_entities_fuzzy", sf_dir, "links")
+    import shutil as _sh
+    if os.path.exists(ldir):
+        _sh.rmtree(ldir)
+    os.makedirs(ldir)
+    _pq.write_table(links_tbl, os.path.join(ldir, "links.parquet"))
+    if not links:
+        return exact
+    links_ref = ray.put(links)
+    return hash_grouped_aggregate(
+        exact.map_batches(make_remap_entities(links_ref), batch_format="pyarrow")
+             .map_batches(partial_entity_agg_from_final, batch_format="pyarrow"),
+        ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards)
 
 
 def q_kg_mentions(sf_dir: str):
@@ -372,6 +410,25 @@ def q_concept_edges(sf_dir: str):
     return concept_edges_from_lists(lists)
 
 
+def q_minhash_lsh_candidates(sf_dir: str):
+    """MinHash-LSH candidate pairs; the band rows (doc_id, band,
+    band_hash) are staged so the band→candidate derivation (equal-bucket
+    self-join + band count) is oracle-checked; the signature/band hashing
+    itself stays unit-gated (not SQL-expressible)."""
+    bands = _stage(td.minhash_signatures(sf_dir), "minhash_lsh_candidates",
+                   sf_dir)
+    return td.minhash_lsh_candidates(sf_dir, bands_ds=bands)
+
+
+def q_hybrid_search(sf_dir: str):
+    """RRF fusion of the BM25 + dense rankings; the (ranker, rank,
+    doc_id) lists are staged so the fusion arithmetic is oracle-checked."""
+    import ray.data as rd
+    rankings = _stage(rd.from_arrow(td.hybrid_rankings(sf_dir)),
+                      "hybrid_search", sf_dir)
+    return td.hybrid_search(sf_dir, rankings=rankings)
+
+
 def q_community_summaries(sf_dir: str):
     """Extractive per-community summaries (``leiden.rs:139-230``) over the
     detected communities + canonical entity metadata."""
@@ -404,15 +461,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs": lambda sf: td.cosine_dup_pairs(sf, threshold=0.35),
         "windowed_event_counts": td.windowed_event_counts,
         "temporal_edges": td.temporal_edges,
+        "temporal_snapshot": td.temporal_snapshot,
         "session_windows": td.session_windows,
         "sliding_window_counts": td.sliding_window_counts,
         "purchases_asof_click": td.purchases_asof_click,
         "shipped_within_window": td.shipped_within_window,
         "customers_with_orders": td.customers_semi_anti,
-        "hybrid_search": td.hybrid_search,
+        "hybrid_search": q_hybrid_search,
         "tfidf_topk": td.tfidf_topk,
         # near-dup family (signatures/LSH — not SQL-expressible)
-        "minhash_lsh_candidates": td.minhash_lsh_candidates,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_signatures": td.simhash_signatures,
         "ngram_dedup_pairs": td.ngram_dedup_pairs,
         "lsh_buckets": td.lsh_buckets,
@@ -708,6 +766,18 @@ def _oracle_sql_base() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY user_id, event_type
         """,
+        "temporal_snapshot": """
+            WITH te AS (
+              SELECT user_id, event_type,
+                     min(epoch_us(ts)) AS fs, max(epoch_us(ts)) AS ls
+              FROM events GROUP BY user_id, event_type),
+            r AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+                  FROM events)
+            SELECT user_id, count(*)::BIGINT AS n_active
+            FROM te CROSS JOIN r
+            WHERE fs <= mid AND ls >= mid
+            GROUP BY user_id
+        """,
         "windowed_event_counts": """
             SELECT event_type,
                    to_timestamp((epoch_us(ts) // 3600000000) * 3600)::TIMESTAMP AS window_start,
@@ -808,6 +878,50 @@ def _oracle_sql_base() -> dict[str, str]:
            .replace("{de}", _staged_sql("incremental_update", "delta_entities"))
            .replace("{bt}", _staged_sql("incremental_update", "base_triples"))
            .replace("{dt}", _staged_sql("incremental_update", "delta_triples")),
+        "kg_entities_fuzzy": """
+            WITH e AS (SELECT * FROM {ents}),
+            l AS (SELECT * FROM {links}),
+            m AS (SELECT coalesce(l.canonical_id, e.entity_id) AS entity_id,
+                         e.name, e.type, e.conf, e.mention_count
+                  FROM e LEFT JOIN l ON e.entity_id = l.entity_id),
+            pn AS (SELECT entity_id, name, type, max(conf) AS conf,
+                          sum(mention_count) AS mc
+                   FROM m GROUP BY entity_id, name, type),
+            canon AS (SELECT entity_id, name,
+                             row_number() OVER (PARTITION BY entity_id
+                               ORDER BY mc DESC, length(name) DESC, name DESC) AS rn
+                      FROM pn),
+            typ AS (SELECT entity_id, type,
+                           row_number() OVER (PARTITION BY entity_id
+                             ORDER BY name ASC, type ASC) AS trn
+                    FROM pn),
+            tot AS (SELECT entity_id, max(conf) AS conf,
+                           sum(mc)::BIGINT AS mention_count
+                    FROM pn GROUP BY entity_id)
+            SELECT t.entity_id, c.name, ty.type, t.conf, t.mention_count
+            FROM tot t
+            JOIN canon c ON t.entity_id = c.entity_id AND c.rn = 1
+            JOIN typ ty ON t.entity_id = ty.entity_id AND ty.trn = 1
+        """.replace("{ents}", _staged_sql("kg_entities_fuzzy", "exact_entities"))
+           .replace("{links}", _staged_sql("kg_entities_fuzzy", "links")),
+        "minhash_lsh_candidates": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*)::BIGINT AS n_bands
+            FROM {t} a JOIN {t} b
+              ON a.band = b.band AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        """.replace("{t}", _staged_sql("minhash_lsh_candidates")),
+        "hybrid_search": """
+            WITH s AS (
+              SELECT doc_id, sum(1.0 / (60 + rank)) AS score
+              FROM {t} GROUP BY doc_id),
+            r AS (
+              SELECT doc_id, round(score, 8) AS rrf_score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+              FROM s)
+            SELECT rank, doc_id, rrf_score FROM r WHERE rank <= 10
+        """.replace("{t}", _staged_sql("hybrid_search")),
         "k_hop": """
             WITH RECURSIVE und AS (
               SELECT subj AS src, obj AS dst FROM {t}

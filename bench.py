@@ -103,6 +103,7 @@ def run_bench() -> dict:
                   "queries": timings, "sf": sf_name, "num_cpus": num_cpus,
                   "triples": int(n_triples),
                   "triples_per_sec": round(n_triples / headline, 1) if headline else None}
+        _embed_scaling(result)
         ray.shutdown()
         return result
 
@@ -143,8 +144,22 @@ def run_bench() -> dict:
         "triples": int(n_triples),
         "triples_per_sec": round(n_triples / headline, 1) if headline > 0 else None,
     }
+    _embed_scaling(result)
     ray.shutdown()
     return result
+
+
+def _embed_scaling(result: dict) -> None:
+    """Embed the latest --scaling result (SCALING.json, written by
+    run_scaling) so the driver's BENCH_r{N}.json carries the raw +
+    normalized efficiency and the hw-ceiling calibration self-contained."""
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+    if os.path.exists(scaling_path):
+        try:
+            result["scaling"] = json.load(open(scaling_path))
+        except Exception:  # noqa: BLE001 — stale/partial file: omit
+            pass
 
 
 def _hw_calibration(n: int) -> float:
@@ -218,6 +233,10 @@ def run_scaling() -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        out = run_scaling()
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALING.json"), "w") as f:
+            json.dump(out, f)
+        print(json.dumps(out))
     else:
         print(json.dumps(run_bench()))

@@ -81,7 +81,8 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
-def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
+def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, shingle_k: int = 3,
+                           bands_ds=None):
     """Candidate near-dup pairs (shingle→minhash→band→bucket groupby).
 
     Two-phase to dodge per-group Python overhead: (1) a native vectorized
@@ -89,12 +90,17 @@ def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
     set) are kept, broadcast, and (2) the band rows filtered to those
     buckets go through the pair-emitting map_groups.  On mostly-unique
     corpora this reduces the Python-group count from |docs|×bands to
-    ~|duplicates|."""
+    ~|duplicates|.
+
+    ``bands_ds`` (optional) supplies pre-computed band rows — the query
+    layer stages them to Parquet so the band→candidate derivation is
+    DuckDB-oracle-checked (the signature math itself is unit-gated)."""
     import pandas as pd
     import ray
     from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
 
-    bands = minhash_signatures(sf_dir, num_perm, shingle_k).materialize()
+    bands = (bands_ds if bands_ds is not None
+             else minhash_signatures(sf_dir, num_perm, shingle_k)).materialize()
     counts = hash_grouped_aggregate(
         bands, ["band", "band_hash"],
         grouped_arrow_agg(["band", "band_hash"], [("doc_id", "count")],
@@ -762,18 +768,18 @@ def rrf_fuse(rankings: list[list], k: int = 60) -> list[tuple]:
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
 
 
-def hybrid_search(sf_dir: str, query: str = "fast hash join", top_k: int = 10):
-    """Hybrid retrieval (bonus beyond the indexing scope): BM25 ranking +
-    deterministic hash-embedding cosine ranking, fused with RRF k=60.
-    Both rankers run distributed; fusion happens on the tiny top lists."""
+def hybrid_rankings(sf_dir: str, query: str = "fast hash join",
+                    depth: int = 50) -> pa.Table:
+    """The two ranker outputs as (ranker, rank, doc_id) rows — BM25 and
+    the deterministic hash-embedding cosine ranking, top-``depth`` each.
+    Both rankers run distributed; only the tiny top lists materialize."""
     import ray
-    import ray.data as rd
     import numpy as np
     from ..functions.embedding import HashEmbedder
 
     bm25 = bm25_scores(sf_dir, query=query).to_pandas()
     bm25_rank = (bm25.sort_values(["score", "doc_id"], ascending=[False, True])
-                 ["doc_id"].head(50).tolist())
+                 ["doc_id"].head(depth).tolist())
 
     embedder = HashEmbedder(dim=64)
     qv = embedder.embed(query)
@@ -789,9 +795,29 @@ def hybrid_search(sf_dir: str, query: str = "fast hash join", top_k: int = 10):
 
     vec = _docs(sf_dir).map_batches(cos, batch_format="pyarrow").to_pandas()
     vec_rank = (vec.sort_values(["score", "doc_id"], ascending=[False, True])
-                ["doc_id"].head(50).tolist())
+                ["doc_id"].head(depth).tolist())
 
-    fused = rrf_fuse([bm25_rank, vec_rank])[:top_k]
+    rows = [("bm25", r, d) for r, d in enumerate(bm25_rank, 1)] + \
+           [("dense", r, d) for r, d in enumerate(vec_rank, 1)]
+    return pa.table({
+        "ranker": pa.array([x[0] for x in rows], pa.string()),
+        "rank": pa.array([x[1] for x in rows], pa.int64()),
+        "doc_id": pa.array([x[2] for x in rows], pa.int64()),
+    })
+
+
+def hybrid_search(sf_dir: str, query: str = "fast hash join", top_k: int = 10,
+                  rankings=None):
+    """Hybrid retrieval (bonus beyond the indexing scope): BM25 + dense
+    rankings fused with RRF k=60.  ``rankings`` (optional) supplies the
+    (ranker, rank, doc_id) rows — the query layer stages them so the
+    fusion arithmetic is DuckDB-oracle-checked."""
+    if rankings is None:
+        rankings = hybrid_rankings(sf_dir, query)
+    df = rankings.to_pandas()        # pa.Table and rd.Dataset both support it
+    lists = [df[df["ranker"] == r].sort_values("rank")["doc_id"].tolist()
+             for r in sorted(df["ranker"].unique())]
+    fused = rrf_fuse(lists)[:top_k]
     return pa.table({
         "rank": pa.array(range(1, len(fused) + 1), pa.int64()),
         "doc_id": pa.array([d for d, _ in fused], pa.int64()),
@@ -817,6 +843,42 @@ def temporal_edges(sf_dir: str):
                           [("ts", "min"), ("ts", "max"), ("ts", "count")],
                           rename=["user_id", "event_type", "first_seen",
                                   "last_seen", "n_events"]))
+
+
+def temporal_snapshot(sf_dir: str):
+    """Temporal-graph snapshot at the corpus-midpoint timestamp
+    (``graph/temporal.rs:174-186`` ``snapshot_at``: an edge is active when
+    its validity interval [first_seen, last_seen] contains t;
+    ``Snapshot::node_degree`` ``:101-107``).  Edge intervals come from the
+    event stream (one edge per (user, event_type), as in
+    ``temporal_edges``); output = per-node active-edge degree at t."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+    rng = ds.aggregate(Min("ts", alias_name="lo"), Max("ts", alias_name="hi"))
+    lo = pa.scalar(rng["lo"]).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+    hi = pa.scalar(rng["hi"]).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+    mid = (lo + hi) // 2
+
+    intervals = hash_grouped_aggregate(
+        ds, ["user_id", "event_type"],
+        grouped_arrow_agg(["user_id", "event_type"],
+                          [("ts", "min"), ("ts", "max")],
+                          rename=["user_id", "event_type", "fs", "ls"]))
+
+    def active(t: pa.Table) -> pa.Table:
+        fs = pc.cast(t.column("fs"), pa.int64())
+        ls = pc.cast(t.column("ls"), pa.int64())
+        mask = pc.and_(pc.less_equal(fs, mid), pc.greater_equal(ls, mid))
+        return t.filter(mask).select(["user_id", "event_type"])
+
+    return hash_grouped_aggregate(
+        intervals.map_batches(active, batch_format="pyarrow"), ["user_id"],
+        grouped_arrow_agg(["user_id"], [("event_type", "count")],
+                          rename=["user_id", "n_active"]))
 
 
 def session_windows(sf_dir: str, gap_minutes: int = 30):

@@ -60,6 +60,12 @@ SQL_CHECKED = [
     "cosine_dup_pairs_bucketed",
     # graph ops over staged triples
     "k_hop", "degree_stats",
+    # staged band rows / ranking lists
+    "minhash_lsh_candidates", "hybrid_search",
+    # temporal validity-interval snapshot (plain view oracle)
+    "temporal_snapshot",
+    # fuzzy remap+merge over staged exact entities + links
+    "kg_entities_fuzzy",
 ]
 
 
@@ -88,14 +94,14 @@ def test_query_matches_oracle(ray_session, name):
                 f"{name}.{c}: value mismatch"
 
 
-ROWS_ONLY = ["kg_entities_fuzzy", "kg_mentions",
-             "kg_chunks", "kg_extract_text", "minhash_lsh_candidates",
+ROWS_ONLY = ["kg_mentions",
+             "kg_chunks", "kg_extract_text",
              "simhash_signatures", "ngram_dedup_pairs", "lsh_buckets",
              "concept_mentions",
              "enriched_chunks", "multimodal_features",
              "pagerank", "chunk_embeddings",
              "ner_mentions", "semantic_chunks", "gleaning_triples",
-             "hybrid_search", "communities", "community_summaries"]
+             "communities", "community_summaries"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
