@@ -478,6 +478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-exact at these settings (recall ≈ 1 - 1.5e-10)
         "cosine_dup_pairs_bucketed": lambda sf: td.cosine_dup_pairs_bucketed(
             sf, threshold=0.35, band_bits=2, n_bands=48),
+        # IVF ANN (approximate by design → rows-only; recall gated in tests)
+        "ivf_topk": td.ivf_topk,
         # LazyGraphRAG concept-graph path + enrichment (rows-only)
         "concept_mentions": q_concept_mentions,
         "concept_table": q_concept_table,

@@ -298,6 +298,86 @@ def cosine_dup_pairs_bucketed(sf_dir: str, threshold: float = 0.8,
         batch_format="pyarrow")
 
 
+def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+             n_centroids: int = 32, nprobe: int = 8, seed: int = 11,
+             sample_size: int = 512, kmeans_iters: int = 8):
+    """IVF approximate nearest neighbour — the index-structured scale path
+    for similarity search (complements the LSH candidate path): spherical
+    k-means centroids trained on a deterministic sample (driver-side, the
+    sample is tiny), every vector assigned to its nearest centroid
+    (vectorized map = the inverted lists), queries probe only the
+    ``nprobe`` nearest lists.  Same output schema as ``knn_bruteforce``
+    (query_id, vec_id, rank); recall vs the exact op is gated by
+    ``test_ivf_recall``.  At scale the assignment is a stateless map and
+    each probe touches nprobe/n_centroids of the corpus."""
+    import ray
+    import ray.data as rd
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+
+    # --- train centroids on a deterministic sample (driver; small) ------
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    order = pc.sort_indices(head.column("vec_id"))
+    sample = np.array(pc.take(head.column("embedding"),
+                              order[:sample_size]).to_pylist(), dtype=np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n_centroids = min(n_centroids, len(sample))
+    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(kmeans_iters):                    # spherical k-means
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(n_centroids):
+            m = sample[assign == c]
+            if len(m):
+                v = m.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    qids = pc.take(head.column("vec_id"), order[:n_queries]).to_pylist()
+    qmat = np.array(pc.take(head.column("embedding"),
+                            order[:n_queries]).to_pylist(), dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]   # (nq, nprobe)
+    ref = ray.put((qids, qmat, cent, probe))
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def probe_score(batch: pa.Table) -> pa.Table:
+        ids_, qm, ce, pr = ray.get(ref)
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        cid = np.argmax(vecs @ ce.T, axis=1)         # inverted-list id
+        vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        sims = vecs @ qm.T                           # (n, nq)
+        for qi, qid in enumerate(ids_):
+            mask = np.isin(cid, pr[qi])              # probed lists only
+            if not mask.any():
+                continue
+            col = sims[mask, qi]
+            sub_vid = vid[mask]
+            top = np.argsort(-col)[:k]               # per-batch partial
+            out_q.extend([qid] * len(top))
+            out_v.extend(sub_vid[top].tolist())
+            out_s.extend(col[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    partial = ds.map_batches(probe_score, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        return pa.table({
+            "query_id": pa.array(g["query_id"].tolist(), pa.int64()),
+            "vec_id": pa.array(g["vec_id"].tolist(), pa.int64()),
+            "rank": pa.array(range(1, len(g) + 1), pa.int64()),
+        })
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 def lsh_buckets(sf_dir: str, n_planes: int = 12, seed: int = 7):
     """Random-hyperplane LSH bucket id per vector — the IVF/LSH scale path
     for ANN (bucket co-membership ⇒ candidate)."""

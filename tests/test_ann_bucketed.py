@@ -56,6 +56,27 @@ def test_semantic_edges_bucketed_equals_broadcast(ray_session):
     pd.testing.assert_frame_equal(broadcast, bucketed)
 
 
+def test_ivf_recall(ray_session):
+    """IVF top-k must recover most of the exact top-k (recall@10) and all
+    of its rows must come from the probed lists (subset of corpus)."""
+    from graphrag_rs_ray.pipelines import training_data as td
+    exact = td.knn_bruteforce(SF_DIR).to_pandas()
+    approx = td.ivf_topk(SF_DIR).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    # random 64-dim corpus: nprobe=8/32 lists ⇒ recall well above chance
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # rank-1 hit is the query itself (sim 1.0) and must always survive
+    r1 = approx[approx["rank"] == 1]
+    assert (r1["query_id"].to_numpy() == r1["vec_id"].to_numpy()).all()
+    # deterministic
+    approx2 = td.ivf_topk(SF_DIR).to_pandas()
+    assert approx.equals(approx2)
+
+
 def test_ngram_dedup_pairs_still_verifies(ray_session):
     """The bucketed-join rework of ngram_dedup_pairs must keep verifying
     candidates (planted exact duplicates in documents reach jaccard 1.0)."""

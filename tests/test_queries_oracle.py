@@ -101,7 +101,7 @@ ROWS_ONLY = ["kg_mentions",
              "enriched_chunks", "multimodal_features",
              "pagerank", "chunk_embeddings",
              "ner_mentions", "semantic_chunks", "gleaning_triples",
-             "communities", "community_summaries"]
+             "communities", "community_summaries", "ivf_topk"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
