@@ -329,8 +329,33 @@ def q_incremental_update(sf_dir: str):
 
 
 def q_pagerank(sf_dir: str):
-    from graphrag_rs_ray.pipelines.graph_ops import pagerank
-    return pagerank(q_kg_triples(sf_dir))
+    """Dataset-native PageRank (``pagerank.rs:17-52,184-223`` semantics:
+    new = (1-d)/n + Σ d·score/out_deg, no dangling redistribution) over the
+    staged triple table, run for a FIXED 8 iterations (tolerance=0) so the
+    DuckDB oracle — 8 programmatically generated join+aggregate steps —
+    computes the identical recurrence.  Scores rounded to 8 decimals on
+    both sides (sum order differs between engines; accumulated FP error
+    ≲1e-14 is absorbed by the rounding)."""
+    from graphrag_rs_ray.pipelines.graph_ops import pagerank_dataset
+    edges = _staged_triples("pagerank", sf_dir).map_batches(
+        lambda t: t.select(["subj", "obj"]), batch_format="pyarrow")
+    return pagerank_dataset(edges, damping=0.85, max_iter=8, tolerance=0.0,
+                            num_buckets=16, round_digits=8)
+
+
+def q_connected_components(sf_dir: str):
+    """Undirected connected components via hash-to-min label propagation
+    (component = lexicographically-smallest reachable node,
+    ``pipelines/communities.py``); oracle = DuckDB recursive-CTE
+    reachability closure + min(label)."""
+    from graphrag_rs_ray.pipelines.communities import connected_components
+    triples = _staged_triples("connected_components", sf_dir)
+    def und(t):
+        import pyarrow.compute as pc
+        keep = t.filter(pc.invert(pc.equal(t.column("subj"), t.column("obj"))))
+        return pa.table({"a": keep.column("subj"), "b": keep.column("obj")})
+    return connected_components(
+        triples.map_batches(und, batch_format="pyarrow"), num_buckets=16)
 
 
 def _staged_triples(query: str, sf_dir: str):
@@ -361,6 +386,64 @@ def q_degree_stats(sf_dir: str):
     """Per-node degree + centrality table (``graph/analytics.rs``)."""
     from graphrag_rs_ray.pipelines.graph_ops import degree_stats
     return degree_stats(_staged_triples("degree_stats", sf_dir))
+
+
+def q_doc_tree(sf_dir: str):
+    """RAPTOR-style per-document summary-tree STRUCTURE
+    (``summarization/mod.rs:642-682``): leaf ids, ``level_{L}_{k}`` inner
+    nodes, merge_size-5 grouping, parent links, per-node child/leaf
+    counts.  The leaf (chunk) ids are staged; DuckDB re-derives the whole
+    tree shape arithmetically (levels L=1..9 cover 5^9 chunks per doc —
+    far beyond any document).  Summaries are procedural → the companion
+    ``doc_tree_summaries`` query carries them (rows-only)."""
+    from graphrag_rs_ray.pipelines.doctree import build_document_trees
+    # chunk_size 120 → ~10-20 chunks/doc so the trees are genuinely
+    # multi-level (default 1000 gives 1 chunk per synthetic page)
+    chunks = pages_to_chunks(_kg_pages(sf_dir),
+                             KGConfig(chunk_size=120, chunk_overlap=0,
+                                      min_chunk_size=20))
+    _stage(chunks.map_batches(lambda t: t.select(["chunk_id", "doc_id"]),
+                              batch_format="pyarrow"), "doc_tree", sf_dir)
+    return build_document_trees(chunks, with_summary=False)
+
+
+def q_doc_tree_summaries(sf_dir: str):
+    """Full document trees incl. extractive summaries
+    (``summarization/mod.rs:759-793`` family via ``keywords.summarize``)."""
+    from graphrag_rs_ray.pipelines.doctree import build_document_trees
+    chunks = pages_to_chunks(_kg_pages(sf_dir), KGConfig())
+    return build_document_trees(chunks, with_summary=True)
+
+
+def q_consistency_report(sf_dir: str):
+    """ConsistencyReport (``graph/incremental.rs:439-452,2496-2539``) over
+    a deterministically-corrupted copy of the KG: every 5th entity row
+    (by name-hash) dropped → broken relationships + orphan candidates;
+    every 3rd embedding nulled → missing embeddings.  The corrupted
+    entities + triples are staged; DuckDB recomputes all counts."""
+    import hashlib
+    from graphrag_rs_ray.state.transactions import consistency_report
+    cfg = KGConfig()
+    res = build_kg(_kg_pages(sf_dir), cfg)
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        names = t.column("name").to_pylist()
+        h = [int(hashlib.md5(n.encode()).hexdigest()[:8], 16) for n in names]
+        keep = pa.array([x % 5 != 0 for x in h])
+        kept = t.filter(keep)
+        kh = [x for x in h if x % 5 != 0]
+        emb = [None if x % 3 == 0
+               else [float((x >> i) & 1) for i in range(8)] for x in kh]
+        return kept.append_column(
+            "embedding", pa.array(emb, pa.list_(pa.float64())))
+
+    ents = _stage(res.entities.map_batches(corrupt, batch_format="pyarrow"),
+                  "consistency_report", sf_dir)
+    tris = _stage(res.triples.map_batches(
+        lambda t: t.select(["subj", "pred", "obj"]), batch_format="pyarrow"),
+        "consistency_report", sf_dir, sub="triples")
+    import ray.data as rd
+    return rd.from_arrow(consistency_report(ents, tris))
 
 
 def q_communities(sf_dir: str):
@@ -420,6 +503,58 @@ def q_minhash_lsh_candidates(sf_dir: str):
     return td.minhash_lsh_candidates(sf_dir, bands_ds=bands)
 
 
+def q_lsh_buckets(sf_dir: str):
+    """Hyperplane-LSH bucket ids; the plane matrix is staged so DuckDB
+    re-derives sign(list_dot_product)→bit-packing from the same planes."""
+    import ray.data as rd
+    import pyarrow.parquet as _pq
+    emb0 = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["embedding"])[:1]
+    d = len(emb0.column("embedding")[0])
+    planes = td.lsh_planes(d)
+    ptbl = pa.table({
+        "plane_idx": pa.array(range(len(planes)), pa.int64()),
+        "plane": pa.array([p.tolist() for p in planes],
+                          pa.list_(pa.float64()))})
+    _stage(rd.from_arrow(ptbl), "lsh_buckets", sf_dir)
+    return td.lsh_buckets(sf_dir)
+
+
+def q_ngram_dedup_pairs(sf_dir: str):
+    """n-gram Jaccard verify of the LSH candidates; the candidate pairs
+    are staged and DuckDB independently re-computes the character-trigram
+    Jaccard from the documents table."""
+    cand = _stage(td.minhash_lsh_candidates(sf_dir).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"),
+        "ngram_dedup_pairs", sf_dir)
+    return td.ngram_dedup_pairs(sf_dir, cand_ds=cand)
+
+
+def q_simhash_signatures(sf_dir: str):
+    """SimHash signatures; the per-word 64-bit hashes (blake2b — not
+    available in SQL) are staged as a vocab table and DuckDB re-derives
+    tokenize → per-bit vote → signature packing."""
+    _stage(td.simhash_vocab(sf_dir), "simhash_signatures", sf_dir)
+    return td.simhash_signatures(sf_dir)
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF ANN top-k; the inverted-list assignments and per-query probe
+    lists are staged, and DuckDB re-derives the exact within-probed-lists
+    cosine top-k (the scan+rank half of the operator; centroid training
+    stays unit-gated)."""
+    import ray.data as rd
+    qids, qmat, cent, probe = td.ivf_index(sf_dir)
+    _stage(td.ivf_assignments(sf_dir, cent), "ivf_topk", sf_dir)
+    prows = pa.table({
+        "query_id": pa.array([q for i, q in enumerate(qids)
+                              for _ in probe[i]], pa.int64()),
+        "cluster": pa.array([int(c) for i in range(len(qids))
+                             for c in probe[i]], pa.int64())})
+    _stage(rd.from_arrow(prows), "ivf_topk", sf_dir, sub="probe")
+    return td.ivf_topk(sf_dir)
+
+
 def q_hybrid_search(sf_dir: str):
     """RRF fusion of the BM25 + dense rankings; the (ranker, rank,
     doc_id) lists are staged so the fusion arithmetic is oracle-checked."""
@@ -469,17 +604,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": td.customers_semi_anti,
         "hybrid_search": q_hybrid_search,
         "tfidf_topk": td.tfidf_topk,
-        # near-dup family (signatures/LSH — not SQL-expressible)
+        # near-dup family (staged-input oracles: band rows / vocab hashes /
+        # candidate pairs / plane matrix; the raw hashing stays unit-gated)
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
-        "simhash_signatures": td.simhash_signatures,
-        "ngram_dedup_pairs": td.ngram_dedup_pairs,
-        "lsh_buckets": td.lsh_buckets,
+        "simhash_signatures": q_simhash_signatures,
+        "ngram_dedup_pairs": q_ngram_dedup_pairs,
+        "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
         # oracle-exact at these settings (recall ≈ 1 - 1.5e-10)
         "cosine_dup_pairs_bucketed": lambda sf: td.cosine_dup_pairs_bucketed(
             sf, threshold=0.35, band_bits=2, n_bands=48),
-        # IVF ANN (approximate by design → rows-only; recall gated in tests)
-        "ivf_topk": td.ivf_topk,
+        # IVF ANN (approximate vs exact knn by design, recall gated in
+        # tests; the within-probed-lists scan+rank is oracle-exact)
+        "ivf_topk": q_ivf_topk,
         # LazyGraphRAG concept-graph path + enrichment (rows-only)
         "concept_mentions": q_concept_mentions,
         "concept_table": q_concept_table,
@@ -496,6 +633,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph ops over staged triples (oracle-checked) + communities
         "k_hop": q_k_hop,
         "degree_stats": q_degree_stats,
+        "connected_components": q_connected_components,
+        "consistency_report": q_consistency_report,
+        "doc_tree": q_doc_tree,
+        "doc_tree_summaries": q_doc_tree_summaries,
         "communities": q_communities,
         "community_summaries": q_community_summaries,
         "chunk_embeddings": q_chunk_embeddings,
@@ -529,7 +670,40 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d["bm25_topk"] = ("SELECT * FROM (" + d["bm25_scores"] +
                       ") ORDER BY score DESC, doc_id ASC LIMIT 10")
+    d["pagerank"] = _pagerank_sql(n_iter=8, damping=0.85, round_digits=8)
     return d
+
+
+def _pagerank_sql(n_iter: int, damping: float, round_digits: int) -> str:
+    """Fixed-iteration PageRank as programmatically generated SQL: one
+    join+aggregate CTE per power iteration, mirroring
+    ``graph_ops.pagerank_dataset``'s recurrence exactly (same f64 op
+    order per term; summation order differs → both sides round)."""
+    e = _staged_sql("pagerank")
+    parts = [
+        f"WITH e AS (SELECT subj, obj FROM {e}),",
+        "deg AS (SELECT subj AS node, count(*)::DOUBLE AS out_deg"
+        " FROM e GROUP BY subj),",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT subj AS node FROM e UNION ALL SELECT obj FROM e)),",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),",
+        "s0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS score FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+        s{i} AS (
+          SELECT nd.node,
+                 (1.0 - {damping}) * (1.0 / (SELECT n FROM nn))
+                   + coalesce(c.csum, 0.0) AS score
+          FROM nodes nd LEFT JOIN (
+            SELECT e.obj AS node,
+                   sum(({damping} * s.score) / greatest(d.out_deg, 1.0)) AS csum
+            FROM e JOIN s{i - 1} s ON e.subj = s.node
+                   JOIN deg d ON e.subj = d.node
+            GROUP BY e.obj) c ON nd.node = c.node)""")
+    parts.append(
+        f"\nSELECT node, round(score, {round_digits}) AS score FROM s{n_iter}")
+    return "\n".join(parts)
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -937,6 +1111,167 @@ def _oracle_sql_base() -> dict[str, str]:
               JOIN und u ON u.src = w.node WHERE w.hop < 3)
             SELECT node, min(hop)::BIGINT AS hop FROM walk GROUP BY node
         """.replace("{t}", _staged_sql("k_hop")),
+        "doc_tree": """
+            WITH leaves AS (
+              SELECT doc_id, chunk_id,
+                     regexp_extract(chunk_id, '_(\\d+)$', 1)::BIGINT AS pos
+              FROM {s}),
+            docs AS (SELECT doc_id, count(*) AS n FROM leaves GROUP BY doc_id),
+            leaf_rows AS (
+              SELECT l.doc_id, 'leaf_' || l.chunk_id AS node_id,
+                     0::BIGINT AS level,
+                     CASE WHEN d.n > 1
+                          THEN 'level_1_' || (l.pos // 5)
+                          ELSE NULL END AS parent_id,
+                     0::BIGINT AS n_children, 1::BIGINT AS n_leaves
+              FROM leaves l JOIN docs d USING (doc_id)),
+            lv AS (SELECT unnest(range(1, 10)) AS L),
+            ks AS (SELECT unnest(range(0, greatest(
+                     (SELECT max(n)::BIGINT FROM docs), 1))) AS k),
+            lk AS (
+              SELECT d.doc_id, d.n, l.L, k.k,
+                     power(5, l.L)::BIGINT AS p,
+                     power(5, l.L - 1)::BIGINT AS pp
+              FROM docs d CROSS JOIN lv l CROSS JOIN ks k),
+            inner_rows AS (
+              SELECT doc_id, 'level_' || L || '_' || k AS node_id,
+                     L::BIGINT AS level,
+                     CASE WHEN ((n + p - 1) // p) > 1
+                          THEN 'level_' || (L + 1) || '_' || (k // 5)
+                          ELSE NULL END AS parent_id,
+                     least(5, ((n + pp - 1) // pp) - 5 * k)::BIGINT AS n_children,
+                     least(p, n - p * k)::BIGINT AS n_leaves
+              FROM lk
+              WHERE ((n + pp - 1) // pp) > 1
+                AND k < ((n + p - 1) // p))
+            SELECT * FROM leaf_rows UNION ALL SELECT * FROM inner_rows
+        """.replace("{s}", _staged_sql("doc_tree")),
+        "consistency_report": """
+            WITH e AS (SELECT * FROM {e}),
+            t AS (SELECT * FROM {t}),
+            ep AS (SELECT subj AS name FROM t UNION SELECT obj FROM t)
+            SELECT (SELECT count(*) FROM e)::BIGINT AS n_entities,
+                   (SELECT count(*) FROM t)::BIGINT AS n_triples,
+                   (SELECT count(*) FROM e
+                    WHERE name NOT IN (SELECT name FROM ep))::BIGINT AS n_orphaned,
+                   (SELECT count(*) FROM t
+                    WHERE subj NOT IN (SELECT name FROM e)
+                       OR obj NOT IN (SELECT name FROM e))::BIGINT AS n_broken,
+                   (SELECT count(*) FROM e
+                    WHERE embedding IS NULL)::BIGINT AS n_missing_embeddings,
+                   ((SELECT count(*) FROM e WHERE name NOT IN (SELECT name FROM ep))
+                    + (SELECT count(*) FROM t WHERE subj NOT IN (SELECT name FROM e)
+                                                 OR obj NOT IN (SELECT name FROM e))
+                    + (SELECT count(*) FROM e WHERE embedding IS NULL)
+                   )::BIGINT AS issues_found,
+                   CASE WHEN ((SELECT count(*) FROM e WHERE name NOT IN (SELECT name FROM ep))
+                    + (SELECT count(*) FROM t WHERE subj NOT IN (SELECT name FROM e)
+                                                 OR obj NOT IN (SELECT name FROM e))
+                    + (SELECT count(*) FROM e WHERE embedding IS NULL)) = 0
+                        THEN 1 ELSE 0 END::BIGINT AS is_consistent
+        """.replace("{e}", _staged_sql("consistency_report"))
+          .replace("{t}", _staged_sql("consistency_report", "triples")),
+        "lsh_buckets": """
+            SELECT e.vec_id,
+                   sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
+                            THEN (1::BIGINT << p.plane_idx::INT)
+                            ELSE 0 END)::BIGINT AS bucket
+            FROM embeddings e CROSS JOIN {p} p
+            GROUP BY e.vec_id
+        """.replace("{p}", _staged_sql("lsh_buckets")),
+        "ngram_dedup_pairs": """
+            WITH cand AS (SELECT doc_a, doc_b FROM {c}),
+            cd AS (SELECT DISTINCT doc_id FROM
+                   (SELECT doc_a AS doc_id FROM cand
+                    UNION SELECT doc_b FROM cand)),
+            docs AS (SELECT d.doc_id,
+                            lower(CASE WHEN length(trim(d.text)) = 0 THEN ''
+                                  ELSE array_to_string(
+                                    regexp_split_to_array(trim(d.text), '\\s+'), ' ')
+                                  END) AS s
+                     FROM documents d JOIN cd USING (doc_id)),
+            gs AS (SELECT unnest(range(1, 1 + greatest(
+                     (SELECT max(length(s))::INT FROM docs), 1))) AS i),
+            ngrams AS (
+              SELECT doc_id, substr(s, g.i::INT, 3) AS ng
+              FROM docs CROSS JOIN gs g
+              WHERE length(s) >= 3 AND g.i <= length(s) - 2
+              UNION
+              SELECT doc_id, s FROM docs WHERE length(s) BETWEEN 1 AND 2),
+            sizes AS (SELECT doc_id, count(*) AS nn FROM ngrams GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c JOIN ngrams na ON na.doc_id = c.doc_a
+                          JOIN ngrams nb ON nb.doc_id = c.doc_b
+                                        AND nb.ng = na.ng
+              GROUP BY c.doc_a, c.doc_b),
+            jac AS (
+              SELECT c.doc_a, c.doc_b, coalesce(i.i, 0) AS i,
+                     coalesce(sa.nn, 0) + coalesce(sb.nn, 0)
+                       - coalesce(i.i, 0) AS u
+              FROM cand c
+              LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+              LEFT JOIN sizes sa ON sa.doc_id = c.doc_a
+              LEFT JOIN sizes sb ON sb.doc_id = c.doc_b)
+            SELECT doc_a, doc_b,
+                   CASE WHEN u = 0 THEN 1.0
+                        ELSE round(i * 1.0 / u, 4) END AS jaccard
+            FROM jac
+            WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i * 1.0 / u END) >= 0.8
+        """.replace("{c}", _staged_sql("ngram_dedup_pairs")),
+        "simhash_signatures": """
+            WITH vocab AS (SELECT word, h FROM {v}),
+            words AS (
+              SELECT d.doc_id,
+                     unnest(regexp_split_to_array(lower(trim(d.text)), '\\s+')) AS w
+              FROM documents d WHERE length(trim(d.text)) > 0),
+            wh AS (SELECT words.doc_id, v.h AS h
+                   FROM words JOIN vocab v ON v.word = words.w),
+            cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM wh GROUP BY doc_id),
+            votes AS (
+              SELECT w.doc_id, b.i AS bit,
+                     2 * sum(((w.h >> b.i::INT) & 1)::BIGINT) AS pos2
+              FROM wh w CROSS JOIN generate_series(0, 63) b(i)
+              GROUP BY w.doc_id, b.i),
+            sig AS (
+              SELECT v.doc_id,
+                     sum(CASE WHEN v.pos2 - c.n > 0
+                              THEN (1::HUGEINT << v.bit::INT)
+                              ELSE 0::HUGEINT END)::UBIGINT AS simhash
+              FROM votes v JOIN cnt c USING (doc_id) GROUP BY v.doc_id)
+            SELECT d.doc_id, coalesce(s.simhash, 0)::UBIGINT AS simhash
+            FROM documents d LEFT JOIN sig s USING (doc_id)
+        """.replace("{v}", _staged_sql("simhash_signatures")),
+        "ivf_topk": """
+            WITH a AS (SELECT vec_id, cluster FROM {a}),
+            pr AS (SELECT query_id, cluster FROM {p}),
+            scored AS (
+              SELECT pr.query_id, a.vec_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS score
+              FROM pr JOIN a USING (cluster)
+                   JOIN embeddings e ON e.vec_id = a.vec_id
+                   JOIN embeddings q ON q.vec_id = pr.query_id),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 10
+        """.replace("{a}", _staged_sql("ivf_topk"))
+          .replace("{p}", _staged_sql("ivf_topk", "probe")),
+        "connected_components": """
+            WITH RECURSIVE und AS (
+              SELECT a AS src, b AS dst FROM (
+                SELECT subj AS a, obj AS b FROM {t} WHERE subj <> obj
+                UNION SELECT obj, subj FROM {t} WHERE subj <> obj)),
+            nodes AS (SELECT DISTINCT src AS node FROM und),
+            r(node, lab) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT u.dst, r.lab FROM r JOIN und u ON u.src = r.node)
+            SELECT node, min(lab) AS component FROM r GROUP BY node
+        """.replace("{t}", _staged_sql("connected_components")),
         "degree_stats": """
             WITH ep AS (
               SELECT subj AS node, 1 AS out_d, 0 AS in_d FROM {t}

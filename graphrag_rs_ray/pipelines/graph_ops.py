@@ -324,7 +324,8 @@ def pagerank(triples_ds, damping: float = 0.85, max_iter: int = 20,
 def pagerank_dataset(edges, damping: float = 0.85, max_iter: int = 20,
                      tolerance: float = 1e-6,
                      reset_probabilities: dict[str, float] | None = None,
-                     num_buckets: int = 64, work_dir: str | None = None):
+                     num_buckets: int = 64, work_dir: str | None = None,
+                     round_digits: int = 10):
     """Dataset-native PageRank: scores never leave the cluster.  ``edges``
     is a materialized (subj, obj) Dataset.  Per iteration:
 
@@ -452,7 +453,7 @@ def pagerank_dataset(edges, damping: float = 0.85, max_iter: int = 20,
     def fmt(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("node"),
                          "score": pa.array(
-                             np.round(t.column("score").to_numpy(), 10),
+                             np.round(t.column("score").to_numpy(), round_digits),
                              pa.float64())})
 
     out = scores.map_batches(fmt, batch_format="pyarrow").materialize()

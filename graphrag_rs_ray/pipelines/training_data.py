@@ -154,7 +154,38 @@ def simhash_signatures(sf_dir: str):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
-def ngram_dedup_pairs(sf_dir: str, threshold: float = 0.8, n: int = 3):
+def simhash_vocab(sf_dir: str):
+    """Distinct (word, h) rows over the corpus's lowercased whitespace
+    tokens, h = the stable 64-bit word hash SimHash votes on.  Staged for
+    the simhash oracle: blake2b is not available in SQL, so the hashes are
+    an input table and DuckDB re-derives the tokenize→vote→pack pipeline."""
+    from ..functions.dedup import _stable_hash64
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    def words(batch: pa.Table) -> pa.Table:
+        out = set()
+        for t in batch.column("text").to_pylist():
+            out.update(t.lower().split())
+        ws = sorted(out)
+        return pa.table({"word": pa.array(ws, pa.string())})
+
+    distinct = hash_grouped_aggregate(
+        _docs(sf_dir).map_batches(words, batch_format="pyarrow"),
+        ["word"], grouped_arrow_agg(["word"], [("word", "count")],
+                                    rename=["word", "n"]))
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        ws = batch.column("word").to_pylist()
+        hs = np.fromiter((_stable_hash64(w.encode()) for w in ws),
+                         dtype=np.uint64, count=len(ws))
+        return pa.table({"word": batch.column("word"),
+                         "h": pa.array(hs, pa.uint64())})
+
+    return distinct.map_batches(hashed, batch_format="pyarrow")
+
+
+def ngram_dedup_pairs(sf_dir: str, threshold: float = 0.8, n: int = 3,
+                      cand_ds=None):
     """LSH candidates verified by character n-gram Jaccard ≥ threshold.
 
     Round-2 rework (VERDICT r01 task 5): the candidate pairs are joined
@@ -164,7 +195,8 @@ def ngram_dedup_pairs(sf_dir: str, threshold: float = 0.8, n: int = 3):
     corpus, and the join ships only candidate rows + matching texts."""
     from ..stages.hashagg import bucketed_join
 
-    cand = minhash_lsh_candidates(sf_dir).map_batches(
+    cand = (cand_ds if cand_ds is not None
+            else minhash_lsh_candidates(sf_dir)).map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
 
     def docs_as(key: str):
@@ -298,26 +330,15 @@ def cosine_dup_pairs_bucketed(sf_dir: str, threshold: float = 0.8,
         batch_format="pyarrow")
 
 
-def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
-             n_centroids: int = 32, nprobe: int = 8, seed: int = 11,
-             sample_size: int = 512, kmeans_iters: int = 8):
-    """IVF approximate nearest neighbour — the index-structured scale path
-    for similarity search (complements the LSH candidate path): spherical
-    k-means centroids trained on a deterministic sample (driver-side, the
-    sample is tiny), every vector assigned to its nearest centroid
-    (vectorized map = the inverted lists), queries probe only the
-    ``nprobe`` nearest lists.  Same output schema as ``knn_bruteforce``
-    (query_id, vec_id, rank); recall vs the exact op is gated by
-    ``test_ivf_recall``.  At scale the assignment is a stateless map and
-    each probe touches nprobe/n_centroids of the corpus."""
-    import ray
-    import ray.data as rd
-    import pandas as pd
+def ivf_index(sf_dir: str, n_queries: int = 5, n_centroids: int = 32,
+              nprobe: int = 8, seed: int = 11, sample_size: int = 512,
+              kmeans_iters: int = 8):
+    """Driver-side IVF index build (deterministic): spherical k-means
+    centroids from a fixed sample + per-query probe lists.  Split out of
+    ``ivf_topk`` so the assignments/probes can be staged for the oracle."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-
-    # --- train centroids on a deterministic sample (driver; small) ------
     head = pq.read_table(path, columns=["vec_id", "embedding"])
     order = pc.sort_indices(head.column("vec_id"))
     sample = np.array(pc.take(head.column("embedding"),
@@ -339,7 +360,51 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                             order[:n_queries]).to_pylist(), dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
     probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]   # (nq, nprobe)
+    return qids, qmat, cent, probe
+
+
+def ivf_assignments(sf_dir: str, cent: np.ndarray):
+    """(vec_id, cluster) inverted-list assignment — the stateless
+    vectorized map every IVF lookup relies on."""
+    import ray
+    import ray.data as rd
+
+    cref = ray.put(cent)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ce = ray.get(cref)
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        cid = np.argmax(vecs @ ce.T, axis=1)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "cluster": pa.array(cid, pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+             n_centroids: int = 32, nprobe: int = 8, seed: int = 11,
+             sample_size: int = 512, kmeans_iters: int = 8):
+    """IVF approximate nearest neighbour — the index-structured scale path
+    for similarity search (complements the LSH candidate path): spherical
+    k-means centroids trained on a deterministic sample (driver-side, the
+    sample is tiny), every vector assigned to its nearest centroid
+    (vectorized map = the inverted lists), queries probe only the
+    ``nprobe`` nearest lists.  Same output schema as ``knn_bruteforce``
+    (query_id, vec_id, rank); recall vs the exact op is gated by
+    ``test_ivf_recall``.  At scale the assignment is a stateless map and
+    each probe touches nprobe/n_centroids of the corpus."""
+    import ray
+    import ray.data as rd
+    import pandas as pd
+
+    qids, qmat, cent, probe = ivf_index(
+        sf_dir, n_queries=n_queries, n_centroids=n_centroids, nprobe=nprobe,
+        seed=seed, sample_size=sample_size, kmeans_iters=kmeans_iters)
     ref = ray.put((qids, qmat, cent, probe))
+    path = os.path.join(sf_dir, "embeddings.parquet")
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
 
@@ -378,15 +443,19 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def lsh_planes(dim: int, n_planes: int = 12, seed: int = 7) -> np.ndarray:
+    """The fixed random-hyperplane matrix used by ``lsh_buckets`` —
+    exposed so its rows can be staged for the DuckDB oracle
+    (sign(list_dot_product) repacked in SQL)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.normal(size=(n_planes, dim))
+
+
 def lsh_buckets(sf_dir: str, n_planes: int = 12, seed: int = 7):
     """Random-hyperplane LSH bucket id per vector — the IVF/LSH scale path
     for ANN (bucket co-membership ⇒ candidate)."""
     import ray
     import ray.data as rd
-
-    def make_planes(dim):
-        rng = np.random.Generator(np.random.PCG64(seed))
-        return rng.normal(size=(n_planes, dim))
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
@@ -396,7 +465,7 @@ def lsh_buckets(sf_dir: str, n_planes: int = 12, seed: int = 7):
         vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         dim = vecs.shape[1]
         if dim not in planes_cache:
-            planes_cache[dim] = make_planes(dim)
+            planes_cache[dim] = lsh_planes(dim, n_planes, seed)
         bits = (vecs @ planes_cache[dim].T) > 0
         ids = np.packbits(bits, axis=1, bitorder="little")
         buckets = np.zeros(len(vecs), dtype=np.int64)

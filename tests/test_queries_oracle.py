@@ -66,6 +66,16 @@ SQL_CHECKED = [
     "temporal_snapshot",
     # fuzzy remap+merge over staged exact entities + links
     "kg_entities_fuzzy",
+    # fixed-iteration PageRank (generated per-iteration SQL) + CC closure
+    "pagerank", "connected_components",
+    # staged-input near-dup/ANN oracles: plane matrix → sign-packing,
+    # vocab hashes → vote/pack, candidate pairs → trigram Jaccard,
+    # inverted lists + probes → within-lists cosine top-k
+    "lsh_buckets", "simhash_signatures", "ngram_dedup_pairs", "ivf_topk",
+    # ConsistencyReport counts over staged (corrupted) entities + triples
+    "consistency_report",
+    # RAPTOR tree structure re-derived arithmetically from staged leaf ids
+    "doc_tree",
 ]
 
 
@@ -96,12 +106,11 @@ def test_query_matches_oracle(ray_session, name):
 
 ROWS_ONLY = ["kg_mentions",
              "kg_chunks", "kg_extract_text",
-             "simhash_signatures", "ngram_dedup_pairs", "lsh_buckets",
              "concept_mentions",
              "enriched_chunks", "multimodal_features",
-             "pagerank", "chunk_embeddings",
+             "chunk_embeddings",
              "ner_mentions", "semantic_chunks", "gleaning_triples",
-             "communities", "community_summaries", "ivf_topk"]
+             "communities", "community_summaries", "doc_tree_summaries"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
@@ -111,10 +120,10 @@ def test_rows_only_queries_run(ray_session, name):
     assert df is not None
     assert len(df.columns) > 0
     if name in ("kg_mentions", "kg_chunks",
-                "kg_extract_text", "simhash_signatures", "lsh_buckets",
+                "kg_extract_text",
                 "concept_mentions", "enriched_chunks",
                 "multimodal_features",
-                "pagerank", "chunk_embeddings"):
+                "chunk_embeddings"):
         assert len(df) > 0, f"{name} unexpectedly empty"
 
 
