@@ -388,6 +388,25 @@ def q_degree_stats(sf_dir: str):
     return degree_stats(_staged_triples("degree_stats", sf_dir))
 
 
+def q_triangle_counts(sf_dir: str):
+    """Per-node triangles + local clustering coefficient
+    (``analytics.rs:452-484``); oracle = DuckDB 3-way self-join over the
+    staged triples' canonical undirected edge set."""
+    from graphrag_rs_ray.pipelines.graph_ops import triangle_counts
+    return triangle_counts(_staged_triples("triangle_counts", sf_dir),
+                           num_buckets=16)
+
+
+def q_graph_statistics(sf_dir: str):
+    """One-row GraphStatistics (``incremental.rs:420-436``,
+    ``analytics.rs:436-484``): counts, avg/max degree, components,
+    density, average clustering coefficient."""
+    from graphrag_rs_ray.pipelines.graph_ops import graph_statistics_row
+    import ray.data as rd
+    return rd.from_arrow(graph_statistics_row(
+        _staged_triples("graph_statistics", sf_dir), num_buckets=16))
+
+
 def q_doc_tree(sf_dir: str):
     """RAPTOR-style per-document summary-tree STRUCTURE
     (``summarization/mod.rs:642-682``): leaf ids, ``level_{L}_{k}`` inner
@@ -637,6 +656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consistency_report": q_consistency_report,
         "doc_tree": q_doc_tree,
         "doc_tree_summaries": q_doc_tree_summaries,
+        "triangle_counts": q_triangle_counts,
+        "graph_statistics": q_graph_statistics,
         "communities": q_communities,
         "community_summaries": q_community_summaries,
         "chunk_embeddings": q_chunk_embeddings,
@@ -1111,6 +1132,70 @@ def _oracle_sql_base() -> dict[str, str]:
               JOIN und u ON u.src = w.node WHERE w.hop < 3)
             SELECT node, min(hop)::BIGINT AS hop FROM walk GROUP BY node
         """.replace("{t}", _staged_sql("k_hop")),
+        "triangle_counts": """
+            WITH und AS (SELECT DISTINCT least(subj, obj) AS a,
+                                         greatest(subj, obj) AS b
+                         FROM {t} WHERE subj <> obj),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM und e1 JOIN und e2 ON e2.a = e1.b
+                                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tn AS (SELECT node, count(*)::BIGINT AS triangles FROM (
+                     SELECT x AS node FROM tri
+                     UNION ALL SELECT y FROM tri
+                     UNION ALL SELECT z FROM tri) GROUP BY node),
+            deg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+                     SELECT a AS node FROM und
+                     UNION ALL SELECT b FROM und) GROUP BY node)
+            SELECT d.node, d.degree,
+                   coalesce(tn.triangles, 0)::BIGINT AS triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN (2.0 * coalesce(tn.triangles, 0))
+                             / (d.degree * (d.degree - 1.0))
+                        ELSE 0.0 END AS local_cc
+            FROM deg d LEFT JOIN tn USING (node)
+        """.replace("{t}", _staged_sql("triangle_counts")),
+        "graph_statistics": """
+            WITH RECURSIVE und AS (SELECT DISTINCT least(subj, obj) AS a,
+                                          greatest(subj, obj) AS b
+                           FROM {t} WHERE subj <> obj),
+            sym AS (SELECT a AS src, b AS dst FROM und
+                    UNION SELECT b, a FROM und),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            r(node, lab) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT u.dst, r.lab FROM r JOIN sym u ON u.src = r.node),
+            comps AS (SELECT node, min(lab) AS lab FROM r GROUP BY node),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM und e1 JOIN und e2 ON e2.a = e1.b
+                                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tn AS (SELECT node, count(*)::BIGINT AS triangles FROM (
+                     SELECT x AS node FROM tri
+                     UNION ALL SELECT y FROM tri
+                     UNION ALL SELECT z FROM tri) GROUP BY node),
+            deg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+                     SELECT a AS node FROM und
+                     UNION ALL SELECT b FROM und) GROUP BY node),
+            cc AS (SELECT d.node, d.degree,
+                          CASE WHEN d.degree >= 2
+                               THEN (2.0 * coalesce(tn.triangles, 0))
+                                    / (d.degree * (d.degree - 1.0))
+                               ELSE 0.0 END AS c
+                   FROM deg d LEFT JOIN tn USING (node))
+            SELECT (SELECT count(*) FROM deg)::BIGINT AS node_count,
+                   (SELECT count(*) FROM und)::BIGINT AS edge_count,
+                   (SELECT max(degree) FROM deg)::BIGINT AS max_degree,
+                   (SELECT count(DISTINCT lab) FROM comps)::BIGINT
+                     AS connected_components,
+                   round((2.0 * (SELECT count(*) FROM und))
+                         / (SELECT count(*) FROM deg), 9) AS average_degree,
+                   round((2.0 * (SELECT count(*) FROM und))
+                         / ((SELECT count(*) FROM deg)
+                            * ((SELECT count(*) FROM deg) - 1.0)), 9) AS density,
+                   round((SELECT sum(c) FROM cc WHERE degree >= 2)
+                         / (SELECT count(*) FROM cc WHERE degree >= 2), 9)
+                     AS clustering_coefficient
+        """.replace("{t}", _staged_sql("graph_statistics")),
         "doc_tree": """
             WITH leaves AS (
               SELECT doc_id, chunk_id,

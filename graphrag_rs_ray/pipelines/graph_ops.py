@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..stages.hashagg import bucketed_join, grouped_arrow_agg, hash_grouped_aggregate
 
@@ -463,6 +464,154 @@ def pagerank_dataset(edges, damping: float = 0.85, max_iter: int = 20,
 
 
 # ---- traversal ----------------------------------------------------------
+
+def canonical_und_edges(triples_ds, num_buckets: int = 64):
+    """Distinct undirected (a < b) edges from the triple table (self-loops
+    dropped) — the edge set every undirected analytic runs on."""
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, o = t.column("subj"), t.column("obj")
+        keep = pc.invert(pc.equal(s, o))
+        s, o = s.filter(keep), o.filter(keep)
+        return pa.table({"a": pc.min_element_wise(s, o),
+                         "b": pc.max_element_wise(s, o)})
+
+    return hash_grouped_aggregate(
+        triples_ds.map_batches(canon, batch_format="pyarrow"), ["a", "b"],
+        grouped_arrow_agg(["a", "b"], [("a", "count")],
+                          rename=["a", "b", "_n"]),
+        num_buckets=num_buckets).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+
+def triangle_counts(triples_ds, num_buckets: int = 64):
+    """Per-node triangle count + local clustering coefficient
+    (``graph/analytics.rs:452-484``: the reference iterates ordered
+    neighbour pairs, so its per-node `triangles` equals 2T and the
+    coefficient is 2T/(k(k-1)); reproduced exactly).
+
+    Distributed enumeration with id-ordered orientation — every triangle
+    x<y<z materialises exactly once:
+
+        1. canonical distinct edges (a<b)                      — 1 shuffle
+        2. wedges: join edges (x,y)⋈(y,z) on the middle node   — 1 shuffle
+        3. close: join wedges⋈edges on (x,z)                   — 1 shuffle
+        4. explode each triangle's 3 nodes, hash-sum per node  — 1 shuffle
+
+    Skew note: step 2 fans out quadratically on hub middles.  Ordering by
+    id already halves hub fan-out (only greater-id neighbours pair); for
+    web-scale hubs switch the orientation to degree-order (lowest-degree
+    endpoint anchors the wedge — the standard bound of O(m^1.5) wedges).
+    Output: (node, degree, triangles, local_cc); degree = distinct
+    undirected neighbours."""
+    from ..stages.hashagg import (bucketed_join, grouped_arrow_agg,
+                                  hash_grouped_aggregate)
+
+    edges = canonical_und_edges(triples_ds, num_buckets).materialize()
+
+    e1 = edges.map_batches(
+        lambda t: pa.table({"y": t.column("b"), "x": t.column("a")}),
+        batch_format="pyarrow")
+    e2 = edges.map_batches(
+        lambda t: pa.table({"y": t.column("a"), "z": t.column("b")}),
+        batch_format="pyarrow")
+    wedges = bucketed_join(e1, e2, on=["y"], num_buckets=num_buckets)
+
+    closing = edges.map_batches(
+        lambda t: pa.table({"x": t.column("a"), "z": t.column("b"),
+                            "_e": pa.array([1] * t.num_rows, pa.int8())}),
+        batch_format="pyarrow")
+    tris = bucketed_join(
+        wedges.map_batches(lambda t: t.select(["x", "y", "z"]),
+                           batch_format="pyarrow"),
+        closing, on=["x", "z"], num_buckets=num_buckets)
+
+    def explode(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t.column("x").combine_chunks(),
+             t.column("y").combine_chunks(),
+             t.column("z").combine_chunks()]),
+            "t": pa.array([1] * (3 * t.num_rows), pa.int64())})
+
+    per_node_t = hash_grouped_aggregate(
+        tris.map_batches(explode, batch_format="pyarrow"), ["node"],
+        grouped_arrow_agg(["node"], [("t", "sum")], rename=["node", "tri"]),
+        num_buckets=num_buckets)
+
+    deg = hash_grouped_aggregate(
+        edges.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays(
+                [t.column("a").combine_chunks(),
+                 t.column("b").combine_chunks()]),
+                "d": pa.array([1] * (2 * t.num_rows), pa.int64())}),
+            batch_format="pyarrow"), ["node"],
+        grouped_arrow_agg(["node"], [("d", "sum")], rename=["node", "degree"]),
+        num_buckets=num_buckets)
+
+    joined = bucketed_join(deg, per_node_t, on=["node"], how="left",
+                           num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        k = t.column("degree").to_numpy().astype(np.float64)
+        tri = np.nan_to_num(
+            t.column("tri").to_numpy(zero_copy_only=False).astype(np.float64))
+        # reference counts ordered neighbour pairs => 2T / (k(k-1))
+        cc = np.where(k >= 2.0, (2.0 * tri) / (k * (k - 1.0)), 0.0)
+        return pa.table({"node": t.column("node"),
+                         "degree": pc.cast(t.column("degree"), pa.int64()),
+                         "triangles": pa.array(tri.astype(np.int64), pa.int64()),
+                         "local_cc": pa.array(cc, pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def graph_statistics_row(triples_ds, num_buckets: int = 64):
+    """One-row GraphStatistics (``graph/incremental.rs:420-436`` +
+    ``analytics.rs:436-484``): node/edge counts, avg/max degree, number of
+    connected components, density, average clustering coefficient (mean of
+    local_cc over nodes with ≥2 neighbours).  Everything computed
+    distributed; the row itself is tiny."""
+    from .communities import connected_components
+
+    tc = triangle_counts(triples_ds, num_buckets).materialize()
+    n_nodes = tc.count()
+    edges = canonical_und_edges(triples_ds, num_buckets)
+    n_edges = edges.count()
+    max_deg = int(tc.max("degree")) if n_nodes else 0
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+    comp = connected_components(edges, num_buckets=num_buckets)
+    n_components = hash_grouped_aggregate(
+        comp.map_batches(lambda t: pa.table(
+            {"component": pc.unique(t.column("component"))}),
+            batch_format="pyarrow"),
+        ["component"],
+        grouped_arrow_agg(["component"], [("component", "count")],
+                          rename=["component", "_n"]),
+        num_buckets=num_buckets).count()
+
+    cc2 = tc.map_batches(
+        lambda t: pa.table({
+            "s": t.column("local_cc"),
+            "n2": pc.cast(pc.greater_equal(t.column("degree"), 2), pa.int64())}),
+        batch_format="pyarrow")
+    cc_sum = cc2.sum("s") or 0.0
+    cc_n = cc2.sum("n2") or 0
+    avg_cc = (cc_sum / cc_n) if cc_n else 0.0
+    avg_deg = (2.0 * n_edges) / n_nodes if n_nodes else 0.0
+    density = (2.0 * n_edges) / (n_nodes * (n_nodes - 1.0)) \
+        if n_nodes > 1 else 0.0
+
+    return pa.table({
+        "node_count": pa.array([n_nodes], pa.int64()),
+        "edge_count": pa.array([n_edges], pa.int64()),
+        "max_degree": pa.array([max_deg], pa.int64()),
+        "connected_components": pa.array([n_components], pa.int64()),
+        "average_degree": pa.array([round(avg_deg, 9)], pa.float64()),
+        "density": pa.array([round(density, 9)], pa.float64()),
+        "clustering_coefficient": pa.array([round(avg_cc, 9)], pa.float64()),
+    })
+
 
 def k_hop(triples_ds, seeds: list[str], k: int = 3, direction: str = "both",
           num_buckets: int = 64):

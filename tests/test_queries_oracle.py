@@ -76,6 +76,8 @@ SQL_CHECKED = [
     "consistency_report",
     # RAPTOR tree structure re-derived arithmetically from staged leaf ids
     "doc_tree",
+    # triangle enumeration (3-way self-join) + one-row graph statistics
+    "triangle_counts", "graph_statistics",
 ]
 
 
