@@ -388,6 +388,45 @@ def q_degree_stats(sf_dir: str):
     return degree_stats(_staged_triples("degree_stats", sf_dir))
 
 
+def q_centrality(sf_dir: str):
+    """Degree / betweenness / closeness centrality
+    (``analytics.rs:182-278``) over the 2-hop subgraph of the 3
+    lexicographically-first subjects (all-pairs centrality is quadratic —
+    the bounded subgraph is the documented usage pattern at scale).
+    Oracle: DuckDB all-pairs hop distances (recursive CTE) + the
+    d(s,v)+d(v,t)=d(s,t) decomposition test."""
+    from graphrag_rs_ray.pipelines.graph_ops import centrality_scores, k_hop
+    from graphrag_rs_ray.stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+    cfg = KGConfig()
+    tri = triples_dataset(_kg_pages(sf_dir), cfg).map_batches(
+        lambda t: t.select(["subj", "pred", "obj"]),
+        batch_format="pyarrow").materialize()
+    seeds_ds = hash_grouped_aggregate(
+        tri.map_batches(lambda t: t.select(["subj"]), batch_format="pyarrow"),
+        ["subj"], grouped_arrow_agg(["subj"], [("subj", "count")],
+                                    rename=["subj", "n"]))
+    seeds = [r["subj"] for r in seeds_ds.sort("subj").limit(3).take(3)]
+    # bounded subgraph: first 120 nodes by (hop, name) — all-pairs
+    # centrality AND its O(n³) SQL oracle stay tractable; 120 nodes also
+    # bounds the subgraph diameter ≪ the oracle's 12-hop walk cap
+    hops = sorted((r["hop"], r["node"])
+                  for r in k_hop(tri, seeds, k=2, direction="both")
+                  .take_all())[:120]
+    import ray
+    nref = ray.put(pa.array(sorted(n for _, n in hops), pa.string()))
+
+    def sub(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ns = ray.get(nref)
+        keep = pc.and_(pc.is_in(t.column("subj"), value_set=ns),
+                       pc.is_in(t.column("obj"), value_set=ns))
+        return t.filter(keep)
+
+    staged = _stage(tri.map_batches(sub, batch_format="pyarrow"),
+                    "centrality", sf_dir)
+    return centrality_scores(staged, num_buckets=16)
+
+
 def q_triangle_counts(sf_dir: str):
     """Per-node triangles + local clustering coefficient
     (``analytics.rs:452-484``); oracle = DuckDB 3-way self-join over the
@@ -658,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tree_summaries": q_doc_tree_summaries,
         "triangle_counts": q_triangle_counts,
         "graph_statistics": q_graph_statistics,
+        "centrality": q_centrality,
         "communities": q_communities,
         "community_summaries": q_community_summaries,
         "chunk_embeddings": q_chunk_embeddings,
@@ -1132,6 +1172,50 @@ def _oracle_sql_base() -> dict[str, str]:
               JOIN und u ON u.src = w.node WHERE w.hop < 3)
             SELECT node, min(hop)::BIGINT AS hop FROM walk GROUP BY node
         """.replace("{t}", _staged_sql("k_hop")),
+        "centrality": """
+            WITH RECURSIVE und AS (SELECT DISTINCT least(subj, obj) AS a,
+                                          greatest(subj, obj) AS b
+                           FROM {t} WHERE subj <> obj),
+            sym AS (SELECT a AS src, b AS dst FROM und
+                    UNION SELECT b, a FROM und),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+            walk(src, node, d) AS (
+              SELECT node, node, 0 FROM nodes
+              UNION
+              SELECT w.src, s.dst, w.d + 1
+              FROM walk w JOIN sym s ON s.src = w.node
+              WHERE w.d < 12),
+            dist AS (SELECT src, node, min(d)::BIGINT AS d
+                     FROM walk GROUP BY src, node),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS k
+                    FROM sym GROUP BY src),
+            clos AS (SELECT src AS node,
+                            count(*) - 1 AS reach,
+                            sum(d)::BIGINT AS total
+                     FROM dist GROUP BY src),
+            betw AS (SELECT v.node, count(*)::BIGINT AS cnt
+                     FROM nodes v
+                     JOIN dist d1 ON d1.node = v.node AND d1.src <> v.node
+                     JOIN dist d2 ON d2.src = v.node AND d2.node <> v.node
+                     JOIN dist d3 ON d3.src = d1.src AND d3.node = d2.node
+                     WHERE d1.src <> d2.node AND d1.d + d2.d = d3.d
+                     GROUP BY v.node)
+            SELECT nd.node,
+                   CASE WHEN nn.n > 1 THEN deg.k / (nn.n - 1.0)
+                        ELSE 0.0 END AS degree_centrality,
+                   CASE WHEN nn.n > 2
+                        THEN coalesce(betw.cnt, 0)
+                             / ((nn.n - 1.0) * (nn.n - 2.0) / 2.0)
+                        ELSE 0.0 END AS betweenness,
+                   CASE WHEN clos.reach > 0 AND clos.total > 0
+                        THEN clos.reach * 1.0 / clos.total
+                        ELSE 0.0 END AS closeness
+            FROM nodes nd CROSS JOIN nn
+            JOIN deg ON deg.node = nd.node
+            LEFT JOIN clos ON clos.node = nd.node
+            LEFT JOIN betw ON betw.node = nd.node
+        """.replace("{t}", _staged_sql("centrality")),
         "triangle_counts": """
             WITH und AS (SELECT DISTINCT least(subj, obj) AS a,
                                          greatest(subj, obj) AS b

@@ -82,6 +82,7 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return out
 
     # headline: Parquet pages table (staged once, untimed) → deduped
@@ -132,6 +133,18 @@ def run_bench() -> dict:
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())
     timed("windowed_event_counts", lambda: q["windowed_event_counts"](sf_dir).count())
+    # round-2 additions: graph analytics, Dataset-native pagerank, ANN
+    # index path, transactions-side report, RAPTOR trees
+    timed("pagerank", lambda: q["pagerank"](sf_dir).count())
+    timed("triangle_counts", lambda: q["triangle_counts"](sf_dir).count())
+    timed("connected_components",
+          lambda: q["connected_components"](sf_dir).count())
+    timed("ivf_topk", lambda: q["ivf_topk"](sf_dir).count())
+    timed("doc_tree_summaries",
+          lambda: q["doc_tree_summaries"](sf_dir).count())
+    timed("consistency_report",
+          lambda: q["consistency_report"](sf_dir).count())
+    timed("centrality", lambda: q["centrality"](sf_dir).count())
 
     headline = timings["kg_triples"]
     result = {

@@ -48,9 +48,17 @@ def _und_edges(triples_ds):
     return triples_ds.map_batches(fwd, batch_format="pyarrow")
 
 
-def connected_components(edges_ds, num_buckets: int = 64, max_rounds: int = 50):
+def connected_components(edges_ds, num_buckets: int = 64, max_rounds: int = 50,
+                         small_graph_limit: int = 2_000_000):
     """(a, b) edges → (node, component) with component = min reachable
-    node name (hash-to-min propagation until fixpoint)."""
+    node name.  Two paths, identical output (the ``semantic_edges``
+    pattern): ≤ ``small_graph_limit`` edges → driver union-find (the
+    O(diameter)-round propagation costs seconds of fixed Ray overhead
+    per round — pure waste on a small graph); larger → hash-to-min label
+    propagation until fixpoint.  ``small_graph_limit=0`` forces the
+    distributed path (used by the equality test)."""
+    if edges_ds.count() <= small_graph_limit:
+        return _connected_components_local(edges_ds)
     sym = edges_ds.map_batches(
         lambda t: pa.concat_tables([
             pa.table({"a": t.column("a"), "b": t.column("b")}),
@@ -99,6 +107,40 @@ def connected_components(edges_ds, num_buckets: int = 64, max_rounds: int = 50):
         lambda t: pa.table({"node": t.column("node"),
                             "component": t.column("label")}),
         batch_format="pyarrow")
+
+
+def _connected_components_local(edges_ds):
+    """Small-graph fast path: path-compressing union-find, component
+    label = lexicographically-smallest member (same label rule as the
+    distributed propagation)."""
+    import ray.data as rd
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for b in edges_ds.iter_batches(batch_format="pyarrow"):
+        for a, c in zip(b.column("a").to_pylist(), b.column("b").to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(c, c)
+            ra, rc = find(a), find(c)
+            if ra != rc:
+                parent[ra] = rc
+    label: dict[str, str] = {}
+    for v in parent:
+        r = find(v)
+        if r not in label or v < label[r]:
+            label[r] = v
+    nodes = sorted(parent)
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "component": pa.array([label[find(v)] for v in nodes], pa.string())}))
 
 
 def detect_communities(triples_ds, config: LeidenConfig | None = None,

@@ -239,7 +239,8 @@ def merge_triple_tables(a_ds, b_ds):
 def pagerank(triples_ds, damping: float = 0.85, max_iter: int = 20,
              tolerance: float = 1e-6,
              reset_probabilities: dict[str, float] | None = None,
-             max_driver_nodes: int = 5_000_000, num_buckets: int = 64):
+             max_driver_nodes: int = 5_000_000, num_buckets: int = 64,
+             small_graph_limit: int = 2_000_000):
     """Distributed (personalized) PageRank power iteration over the
     triple/edge table (config mirrors ``graph/pagerank.rs:17-52``:
     damping, max_iter, tolerance, personalized reset vector — scores
@@ -266,7 +267,8 @@ def pagerank(triples_ds, damping: float = 0.85, max_iter: int = 20,
     # node count ≤ 2 × edge count — cheap upper bound for mode selection
     if 2 * n_edges > max_driver_nodes:
         return pagerank_dataset(edges, damping, max_iter, tolerance,
-                                reset_probabilities, num_buckets=num_buckets)
+                                reset_probabilities, num_buckets=num_buckets,
+                                small_graph_limit=small_graph_limit)
 
     # node set + out-degrees (vectorized)
     deg_df = hash_grouped_aggregate(
@@ -322,11 +324,62 @@ def pagerank(triples_ds, damping: float = 0.85, max_iter: int = 20,
                                        pa.float64())})
 
 
+def _pagerank_local(edges, damping, max_iter, tolerance,
+                    reset_probabilities, round_digits):
+    """Small-graph fast path: the same recurrence as the sharded loop
+    (new = (1-d)·reset + Σ d·score/out_deg), vectorised with
+    ``np.add.at`` over dictionary-encoded node ids."""
+    import ray.data as rd
+
+    subj_l, obj_l = [], []
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        subj_l.extend(b.column("subj").to_pylist())
+        obj_l.extend(b.column("obj").to_pylist())
+    names = sorted(set(subj_l) | set(obj_l))
+    idx = {v: i for i, v in enumerate(names)}
+    n = len(names)
+    if n == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                       "score": pa.array([], pa.float64())}))
+    si = np.fromiter((idx[v] for v in subj_l), dtype=np.int64,
+                     count=len(subj_l))
+    oi = np.fromiter((idx[v] for v in obj_l), dtype=np.int64,
+                     count=len(obj_l))
+    out_deg = np.zeros(n, dtype=np.float64)
+    np.add.at(out_deg, si, 1.0)
+
+    if reset_probabilities:
+        known = sum(w for v, w in reset_probabilities.items() if v in idx)
+        if not known or known <= 0:
+            raise ValueError("reset_probabilities contain no known node")
+        reset = np.array([reset_probabilities.get(v, 0.0) / known
+                          for v in names], dtype=np.float64)
+        score = reset.copy()
+    else:
+        reset = np.full(n, 1.0 / n)
+        score = reset.copy()
+
+    denom = np.maximum(out_deg, 1)
+    for _ in range(max_iter):
+        contrib = damping * score / denom
+        new = (1.0 - damping) * reset
+        np.add.at(new, oi, contrib[si])
+        delta = float(np.abs(new - score).sum())
+        score = new
+        if delta < tolerance:
+            break
+
+    return rd.from_arrow(pa.table({
+        "node": pa.array(names, pa.string()),
+        "score": pa.array(np.round(score, round_digits), pa.float64())}))
+
+
 def pagerank_dataset(edges, damping: float = 0.85, max_iter: int = 20,
                      tolerance: float = 1e-6,
                      reset_probabilities: dict[str, float] | None = None,
                      num_buckets: int = 64, work_dir: str | None = None,
-                     round_digits: int = 10):
+                     round_digits: int = 10,
+                     small_graph_limit: int = 2_000_000):
     """Dataset-native PageRank: scores never leave the cluster.  ``edges``
     is a materialized (subj, obj) Dataset.  Per iteration:
 
@@ -346,7 +399,15 @@ def pagerank_dataset(edges, damping: float = 0.85, max_iter: int = 20,
     diamond-shaped per-iteration plan (measured: iteration cost doubles
     ≈ every 2 iterations; with the checkpoint it is flat ~1.8 s/iter at
     4 cpus).  The checkpoint doubles as stage-granular resume state, the
-    same pattern as the KG sink manifests."""
+    same pattern as the KG sink manifests.
+
+    Two paths, one recurrence (the ``semantic_edges`` pattern): graphs
+    with ≤ ``small_graph_limit`` edges run the identical power iteration
+    as a local numpy matvec (the per-iteration Ray overhead of 3 shuffles
+    + a Parquet checkpoint is seconds — pure waste on a graph that fits
+    in one worker's memory); larger graphs take the sharded path above.
+    Outputs agree to summation order (``test_pagerank_dataset`` pins
+    ≤1e-9); pass ``small_graph_limit=0`` to force the sharded path."""
     import shutil
     import tempfile
 
@@ -356,6 +417,11 @@ def pagerank_dataset(edges, damping: float = 0.85, max_iter: int = 20,
     from ..stages.hashagg import bucketed_join
 
     import os
+
+    n_edges = edges.count()
+    if n_edges <= small_graph_limit:
+        return _pagerank_local(edges, damping, max_iter, tolerance,
+                               reset_probabilities, round_digits)
 
     own_work_dir = work_dir is None
     if own_work_dir:
@@ -485,7 +551,45 @@ def canonical_und_edges(triples_ds, num_buckets: int = 64):
         lambda t: t.select(["a", "b"]), batch_format="pyarrow")
 
 
-def triangle_counts(triples_ds, num_buckets: int = 64):
+def _triangle_counts_local(edges):
+    """Small-graph fast path: per-node triangles = diag(A³)/2 via one
+    float32 matmul — on dense graphs (the saturated-vocabulary test KG is
+    near-complete) the wedge join materialises Θ(n³) rows while the
+    matmul is the same work without the shuffle."""
+    import ray.data as rd
+
+    a_l, b_l = [], []
+    for t in edges.iter_batches(batch_format="pyarrow"):
+        a_l.extend(t.column("a").to_pylist())
+        b_l.extend(t.column("b").to_pylist())
+    names = sorted(set(a_l) | set(b_l))
+    idx = {v: i for i, v in enumerate(names)}
+    n = len(names)
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "degree": pa.array([], pa.int64()),
+            "triangles": pa.array([], pa.int64()),
+            "local_cc": pa.array([], pa.float64())}))
+    A = np.zeros((n, n), dtype=np.float32)
+    ai = np.fromiter((idx[v] for v in a_l), dtype=np.int64, count=len(a_l))
+    bi = np.fromiter((idx[v] for v in b_l), dtype=np.int64, count=len(b_l))
+    A[ai, bi] = 1.0
+    A[bi, ai] = 1.0
+    deg = A.sum(axis=1).astype(np.int64)
+    tri = (((A @ A) * A).sum(axis=1) / 2.0).astype(np.int64)
+    k = deg.astype(np.float64)
+    cc = np.where(k >= 2.0, (2.0 * tri.astype(np.float64)) / (k * (k - 1.0)),
+                  0.0)
+    return rd.from_arrow(pa.table({
+        "node": pa.array(names, pa.string()),
+        "degree": pa.array(deg, pa.int64()),
+        "triangles": pa.array(tri, pa.int64()),
+        "local_cc": pa.array(cc, pa.float64())}))
+
+
+def triangle_counts(triples_ds, num_buckets: int = 64,
+                    small_graph_limit: int = 8_000):
     """Per-node triangle count + local clustering coefficient
     (``graph/analytics.rs:452-484``: the reference iterates ordered
     neighbour pairs, so its per-node `triangles` equals 2T and the
@@ -509,6 +613,23 @@ def triangle_counts(triples_ds, num_buckets: int = 64):
                                   hash_grouped_aggregate)
 
     edges = canonical_und_edges(triples_ds, num_buckets).materialize()
+
+    # dense/small graphs: the matmul path (see _triangle_counts_local);
+    # gate on the actual node count (A is n² bytes).  The wedge join
+    # below stays the sparse web-scale path — its cost is
+    # Σ_y deg⁻(y)·deg⁺(y) wedges, which the id-ordering halves; for
+    # pathological hubs switch to degree-ordered orientation (O(m^1.5)).
+    n_nodes = hash_grouped_aggregate(
+        edges.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays(
+                [t.column("a").combine_chunks(),
+                 t.column("b").combine_chunks()])}),
+            batch_format="pyarrow"), ["node"],
+        grouped_arrow_agg(["node"], [("node", "count")],
+                          rename=["node", "_n"]),
+        num_buckets=num_buckets).count()
+    if n_nodes <= small_graph_limit:
+        return _triangle_counts_local(edges)
 
     e1 = edges.map_batches(
         lambda t: pa.table({"y": t.column("b"), "x": t.column("a")}),
@@ -564,6 +685,109 @@ def triangle_counts(triples_ds, num_buckets: int = 64):
                          "local_cc": pa.array(cc, pa.float64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def centrality_scores(triples_ds, num_buckets: int = 64,
+                      max_component_nodes: int = 20_000):
+    """Per-node centrality (degree / betweenness / closeness),
+    ``graph/analytics.rs:182-278``.  Documented deviations from the
+    reference, both in the direction of determinism:
+
+    - betweenness counts ordered pairs (s,t) whose shortest DISTANCE
+      decomposes through v (d(s,v)+d(v,t)=d(s,t)) — the reference checks
+      membership in ONE Dijkstra path whose tie-break is Rust HashSet
+      iteration order, i.e. nondeterministic run to run; the
+      any-shortest-path criterion is its deterministic closure.
+      Normalisation is the reference's: cnt / ((n-1)(n-2)/2), n global.
+    - distances are unweighted hops (the reference's own tests use
+      weight-1 edges throughout); degree = distinct undirected
+      neighbours, normalised by (n-1).
+
+    Distribution: shortest paths never cross components, so the kernel
+    (all-pairs BFS, vectorised betweenness via the D-matrix decomposition
+    test) runs per connected component inside ``hash_grouped_aggregate``
+    — the same pattern as Leiden.  Components above
+    ``max_component_nodes`` raise (all-pairs centrality is O(n·m); for
+    web-scale graphs run it on a k-hop subgraph, as query `centrality`
+    does)."""
+    from collections import deque
+
+    from .communities import connected_components
+
+    edges = canonical_und_edges(triples_ds, num_buckets).materialize()
+    deg_tbl = hash_grouped_aggregate(
+        edges.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays(
+                [t.column("a").combine_chunks(),
+                 t.column("b").combine_chunks()])}),
+            batch_format="pyarrow"), ["node"],
+        grouped_arrow_agg(["node"], [("node", "count")],
+                          rename=["node", "_d"]),
+        num_buckets=num_buckets).materialize()
+    n_global = deg_tbl.count()
+
+    comp = connected_components(edges, num_buckets=num_buckets)
+    comp_a = comp.map_batches(
+        lambda t: pa.table({"a": t.column("node"),
+                            "component": t.column("component")}),
+        batch_format="pyarrow")
+    tagged = bucketed_join(edges, comp_a, on=["a"], num_buckets=num_buckets)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out_node, out_deg, out_bet, out_clo = [], [], [], []
+        for _, g in df.groupby("component", sort=True):
+            adj: dict[str, set] = {}
+            for a, b in zip(g["a"], g["b"]):
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            nodes = sorted(adj)
+            nc = len(nodes)
+            if nc > max_component_nodes:
+                raise ValueError(
+                    f"component has {nc} nodes > max_component_nodes="
+                    f"{max_component_nodes}; run on a k-hop subgraph")
+            idx = {v: i for i, v in enumerate(nodes)}
+            D = np.full((nc, nc), np.inf)
+            for s in nodes:
+                si = idx[s]
+                D[si, si] = 0.0
+                q, seen = deque([(s, 0)]), {s}
+                while q:
+                    u, d = q.popleft()
+                    for w in adj[u]:
+                        if w not in seen:
+                            seen.add(w)
+                            D[si, idx[w]] = d + 1
+                            q.append((w, d + 1))
+            denom = ((n_global - 1.0) * (n_global - 2.0) / 2.0) \
+                if n_global > 2 else 0.0
+            for v in nodes:
+                vi = idx[v]
+                row, col = D[vi, :], D[:, vi]
+                eq = (col[:, None] + row[None, :]) == D
+                eq &= np.isfinite(D)
+                eq[vi, :] = False
+                eq[:, vi] = False
+                cnt = int(eq.sum())
+                reach_mask = np.isfinite(row)
+                reach = int(reach_mask.sum()) - 1
+                total = float(row[reach_mask].sum())
+                out_node.append(v)
+                out_deg.append(len(adj[v]) / (n_global - 1.0)
+                               if n_global > 1 else 0.0)
+                out_bet.append(cnt / denom if denom > 0 else 0.0)
+                out_clo.append(reach / total
+                               if reach > 0 and total > 0 else 0.0)
+        return pa.table({
+            "node": pa.array(out_node, pa.string()),
+            "degree_centrality": pa.array(out_deg, pa.float64()),
+            "betweenness": pa.array(out_bet, pa.float64()),
+            "closeness": pa.array(out_clo, pa.float64()),
+        })
+
+    return hash_grouped_aggregate(tagged, ["component"], kernel,
+                                  num_buckets=num_buckets)
 
 
 def graph_statistics_row(triples_ds, num_buckets: int = 64):

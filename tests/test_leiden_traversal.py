@@ -176,3 +176,51 @@ def test_degree_stats_values(ray_session):
     assert d.loc["b", "in_deg"] == 2 and d.loc["b", "out_deg"] == 0
     assert d.loc["a", "degree"] == 4
     assert abs(d.loc["a", "degree_centrality"] - 4 / 2) < 1e-12
+
+
+def test_connected_components_paths_agree(ray_session):
+    """Small-graph union-find fast path == distributed hash-to-min
+    propagation (forced with small_graph_limit=0)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.communities import connected_components
+
+    pairs = [("b", "a"), ("c", "b"), ("x", "y"), ("z", "z2"), ("y", "z"),
+             ("solo1", "solo2")]
+    eds = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.string()),
+        "b": pa.array([p[1] for p in pairs], pa.string())}))
+    fast = connected_components(eds).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    dist = connected_components(eds, num_buckets=4, small_graph_limit=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert fast.equals(dist)
+    m = dict(zip(fast["node"], fast["component"]))
+    assert m["c"] == "a" and m["x"] == "x" and m["z2"] == "x"
+    assert m["solo2"] == "solo1"
+
+
+def test_triangle_paths_agree(ray_session):
+    """Dense-local matmul path == distributed wedge-join path
+    (forced with small_graph_limit=0), values hand-checked."""
+    import pyarrow as pa
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.graph_ops import triangle_counts
+
+    # K4 on a,b,c,d plus pendant e: every K4 node in C(3,2)=3 triangles
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e")]
+    tri = rd.from_arrow(pa.table({
+        "subj": pa.array([p[0] for p in pairs], pa.string()),
+        "pred": pa.array(["r"] * len(pairs), pa.string()),
+        "obj": pa.array([p[1] for p in pairs], pa.string())}))
+    fast = triangle_counts(tri).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    dist = triangle_counts(tri, num_buckets=4, small_graph_limit=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert fast.equals(dist)
+    m = fast.set_index("node")
+    assert list(m.loc[["a", "b", "c"], "triangles"]) == [3, 3, 3]
+    assert m.loc["d", "triangles"] == 3 and m.loc["e", "triangles"] == 0
+    assert abs(m.loc["a", "local_cc"] - 1.0) < 1e-12       # K4 corner
+    assert abs(m.loc["d", "local_cc"] - 0.5) < 1e-12       # 3 of C(4,2)=6

@@ -78,6 +78,8 @@ SQL_CHECKED = [
     "doc_tree",
     # triangle enumeration (3-way self-join) + one-row graph statistics
     "triangle_counts", "graph_statistics",
+    # all-pairs-distance centrality on the bounded 2-hop subgraph
+    "centrality",
 ]
 
 

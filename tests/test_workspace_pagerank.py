@@ -72,12 +72,17 @@ def test_pagerank_dataset_mode_matches_broadcast(ray_session):
 
     bcast = pagerank(_triples_ds(edges), max_iter=12)
     dset = pagerank(_triples_ds(edges), max_iter=12, max_driver_nodes=1,
-                    num_buckets=4)
+                    num_buckets=4, small_graph_limit=0)   # force sharded path
+    local = pagerank(_triples_ds(edges), max_iter=12, max_driver_nodes=1,
+                     num_buckets=4)                       # small-graph path
+    ldf = local.to_pandas()
+    l = dict(zip(ldf["node"], ldf["score"]))
     b = dict(zip(bcast.column("node").to_pylist(), bcast.column("score").to_pylist()))
     d = dict(zip(dset.to_pandas()["node"], dset.to_pandas()["score"]))
-    assert set(b) == set(d)
+    assert set(b) == set(d) == set(l)
     for k in b:
         assert abs(b[k] - d[k]) < 1e-9, k
+        assert abs(b[k] - l[k]) < 1e-9, k
 
 
 def test_pagerank_dataset_personalized(ray_session):
@@ -87,7 +92,7 @@ def test_pagerank_dataset_personalized(ray_session):
                      reset_probabilities={"d": 1.0})
     dset = pagerank(_triples_ds(edges), max_iter=15,
                     reset_probabilities={"d": 1.0}, max_driver_nodes=1,
-                    num_buckets=4)
+                    num_buckets=4, small_graph_limit=0)
     b = dict(zip(bcast.column("node").to_pylist(), bcast.column("score").to_pylist()))
     ddf = dset.to_pandas()
     d = dict(zip(ddf["node"], ddf["score"]))
