@@ -467,9 +467,18 @@ def q_doc_tree(sf_dir: str):
 
 def q_doc_tree_summaries(sf_dir: str):
     """Full document trees incl. extractive summaries
-    (``summarization/mod.rs:759-793`` family via ``keywords.summarize``)."""
+    (``summarization/mod.rs:759-793`` family via ``keywords.summarize``);
+    same chunk config as ``doc_tree`` so the trees are multi-level.
+    Pages capped at 20k: the op is strictly per-document (zero cross-doc
+    shuffle, cost exactly linear in documents), so a bounded slice is the
+    honest bench unit — at web scale you run it per partition."""
     from graphrag_rs_ray.pipelines.doctree import build_document_trees
-    chunks = pages_to_chunks(_kg_pages(sf_dir), KGConfig())
+    pages = _kg_pages(sf_dir)
+    if _n_pages(sf_dir) > 20_000:
+        pages = pages.limit(20_000)
+    chunks = pages_to_chunks(pages,
+                             KGConfig(chunk_size=120, chunk_overlap=0,
+                                      min_chunk_size=20))
     return build_document_trees(chunks, with_summary=True)
 
 
