@@ -74,7 +74,28 @@ def connected_components(edges_ds, num_buckets: int = 64, max_rounds: int = 50,
                                 t.column("node"), t.column("nbr_min"))}),
         batch_format="pyarrow").materialize()
 
-    for _ in range(max_rounds):
+    import os as _os
+    import shutil as _shutil
+    import sys as _sys
+    import tempfile as _tempfile
+    import time as _time
+
+    import ray.data as rd
+
+    _dbg = _os.environ.get("GRAFT_CC_DEBUG") == "1"
+    work_dir = _tempfile.mkdtemp(prefix="graphrag_cc_")
+    # Per-round structure (each round = 2 joins + 1 aggregate):
+    #   merged  = min(neighbour labels ∪ own) with the OLD label carried
+    #             through the aggregate as a second column → the
+    #             convergence count needs NO extra join,
+    #   shortcut: label(v) ← min(label(v), label(label(v))) — labels are
+    #             min-monotone, so pointer doubling squares the
+    #             propagation radius: O(log diameter) rounds,
+    #   checkpoint to Parquet (alternating slots) — the hard lineage cut
+    #   (materialize alone lets diamond-shaped plans re-derive prior
+    #   rounds; same rule as pagerank_dataset).
+    for _rnd in range(max_rounds):
+        _t0 = _time.perf_counter()
         lab_a = labels.map_batches(
             lambda t: pa.table({"a": t.column("node"),
                                 "a_label": t.column("label")}),
@@ -82,31 +103,64 @@ def connected_components(edges_ds, num_buckets: int = 64, max_rounds: int = 50,
         prop = bucketed_join(sym, lab_a, on=["a"], num_buckets=num_buckets)
         cand = prop.map_batches(
             lambda t: pa.table({"node": t.column("b"),
-                                "label": t.column("a_label")}),
+                                "label": t.column("a_label"),
+                                "old_label": pa.nulls(t.num_rows, pa.string())}),
             batch_format="pyarrow")
-        new_labels = hash_grouped_aggregate(
-            cand.union(labels), ["node"],
-            grouped_arrow_agg(["node"], [("label", "min")],
-                              rename=["node", "label"]),
-            num_buckets=num_buckets).materialize()
-
-        old = labels.map_batches(
+        older = labels.map_batches(
             lambda t: pa.table({"node": t.column("node"),
+                                "label": t.column("label"),
                                 "old_label": t.column("label")}),
             batch_format="pyarrow")
-        diff = bucketed_join(new_labels, old, on=["node"],
-                             num_buckets=num_buckets)
-        n_changed = diff.map_batches(
+        merged = hash_grouped_aggregate(
+            cand.union(older), ["node"],
+            grouped_arrow_agg(["node"],
+                              [("label", "min"), ("old_label", "max")],
+                              rename=["node", "label", "old_label"]),
+            num_buckets=num_buckets).materialize()
+
+        n_changed = merged.map_batches(
             lambda t: pa.table({"chg": pc.cast(pc.invert(pc.equal(
                 t.column("label"), t.column("old_label"))), pa.int64())}),
             batch_format="pyarrow").sum("chg")
-        labels = new_labels
         if not n_changed:
+            if _dbg:
+                print(f"# cc round {_rnd}: converged "
+                      f"({_time.perf_counter() - _t0:.1f}s)",
+                      file=_sys.stderr, flush=True)
             break
-    return labels.map_batches(
+
+        new_labels = merged.map_batches(
+            lambda t: t.select(["node", "label"]), batch_format="pyarrow")
+        as_map = merged.map_batches(
+            lambda t: pa.table({"label": t.column("node"),
+                                "label2": t.column("label")}),
+            batch_format="pyarrow")
+        sc = bucketed_join(new_labels, as_map, on=["label"], how="left",
+                           num_buckets=num_buckets)
+        shortcut = sc.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "label": pc.min_element_wise(
+                    t.column("label"),
+                    pc.coalesce(t.column("label2"), t.column("label")))}),
+            batch_format="pyarrow")
+
+        ck = _os.path.join(work_dir, f"labels_{_rnd % 2}")
+        if _os.path.exists(ck):          # write_parquet APPENDS
+            _shutil.rmtree(ck)
+        _os.makedirs(ck)
+        shortcut.write_parquet(ck)
+        labels = rd.read_parquet(ck)
+        if _dbg:
+            print(f"# cc round {_rnd}: {_time.perf_counter() - _t0:.1f}s "
+                  f"changed={n_changed}", file=_sys.stderr, flush=True)
+
+    out = labels.map_batches(
         lambda t: pa.table({"node": t.column("node"),
                             "component": t.column("label")}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    _shutil.rmtree(work_dir, ignore_errors=True)
+    return out
 
 
 def _connected_components_local(edges_ds):
