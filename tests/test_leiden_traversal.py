@@ -224,3 +224,38 @@ def test_triangle_paths_agree(ray_session):
     assert m.loc["d", "triangles"] == 3 and m.loc["e", "triangles"] == 0
     assert abs(m.loc["a", "local_cc"] - 1.0) < 1e-12       # K4 corner
     assert abs(m.loc["d", "local_cc"] - 0.5) < 1e-12       # 3 of C(4,2)=6
+
+
+def test_graph_ops_empty_and_singleton(ray_session):
+    """Degenerate graphs: triangle/centrality/statistics must not crash
+    and must return sane shapes."""
+    import pyarrow as pa
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.graph_ops import (
+        centrality_scores, graph_statistics_row, triangle_counts)
+
+    def tds(pairs):
+        return rd.from_arrow(pa.table({
+            "subj": pa.array([p[0] for p in pairs], pa.string()),
+            "pred": pa.array(["r"] * len(pairs), pa.string()),
+            "obj": pa.array([p[1] for p in pairs], pa.string())}))
+
+    # self-loop-only graph → no undirected edges at all
+    empty = triangle_counts(tds([("a", "a")])).to_pandas()
+    assert len(empty) == 0
+
+    # a single edge: no triangles, cc 0, two degree-1 nodes
+    one = triangle_counts(tds([("a", "b")])).to_pandas().set_index("node")
+    assert list(one["triangles"]) == [0, 0]
+    assert list(one["local_cc"]) == [0.0, 0.0]
+
+    cents = centrality_scores(tds([("a", "b")])).to_pandas().set_index("node")
+    assert abs(cents.loc["a", "degree_centrality"] - 1.0) < 1e-12
+    assert cents.loc["a", "betweenness"] == 0.0
+    assert abs(cents.loc["a", "closeness"] - 1.0) < 1e-12
+
+    stats = graph_statistics_row(tds([("a", "b"), ("c", "d")])).to_pandas()
+    r = stats.iloc[0]
+    assert r["node_count"] == 4 and r["edge_count"] == 2
+    assert r["connected_components"] == 2
+    assert r["clustering_coefficient"] == 0.0
