@@ -579,7 +579,8 @@ def _triangle_counts_local(edges):
     deg = A.sum(axis=1).astype(np.int64)
     tri = (((A @ A) * A).sum(axis=1) / 2.0).astype(np.int64)
     k = deg.astype(np.float64)
-    cc = np.where(k >= 2.0, (2.0 * tri.astype(np.float64)) / (k * (k - 1.0)),
+    cc = np.where(k >= 2.0,
+                  (2.0 * tri.astype(np.float64)) / np.maximum(k * (k - 1.0), 1.0),
                   0.0)
     return rd.from_arrow(pa.table({
         "node": pa.array(names, pa.string()),
@@ -678,7 +679,8 @@ def triangle_counts(triples_ds, num_buckets: int = 64,
         tri = np.nan_to_num(
             t.column("tri").to_numpy(zero_copy_only=False).astype(np.float64))
         # reference counts ordered neighbour pairs => 2T / (k(k-1))
-        cc = np.where(k >= 2.0, (2.0 * tri) / (k * (k - 1.0)), 0.0)
+        cc = np.where(k >= 2.0, (2.0 * tri) / np.maximum(k * (k - 1.0), 1.0),
+                      0.0)
         return pa.table({"node": t.column("node"),
                          "degree": pc.cast(t.column("degree"), pa.int64()),
                          "triangles": pa.array(tri.astype(np.int64), pa.int64()),
