@@ -537,6 +537,22 @@ def q_multimodal_features(sf_dir: str):
     return decode_features(media_from_documents(sf_dir))
 
 
+def q_frame_samples(sf_dir: str):
+    """Video frame sampling STRUCTURE (media_id, frame_idx, t_offset_s):
+    the media rows are staged, and DuckDB re-derives the per-video frame
+    explosion arithmetically (duration = n_bytes // 1000 + 1, evenly
+    spaced timestamps).  The frame payload bytes stay out of the oracle
+    (blake2b fake behind the codec boundary)."""
+    from graphrag_rs_ray.stages.multimodal import media_from_documents, sample_frames
+    media = _stage(media_from_documents(sf_dir).map_batches(
+        lambda t: t.select(["media_id", "media_type", "n_bytes"]),
+        batch_format="pyarrow"), "frame_samples", sf_dir)
+    full = media_from_documents(sf_dir)
+    return sample_frames(full).map_batches(
+        lambda t: t.select(["media_id", "frame_idx", "t_offset_s"]),
+        batch_format="pyarrow")
+
+
 def q_concept_mentions(sf_dir: str):
     from graphrag_rs_ray.pipelines.concepts import concept_mention_rows
     return concept_mention_rows(q_kg_chunks(sf_dir))
@@ -696,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_occurring_entities": q_co_occurring_entities,
         "semantic_edges": q_semantic_edges,
         "multimodal_features": q_multimodal_features,
+        "frame_samples": q_frame_samples,
         "pagerank": q_pagerank,
         # graph ops over staged triples (oracle-checked) + communities
         "k_hop": q_k_hop,
@@ -1225,6 +1242,16 @@ def _oracle_sql_base() -> dict[str, str]:
             LEFT JOIN clos ON clos.node = nd.node
             LEFT JOIN betw ON betw.node = nd.node
         """.replace("{t}", _staged_sql("centrality")),
+        "frame_samples": """
+            WITH v AS (
+              SELECT media_id, n_bytes, (n_bytes // 1000 + 1) AS dur
+              FROM {m} WHERE media_type = 'video'),
+            f AS (SELECT media_id, dur, least(8, dur) AS n FROM v),
+            gs AS (SELECT unnest(range(0, 8)) AS idx)
+            SELECT f.media_id, gs.idx::BIGINT AS frame_idx,
+                   gs.idx * (f.dur * 1.0 / f.n) AS t_offset_s
+            FROM f CROSS JOIN gs WHERE gs.idx < f.n
+        """.replace("{m}", _staged_sql("frame_samples")),
         "triangle_counts": """
             WITH und AS (SELECT DISTINCT least(subj, obj) AS a,
                                          greatest(subj, obj) AS b

@@ -96,6 +96,78 @@ def decode_features(media_ds, decoder_cls=DeterministicFakeDecoder,
                                 concurrency=concurrency)
 
 
+class ResizeStage:
+    """Image resize plumbing (binary → binary): the real pixel resample
+    sits behind the codec boundary, so the fake transform derives the
+    output payload deterministically from (payload, target size) while
+    the schema/actor/batch discipline is the real one.  Target dims are
+    actor state (set once in ``__init__``)."""
+
+    def __init__(self, width: int = 224, height: int = 224):
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out = [hashlib.blake2b((p or b"") + bytes([self.width % 256,
+                                                   self.height % 256]),
+                               digest_size=32).digest() for p in payloads]
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "payload": pa.array(out, pa.binary()),
+            "width": pa.array([self.width] * len(ids), pa.int32()),
+            "height": pa.array([self.height] * len(ids), pa.int32()),
+        })
+
+
+class FrameSampler:
+    """Video frame sampling (1 video row → ≤``max_frames`` frame rows —
+    the flat-map explosion every video pipeline needs).  The container
+    probe is faked deterministically (duration_s = n_bytes // 1000 + 1;
+    a real probe reads the header behind the codec boundary); frame
+    timestamps are evenly spaced over the duration.  Frame payloads are
+    a pure function of (payload, frame_idx) so goldens freeze."""
+
+    def __init__(self, max_frames: int = 8):
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_idx, out_t, out_payload = [], [], [], []
+        for mid, mtype, payload, n_bytes in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("media_type").to_pylist(),
+                batch.column("payload").to_pylist(),
+                batch.column("n_bytes").to_pylist()):
+            if mtype != "video":
+                continue
+            dur = n_bytes // 1000 + 1
+            n = min(self.max_frames, dur)
+            for i in range(n):
+                out_id.append(mid)
+                out_idx.append(i)
+                out_t.append(i * (dur * 1.0 / n))
+                out_payload.append(hashlib.blake2b(
+                    (payload or b"") + bytes([i]), digest_size=32).digest())
+        return pa.table({
+            "media_id": pa.array(out_id, pa.string()),
+            "frame_idx": pa.array(out_idx, pa.int64()),
+            "t_offset_s": pa.array(out_t, pa.float64()),
+            "frame": pa.array(out_payload, pa.binary()),
+        })
+
+
+def sample_frames(media_ds, max_frames: int = 8,
+                  concurrency: int | tuple[int, int] = 2,
+                  batch_size: int = 64):
+    """Actor-pool frame sampling; small batches (binary payloads)."""
+    return media_ds.map_batches(FrameSampler,
+                                fn_constructor_args=(max_frames,),
+                                batch_format="pyarrow",
+                                batch_size=batch_size,
+                                concurrency=concurrency)
+
+
 def media_from_documents(sf_dir: str):
     """Deterministic synthetic media table derived from the documents
     text bytes (no external data): payload = UTF-8 bytes, type by doc_id."""

@@ -160,3 +160,36 @@ def test_checkpoint_resume(ray_session, tmp_path):
     r3.triples.count()
     m3 = read_manifest(os.path.join(wd, "combined"))
     assert m3["fingerprint"] != m1["fingerprint"]
+
+
+def test_resize_and_frame_sample_stages(ray_session):
+    """Resize (binary→binary, actor state = target dims) and frame
+    sampling (1 video → ≤max_frames rows, deterministic timestamps)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from graphrag_rs_ray.stages.multimodal import ResizeStage, sample_frames
+
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array(["v1", "i1", "v2"], pa.string()),
+        "media_type": pa.array(["video", "image", "video"], pa.string()),
+        "payload": pa.array([b"x" * 3500, b"img", b"y" * 900], pa.binary()),
+        "n_bytes": pa.array([3500, 3, 900], pa.int64()),
+    }))
+
+    frames = sample_frames(media, max_frames=8).to_pandas() \
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    # v1: dur = 3500//1000+1 = 4 → 4 frames at 0,1,2,3 s; v2: dur 1 → 1 frame
+    assert list(frames["media_id"]) == ["v1"] * 4 + ["v2"]
+    assert list(frames["frame_idx"]) == [0, 1, 2, 3, 0]
+    assert list(frames["t_offset_s"]) == [0.0, 1.0, 2.0, 3.0, 0.0]
+    assert all(len(f) == 32 for f in frames["frame"])
+    # deterministic
+    again = sample_frames(media, max_frames=8).to_pandas() \
+        .sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert (frames["frame"] == again["frame"]).all()
+
+    resized = media.map_batches(ResizeStage, fn_constructor_args=(64, 48),
+                                batch_format="pyarrow", batch_size=2,
+                                concurrency=2).to_pandas()
+    assert set(resized["width"]) == {64} and set(resized["height"]) == {48}
+    assert all(len(p) == 32 for p in resized["payload"])

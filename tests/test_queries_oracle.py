@@ -80,6 +80,8 @@ SQL_CHECKED = [
     "triangle_counts", "graph_statistics",
     # all-pairs-distance centrality on the bounded 2-hop subgraph
     "centrality",
+    # video frame-sampling explosion structure (staged media rows)
+    "frame_samples",
 ]
 
 
