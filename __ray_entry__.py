@@ -427,6 +427,96 @@ def q_centrality(sf_dir: str):
     return centrality_scores(staged, num_buckets=16)
 
 
+def _pair_weight(a_arr: pa.Array, b_arr: pa.Array) -> pa.Array:
+    """Deterministic synthetic edge weight in [0.5, 3.0) from the pair's
+    blake2b digest (the sf tables carry no numeric edge attribute; the
+    staged column feeds BOTH the Ray derivation and the oracle, so only
+    determinism matters)."""
+    import hashlib
+    ws = []
+    for a, b in zip(a_arr.to_pylist(), b_arr.to_pylist()):
+        h = int.from_bytes(hashlib.blake2b(f"{a}\x1f{b}".encode(),
+                                           digest_size=8).digest(), "big")
+        ws.append(0.5 + (h % 2000) / 800.0)
+    return pa.array(ws, pa.float64())
+
+
+def _staged_weighted_edges(query: str, sf_dir: str, max_nodes: int):
+    """Bounded undirected weighted edge list for the path queries:
+    distinct canonical KG pairs (src < dst, self-loops dropped)
+    restricted to the first ``max_nodes`` nodes by (hop, name) around the
+    lexicographically-first node (same bounding pattern as
+    ``q_centrality`` — path enumeration and its oracle are exponential /
+    O(n·rounds), the bounded subgraph is the documented usage at scale),
+    plus a deterministic weight column, staged for both sides."""
+    import ray
+    import pyarrow.compute as pc
+    from graphrag_rs_ray.pipelines.graph_ops import k_hop
+    from graphrag_rs_ray.stages.hashagg import (
+        grouped_arrow_agg,
+        hash_grouped_aggregate,
+    )
+    cfg = KGConfig()
+    tri = triples_dataset(_kg_pages(sf_dir), cfg).map_batches(
+        lambda t: t.select(["subj", "pred", "obj"]),
+        batch_format="pyarrow").materialize()
+
+    def canon(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.not_equal(t.column("subj"), t.column("obj")))
+        return pa.table({
+            "subj": pc.min_element_wise(keep.column("subj"), keep.column("obj")),
+            "obj": pc.max_element_wise(keep.column("subj"), keep.column("obj"))})
+
+    pairs = hash_grouped_aggregate(
+        tri.map_batches(canon, batch_format="pyarrow"), ["subj", "obj"],
+        grouped_arrow_agg(["subj", "obj"], [("subj", "count")],
+                          rename=["subj", "obj", "n"])).materialize()
+    seed = pairs.min("subj")
+    hops = sorted((r["hop"], r["node"])
+                  for r in k_hop(pairs, [seed], k=2, direction="both")
+                  .take_all())[:max_nodes]
+    nref = ray.put(pa.array(sorted(n for _, n in hops), pa.string()))
+
+    def fin(t: pa.Table) -> pa.Table:
+        ns = ray.get(nref)
+        keep = t.filter(pc.and_(pc.is_in(t.column("subj"), value_set=ns),
+                                pc.is_in(t.column("obj"), value_set=ns)))
+        return pa.table({
+            "src": keep.column("subj"), "dst": keep.column("obj"),
+            "w": _pair_weight(keep.column("subj"), keep.column("obj"))})
+
+    return _stage(pairs.map_batches(fin, batch_format="pyarrow"),
+                  query, sf_dir)
+
+
+def q_shortest_paths(sf_dir: str):
+    """Single-source weighted shortest paths (Dijkstra,
+    ``analytics.rs:272-345``) from the lexicographically-first node of a
+    bounded weighted subgraph.  dist = exact f64 min path-sum (fl(+) is
+    monotone, so Dijkstra, sharded Bellman-Ford and the oracle's unrolled
+    relaxation all yield the min over the same left-associated sums —
+    bit-equal, no rounding); pred = lexicographically smallest optimal
+    predecessor ('' at the source; the reference's reconstructed path
+    follows HashSet iteration order and is not reproducible even there).
+    Oracle: programmatically generated Bellman-Ford rounds."""
+    from graphrag_rs_ray.pipelines.paths import shortest_paths
+    edges = _staged_weighted_edges("shortest_paths", sf_dir, max_nodes=56)
+    source = edges.min("src")
+    return shortest_paths(edges, source)
+
+
+def q_all_paths(sf_dir: str):
+    """All simple paths (≤4 nodes) between the lexicographically first
+    and last nodes of a bounded weighted subgraph (DFS,
+    ``analytics.rs:347-404``; the end node is terminal).  Oracle: DuckDB
+    recursive CTE with the same delimiter-encoded visited check."""
+    from graphrag_rs_ray.pipelines.paths import all_paths
+    edges = _staged_weighted_edges("all_paths", sf_dir, max_nodes=24)
+    start = edges.min("src")
+    end = edges.max("dst")
+    return all_paths(edges, start, end, max_depth=4)
+
+
 def q_triangle_counts(sf_dir: str):
     """Per-node triangles + local clustering coefficient
     (``analytics.rs:452-484``); oracle = DuckDB 3-way self-join over the
@@ -722,6 +812,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tree": q_doc_tree,
         "doc_tree_summaries": q_doc_tree_summaries,
         "triangle_counts": q_triangle_counts,
+        "shortest_paths": q_shortest_paths,
+        "all_paths": q_all_paths,
         "graph_statistics": q_graph_statistics,
         "centrality": q_centrality,
         "communities": q_communities,
@@ -758,7 +850,45 @@ def oracle_sql() -> dict[str, str]:
     d["bm25_topk"] = ("SELECT * FROM (" + d["bm25_scores"] +
                       ") ORDER BY score DESC, doc_id ASC LIMIT 10")
     d["pagerank"] = _pagerank_sql(n_iter=8, damping=0.85, round_digits=8)
+    d["shortest_paths"] = _sssp_sql(n_rounds=64)
     return d
+
+
+def _sssp_sql(n_rounds: int) -> str:
+    """Single-source Bellman-Ford as programmatically generated SQL: one
+    relax-then-min CTE per round, mirroring
+    ``paths._shortest_paths_sharded``'s recurrence exactly (same f64 op
+    shapes; candidate sums are identical left-associated path sums, so
+    the min is bit-equal — no rounding).  ``AS MATERIALIZED`` stops
+    DuckDB inlining each round's two references into an exponential
+    plan."""
+    t = _staged_sql("shortest_paths")
+    parts = [
+        f"WITH sym AS MATERIALIZED (SELECT src, dst, w FROM {t}",
+        f"  UNION ALL SELECT dst, src, w FROM {t}),",
+        "s AS (SELECT min(src) AS v FROM sym),",
+        "d0 AS (SELECT v AS node, 0.0::DOUBLE AS d FROM s)",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+        d{i} AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+            SELECT node, d FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst, p.d + e.w FROM d{i - 1} p
+            JOIN sym e ON e.src = p.node)
+          GROUP BY node)""")
+    parts.append(f""",
+        pr AS (SELECT e.dst AS node, min(e.src) AS pred
+               FROM sym e
+               JOIN d{n_rounds} pu ON pu.node = e.src
+               JOIN d{n_rounds} pv ON pv.node = e.dst
+               WHERE pu.d + e.w = pv.d
+               GROUP BY e.dst)
+        SELECT dd.node, dd.d AS dist,
+               CASE WHEN dd.node = (SELECT v FROM s) THEN ''
+                    ELSE pr.pred END AS pred
+        FROM d{n_rounds} dd LEFT JOIN pr ON pr.node = dd.node""")
+    return "\n".join(parts)
 
 
 def _pagerank_sql(n_iter: int, damping: float, round_digits: int) -> str:
@@ -1198,6 +1328,22 @@ def _oracle_sql_base() -> dict[str, str]:
               JOIN und u ON u.src = w.node WHERE w.hop < 3)
             SELECT node, min(hop)::BIGINT AS hop FROM walk GROUP BY node
         """.replace("{t}", _staged_sql("k_hop")),
+        "all_paths": """
+            WITH RECURSIVE sym AS (
+              SELECT src, dst, w FROM {t}
+              UNION ALL SELECT dst, src, w FROM {t}),
+            s AS (SELECT min(src) AS a, max(dst) AS b FROM {t}),
+            walk(last, path, wsum, n) AS (
+              SELECT a, a, 0.0::DOUBLE, 1 FROM s
+              UNION ALL
+              SELECT e.dst, w.path || '|' || e.dst, w.wsum + e.w, w.n + 1
+              FROM walk w JOIN sym e ON e.src = w.last
+              WHERE w.n < 4 AND w.last <> (SELECT b FROM s)
+                AND position('|' || e.dst || '|'
+                             IN '|' || w.path || '|') = 0)
+            SELECT path, n::BIGINT AS n_nodes, wsum AS weight
+            FROM walk WHERE last = (SELECT b FROM s)
+        """.replace("{t}", _staged_sql("all_paths")),
         "centrality": """
             WITH RECURSIVE und AS (SELECT DISTINCT least(subj, obj) AS a,
                                           greatest(subj, obj) AS b

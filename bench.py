@@ -106,10 +106,13 @@ def run_bench() -> dict:
         n = _triples(rd.read_parquet(pages_dir), KGConfig()).count()
         return n, time.perf_counter() - t0
     n_triples, t_a = _headline()
-    _, t_b = _headline()
-    timings["kg_triples"] = round(min(t_a, t_b), 3)
-    print(f"# kg_triples: {timings['kg_triples']}s (runs: {t_a:.2f}, {t_b:.2f})",
-          file=sys.stderr, flush=True)
+    if os.environ.get("GRAFT_SINGLE_RUN") == "1":
+        timings["kg_triples"] = round(t_a, 3)
+    else:
+        _, t_b = _headline()
+        timings["kg_triples"] = round(min(t_a, t_b), 3)
+        print(f"# kg_triples: {timings['kg_triples']}s "
+              f"(runs: {t_a:.2f}, {t_b:.2f})", file=sys.stderr, flush=True)
 
     if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
         headline = timings["kg_triples"]
@@ -221,7 +224,10 @@ def run_scaling() -> dict:
         # 1M pages: compute-dominated regime (same input at both levels);
         # at the default 100k the 32-cpu run is bounded by ~2s of fixed
         # scheduling cost and the ratio measures overhead, not scaling
+        # GRAFT_SINGLE_RUN: run_scaling already takes min-of-N across
+        # invocations — the in-process min-of-2 would double the cost
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1",
+                   GRAFT_SINGLE_RUN="1",
                    GRAFT_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "1000000"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True,

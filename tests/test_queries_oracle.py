@@ -80,6 +80,9 @@ SQL_CHECKED = [
     "triangle_counts", "graph_statistics",
     # all-pairs-distance centrality on the bounded 2-hop subgraph
     "centrality",
+    # weighted Dijkstra SSSP (generated Bellman-Ford rounds) + bounded
+    # simple-path enumeration (recursive CTE w/ visited check)
+    "shortest_paths", "all_paths",
     # video frame-sampling explosion structure (staged media rows)
     "frame_samples",
 ]
