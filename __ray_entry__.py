@@ -728,6 +728,16 @@ def q_ivf_topk(sf_dir: str):
     return td.ivf_topk(sf_dir)
 
 
+def q_hnsw_topk(sf_dir: str):
+    """HNSW ANN top-k (per-shard navigable-small-world graphs,
+    ``vector/mod.rs:54-178`` surface, Malkov-Yashunin algorithm); the
+    per-shard ef_search candidate pools are staged and DuckDB re-derives
+    the exact within-candidates cosine top-k — the rerank half of the
+    operator; graph navigation recall is gated by ``test_hnsw_recall``."""
+    cand = _stage(td.hnsw_shard_candidates(sf_dir), "hnsw_topk", sf_dir)
+    return td.hnsw_topk(sf_dir, cand_ds=cand)
+
+
 def q_hybrid_search(sf_dir: str):
     """RRF fusion of the BM25 + dense rankings; the (ranker, rank,
     doc_id) lists are staged so the fusion arithmetic is oracle-checked."""
@@ -790,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF ANN (approximate vs exact knn by design, recall gated in
         # tests; the within-probed-lists scan+rank is oracle-exact)
         "ivf_topk": q_ivf_topk,
+        "hnsw_topk": q_hnsw_topk,
         # LazyGraphRAG concept-graph path + enrichment (rows-only)
         "concept_mentions": q_concept_mentions,
         "concept_table": q_concept_table,
@@ -1611,6 +1622,21 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """.replace("{a}", _staged_sql("ivf_topk"))
           .replace("{p}", _staged_sql("ivf_topk", "probe")),
+        "hnsw_topk": """
+            WITH c AS (SELECT DISTINCT query_id, vec_id FROM {c}),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS score
+              FROM c JOIN embeddings e ON e.vec_id = c.vec_id
+                     JOIN embeddings q ON q.vec_id = c.query_id),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 10
+        """.replace("{c}", _staged_sql("hnsw_topk")),
         "connected_components": """
             WITH RECURSIVE und AS (
               SELECT a AS src, b AS dst FROM (

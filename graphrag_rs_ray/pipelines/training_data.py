@@ -443,6 +443,85 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def hnsw_shard_candidates(sf_dir: str, n_queries: int = 5,
+                          num_shards: int = 4, m: int = 8,
+                          ef_construction: int = 64, ef_search: int = 48):
+    """Per-shard HNSW candidate pools (query_id, vec_id, score).
+
+    The distributed-ANN shape the reference's HNSW store
+    (``vector/mod.rs:54-178``, feature-gated to ``instant_distance``)
+    needs at scale: vectors hash-shard by id, each shard builds its own
+    navigable-small-world graph INSIDE the shard's task
+    (``functions/hnsw.py`` — deterministic levels, so the graph is
+    reproducible under any partitioning), every query fans out to all
+    shards, and each shard returns its ef_search layer-0 pool.  Build
+    cost is per-shard, so shard count is the memory/build knob; the
+    low-cardinality shard groupby is one exchange of the vector table."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    order = pc.sort_indices(head.column("vec_id"))[:n_queries]
+    qids = pc.take(head.column("vec_id"), order).to_pylist()
+    qmat = np.array(pc.take(head.column("embedding"), order).to_pylist(),
+                    dtype=np.float64)
+    qref = ray.put((qids, qmat))
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def shard_col(batch: pa.Table) -> pa.Table:
+        vid = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        return batch.append_column(
+            "shard", pa.array(vid % num_shards, pa.int64()))
+
+    def build_search(group: pa.Table) -> pa.Table:
+        from ..functions.hnsw import HNSWIndex
+        ids_, qm = ray.get(qref)
+        keys = group.column("vec_id").to_pylist()
+        vecs = np.array(group.column("embedding").to_pylist(),
+                        dtype=np.float64)
+        index = HNSWIndex(m=m, ef_construction=ef_construction).build(
+            keys, vecs)
+        oq, ov, osc = [], [], []
+        for qid, q in zip(ids_, qm):
+            for key, s in index.candidates(q, ef_search=ef_search):
+                oq.append(qid)
+                ov.append(key)
+                osc.append(s)
+        return pa.table({"query_id": pa.array(oq, pa.int64()),
+                         "vec_id": pa.array(ov, pa.int64()),
+                         "score": pa.array(osc, pa.float64())})
+
+    return (ds.map_batches(shard_col, batch_format="pyarrow")
+              .groupby("shard")          # low-cardinality: num_shards keys
+              .map_groups(lambda g: build_search(g.drop_columns(["shard"])),
+                          batch_format="pyarrow"))
+
+
+def hnsw_topk(sf_dir: str, n_queries: int = 5, k: int = 10, cand_ds=None,
+              **kw):
+    """HNSW ANN top-k: global exact rerank of the per-shard candidate
+    pools.  Same output schema as ``knn_bruteforce`` / ``ivf_topk``
+    (query_id, vec_id, rank); recall gated by ``test_hnsw_recall``."""
+    import pandas as pd
+
+    cand = (cand_ds if cand_ds is not None
+            else hnsw_shard_candidates(sf_dir, n_queries=n_queries, **kw))
+
+    def final_topk(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["score", "vec_id"],
+                              ascending=[False, True]).head(k)
+        return pa.table({
+            "query_id": pa.array(g["query_id"].tolist(), pa.int64()),
+            "vec_id": pa.array(g["vec_id"].tolist(), pa.int64()),
+            "rank": pa.array(range(1, len(g) + 1), pa.int64()),
+        })
+
+    return cand.groupby("query_id").map_groups(final_topk,
+                                               batch_format="pandas")
+
+
 def lsh_planes(dim: int, n_planes: int = 12, seed: int = 7) -> np.ndarray:
     """The fixed random-hyperplane matrix used by ``lsh_buckets`` —
     exposed so its rows can be staged for the DuckDB oracle

@@ -77,6 +77,43 @@ def test_ivf_recall(ray_session):
     assert approx.equals(approx2)
 
 
+def test_hnsw_recall(ray_session):
+    """Per-shard HNSW top-k vs exact brute force: high recall@10, the
+    self-hit at rank 1, and run-to-run determinism (levels derive from
+    key digests, not an RNG)."""
+    from graphrag_rs_ray.pipelines import training_data as td
+    exact = td.knn_bruteforce(SF_DIR).to_pandas()
+    approx = td.hnsw_topk(SF_DIR).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    # ef_search=48 across 4 shards on the sf0.001 corpus: near-exact
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    r1 = approx[approx["rank"] == 1]
+    assert (r1["query_id"].to_numpy() == r1["vec_id"].to_numpy()).all()
+    approx2 = td.hnsw_topk(SF_DIR).to_pandas()
+    assert approx.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        approx2.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def test_hnsw_kernel_exactness_small():
+    """On a corpus smaller than ef_search the layer-0 pool is exhaustive:
+    HNSW == exact cosine ranking."""
+    import numpy as np
+    from graphrag_rs_ray.functions.hnsw import HNSWIndex
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 16))
+    idx = HNSWIndex(m=4, ef_construction=32).build(list(range(40)), vecs)
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qi in (0, 7, 23):
+        got = [k for k, _ in idx.search(vecs[qi], 5, ef_search=64)]
+        sims = norm @ norm[qi]
+        exact = sorted(range(40), key=lambda i: (-sims[i], i))[:5]
+        assert got == exact
+
+
 def test_ngram_dedup_pairs_still_verifies(ray_session):
     """The bucketed-join rework of ngram_dedup_pairs must keep verifying
     candidates (planted exact duplicates in documents reach jaccard 1.0)."""

@@ -72,6 +72,8 @@ SQL_CHECKED = [
     # vocab hashes → vote/pack, candidate pairs → trigram Jaccard,
     # inverted lists + probes → within-lists cosine top-k
     "lsh_buckets", "simhash_signatures", "ngram_dedup_pairs", "ivf_topk",
+    # per-shard HNSW pools → exact within-candidates rerank
+    "hnsw_topk",
     # ConsistencyReport counts over staged (corrupted) entities + triples
     "consistency_report",
     # RAPTOR tree structure re-derived arithmetically from staged leaf ids
