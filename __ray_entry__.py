@@ -757,6 +757,172 @@ def q_community_summaries(sf_dir: str):
     return community_summaries(res.entities, assign)
 
 
+def q_rerank_topk(sf_dir: str):
+    """Confidence cross-encoder rerank (``reranking/cross_encoder.rs:
+    93-196``) of the BM25 top-50: Jaccard-overlap × length-factor
+    relevance, sigmoid-normalized, re-ranked top-10.  Fully
+    SQL-expressible — the oracle recomputes BM25, the candidate cut AND
+    the relevance arithmetic straight from ``documents`` (no staging)."""
+    from graphrag_rs_ray.pipelines.retrieval import rerank_candidates
+    cand = {r["doc_id"]: r["score"]
+            for r in td.bm25_topk(sf_dir, k=50).take_all()}
+    import ray.data as rd
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return rerank_candidates(docs, cand, "fast hash join")
+
+
+def q_hipporag_retrieval(sf_dir: str):
+    """HippoRAG PPR retrieval (``retrieval/hipporag_ppr.rs:87-305``) over
+    the synthetic KG: facts = deduped triples scored by query-fact
+    hash-embedding cosine (top-100); dense passage shortlist = chunk
+    embeddings vs the query (top-20); entity reset weights downweighted
+    by passage frequency; personalized PageRank (damping 0.5, FIXED 8
+    iterations) over the entity+passage graph; passages ranked by PPR.
+    The top-k facts, entity-passage pairs, dense scores and the edge
+    table are staged — DuckDB re-derives weights → reset distribution →
+    the full PPR recurrence → the final ranking."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines import retrieval as rtr
+    from graphrag_rs_ray.pipelines.kg import dedup_triples
+    from graphrag_rs_ray.stages.kg_extract import triples_only
+
+    cfg = KGConfig()
+    query = "research university professor"
+    chunks = pages_to_chunks(_kg_pages(sf_dir), cfg).materialize()
+    combined = chunks_to_combined(chunks, cfg).materialize()
+    mentions = combined.map_batches(entities_only, batch_format="pyarrow")
+    triples = dedup_triples(
+        combined.map_batches(triples_only, batch_format="pyarrow"),
+        cfg).materialize()
+
+    facts_ds = (rtr.fact_scores(triples, query)
+                .sort(["score", "subj", "pred", "obj"],
+                      descending=[True, False, False, False]).limit(100))
+    _stage(facts_ds, "hipporag_retrieval", sf_dir, "facts")
+    facts_topk = _pq.read_table(
+        _stage_path("hipporag_retrieval", sf_dir, "facts"))
+
+    ep = _stage(rtr.entity_passage_pairs(mentions),
+                "hipporag_retrieval", sf_dir, "ep")
+
+    ps_ds = rtr.passage_dense_scores(chunks, query, top_n=20)
+    _stage(ps_ds, "hipporag_retrieval", sf_dir, "ps")
+    ps_tbl = _pq.read_table(_stage_path("hipporag_retrieval", sf_dir, "ps"))
+
+    tri_edges = triples.map_batches(
+        lambda t: pa.table({"src": t.column("subj"), "dst": t.column("obj")}),
+        batch_format="pyarrow")
+    ep_fwd = ep.map_batches(
+        lambda t: pa.table({"src": t.column("entity"),
+                            "dst": t.column("passage")}),
+        batch_format="pyarrow")
+    ep_rev = ep.map_batches(
+        lambda t: pa.table({"src": t.column("passage"),
+                            "dst": t.column("entity")}),
+        batch_format="pyarrow")
+    edges = _stage(tri_edges.union(ep_fwd).union(ep_rev),
+                   "hipporag_retrieval", sf_dir, "edges")
+
+    return rtr.hipporag_retrieve(facts_topk, ep, ps_tbl, edges,
+                                 ppr_iterations=8)
+
+
+def q_pipeline_validation(sf_dir: str):
+    """Four-phase pipeline validation report
+    (``evaluation/pipeline_validation.rs``) over a deterministically
+    CORRUPTED copy of the KG artifacts (green-path counts are all zero —
+    the corruption exercises every violation counter): every 7th chunk
+    dropped (→ invalid mention refs + coverage misses), every 5th entity
+    dropped (→ orphan triple endpoints), every 11th surviving entity's
+    type blanked.  All five input tables are staged; DuckDB recomputes
+    every check/metric row."""
+    import hashlib
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.kg import dedup_triples
+    from graphrag_rs_ray.pipelines.validation import pipeline_validation_report
+    from graphrag_rs_ray.stages.canonicalize import (
+        entity_bucket_merge, partial_entity_agg)
+    from graphrag_rs_ray.stages.enrich import EnrichedChunkStage
+    from graphrag_rs_ray.stages.hashagg import hash_grouped_aggregate
+    from graphrag_rs_ray.stages.kg_extract import triples_only
+    import pyarrow.compute as _pc
+
+    cfg = KGConfig()
+    pages = _kg_pages(sf_dir)
+    docs = pages.map_batches(extract_text_stage, batch_format="pyarrow")
+
+    docs_staged = _stage(docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "doc_chars": _pc.utf8_length(t.column("text")).cast(pa.int64())}),
+        batch_format="pyarrow"), "pipeline_validation", sf_dir, "docs")
+
+    # enriched chunks (same chunker+cfg as pages_to_chunks → identical
+    # chunk_ids), has_metadata per rs:107-114; every 7th chunk dropped
+    def meta_flag(t: pa.Table) -> pa.Table:
+        cids = t.column("chunk_id").to_pylist()
+        keep = [int(hashlib.md5(c.encode()).hexdigest()[:8], 16) % 7 != 0
+                for c in cids]
+        has_meta = [ch is not None or len(kw) > 0 or su is not None
+                    for ch, kw, su in zip(t.column("chapter").to_pylist(),
+                                          t.column("keywords").to_pylist(),
+                                          t.column("summary").to_pylist())]
+        return pa.table({
+            "chunk_id": t.column("chunk_id"),
+            "doc_id": t.column("doc_id"),
+            "text": t.column("text"),
+            "has_metadata": pa.array(has_meta, pa.bool_()),
+        }).filter(pa.array(keep))
+
+    chunks_staged = _stage(
+        docs.map_batches(EnrichedChunkStage(cfg), batch_format="pyarrow")
+            .map_batches(meta_flag, batch_format="pyarrow"),
+        "pipeline_validation", sf_dir, "chunks")
+
+    combined = chunks_to_combined(pages_to_chunks(pages, cfg), cfg).materialize()
+    mentions_staged = _stage(
+        combined.map_batches(entities_only, batch_format="pyarrow")
+                .map_batches(lambda t: t.select(["chunk_id", "entity_id"]),
+                             batch_format="pyarrow"),
+        "pipeline_validation", sf_dir, "mentions")
+
+    entities = hash_grouped_aggregate(
+        combined.map_batches(entities_only, batch_format="pyarrow")
+                .map_batches(partial_entity_agg, batch_format="pyarrow",
+                             batch_size=None),
+        ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
+
+    def corrupt_entities(t: pa.Table) -> pa.Table:
+        names = t.column("name").to_pylist()
+        h = [int(hashlib.md5(n.encode()).hexdigest()[:8], 16) for n in names]
+        kept = t.filter(pa.array([x % 5 != 0 for x in h]))
+        kh = [x for x in h if x % 5 != 0]
+        types = [("" if x % 11 == 0 else ty) for x, ty in
+                 zip(kh, kept.column("type").to_pylist())]
+        return pa.table({
+            "name": kept.column("name"),
+            "type": pa.array(types, pa.string()),
+            "conf": kept.column("conf"),
+            "mention_count": kept.column("mention_count")})
+
+    entities_staged = _stage(
+        entities.map_batches(corrupt_entities, batch_format="pyarrow"),
+        "pipeline_validation", sf_dir, "entities")
+
+    triples_staged = _stage(
+        dedup_triples(combined.map_batches(triples_only,
+                                           batch_format="pyarrow"), cfg)
+        .map_batches(lambda t: t.select(["subj", "pred", "obj", "conf"]),
+                     batch_format="pyarrow"),
+        "pipeline_validation", sf_dir, "triples")
+
+    return rd.from_arrow(pipeline_validation_report(
+        docs_staged, chunks_staged, mentions_staged, entities_staged,
+        triples_staged))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -844,6 +1010,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_mentions": q_ner_mentions,
         # mock-LLM gleaning path (rows-only)
         "gleaning_triples": q_gleaning_triples,
+        # query-side bonus slice: cross-encoder rerank (pure SQL oracle),
+        # HippoRAG PPR retrieval (staged weights/edges → replayed
+        # recurrence), pipeline validation report (staged tables)
+        "rerank_topk": q_rerank_topk,
+        "hipporag_retrieval": q_hipporag_retrieval,
+        "pipeline_validation": q_pipeline_validation,
     }
 
 
@@ -862,7 +1034,282 @@ def oracle_sql() -> dict[str, str]:
                       ") ORDER BY score DESC, doc_id ASC LIMIT 10")
     d["pagerank"] = _pagerank_sql(n_iter=8, damping=0.85, round_digits=8)
     d["shortest_paths"] = _sssp_sql(n_rounds=64)
+    d["rerank_topk"] = _rerank_sql(d["bm25_scores"])
+    d["hipporag_retrieval"] = _hipporag_sql(n_iter=8, damping=0.5)
+    d["pipeline_validation"] = _validation_sql()
     return d
+
+
+def _rerank_sql(bm25_sql: str, query: str = "fast hash join",
+                n_cand: int = 50, top_k: int = 10) -> str:
+    """Cross-encoder rerank oracle (``cross_encoder.rs:104-146``): BM25
+    top-``n_cand`` (reusing the oracle-exact bm25_scores SQL), then
+    case-sensitive whitespace-token Jaccard × 0.7 + min(len/100, 1) × 0.3
+    through 1/(1+exp(-5·(raw-0.5))), rounded to 8 on both sides (libm exp
+    may differ in the last ulp between engines)."""
+    q_toks = sorted(set(query.split()))
+    qset = "[" + ",".join(f"'{t}'" for t in q_toks) + "]"
+    return f"""
+        WITH bm AS ({bm25_sql}),
+        cand AS (SELECT doc_id, score FROM bm
+                 ORDER BY score DESC, doc_id ASC LIMIT {n_cand}),
+        toks AS (
+          SELECT c.doc_id, c.score AS original_score,
+                 list_filter(regexp_split_to_array(d.text, '\\s+'),
+                             x -> x <> '') AS dtoks
+          FROM cand c JOIN documents d USING (doc_id)),
+        rel AS (
+          SELECT doc_id, original_score,
+                 CASE WHEN len(dtoks) = 0 THEN 0.0
+                      ELSE round(1.0 / (1.0 + exp(-5.0 * (
+                        (len(list_intersect({qset}::VARCHAR[],
+                                            list_distinct(dtoks)))::DOUBLE
+                         / (len({qset}::VARCHAR[]) + len(list_distinct(dtoks))
+                            - len(list_intersect({qset}::VARCHAR[],
+                                                 list_distinct(dtoks))))) * 0.7
+                        + least(len(dtoks)::DOUBLE / 100.0, 1.0) * 0.3
+                        - 0.5))), 8) END AS relevance_score
+          FROM toks)
+        SELECT row_number() OVER (ORDER BY relevance_score DESC, doc_id ASC)
+                 AS rank,
+               doc_id, relevance_score, original_score,
+               round(relevance_score - original_score, 8) AS score_delta
+        FROM rel
+        ORDER BY relevance_score DESC, doc_id ASC
+        LIMIT {top_k}
+    """
+
+
+def _hipporag_sql(n_iter: int, damping: float,
+                  passage_node_weight: float = 0.05,
+                  top_k_results: int = 10) -> str:
+    """HippoRAG oracle (``hipporag_ppr.rs:142-305``): entity weights
+    (fact score / passage frequency, averaged per entity, min-max
+    normalized), passage weights (dense × {pnw}, min-max normalized),
+    combined mass normalized to 1, reset re-normalized over graph nodes
+    (mirroring ``pagerank``'s known-mass normalization), then the fixed
+    ``n_iter`` personalized-PageRank recurrence replayed as generated
+    join+aggregate CTEs, and the dense-shortlist passages ranked by the
+    rounded final score."""
+    facts = _staged_sql("hipporag_retrieval", "facts")
+    ep = _staged_sql("hipporag_retrieval", "ep")
+    ps = _staged_sql("hipporag_retrieval", "ps")
+    edges = _staged_sql("hipporag_retrieval", "edges")
+    parts = [f"""
+        WITH e AS MATERIALIZED (SELECT src, dst FROM {edges}),
+        ps AS (SELECT passage, score FROM {ps}),
+        pcnt AS (SELECT entity, count(*)::DOUBLE AS np FROM {ep}
+                 GROUP BY entity),
+        fe AS (SELECT fx.entity, fx.score / p.np AS wgt
+               FROM (SELECT subj AS entity, score FROM {facts}
+                     UNION ALL SELECT obj AS entity, score FROM {facts}) fx
+               JOIN pcnt p USING (entity)),
+        ew0 AS (SELECT entity, sum(wgt) / count(*) AS w FROM fe
+                GROUP BY entity),
+        ewmm AS (SELECT min(w) AS lo, max(w) AS hi FROM ew0),
+        ew AS (SELECT entity, CASE WHEN abs(hi - lo) > 1e-10
+                                   THEN (w - lo) / (hi - lo) ELSE w END AS w
+               FROM ew0, ewmm),
+        pw0 AS (SELECT passage AS entity, score * {passage_node_weight} AS w
+                FROM ps),
+        pwmm AS (SELECT min(w) AS lo, max(w) AS hi FROM pw0),
+        pw AS (SELECT entity, CASE WHEN abs(hi - lo) > 1e-10
+                                   THEN (w - lo) / (hi - lo) ELSE w END AS w
+               FROM pw0, pwmm),
+        comb0 AS (SELECT entity, sum(w) AS w FROM
+                  (SELECT * FROM ew UNION ALL SELECT * FROM pw)
+                  GROUP BY entity),
+        comb AS (SELECT entity, w / (SELECT sum(w) FROM comb0) AS w
+                 FROM comb0),
+        nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        known AS (SELECT sum(c.w) AS mass
+                  FROM comb c JOIN nodes n ON c.entity = n.node),
+        reset AS MATERIALIZED (
+            SELECT n.node, coalesce(c.w, 0.0) / (SELECT mass FROM known) AS r
+            FROM nodes n LEFT JOIN comb c ON c.entity = n.node),
+        deg AS (SELECT src AS node, count(*)::DOUBLE AS out_deg FROM e
+                GROUP BY src),
+        s0 AS (SELECT node, r AS score FROM reset)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+        s{i} AS MATERIALIZED (
+          SELECT nd.node, (1.0 - {damping}) * nd.r + coalesce(c.csum, 0.0)
+                   AS score
+          FROM reset nd LEFT JOIN (
+            SELECT e.dst AS node,
+                   sum(({damping} * s.score) / greatest(d.out_deg, 1.0))
+                     AS csum
+            FROM e JOIN s{i - 1} s ON e.src = s.node
+                   JOIN deg d ON e.src = d.node
+            GROUP BY e.dst) c ON nd.node = c.node)""")
+    parts.append(f"""
+        SELECT row_number() OVER (ORDER BY score DESC, passage_id ASC)
+                 AS rank,
+               passage_id, score
+        FROM (SELECT s.node AS passage_id, round(s.score, 8) AS score
+              FROM s{n_iter} s JOIN ps ON s.node = ps.passage)
+        ORDER BY score DESC, passage_id ASC
+        LIMIT {top_k_results}""")
+    return "\n".join(parts)
+
+
+def _validation_sql() -> str:
+    """Pipeline-validation oracle (``evaluation/pipeline_validation.rs``):
+    every check/metric row recomputed from the five staged tables with
+    the reference's thresholds; ratio values round(…, 8) on both sides
+    (count arithmetic is exact)."""
+    docs = _staged_sql("pipeline_validation", "docs")
+    chunks = _staged_sql("pipeline_validation", "chunks")
+    mentions = _staged_sql("pipeline_validation", "mentions")
+    ents = _staged_sql("pipeline_validation", "entities")
+    tris = _staged_sql("pipeline_validation", "triples")
+    return f"""
+        WITH perdoc AS (
+          SELECT d.doc_id, d.doc_chars,
+                 coalesce(c.n_chunks, 0) AS n_chunks,
+                 coalesce(c.chunk_chars, 0) AS chunk_chars,
+                 coalesce(c.n_empty, 0) AS n_empty,
+                 coalesce(c.n_meta, 0) AS n_meta
+          FROM {docs} d LEFT JOIN (
+            SELECT doc_id, count(*) AS n_chunks,
+                   sum(length(text)) AS chunk_chars,
+                   sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+                     AS n_empty,
+                   sum(CASE WHEN has_metadata THEN 1 ELSE 0 END) AS n_meta
+            FROM {chunks} GROUP BY doc_id) c USING (doc_id)),
+        dagg AS (SELECT
+            count(*) AS n_docs,
+            sum(CASE WHEN doc_chars = 0 THEN 1 ELSE 0 END) AS n_empty_docs,
+            sum(CASE WHEN n_chunks = 0 THEN 1 ELSE 0 END) AS n_docs_wo,
+            sum(CASE WHEN n_chunks > 0 AND chunk_chars::DOUBLE
+                          / greatest(doc_chars, 1)::DOUBLE < 0.9
+                     THEN 1 ELSE 0 END) AS n_below,
+            sum(n_empty) AS n_empty_chunks,
+            sum(n_meta) AS n_meta_chunks,
+            sum(n_chunks) AS n_chunks,
+            sum(chunk_chars) AS chunk_chars,
+            sum(doc_chars) AS doc_chars
+          FROM perdoc),
+        eagg AS (SELECT
+            count(*) AS n,
+            sum(CASE WHEN conf < 0 OR conf > 1 THEN 1 ELSE 0 END) AS bad_conf,
+            sum(CASE WHEN type = '' THEN 1 ELSE 0 END) AS no_type,
+            sum(CASE WHEN trim(name) = '' THEN 1 ELSE 0 END) AS no_name,
+            sum(conf::DOUBLE) AS conf_sum,
+            sum(mention_count) AS mention_sum
+          FROM {ents}),
+        badm AS (SELECT count(*) AS bad
+                 FROM {mentions} m
+                 LEFT JOIN (SELECT DISTINCT chunk_id FROM {chunks}) c
+                   USING (chunk_id)
+                 WHERE c.chunk_id IS NULL),
+        ragg AS (SELECT
+            count(*) AS n,
+            sum(CASE WHEN conf < 0 OR conf > 1 THEN 1 ELSE 0 END) AS bad_conf,
+            sum(CASE WHEN pred = '' THEN 1 ELSE 0 END) AS no_type,
+            sum(conf::DOUBLE) AS conf_sum
+          FROM {tris}),
+        orph AS (SELECT count(*) AS o FROM {tris} t
+                 WHERE NOT EXISTS (SELECT 1 FROM {ents} e
+                                   WHERE e.name = t.subj)
+                    OR NOT EXISTS (SELECT 1 FROM {ents} e
+                                   WHERE e.name = t.obj))
+        SELECT 'Document Processing' AS phase, 'check' AS kind,
+               'document_not_empty' AS name, n_empty_docs = 0 AS passed,
+               n_empty_docs::DOUBLE AS value FROM dagg
+        UNION ALL SELECT 'Document Processing', 'check', 'chunks_created',
+               n_docs_wo = 0, n_docs_wo::DOUBLE FROM dagg
+        UNION ALL SELECT 'Document Processing', 'check', 'content_coverage',
+               n_below = 0, n_below::DOUBLE FROM dagg
+        UNION ALL SELECT 'Document Processing', 'check', 'no_empty_chunks',
+               n_empty_chunks = 0, n_empty_chunks::DOUBLE FROM dagg
+        UNION ALL SELECT 'Document Processing', 'check',
+               'metadata_enrichment', true,
+               CASE WHEN n_chunks > 0
+                    THEN round(n_meta_chunks::DOUBLE / n_chunks, 8)
+                    ELSE 0.0 END FROM dagg
+        UNION ALL SELECT 'Document Processing', 'metric', 'coverage_ratio',
+               true, CASE WHEN doc_chars > 0
+                          THEN round(chunk_chars::DOUBLE / doc_chars, 8)
+                          ELSE 0.0 END FROM dagg
+        UNION ALL SELECT 'Document Processing', 'metric', 'chunks_count',
+               true, n_chunks::DOUBLE FROM dagg
+        UNION ALL SELECT 'Document Processing', 'metric', 'avg_chunk_size',
+               true, CASE WHEN n_chunks > 0
+                          THEN round(chunk_chars::DOUBLE / n_chunks, 8)
+                          ELSE 0.0 END FROM dagg
+        UNION ALL SELECT 'Entity Extraction', 'check', 'entities_extracted',
+               n > 0, n::DOUBLE FROM eagg
+        UNION ALL SELECT 'Entity Extraction', 'check',
+               'confidence_scores_valid', bad_conf = 0, bad_conf::DOUBLE
+               FROM eagg
+        UNION ALL SELECT 'Entity Extraction', 'check',
+               'entity_types_populated', no_type = 0, no_type::DOUBLE
+               FROM eagg
+        UNION ALL SELECT 'Entity Extraction', 'check', 'entity_names_valid',
+               no_name = 0, no_name::DOUBLE FROM eagg
+        UNION ALL SELECT 'Entity Extraction', 'check',
+               'entity_mentions_valid', bad = 0, bad::DOUBLE FROM badm
+        UNION ALL SELECT 'Entity Extraction', 'metric', 'entities_count',
+               true, n::DOUBLE FROM eagg
+        UNION ALL SELECT 'Entity Extraction', 'metric', 'avg_confidence',
+               true, round(conf_sum / n, 8) FROM eagg WHERE n > 0
+        UNION ALL SELECT 'Entity Extraction', 'metric',
+               'avg_mentions_per_entity', true,
+               round(mention_sum::DOUBLE / n, 8) FROM eagg WHERE n > 0
+        UNION ALL SELECT 'Relationship Extraction', 'check',
+               'relationships_extracted', n > 0, n::DOUBLE FROM ragg
+               WHERE (SELECT n FROM eagg) > 0
+        UNION ALL SELECT 'Relationship Extraction', 'check',
+               'relationship_confidence_valid', bad_conf = 0,
+               bad_conf::DOUBLE FROM ragg
+        UNION ALL SELECT 'Relationship Extraction', 'check',
+               'relationship_types_populated', no_type = 0, no_type::DOUBLE
+               FROM ragg
+        UNION ALL SELECT 'Relationship Extraction', 'check',
+               'relationship_entities_exist', o = 0, o::DOUBLE FROM orph
+        UNION ALL SELECT 'Relationship Extraction', 'metric',
+               'relationships_count', true, n::DOUBLE FROM ragg
+        UNION ALL SELECT 'Relationship Extraction', 'metric',
+               'relationships_per_entity', true,
+               round(n::DOUBLE / (SELECT n FROM eagg), 8) FROM ragg
+               WHERE (SELECT n FROM eagg) > 0
+        UNION ALL SELECT 'Relationship Extraction', 'metric',
+               'avg_relationship_confidence', true, round(conf_sum / n, 8)
+               FROM ragg WHERE n > 0
+        UNION ALL SELECT 'Graph Construction', 'check', 'graph_not_empty',
+               (SELECT n FROM eagg) > 0 OR (SELECT n_docs FROM dagg) > 0,
+               ((SELECT n FROM eagg) + (SELECT n_docs FROM dagg))::DOUBLE
+        UNION ALL SELECT 'Graph Construction', 'check',
+               'entity_chunk_ratio_reasonable',
+               (SELECT n FROM eagg)::DOUBLE / (SELECT n_chunks FROM dagg)
+                 BETWEEN 0.1 AND 10.0,
+               round((SELECT n FROM eagg)::DOUBLE
+                     / (SELECT n_chunks FROM dagg), 8)
+               WHERE (SELECT n_chunks FROM dagg) > 0
+        UNION ALL SELECT 'Graph Construction', 'check', 'graph_connectivity',
+               (SELECT n FROM ragg)::DOUBLE / (SELECT n FROM eagg) > 0.1,
+               round((SELECT n FROM ragg)::DOUBLE / (SELECT n FROM eagg), 8)
+               WHERE (SELECT n FROM eagg) > 1
+        UNION ALL SELECT 'Graph Construction', 'metric', 'documents', true,
+               (SELECT n_docs FROM dagg)::DOUBLE
+        UNION ALL SELECT 'Graph Construction', 'metric', 'chunks', true,
+               (SELECT n_chunks FROM dagg)::DOUBLE
+        UNION ALL SELECT 'Graph Construction', 'metric', 'entities', true,
+               (SELECT n FROM eagg)::DOUBLE
+        UNION ALL SELECT 'Graph Construction', 'metric', 'relationships',
+               true, (SELECT n FROM ragg)::DOUBLE
+        UNION ALL SELECT 'Graph Construction', 'metric',
+               'entities_per_chunk', true,
+               round((SELECT n FROM eagg)::DOUBLE
+                     / (SELECT n_chunks FROM dagg), 8)
+               WHERE (SELECT n_chunks FROM dagg) > 0
+        UNION ALL SELECT 'Graph Construction', 'metric', 'connectivity',
+               true,
+               round((SELECT n FROM ragg)::DOUBLE / (SELECT n FROM eagg), 8)
+               WHERE (SELECT n FROM eagg) > 1
+    """
 
 
 def _sssp_sql(n_rounds: int) -> str:

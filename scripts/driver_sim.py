@@ -23,7 +23,10 @@ def norm(df):
 q = e.queries(); o = e.oracle_sql()
 fails = []
 import ray.data as rd
+only = set(sys.argv[1:])   # optional: sweep just the named queries
 for name in sorted(o):
+    if only and name not in only:
+        continue
     try:
         r = q[name](SF)
         rdf = norm(r.to_pandas() if isinstance(r, rd.Dataset) else

@@ -87,6 +87,13 @@ SQL_CHECKED = [
     "shortest_paths", "all_paths",
     # video frame-sampling explosion structure (staged media rows)
     "frame_samples",
+    # cross-encoder rerank (pure-SQL relevance arithmetic over documents)
+    "rerank_topk",
+    # HippoRAG PPR retrieval (staged facts/pairs/scores/edges → replayed
+    # weight + personalized-PageRank recurrence)
+    "hipporag_retrieval",
+    # four-phase pipeline validation report over staged corrupted tables
+    "pipeline_validation",
 ]
 
 
