@@ -923,6 +923,117 @@ def q_pipeline_validation(sf_dir: str):
         triples_staged))
 
 
+# --------------------------------------------------- ROGRAG query slice --
+# Batch query processing (``rograg/`` in the reference) over a
+# deterministic query corpus synthesized from the KG's own canonical
+# entity names — no external data.  Every stage is rule/regex-based and
+# fully deterministic; the oracle SQL is GENERATED from the exact same
+# pattern specs the Python kernels use (functions/rograg.py), so parity
+# is by construction.
+
+_ROGRAG_CACHE: dict[str, dict] = {}
+
+
+def _rograg_inputs(sf_dir: str) -> dict:
+    """KG-derived inputs for the ROGRAG slice, built once per process:
+    canonical entities, deduped triples, and the top entity names that
+    seed the synthesized query corpus (mention_count desc, name asc)."""
+    if sf_dir not in _ROGRAG_CACHE:
+        from graphrag_rs_ray.pipelines.kg import dedup_triples, entities_dataset
+        from graphrag_rs_ray.stages.kg_extract import triples_only
+
+        cfg = KGConfig()
+        ents = (entities_dataset(_kg_pages(sf_dir), cfg)
+                .sort(["mention_count", "name"], descending=[True, False]))
+        ents_df = ents.to_pandas()
+        combined = chunks_to_combined(
+            pages_to_chunks(_kg_pages(sf_dir), cfg), cfg)
+        tris_df = dedup_triples(
+            combined.map_batches(triples_only, batch_format="pyarrow"),
+            cfg).to_pandas()
+        _ROGRAG_CACHE[sf_dir] = {
+            "names": ents_df["name"].head(24).tolist(),
+            "entities": pa.Table.from_pandas(
+                ents_df[["entity_id", "name", "type"]], preserve_index=False),
+            "triples": pa.Table.from_pandas(
+                tris_df[["subj", "pred", "obj", "conf"]],
+                preserve_index=False),
+        }
+    return _ROGRAG_CACHE[sf_dir]
+
+
+def _rograg_queries_ds(query_name: str, sf_dir: str):
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.queries import synthesize_query_table
+    return _stage(rd.from_arrow(
+        synthesize_query_table(_rograg_inputs(sf_dir)["names"])),
+        query_name, sf_dir)
+
+
+def q_query_intents(sf_dir: str):
+    """Intent classification (``rograg/intent_classifier.rs:450-533``):
+    keyword+regex scoring per intent, ambiguity detection (secondary >
+    0.8×primary), inappropriate-content refusal, complexity score and
+    reformulation suggestions.  Oracle SQL is generated from the same
+    INTENT_SPECS table."""
+    from graphrag_rs_ray.pipelines.queries import intent_stage
+    return _rograg_queries_ds("query_intents", sf_dir).map_batches(
+        intent_stage, batch_format="pyarrow")
+
+
+def q_query_decomposition(sf_dir: str):
+    """Hybrid query decomposition (``rograg/decomposer.rs:666-699``):
+    case-sensitive semantic patterns first (conf 0.8), else syntactic
+    clause split on raw-substring separator boundaries with the
+    leading-separator strip fold (conf 0.7), else single query.  The
+    oracle re-derives boundary positions with a position×separator
+    cross join and replays the 10-step strip fold as chained CTEs."""
+    from graphrag_rs_ray.pipelines.queries import decomposition_stage
+    return _rograg_queries_ds("query_decomposition", sf_dir).map_batches(
+        decomposition_stage, batch_format="pyarrow")
+
+
+def q_logic_forms(sf_dir: str):
+    """Pattern-based logic-form parsing (``rograg/logic_form.rs:
+    404-547``): first of six (?i) patterns wins; one row per non-empty
+    trimmed argument capture."""
+    from graphrag_rs_ray.pipelines.queries import logic_form_stage
+    return _rograg_queries_ds("logic_forms", sf_dir).map_batches(
+        logic_form_stage, batch_format="pyarrow")
+
+
+def q_query_validation(sf_dir: str):
+    """Query validation (``rograg/validator.rs:295-365``): length
+    (empty=Critical, >1000 bytes=Medium), safety regexes (at most one
+    issue), no-alphabetic format check; score = 0 if critical else
+    1 - min(n×0.1, 0.8)."""
+    from graphrag_rs_ray.pipelines.queries import validation_stage
+    return _rograg_queries_ds("query_validation", sf_dir).map_batches(
+        validation_stage, batch_format="pyarrow")
+
+
+def q_fuzzy_matches(sf_dir: str):
+    """Fuzzy entity matching (``rograg/fuzzy_matcher.rs:308-714``):
+    exact (boosted 1.0) / partial (jaccard·0.4 + containment·0.4 +
+    levenshtein·0.2 ≥ 0.6, ×0.9) / type-overlap (×0.7) matches plus
+    top-5-per-entity graph expansion (conf×0.6 ≥ 0.42) when under
+    max_matches, ranked (sim desc, id asc, type asc) top-10 with the
+    position×type weighted overall confidence.  Entities + adjacency
+    ride the object store once (``ray.put``); queries stream."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.queries import fuzzy_match_stage
+
+    inp = _rograg_inputs(sf_dir)
+    qds = _rograg_queries_ds("fuzzy_matches", sf_dir)
+    _stage(rd.from_arrow(inp["entities"]), "fuzzy_matches", sf_dir,
+           "entities")
+    _stage(rd.from_arrow(inp["triples"]), "fuzzy_matches", sf_dir, "edges")
+    ents_tbl = _pq.read_table(_stage_path("fuzzy_matches", sf_dir, "entities"))
+    tris_tbl = _pq.read_table(_stage_path("fuzzy_matches", sf_dir, "edges"))
+    return fuzzy_match_stage(qds, ents_tbl, tris_tbl)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -1016,6 +1127,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_topk": q_rerank_topk,
         "hipporag_retrieval": q_hipporag_retrieval,
         "pipeline_validation": q_pipeline_validation,
+        # ROGRAG batch query processing (oracle SQL generated from the
+        # same pattern specs as the Python kernels)
+        "query_intents": q_query_intents,
+        "query_decomposition": q_query_decomposition,
+        "logic_forms": q_logic_forms,
+        "query_validation": q_query_validation,
+        "fuzzy_matches": q_fuzzy_matches,
     }
 
 
@@ -1037,6 +1155,11 @@ def oracle_sql() -> dict[str, str]:
     d["rerank_topk"] = _rerank_sql(d["bm25_scores"])
     d["hipporag_retrieval"] = _hipporag_sql(n_iter=8, damping=0.5)
     d["pipeline_validation"] = _validation_sql()
+    d["query_intents"] = _intents_sql()
+    d["query_decomposition"] = _decomposition_sql()
+    d["logic_forms"] = _logic_forms_sql()
+    d["query_validation"] = _query_validation_sql()
+    d["fuzzy_matches"] = _fuzzy_sql()
     return d
 
 
@@ -2127,3 +2250,424 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """.replace("{t}", _staged_sql("semantic_edges")),
     }
+
+
+# ------------------------------------------------- ROGRAG oracle SQL --
+# All five generators build their SQL from the SAME pattern-spec tables
+# the Python kernels compile (functions/rograg.py) — parity by
+# construction.  DuckDB regexp_* is RE2, matching the reference's Rust
+# regex crate (and Python `re` for these patterns).
+
+
+def _sqq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+_WORDS_LQ = r"list_filter(string_split_regex(lq, '\s+'), x -> x <> '')"
+_WORDS_RAW = r"list_filter(string_split_regex(query, '\s+'), x -> x <> '')"
+_PL = r"\p{L}"
+
+
+def _intents_sql() -> str:
+    """Generated from INTENT_SPECS (``intent_classifier.rs:312-614``):
+    per-intent keyword-contains + regex scores, deterministic ranking
+    (score desc, intent asc), ambiguity (secondary > 0.8×primary),
+    inappropriate gate, complexity + reformulation."""
+    from graphrag_rs_ray.functions.rograg import (
+        INAPPROPRIATE_RE, INTENT_SPECS, REFORMULATION_MSGS)
+    src = _staged_sql("query_intents")
+    scores = ",\n          ".join(
+        f"least(({' + '.join(f'''contains(lq, '{_sqq(k)}')::INT''' for k in kws)})::DOUBLE"
+        f" / {len(kws)} * 0.5 + "
+        f"({' + '.join(f'''regexp_matches(lq, '{_sqq(r)}')::INT''' for r in rxs)})::DOUBLE"
+        f" / {len(rxs)} * 0.5, 1.0) AS s_{name}"
+        for name, kws, rxs in INTENT_SPECS)
+    wc = f"len({_WORDS_LQ})"
+    sc = ("greatest(strlen(lq) - strlen(replace(replace(replace(lq, '.', '')"
+          ", '?', ''), '!', '')), 1)")
+    alpha = "(length(lq) - length(regexp_replace(lq, '" + _PL + "', '', 'g')))"
+    cx = (f"least(least({wc} / 20.0, 1.0) * 0.3"
+          f" + least({sc} / 3.0, 1.0) * 0.2"
+          f" + least({alpha}::DOUBLE / greatest({wc}, 1) / 8.0, 1.0) * 0.2"
+          " + CASE WHEN contains(lq, ' and ') OR contains(lq, ' or ')"
+          " OR contains(lq, ' but ') OR contains(lq, ' because ')"
+          " OR contains(lq, ' since ') OR contains(lq, ' although ')"
+          " THEN 0.3 ELSE 0.0 END, 1.0)")
+    msgs = {k: _sqq(v) for k, v in REFORMULATION_MSGS.items()}
+    reform = (f"CASE WHEN starts_with(lq, 'tell me about') THEN '{msgs['tell']}'"
+              f" WHEN contains(lq, ' and ') THEN '{msgs['and']}'"
+              f" WHEN len({_WORDS_RAW}) > 20 THEN '{msgs['long']}'"
+              " WHEN NOT (ends_with(query, '?') OR ends_with(query, '.')"
+              f" OR ends_with(query, '!')) THEN '{msgs['punct']}'"
+              f" ELSE '{msgs['default']}' END")
+    unp = "\n          UNION ALL ".join(
+        f"SELECT query_id, '{name}' AS intent, s_{name} AS s FROM base"
+        f" WHERE s_{name} > 0" for name, _, _ in INTENT_SPECS)
+    return f"""
+        WITH qt AS (SELECT query_id, query, lower(query) AS lq FROM {src}),
+        base AS (SELECT query_id, query, lq,
+          {scores},
+          regexp_matches(lq, '{_sqq(INAPPROPRIATE_RE)}') AS inap,
+          {cx} AS cx,
+          {reform} AS reform
+          FROM qt),
+        unp AS ({unp}),
+        rankd AS (SELECT query_id, intent, s,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, intent ASC) AS rn
+                  FROM unp),
+        agg AS (SELECT query_id,
+                max(CASE WHEN rn = 1 THEN intent END) AS p_int,
+                max(CASE WHEN rn = 1 THEN s END) AS p_s,
+                max(CASE WHEN rn = 2 THEN intent END) AS s1_int,
+                max(CASE WHEN rn = 2 THEN s END) AS s1_s,
+                max(CASE WHEN rn = 3 THEN intent END) AS s2_int,
+                max(CASE WHEN rn = 3 THEN s END) AS s2_s
+                FROM rankd GROUP BY query_id),
+        fin AS (SELECT b.query_id, b.inap, b.cx, b.reform, a.p_int, a.p_s,
+                a.s1_int, a.s1_s, a.s2_int, a.s2_s,
+                (coalesce(a.s1_s, -1.0) > a.p_s * 0.8
+                 OR coalesce(a.s2_s, -1.0) > a.p_s * 0.8) AS amb
+                FROM base b LEFT JOIN agg a USING (query_id))
+        SELECT query_id,
+          CASE WHEN inap THEN 'Inappropriate'
+               WHEN p_int IS NULL THEN 'Ambiguous'
+               WHEN amb THEN 'Ambiguous' ELSE p_int END AS primary_intent,
+          round(CASE WHEN inap THEN 1.0 WHEN p_int IS NULL THEN 0.0
+                     ELSE p_s END, 8) AS confidence,
+          CASE WHEN inap OR p_int IS NULL THEN TRUE
+               ELSE (p_s < 0.8 OR amb) END AS should_refuse,
+          CASE WHEN inap THEN 'Query contains inappropriate content'
+               WHEN p_int IS NULL THEN 'Unable to understand the query intent'
+               WHEN amb THEN 'Query intent is ambiguous - please be more specific'
+               WHEN p_s < 0.8 THEN 'Insufficient confidence in understanding the query'
+               ELSE '' END AS refusal_reason,
+          CASE WHEN inap THEN ''
+               WHEN p_int IS NULL THEN reform
+               WHEN (p_s < 0.8 OR amb) THEN reform
+               ELSE '' END AS suggested_reformulation,
+          round(CASE WHEN inap THEN 0.0 ELSE cx END, 8) AS complexity_score,
+          CASE WHEN inap THEN '' ELSE coalesce(s1_int, '') END
+            AS secondary_intent_1,
+          round(CASE WHEN inap THEN 0.0 ELSE coalesce(s1_s, 0.0) END, 8)
+            AS secondary_score_1,
+          CASE WHEN inap THEN '' ELSE coalesce(s2_int, '') END
+            AS secondary_intent_2,
+          round(CASE WHEN inap THEN 0.0 ELSE coalesce(s2_s, 0.0) END, 8)
+            AS secondary_score_2
+        FROM fin ORDER BY query_id
+    """
+
+
+def _tpl_to_sql(tpl: str, pat: str) -> str:
+    """Semantic-extractor template ('{1} is {2}') → SQL concat of
+    regexp_extract group expressions, trimmed like the reference."""
+    import re as _re
+    parts = _re.split(r"\{(\d)\}", tpl)
+    exprs = []
+    for j, part in enumerate(parts):
+        if j % 2 == 0:
+            if part:
+                exprs.append(f"'{_sqq(part)}'")
+        else:
+            exprs.append(f"regexp_extract(query, '{pat}', {part})")
+    return "trim(" + " || ".join(exprs) + ")"
+
+
+def _decomposition_sql() -> str:
+    """Generated from SEMANTIC_PATTERNS + CLAUSE_SEPARATORS
+    (``decomposer.rs:291-699``): semantic branch via regexp_extract
+    templates; syntactic branch re-derives raw-substring boundary
+    positions with a position×separator cross join, replays the 10-step
+    leading-separator strip fold as chained CTEs, filters len>3, and
+    classifies clause types; single-query fallbacks carry the hybrid /
+    semantic strategy exactly as the Rust control flow does."""
+    from graphrag_rs_ray.functions.rograg import (
+        CLAUSE_SEPARATORS, SEMANTIC_PATTERNS)
+    src = _staged_sql("query_decomposition")
+    p1 = _sqq(SEMANTIC_PATTERNS[0]["regex"])
+    p2 = _sqq(SEMANTIC_PATTERNS[1]["regex"])
+    can_syn = " OR ".join(f"contains(lq, '{_sqq(s)}')"
+                          for s in CLAUSE_SEPARATORS)
+    seps_vals = ", ".join(f"('{_sqq(s)}')" for s in CLAUSE_SEPARATORS)
+
+    sem_rows = []
+    for pat, spec, guard in ((p1, SEMANTIC_PATTERNS[0], "m1"),
+                             (p2, SEMANTIC_PATTERNS[1], "NOT m1 AND m2")):
+        for idx, tpl in enumerate(spec["builds"]):
+            deps = f"sem_{idx - 1}" if idx > 0 else ""
+            sem_rows.append(
+                f"SELECT query_id, {idx} AS tpl_idx, 'sem_{idx}' AS sub_id, "
+                f"{_tpl_to_sql(tpl, pat)} AS text, "
+                f"'{spec['subquery_type']}' AS query_type, "
+                f"round(1.0 - {idx} * 0.1, 8) AS priority, '{deps}' AS deps "
+                f"FROM flags WHERE {guard}")
+    sem_union = "\n          UNION ALL ".join(sem_rows)
+
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each strip step's CASE references the previous step's expression
+    # three times — inlined, the 10-step fold becomes a 3^10-node
+    # expression tree (measured: >50 GB planner blow-up).
+    strip_ctes = []
+    for i, sep in enumerate(CLAUSE_SEPARATORS, 1):
+        strip_ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT query_id, s, "
+            f"CASE WHEN starts_with(lower(c), '{_sqq(sep)}') "
+            f"THEN trim(substr(c, {len(sep) + 1})) ELSE c END AS c "
+            f"FROM c{i - 1})")
+    strips = ",\n        ".join(strip_ctes)
+    last = f"c{len(CLAUSE_SEPARATORS)}"
+
+    ctype = ("CASE WHEN starts_with(lower(c), 'who')"
+             " OR starts_with(lower(c), 'what person') THEN 'Entity'"
+             " WHEN starts_with(lower(c), 'what') THEN 'Definitional'"
+             " WHEN starts_with(lower(c), 'when') THEN 'Temporal'"
+             " WHEN starts_with(lower(c), 'why')"
+             " OR contains(lower(c), 'because') THEN 'Causal'"
+             " WHEN contains(lower(c), 'relation')"
+             " OR contains(lower(c), 'connect') THEN 'Relationship'"
+             " WHEN contains(lower(c), 'compare')"
+             " OR contains(lower(c), 'versus') THEN 'Comparative'"
+             " ELSE 'Attribute' END")
+
+    return f"""
+        WITH qt AS (SELECT query_id, query, lower(query) AS lq FROM {src}),
+        flags AS (SELECT query_id, query, lq,
+                  regexp_matches(query, '{p1}') AS m1,
+                  regexp_matches(query, '{p2}') AS m2,
+                  ({can_syn}) AS can_syn
+                  FROM qt),
+        sem0 AS ({sem_union}),
+        sem AS (SELECT query_id, tpl_idx, sub_id, text, query_type, priority,
+                       deps FROM sem0 WHERE text <> ''),
+        sem_out AS (SELECT query_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY tpl_idx) - 1 AS sub_idx,
+                    sub_id, text, query_type, priority, deps,
+                    'hybrid' AS strategy, 0.8 AS confidence,
+                    count(*) OVER (PARTITION BY query_id) AS n_subqueries
+                    FROM sem),
+        syn_in AS (SELECT query_id, query, lq FROM flags
+                   WHERE NOT m1 AND NOT m2 AND can_syn),
+        r AS (SELECT range AS p FROM range(0, 4096)),
+        seps(sep) AS (VALUES {seps_vals}),
+        pos AS (SELECT f.query_id, r.p
+                FROM syn_in f, seps s, r
+                WHERE r.p + strlen(s.sep) <= strlen(f.query)
+                  AND substr(f.lq, r.p + 1, strlen(s.sep)) = s.sep),
+        bnd AS (SELECT DISTINCT query_id, p FROM (
+                  SELECT query_id, p FROM pos
+                  UNION ALL SELECT query_id, 0 FROM syn_in
+                  UNION ALL SELECT query_id, strlen(query) FROM syn_in)),
+        win AS (SELECT query_id, p AS s,
+                lead(p) OVER (PARTITION BY query_id ORDER BY p) AS e
+                FROM bnd),
+        c0 AS (SELECT w.query_id, w.s,
+               trim(substr(f.query, w.s + 1, w.e - w.s)) AS c
+               FROM win w JOIN syn_in f USING (query_id)
+               WHERE w.e IS NOT NULL),
+        {strips},
+        cl AS MATERIALIZED (SELECT query_id, s, c,
+               row_number() OVER (PARTITION BY query_id ORDER BY s) - 1
+                 AS idx,
+               count(*) OVER (PARTITION BY query_id) AS n
+               FROM {last} WHERE c <> '' AND strlen(c) > 3),
+        syn_out AS (SELECT query_id, idx AS sub_idx,
+                    'syn_' || idx AS sub_id, c AS text,
+                    {ctype} AS query_type,
+                    round(1.0 - idx * 0.1, 8) AS priority, '' AS deps,
+                    'hybrid' AS strategy, 0.7 AS confidence,
+                    n AS n_subqueries
+                    FROM cl WHERE n > 1),
+        syn_single AS (SELECT f.query_id, 0 AS sub_idx, 'single' AS sub_id,
+                       f.query AS text, 'Entity' AS query_type,
+                       1.0 AS priority, '' AS deps, 'hybrid' AS strategy,
+                       1.0 AS confidence, 1 AS n_subqueries
+                       FROM syn_in f
+                       LEFT JOIN (SELECT query_id, count(*) AS n FROM cl
+                                  GROUP BY query_id) c USING (query_id)
+                       WHERE coalesce(c.n, 0) <= 1),
+        fallthrough AS (SELECT query_id, 0 AS sub_idx, 'single' AS sub_id,
+                        query AS text, 'Entity' AS query_type,
+                        1.0 AS priority, '' AS deps,
+                        'semantic' AS strategy, 1.0 AS confidence,
+                        1 AS n_subqueries
+                        FROM flags WHERE NOT m1 AND NOT m2 AND NOT can_syn)
+        SELECT query_id, sub_idx::BIGINT AS sub_idx, sub_id, text,
+               query_type, priority, deps, strategy, confidence,
+               n_subqueries::BIGINT AS n_subqueries
+        FROM (SELECT * FROM sem_out
+              UNION ALL SELECT * FROM syn_out
+              UNION ALL SELECT * FROM syn_single
+              UNION ALL SELECT * FROM fallthrough)
+        ORDER BY query_id, sub_idx
+    """
+
+
+def _logic_forms_sql() -> str:
+    """Generated from LOGIC_PATTERNS (``logic_form.rs:404-547``): first
+    matching (?i) pattern wins; one row per non-empty trimmed argument
+    capture, re-indexed post-filter."""
+    from graphrag_rs_ray.functions.rograg import LOGIC_PATTERNS
+    src = _staged_sql("logic_forms")
+    pats = [_sqq(p["regex"]) for p in LOGIC_PATTERNS]
+    m_cols = ",\n          ".join(
+        f"regexp_matches(query, '{p}') AS m{i}"
+        for i, p in enumerate(pats, 1))
+    pidx = ("CASE " + " ".join(f"WHEN m{i} THEN {i}"
+                               for i in range(1, len(pats) + 1)) + " END")
+    arg_rows = []
+    for i, spec in enumerate(LOGIC_PATTERNS, 1):
+        for order, (gi, atype, var) in enumerate(spec["args"]):
+            arg_rows.append(
+                f"SELECT query_id, {order} AS ext_idx,"
+                f" '{spec['predicate']}' AS predicate,"
+                f" '{spec['query_type']}' AS query_type,"
+                f" trim(regexp_extract(query, '{pats[i - 1]}', {gi}))"
+                f" AS value, '{var}' AS variable, '{atype}' AS arg_type"
+                f" FROM m WHERE pidx = {i}")
+    args_union = "\n          UNION ALL ".join(arg_rows)
+    return f"""
+        WITH qt AS (SELECT query_id, query FROM {src}),
+        m0 AS (SELECT query_id, query,
+          {m_cols}
+          FROM qt),
+        m AS (SELECT *, {pidx} AS pidx FROM m0),
+        args AS ({args_union})
+        SELECT query_id, predicate, query_type, 0.8 AS confidence,
+               (row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ext_idx) - 1)::BIGINT AS arg_idx,
+               value, variable, arg_type
+        FROM args WHERE value <> ''
+        ORDER BY query_id, arg_idx
+    """
+
+
+def _query_validation_sql() -> str:
+    """Generated from SAFETY_PATTERNS (``validator.rs:295-365``)."""
+    from graphrag_rs_ray.functions.rograg import SAFETY_PATTERNS
+    src = _staged_sql("query_validation")
+    saf = " OR ".join(f"regexp_matches(lq, '{_sqq(p)}')"
+                      for p in SAFETY_PATTERNS)
+    return f"""
+        WITH qt AS (SELECT query_id, query, lower(query) AS lq FROM {src}),
+        t AS (SELECT query_id,
+              (trim(query) = '') AS empty,
+              (strlen(query) > 1000) AS toolong,
+              ({saf}) AS saf,
+              (NOT regexp_matches(query, '{_PL}')) AS noalpha
+              FROM qt),
+        u AS (SELECT query_id, empty,
+              (empty OR (NOT empty AND toolong)) AS has_len,
+              saf, noalpha,
+              (empty::INT + (NOT empty AND toolong)::INT + saf::INT
+               + noalpha::INT) AS n
+              FROM t)
+        SELECT query_id, NOT empty AS is_valid,
+               round(CASE WHEN empty THEN 0.0
+                          ELSE 1.0 - least(n * 0.1, 0.8) END, 8)
+                 AS validation_score,
+               n::BIGINT AS n_issues, has_len AS has_length_issue,
+               saf AS has_safety_issue, noalpha AS has_format_issue
+        FROM u ORDER BY query_id
+    """
+
+
+def _fuzzy_sql() -> str:
+    """Fuzzy entity matching oracle (``fuzzy_matcher.rs:308-714``):
+    full query×entity cross join at sf scale recomputing
+    jaccard/containment/levenshtein (DuckDB levenshtein is char-based
+    like the Rust DP; max-len is strlen bytes like ``str::len``), the
+    exact/partial/type row rules, <10-matches gated top-5-per-entity
+    graph expansion, deterministic ranking and the position×type
+    weighted overall confidence.  Thresholds appear as the same float
+    EXPRESSIONS the Python side evaluates (0.6 * 0.7, not 0.42)."""
+    src = _staged_sql("fuzzy_matches")
+    ents = _staged_sql("fuzzy_matches", "entities")
+    edges = _staged_sql("fuzzy_matches", "edges")
+    return f"""
+        WITH q AS (SELECT query_id, query, lower(query) AS lq,
+                   list_distinct({_WORDS_LQ}) AS qw,
+                   len({_WORDS_LQ}) AS qn
+                   FROM {src}),
+        e AS (SELECT entity_id, name, lower(name) AS ln,
+              lower(type) AS lt,
+              list_distinct(list_filter(
+                string_split_regex(lower(name), '\\s+'),
+                x -> x <> '')) AS nw
+              FROM {ents}),
+        pair AS (SELECT q.query_id, q.lq, q.qw, q.qn, e.entity_id, e.name,
+                 e.ln, e.lt, e.nw FROM q CROSS JOIN e),
+        exact AS (SELECT query_id, entity_id AS mid, name AS ename,
+                  1.0 AS sim, 'exact_entity' AS mtype
+                  FROM pair WHERE ln = lq),
+        pscore AS (SELECT query_id, entity_id, name,
+                   (CASE WHEN len(list_distinct(qw || nw)) = 0 THEN 0.0
+                         ELSE len(list_intersect(qw, nw))::DOUBLE
+                              / len(list_distinct(qw || nw)) END * 0.4
+                    + CASE WHEN len(qw) = 0 AND len(nw) = 0 THEN 1.0
+                           WHEN least(len(qw), len(nw)) = 0 THEN 0.0
+                           ELSE len(list_intersect(qw, nw))::DOUBLE
+                                / least(len(qw), len(nw)) END * 0.4
+                    + CASE WHEN greatest(strlen(lq), strlen(ln)) = 0
+                           THEN 1.0
+                           ELSE 1.0 - levenshtein(lq, ln)::DOUBLE
+                                / greatest(strlen(lq), strlen(ln)) END
+                      * 0.2) AS ts
+                   FROM pair WHERE ln <> lq),
+        part AS (SELECT query_id, entity_id AS mid, name AS ename,
+                 round(ts * 0.9, 8) AS sim, 'partial_entity' AS mtype
+                 FROM pscore WHERE ts >= 0.6),
+        typ AS (SELECT query_id, 'type_' || entity_id AS mid,
+                name AS ename, round(1.0 * 0.7, 8) AS sim,
+                'semantic_entity' AS mtype
+                FROM pair
+                WHERE ln <> lq AND qn >= 1 AND lt <> ''
+                  AND list_contains(qw, lt)),
+        m0 AS (SELECT query_id, mid, sim, mtype FROM exact
+               UNION ALL SELECT query_id, mid, sim, mtype FROM part
+               UNION ALL SELECT query_id, mid, sim, mtype FROM typ),
+        cnt AS (SELECT query_id, count(*) AS n FROM m0 GROUP BY query_id),
+        me AS (SELECT DISTINCT query_id, ename FROM
+               (SELECT query_id, ename FROM exact
+                UNION ALL SELECT query_id, ename FROM part)),
+        eadj AS (SELECT x.src, x.conf, e2.entity_id AS nb_id,
+                 row_number() OVER (PARTITION BY x.src
+                                    ORDER BY x.conf DESC, x.dst ASC,
+                                             x.pred ASC) AS rn
+                 FROM (SELECT subj AS src, obj AS dst, pred, conf
+                       FROM {edges}
+                       UNION ALL
+                       SELECT obj AS src, subj AS dst, pred, conf
+                       FROM {edges}) x
+                 JOIN e e1 ON e1.name = x.src
+                 JOIN e e2 ON e2.name = x.dst),
+        exp AS (SELECT me.query_id, 'expanded_' || a.nb_id AS mid,
+                round(a.conf::DOUBLE * 0.6, 8) AS sim,
+                'related_concept' AS mtype
+                FROM me JOIN cnt USING (query_id)
+                JOIN eadj a ON a.src = me.ename
+                WHERE cnt.n < 10 AND a.rn <= 5
+                  AND a.conf::DOUBLE * 0.6 >= 0.6 * 0.7),
+        allm AS (SELECT * FROM m0 UNION ALL SELECT * FROM exp),
+        ranked AS (SELECT query_id, mid, sim, mtype,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, mid ASC,
+                                               mtype ASC) AS rank
+                   FROM allm),
+        kept AS (SELECT *, CASE mtype
+                   WHEN 'exact_entity' THEN 1.0
+                   WHEN 'partial_entity' THEN 0.8
+                   WHEN 'semantic_entity' THEN 0.7
+                   WHEN 'chunk_content' THEN 0.6
+                   ELSE 0.5 END AS tw
+                 FROM ranked WHERE rank <= 10),
+        oc AS (SELECT query_id,
+               round(sum(sim * tw / rank) / sum(tw / rank), 8) AS conf
+               FROM kept GROUP BY query_id)
+        SELECT k.query_id, k.rank::BIGINT AS rank, k.mid AS match_id,
+               k.mtype AS match_type, k.sim AS similarity,
+               o.conf AS overall_confidence
+        FROM kept k JOIN oc o USING (query_id)
+        ORDER BY query_id, rank
+    """

@@ -1,0 +1,260 @@
+"""ROGRAG batch query processing as Ray Data dataflows.
+
+The reference processes one query at a time (``rograg/processor.rs``);
+the engine-side reframing is a *table of queries* flowing through
+stateless analysis stages — intent classification, hybrid decomposition,
+logic-form parsing, validation — plus a fuzzy-matching stage that scores
+queries against the (small, broadcast) canonical entity table.
+
+Scale shape: every analysis stage is a stateless ``map_batches`` over
+the query table (compiled regexes are module-level, built once per
+worker process at import).  Fuzzy matching broadcasts the canonical
+entity list + its token inverted index via ``ray.put`` (entities are the
+post-canonicalization SMALL side — millions of rows at web scale, not
+the corpus); the prune (edit distance only when the word-overlap terms
+can reach the threshold) keeps per-query work proportional to the
+token-index hit list, and the documented scale path beyond broadcast is
+a token-bucketed join of queries × entities on shared tokens.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.rograg import (
+    FuzzyMatchConfig,
+    classify_intent,
+    decompose_hybrid,
+    fuzzy_match_one,
+    parse_logic_form,
+    validate_query,
+)
+
+# ------------------------------------------------------------ synthesis --
+
+
+def synthesize_query_table(names: list[str], n_tuples: int = 12) -> pa.Table:
+    """Deterministic query corpus over entity names drawn from the KG
+    (no external data): templates chosen to exercise every rule path —
+    each intent class, both semantic decomposition patterns (plus their
+    case-sensitivity contrast), syntactic clause splits, every logic-form
+    pattern, exact/partial/type fuzzy matches, safety/format/length
+    validation issues."""
+    if not names:
+        names = ["Placeholder Entity"]
+
+    def nm(i: int) -> str:
+        return names[i % len(names)]
+
+    queries: list[str] = []
+    for i in range(n_tuples):
+        a, b, c, d = nm(i), nm(i + 1), nm(i + 2), nm(i + 3)
+        queries.extend([
+            f"what is {a}?",
+            f"who is {a} and {b}?",
+            f"Who is {a} and {b}?",
+            f"how is {a} related to {b}?",
+            f"How is {a} connected to {b}?",
+            f"when did {a} happen?",
+            f"why did {a} cause {b}?",
+            f"Compare {a} and {b}",
+            f"tell me about {a}",
+            f"summarize {a} and {b}",
+            f"define the concept of {a}",
+            f"{a}",
+            f"the {a}",
+            f"which person is {a}?",
+            f"what is {a}, and how is {b} connected to {c}; also describe {d}",
+            f"describe {a}; furthermore explain the meaning of {b}",
+            f"is there a connection between {a} and {b}?",
+            f"what is the secret of {a}?",
+            f"how much harm did {a} cause?",
+        ])
+    # validation edge cases (once each) + an over-long query (>1000 bytes)
+    queries.append("???")
+    queries.append("   ")
+    long_q = "tell me about " + " and ".join(nm(j) for j in range(80))
+    queries.append(long_q)
+    return pa.table({
+        "query_id": pa.array(range(len(queries)), pa.int64()),
+        "query": pa.array(queries, pa.string()),
+    })
+
+
+# -------------------------------------------------------- analysis stages --
+
+
+def intent_stage(t: pa.Table) -> pa.Table:
+    qids = t.column("query_id")
+    rows = [classify_intent(q) for q in t.column("query").to_pylist()]
+    return pa.table({
+        "query_id": qids,
+        "primary_intent": pa.array([r["primary_intent"] for r in rows]),
+        "confidence": pa.array([r["confidence"] for r in rows], pa.float64()),
+        "should_refuse": pa.array([r["should_refuse"] for r in rows],
+                                  pa.bool_()),
+        "refusal_reason": pa.array([r["refusal_reason"] for r in rows]),
+        "suggested_reformulation": pa.array(
+            [r["suggested_reformulation"] for r in rows]),
+        "complexity_score": pa.array([r["complexity_score"] for r in rows],
+                                     pa.float64()),
+        "secondary_intent_1": pa.array([r["secondary_intent_1"] for r in rows]),
+        "secondary_score_1": pa.array([r["secondary_score_1"] for r in rows],
+                                      pa.float64()),
+        "secondary_intent_2": pa.array([r["secondary_intent_2"] for r in rows]),
+        "secondary_score_2": pa.array([r["secondary_score_2"] for r in rows],
+                                      pa.float64()),
+    })
+
+
+def decomposition_stage(t: pa.Table) -> pa.Table:
+    out = {k: [] for k in ("query_id", "sub_idx", "sub_id", "text",
+                           "query_type", "priority", "deps", "strategy",
+                           "confidence", "n_subqueries")}
+    for qid, q in zip(t.column("query_id").to_pylist(),
+                      t.column("query").to_pylist()):
+        res = decompose_hybrid(q)
+        n = len(res["subqueries"])
+        for idx, sub in enumerate(res["subqueries"]):
+            out["query_id"].append(qid)
+            out["sub_idx"].append(idx)
+            out["sub_id"].append(sub["sub_id"])
+            out["text"].append(sub["text"])
+            out["query_type"].append(sub["query_type"])
+            out["priority"].append(round(sub["priority"], 8))
+            out["deps"].append(sub["deps"])
+            out["strategy"].append(res["strategy"])
+            out["confidence"].append(res["confidence"])
+            out["n_subqueries"].append(n)
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "sub_idx": pa.array(out["sub_idx"], pa.int64()),
+        "sub_id": pa.array(out["sub_id"], pa.string()),
+        "text": pa.array(out["text"], pa.string()),
+        "query_type": pa.array(out["query_type"], pa.string()),
+        "priority": pa.array(out["priority"], pa.float64()),
+        "deps": pa.array(out["deps"], pa.string()),
+        "strategy": pa.array(out["strategy"], pa.string()),
+        "confidence": pa.array(out["confidence"], pa.float64()),
+        "n_subqueries": pa.array(out["n_subqueries"], pa.int64()),
+    })
+
+
+def logic_form_stage(t: pa.Table) -> pa.Table:
+    out = {k: [] for k in ("query_id", "predicate", "query_type",
+                           "confidence", "arg_idx", "value", "variable",
+                           "arg_type")}
+    for qid, q in zip(t.column("query_id").to_pylist(),
+                      t.column("query").to_pylist()):
+        res = parse_logic_form(q)
+        if res is None:
+            continue
+        for idx, arg in enumerate(res["args"]):
+            out["query_id"].append(qid)
+            out["predicate"].append(res["predicate"])
+            out["query_type"].append(res["query_type"])
+            out["confidence"].append(res["confidence"])
+            out["arg_idx"].append(idx)
+            out["value"].append(arg["value"])
+            out["variable"].append(arg["variable"])
+            out["arg_type"].append(arg["arg_type"])
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "predicate": pa.array(out["predicate"], pa.string()),
+        "query_type": pa.array(out["query_type"], pa.string()),
+        "confidence": pa.array(out["confidence"], pa.float64()),
+        "arg_idx": pa.array(out["arg_idx"], pa.int64()),
+        "value": pa.array(out["value"], pa.string()),
+        "variable": pa.array(out["variable"], pa.string()),
+        "arg_type": pa.array(out["arg_type"], pa.string()),
+    })
+
+
+def validation_stage(t: pa.Table) -> pa.Table:
+    rows = [validate_query(q) for q in t.column("query").to_pylist()]
+    return pa.table({
+        "query_id": t.column("query_id"),
+        "is_valid": pa.array([r["is_valid"] for r in rows], pa.bool_()),
+        "validation_score": pa.array([r["validation_score"] for r in rows],
+                                     pa.float64()),
+        "n_issues": pa.array([r["n_issues"] for r in rows], pa.int64()),
+        "has_length_issue": pa.array([r["has_length_issue"] for r in rows],
+                                     pa.bool_()),
+        "has_safety_issue": pa.array([r["has_safety_issue"] for r in rows],
+                                     pa.bool_()),
+        "has_format_issue": pa.array([r["has_format_issue"] for r in rows],
+                                     pa.bool_()),
+    })
+
+
+# --------------------------------------------------------- fuzzy matching --
+
+
+def build_entity_side(entities_tbl: pa.Table,
+                      triples_tbl: pa.Table) -> tuple[list[dict], dict]:
+    """Prepare the broadcast side for ``fuzzy_match_stage``: the entity
+    list sorted by name asc (pinned iteration order) and the per-entity
+    top-5 neighbour adjacency (conf desc, neighbour name asc, pred asc —
+    the deterministic stand-in for ``fuzzy_matcher.rs:506`` take(5))."""
+    ents = sorted(
+        ({"entity_id": eid, "name": name, "name_lower": name.lower(),
+          "type_lower": (typ or "").lower()}
+         for eid, name, typ in zip(entities_tbl.column("entity_id").to_pylist(),
+                                   entities_tbl.column("name").to_pylist(),
+                                   entities_tbl.column("type").to_pylist())),
+        key=lambda e: e["name"])
+    by_name = {e["name"]: e["entity_id"] for e in ents}
+
+    nbrs: dict[str, list[dict]] = {}
+    for s, p, o, c in zip(triples_tbl.column("subj").to_pylist(),
+                          triples_tbl.column("pred").to_pylist(),
+                          triples_tbl.column("obj").to_pylist(),
+                          triples_tbl.column("conf").to_pylist()):
+        for src, dst in ((s, o), (o, s)):
+            if src in by_name and dst in by_name:
+                nbrs.setdefault(src, []).append(
+                    {"conf": float(c), "neighbor": dst, "pred": p,
+                     "neighbor_id": by_name[dst]})
+    adjacency = {
+        name: sorted(lst, key=lambda n: (-n["conf"], n["neighbor"],
+                                         n["pred"]))[:5]
+        for name, lst in nbrs.items()}
+    return ents, adjacency
+
+
+def fuzzy_match_stage(queries_ds, entities_tbl: pa.Table,
+                      triples_tbl: pa.Table,
+                      cfg: FuzzyMatchConfig | None = None):
+    """Distributed fuzzy matching: queries stream through ``map_batches``
+    while the canonical entity list + adjacency ride the object store
+    once (``ray.put``) — read zero-copy by every task, never re-shipped
+    per batch."""
+    import ray
+
+    cfg = cfg or FuzzyMatchConfig()
+    side_ref = ray.put(build_entity_side(entities_tbl, triples_tbl))
+
+    def run(t: pa.Table) -> pa.Table:
+        ents, adjacency = ray.get(side_ref)
+        out = {k: [] for k in ("query_id", "rank", "match_id", "match_type",
+                               "similarity", "overall_confidence")}
+        for qid, q in zip(t.column("query_id").to_pylist(),
+                          t.column("query").to_pylist()):
+            for m in fuzzy_match_one(q, ents, adjacency, cfg):
+                out["query_id"].append(qid)
+                out["rank"].append(m["rank"])
+                out["match_id"].append(m["match_id"])
+                out["match_type"].append(m["match_type"])
+                out["similarity"].append(m["similarity"])
+                out["overall_confidence"].append(m["overall_confidence"])
+        return pa.table({
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "match_id": pa.array(out["match_id"], pa.string()),
+            "match_type": pa.array(out["match_type"], pa.string()),
+            "similarity": pa.array(out["similarity"], pa.float64()),
+            "overall_confidence": pa.array(out["overall_confidence"],
+                                           pa.float64()),
+        })
+
+    return queries_ds.map_batches(run, batch_format="pyarrow")

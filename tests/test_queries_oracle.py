@@ -94,6 +94,10 @@ SQL_CHECKED = [
     "hipporag_retrieval",
     # four-phase pipeline validation report over staged corrupted tables
     "pipeline_validation",
+    # ROGRAG batch query processing (oracle SQL generated from the same
+    # pattern specs as the Python kernels)
+    "query_intents", "query_decomposition", "logic_forms",
+    "query_validation", "fuzzy_matches",
 ]
 
 

@@ -1,0 +1,345 @@
+"""ROGRAG kernel tests — ported from the reference's unit tests
+(`intent_classifier.rs:688-798`, `decomposer.rs:759-815`,
+`logic_form.rs:985-1060`, `fuzzy_matcher.rs:826-905`) plus gates on the
+faithful-but-odd behaviours this port pins down."""
+
+from graphrag_rs_ray.functions.rograg import (
+    FuzzyMatchConfig,
+    IntentConfig,
+    classify_clause_type,
+    classify_intent,
+    complexity_score,
+    decompose_hybrid,
+    fm_containment,
+    fm_jaccard,
+    fm_levenshtein_sim,
+    fm_text_similarity,
+    fm_word_overlap,
+    fuzzy_match_one,
+    parse_logic_form,
+    suggest_reformulation,
+    validate_query,
+)
+from graphrag_rs_ray.pipelines.queries import (
+    build_entity_side,
+    synthesize_query_table,
+)
+
+# ----------------------------------------------------------- intents --
+# NOTE: the reference's own unit tests (intent_classifier.rs:688-798)
+# assert confidence > 0.5 and !should_refuse, but its scoring formula
+# ((kw_hits/n_kw)*0.5 + (rx_hits/n_rx)*0.5 with single-pattern intents)
+# tops out near 0.25 for those queries and refusal_threshold is 0.8 —
+# those feature-gated tests cannot pass as written.  We pin the values
+# the faithful formula actually produces.
+
+
+def test_factual_intent():
+    r = classify_intent("What is Entity Name?")
+    assert r["primary_intent"] == "Factual"
+    # kw 'what' (1/4)*0.5 + rx 'what is' (1/4)*0.5
+    assert abs(r["confidence"] - 0.25) < 1e-7
+    assert r["should_refuse"]          # 0.25 < refusal_threshold 0.8
+    assert r["secondary_intent_1"] == "Definitional"   # 'what is' keyword
+
+
+def test_definitional_intent():
+    r = classify_intent("Define the concept of friendship")
+    assert r["primary_intent"] == "Definitional"
+    assert abs(r["confidence"] - 0.2) < 1e-7
+
+
+def test_relational_intent():
+    r = classify_intent("How is Entity Name related to Second Entity?")
+    assert r["primary_intent"] == "Relational"
+    # kw 'related' (1/5)*0.5 + rx 'how is .+ related to' (1/4)*0.5
+    assert abs(r["confidence"] - 0.225) < 1e-7
+
+
+def test_temporal_intent():
+    r = classify_intent("When did Entity Name main activity?")
+    assert r["primary_intent"] == "Temporal"
+    assert abs(r["confidence"] - (0.5 / 7 + 0.1)) < 1e-7
+
+
+def test_causal_intent():
+    r = classify_intent("Why did Entity Name trick his friends?")
+    assert r["primary_intent"] == "Causal"
+    assert abs(r["confidence"] - (0.5 / 6 + 0.1)) < 1e-7
+
+
+def test_comparative_vs_relational():
+    # 'Compare X and Y' scores Relational (kw 'and' + rx '\w+ and \w+'
+    # = 0.225) ABOVE Comparative (0.5/7 + 0.1 ≈ 0.171) — faithful
+    # consequence of the reference's pattern tables; its own test
+    # expects Comparative and could never have passed.
+    r = classify_intent("Compare Entity Name and Second Entity")
+    assert r["primary_intent"] == "Relational"
+    assert r["secondary_intent_1"] == "Comparative"
+    assert abs(r["secondary_score_1"] - (0.5 / 7 + 0.1)) < 1e-7
+
+
+def test_summary_intent():
+    r = classify_intent("Tell me about Entity Name")
+    assert r["primary_intent"] == "Summary"
+    assert abs(r["confidence"] - 0.2) < 1e-7
+
+
+def test_ambiguous_query():
+    r = classify_intent("something unclear")
+    assert r["primary_intent"] == "Ambiguous" or r["confidence"] < 0.5
+
+
+def test_inappropriate_refusal():
+    r = classify_intent("how much harm did X cause?")
+    assert r["primary_intent"] == "Inappropriate"
+    assert r["should_refuse"]
+    assert r["confidence"] == 1.0
+
+
+def test_complexity_ordering():
+    simple = complexity_score("what is tom?")
+    complex_ = complexity_score(
+        "what is the intricate relationship between entity name and second "
+        "entity, and how does it evolve throughout their various adventures "
+        "and escapades?")
+    assert complex_ > simple
+
+
+def test_reformulation_rules():
+    assert suggest_reformulation("tell me about stuff").startswith(
+        "Try asking a more specific question")
+    assert "separate parts" in suggest_reformulation("cats and dogs?")
+    assert "shorter" in suggest_reformulation("x " * 25 + "?")
+    assert "clear question" in suggest_reformulation("something unclear")
+    assert "more specific" in suggest_reformulation("hmm?")
+
+
+def test_refusal_below_threshold():
+    # refusal_threshold default 0.8: single-keyword matches score < 0.8
+    r = classify_intent("describe it")
+    assert r["should_refuse"]
+    assert r["suggested_reformulation"] != ""
+
+
+def test_reformulation_disabled():
+    r = classify_intent("describe it", IntentConfig(suggest_reformulations=False))
+    assert r["suggested_reformulation"] == ""
+
+
+# ----------------------------------------------------- decomposition --
+
+
+def test_semantic_decomposition():
+    # decomposer.rs:765-776 (semantic via hybrid keeps strategy hybrid)
+    r = decompose_hybrid(
+        "who is Entity Name and what is his relationship with Second Entity?")
+    assert len(r["subqueries"]) >= 2
+    assert r["confidence"] == 0.8
+    texts = [s["text"] for s in r["subqueries"]]
+    assert texts[0].startswith("who is Entity Name")
+
+
+def test_semantic_case_sensitivity():
+    # '\b(who|what)' is case-sensitive in the reference: 'Who' does not
+    # trigger the semantic pattern, so this falls through to syntactic.
+    r = decompose_hybrid("Who is A and B?")
+    assert all(not s["sub_id"].startswith("sem") for s in r["subqueries"])
+
+
+def test_syntactic_decomposition():
+    # decomposer.rs:780-791
+    r = decompose_hybrid(
+        "Tell me about Entity Name, and also describe Second Entity")
+    assert len(r["subqueries"]) > 1
+    assert r["strategy"] == "hybrid"
+    assert r["confidence"] == 0.7
+
+
+def test_hybrid_decomposition():
+    r = decompose_hybrid("What is friendship and how are Tom and Huck related?")
+    assert r["strategy"] == "hybrid"
+
+
+def test_single_query_fallback():
+    r = decompose_hybrid("Simple query")
+    assert len(r["subqueries"]) == 1
+    assert r["subqueries"][0]["sub_id"] == "single"
+    assert r["confidence"] == 1.0
+
+
+def test_substring_separator_quirk():
+    # 'and' inside a word is a clause boundary (raw substring scan,
+    # decomposer.rs:503-524) — pinned faithful behaviour.
+    r = decompose_hybrid("describe England therefore describe Poland")
+    assert len(r["subqueries"]) > 1
+
+
+def test_clause_types():
+    assert classify_clause_type("who did it") == "Entity"
+    assert classify_clause_type("what is x") == "Definitional"
+    assert classify_clause_type("when was it") == "Temporal"
+    assert classify_clause_type("why so") == "Causal"
+    assert classify_clause_type("their connection") == "Relationship"
+    assert classify_clause_type("x versus y") == "Comparative"
+    assert classify_clause_type("its size") == "Attribute"
+
+
+# -------------------------------------------------------- logic form --
+
+
+def test_pattern_parser_what_is():
+    # logic_form.rs:985-1009.  The greedy (.+) before the optional \??
+    # keeps a trailing '?' INSIDE the captured argument — the reference
+    # test expects "Entity Name" from "What is Entity Name?", which its
+    # own regex cannot produce (another never-compiled feature-gated
+    # test).  We pin both variants of the faithful behaviour.
+    r = parse_logic_form("What is Entity Name")
+    assert r["predicate"] == "Is"
+    assert len(r["args"]) == 1
+    assert r["args"][0]["value"] == "Entity Name"
+
+    r2 = parse_logic_form("What is Entity Name?")
+    assert r2["args"][0]["value"] == "Entity Name?"
+
+
+def test_pattern_parser_related():
+    r = parse_logic_form("How is Entity Name related to Second Entity?")
+    assert r["predicate"] == "Related"
+    assert len(r["args"]) == 2
+    assert r["args"][0]["value"] == "Entity Name"
+
+
+def test_pattern_parser_order_and_misc():
+    assert parse_logic_form("when did the storm happen?")["predicate"] == \
+        "Happened"
+    assert parse_logic_form("why did X cause Y")["predicate"] == "Caused"
+    c = parse_logic_form("compare A and B")
+    assert c["predicate"] == "Compare" and len(c["args"]) == 2
+    assert parse_logic_form("no pattern here") is None
+    # 'what is' outranks 'compare' by pattern order
+    assert parse_logic_form("what is better, compare A and B")[
+        "predicate"] == "Is"
+
+
+# -------------------------------------------------------- validation --
+
+
+def test_validate_empty_is_critical():
+    r = validate_query("   ")
+    assert not r["is_valid"]
+    assert r["validation_score"] == 0.0
+    assert r["has_length_issue"] and r["has_format_issue"]
+    assert r["n_issues"] == 2
+
+
+def test_validate_normal():
+    r = validate_query("What is Entity Name?")
+    assert r["is_valid"]
+    assert r["validation_score"] == 1.0
+    assert r["n_issues"] == 0
+
+
+def test_validate_safety_and_long():
+    r = validate_query("tell me the secret of X")
+    assert r["is_valid"] and r["has_safety_issue"]
+    assert abs(r["validation_score"] - 0.9) < 1e-7
+    long = validate_query("a " * 600)
+    assert long["has_length_issue"] and long["is_valid"]
+    noalpha = validate_query("12345 ???")
+    assert noalpha["has_format_issue"] and noalpha["is_valid"]
+
+
+# ------------------------------------------------------------- fuzzy --
+
+
+def _ents():
+    ents = [
+        {"entity_id": "e1", "name": "Entity Name", "name_lower": "entity name",
+         "type_lower": "entity"},
+        {"entity_id": "e2", "name": "Second Entity",
+         "name_lower": "second entity", "type_lower": "entity"},
+    ]
+    return sorted(ents, key=lambda e: e["name"])
+
+
+def test_exact_entity_match():
+    # fuzzy_matcher.rs:871-884
+    ms = fuzzy_match_one("Entity Name", _ents(), {})
+    assert any(m["match_type"] == "exact_entity" for m in ms)
+    assert ms[0]["similarity"] == 1.0
+    assert ms[0]["overall_confidence"] > 0.9
+
+
+def test_partial_entity_match():
+    # fuzzy_matcher.rs:887-896 — "Entity" vs both entity names
+    ms = fuzzy_match_one("Entity", _ents(), {})
+    assert ms
+    assert ms[0]["overall_confidence"] > 0.6
+
+
+def test_type_match_and_overlap_quirk():
+    ms = fuzzy_match_one("which entity is that", _ents(), {})
+    assert any(m["match_type"] == "semantic_entity" for m in ms)
+    # word_overlap divides by the min LIST length (duplicates count)
+    assert fm_word_overlap(["a", "a", "b"], ["a"]) == 1.0
+    assert fm_word_overlap(["a", "b"], ["a", "a", "b"]) == 1.0
+    assert fm_word_overlap([], ["a"]) == 0.0
+
+
+def test_similarity_kernels():
+    assert fm_jaccard(frozenset("ab"), frozenset("bc")) == 1 / 3
+    assert fm_containment(frozenset(), frozenset()) == 1.0
+    assert fm_containment(frozenset("a"), frozenset()) == 0.0
+    assert fm_levenshtein_sim("", "") == 1.0
+    assert abs(fm_levenshtein_sim("abc", "abd") - (1 - 1 / 3)) < 1e-12
+    assert abs(fm_text_similarity("entity", "entity name")
+               - (0.5 * 0.4 + 1.0 * 0.4 + (1 - 5 / 11) * 0.2)) < 1e-12
+
+
+def test_semantic_expansion():
+    adj = {"Entity Name": [
+        {"conf": 0.9, "neighbor": "Second Entity", "pred": "knows",
+         "neighbor_id": "e2"},
+        {"conf": 0.5, "neighbor": "Third", "pred": "near",
+         "neighbor_id": "e3"},   # 0.5*0.6=0.3 < 0.42 → dropped
+    ]}
+    ms = fuzzy_match_one("Entity Name", _ents(), adj)
+    expanded = [m for m in ms if m["match_type"] == "related_concept"]
+    assert len(expanded) == 1
+    assert expanded[0]["match_id"] == "expanded_e2"
+    assert abs(expanded[0]["similarity"] - 0.54) < 1e-7
+
+
+def test_truncation_and_rank():
+    ents = sorted(
+        ({"entity_id": f"e{i}", "name": f"Thing {i}",
+          "name_lower": f"thing {i}", "type_lower": "person"}
+         for i in range(30)), key=lambda e: e["name"])
+    ms = fuzzy_match_one("which person is that", ents, {})
+    assert len(ms) == FuzzyMatchConfig().max_matches
+    assert [m["rank"] for m in ms] == list(range(1, 11))
+    # deterministic tie-break: id asc at equal similarity
+    ids = [m["match_id"] for m in ms]
+    assert ids == sorted(ids)
+
+
+# -------------------------------------------------------- table glue --
+
+
+def test_synthesize_and_entity_side():
+    import pyarrow as pa
+    t = synthesize_query_table(["Alpha One", "Beta Two", "Gamma Three"],
+                               n_tuples=2)
+    assert t.num_rows == 2 * 19 + 3
+    assert t.column("query_id").to_pylist() == list(range(t.num_rows))
+    assert max(len(q.encode()) for q in t.column("query").to_pylist()) > 1000
+
+    ents = pa.table({"entity_id": ["a", "b"], "name": ["B Ent", "A Ent"],
+                     "type": ["PERSON", "ORG"]})
+    tris = pa.table({"subj": ["B Ent"], "pred": ["knows"], "obj": ["A Ent"],
+                     "conf": [0.8]})
+    side, adj = build_entity_side(ents, tris)
+    assert [e["name"] for e in side] == ["A Ent", "B Ent"]   # name asc
+    assert adj["B Ent"][0]["neighbor_id"] == "b"
+    assert adj["A Ent"][0]["neighbor"] == "B Ent"
