@@ -1034,6 +1034,28 @@ def q_fuzzy_matches(sf_dir: str):
     return fuzzy_match_stage(qds, ents_tbl, tris_tbl)
 
 
+def q_query_routing(sf_dir: str):
+    """Adaptive complexity routing (``query/adaptive_routing.rs:
+    77-287``): ±1-per-contained-keyword score normalized by match
+    count, word-count buckets, entity indicators (quote pairs +
+    ' and ' + 'between' occurrences), weighted 0.5/0.3/0.2 →
+    complexity class → hierarchical level + explanation."""
+    from graphrag_rs_ray.pipelines.queries import routing_stage
+    return _rograg_queries_ds("query_routing", sf_dir).map_batches(
+        routing_stage, batch_format="pyarrow")
+
+
+def q_query_rewrite(sf_dir: str):
+    """Query rewriting (``query/intelligence.rs:92-358``): normalize →
+    type detection → template substitution (who is→entity: etc.) →
+    synonym expansion (base words unconditional, synonyms global-dedup)
+    → stop-word-filtered key terms → specificity×0.6 + relevance×0.4
+    confidence (default 0.5 relevance, no feedback state)."""
+    from graphrag_rs_ray.pipelines.queries import rewrite_stage
+    return _rograg_queries_ds("query_rewrite", sf_dir).map_batches(
+        rewrite_stage, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -1134,6 +1156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logic_forms": q_logic_forms,
         "query_validation": q_query_validation,
         "fuzzy_matches": q_fuzzy_matches,
+        "query_routing": q_query_routing,
+        "query_rewrite": q_query_rewrite,
     }
 
 
@@ -1160,6 +1184,8 @@ def oracle_sql() -> dict[str, str]:
     d["logic_forms"] = _logic_forms_sql()
     d["query_validation"] = _query_validation_sql()
     d["fuzzy_matches"] = _fuzzy_sql()
+    d["query_routing"] = _routing_sql()
+    d["query_rewrite"] = _rewrite_sql()
     return d
 
 
@@ -2670,4 +2696,137 @@ def _fuzzy_sql() -> str:
                o.conf AS overall_confidence
         FROM kept k JOIN oc o USING (query_id)
         ORDER BY query_id, rank
+    """
+
+
+def _routing_sql() -> str:
+    """Adaptive-routing oracle generated from the query_intel spec
+    tables (``adaptive_routing.rs:77-287``).  Occurrence counts use the
+    replace-length trick (non-overlapping, like Rust ``str::matches``)."""
+    from graphrag_rs_ray.functions.query_intel import (
+        BROAD_KEYWORDS, COMPLEXITY_EXPLANATIONS, ROUTING_MAX_LEVEL,
+        SPECIFIC_KEYWORDS)
+    src = _staged_sql("query_routing")
+    bk = " + ".join(f"contains(lq, '{_sqq(k)}')::INT" for k in BROAD_KEYWORDS)
+    sk = " + ".join(f"contains(lq, '{_sqq(k)}')::INT"
+                    for k in SPECIFIC_KEYWORDS)
+    levels = {"VeryBroad": max(ROUTING_MAX_LEVEL, 2),
+              "Broad": max(ROUTING_MAX_LEVEL - 1, 1),
+              "Medium": 1, "Specific": 0, "VerySpecific": 0}
+    expl = " ".join(
+        f"WHEN cx = '{c}' THEN '{_sqq(COMPLEXITY_EXPLANATIONS[c].format(lv))}'"
+        for c, lv in levels.items())
+    lvl = " ".join(f"WHEN cx = '{c}' THEN {lv}" for c, lv in levels.items())
+    return f"""
+        WITH qt AS (SELECT query_id, query, lower(query) AS lq FROM {src}),
+        sc AS (SELECT query_id,
+            ({bk}) AS bk, ({sk}) AS sk,
+            len({_WORDS_RAW}) AS wc,
+            ((strlen(lq) - strlen(replace(lq, '"', ''))) // 2
+             + (strlen(lq) - strlen(replace(lq, ' and ', ''))) // 5
+             + (strlen(lq) - strlen(replace(lq, 'between', ''))) // 7)
+              AS ind
+            FROM qt),
+        s2 AS (SELECT query_id,
+            CASE WHEN bk + sk > 0
+                 THEN (bk - sk)::DOUBLE / (bk + sk) ELSE 0.0 END AS ks,
+            CASE WHEN wc BETWEEN 1 AND 3 THEN 0.5
+                 WHEN wc BETWEEN 4 AND 5 THEN 0.2
+                 WHEN wc BETWEEN 6 AND 7 THEN 0.0
+                 WHEN wc BETWEEN 8 AND 10 THEN -0.3
+                 ELSE -0.5 END AS ls,
+            CASE WHEN ind = 0 THEN 0.3 WHEN ind = 1 THEN 0.0
+                 WHEN ind = 2 THEN -0.4 ELSE -0.7 END AS es
+            FROM sc),
+        s3 AS (SELECT query_id, ks, ls, es,
+               ks * 0.5 + ls * 0.3 + es * 0.2 AS total FROM s2),
+        s4 AS (SELECT *, CASE WHEN total >= 0.7 THEN 'VeryBroad'
+                              WHEN total >= 0.4 THEN 'Broad'
+                              WHEN total >= -0.2 THEN 'Medium'
+                              WHEN total >= -0.5 THEN 'Specific'
+                              ELSE 'VerySpecific' END AS cx FROM s3)
+        SELECT query_id, cx AS complexity,
+               (CASE {lvl} END)::BIGINT AS suggested_level,
+               round(ks, 8) AS keyword_score, round(ls, 8) AS length_score,
+               round(es, 8) AS entity_score, round(total, 8) AS total_score,
+               CASE {expl} END AS explanation
+        FROM s4 ORDER BY query_id
+    """
+
+
+def _rewrite_sql() -> str:
+    """Query-rewrite oracle generated from the query_intel spec tables
+    (``intelligence.rs:92-358``).  The synonym append-if-absent rule is
+    replayed as an event stream: base words (always kept) and synonym
+    candidates ordered by (pos, kind, j); a candidate survives iff it is
+    the FIRST event of its string — exactly 'not already in the
+    accumulated list'."""
+    from graphrag_rs_ray.functions.query_intel import (
+        REWRITE_STOP_WORDS, SYNONYMS, TEMPLATES)
+    src = _staged_sql("query_rewrite")
+    syn_vals = ", ".join(f"('{_sqq(w)}', {j}, '{_sqq(s)}')"
+                         for w, syns in SYNONYMS
+                         for j, s in enumerate(syns))
+    stop = ", ".join(f"'{_sqq(w)}'" for w in sorted(REWRITE_STOP_WORDS))
+    tpl_branches = " ".join(
+        f"WHEN qtype = '{t}' AND contains(nq, '{_sqq(p)}') "
+        f"THEN replace(nq, '{_sqq(p)}', '{_sqq(r)}')"
+        for p, t, r in TEMPLATES)
+    qtype = """CASE
+        WHEN contains(nq, 'relationship between') OR contains(nq, 'how does')
+          OR contains(nq, 'related to') OR contains(nq, 'connection between')
+          THEN 'Relationship'
+        WHEN starts_with(nq, 'who is') OR starts_with(nq, 'what is')
+          OR starts_with(nq, 'define') THEN 'EntityLookup'
+        WHEN starts_with(nq, 'how many') OR starts_with(nq, 'count')
+          OR contains(nq, 'total') OR contains(nq, 'sum')
+          OR contains(nq, 'average') THEN 'Aggregation'
+        WHEN contains(nq, 'compare') OR contains(nq, 'difference between')
+          OR contains(nq, 'versus') OR contains(nq, 'vs')
+          THEN 'Comparison'
+        WHEN contains(nq, 'when') OR contains(nq, 'before')
+          OR contains(nq, 'after') OR contains(nq, 'during')
+          OR contains(nq, 'timeline') THEN 'Temporal'
+        WHEN contains(nq, 'why') OR contains(nq, 'because')
+          OR contains(nq, 'cause') OR contains(nq, 'reason')
+          OR contains(nq, 'led to') THEN 'Causal'
+        ELSE 'General' END"""
+    return f"""
+        WITH qt AS (SELECT query_id, lower(trim(query)) AS nq FROM {src}),
+        ty AS (SELECT query_id, nq, {qtype} AS qtype FROM qt),
+        tpl AS (SELECT query_id, nq, qtype,
+                CASE {tpl_branches} ELSE nq END AS tq FROM ty),
+        wl AS (SELECT query_id, nq, qtype,
+               list_filter(string_split_regex(tq, '\\s+'), x -> x <> '')
+                 AS l FROM tpl),
+        w AS (SELECT query_id, unnest(l) AS word,
+              unnest(range(len(l))) AS pos FROM wl),
+        syn(sw, j, s) AS (SELECT * FROM (VALUES {syn_vals}) t(sw, j, s)),
+        ev AS (SELECT query_id, pos, 0 AS kind, 0 AS j, word FROM w
+               UNION ALL
+               SELECT w.query_id, w.pos, 1 AS kind, syn.j, syn.s AS word
+               FROM w JOIN syn ON w.word = syn.sw),
+        evr AS (SELECT *, row_number() OVER (PARTITION BY query_id, word
+                                             ORDER BY pos, kind, j) AS rn
+                FROM ev),
+        kept AS (SELECT * FROM evr WHERE kind = 0 OR rn = 1),
+        agg AS (SELECT query_id,
+                string_agg(word, ' ' ORDER BY pos, kind, j) AS rewritten,
+                string_agg(CASE WHEN word NOT IN ({stop}) THEN word END,
+                           ' ' ORDER BY pos, kind, j) AS terms,
+                sum(CASE WHEN word NOT IN ({stop}) THEN 1 ELSE 0 END) AS tc
+                FROM kept GROUP BY query_id),
+        fin AS (SELECT t.query_id, t.qtype, t.nq,
+                coalesce(a.rewritten, '') AS rewritten,
+                coalesce(a.terms, '') AS terms,
+                coalesce(a.tc, 0) AS tc,
+                len(list_filter(string_split_regex(t.nq, '\\s+'),
+                                x -> x <> '')) AS wc
+                FROM ty t LEFT JOIN agg a USING (query_id))
+        SELECT query_id, qtype AS query_type, rewritten,
+               terms AS expanded_terms, tc::BIGINT AS n_terms,
+               round(CASE WHEN tc = 0 THEN 0.5
+                          ELSE least(tc::DOUBLE / (wc + 1.0), 1.0) * 0.6
+                               + 0.5 * 0.4 END, 8) AS confidence
+        FROM fin ORDER BY query_id
     """

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from ..functions.query_intel import analyze_routing, rewrite_query
 from ..functions.rograg import (
     FuzzyMatchConfig,
     classify_intent,
@@ -69,6 +70,8 @@ def synthesize_query_table(names: list[str], n_tuples: int = 12) -> pa.Table:
             f"is there a connection between {a} and {b}?",
             f"what is the secret of {a}?",
             f"how much harm did {a} cause?",
+            f'"{a}" versus "{b}"',
+            f"find the important person and company near {a}",
         ])
     # validation edge cases (once each) + an over-long query (>1000 bytes)
     queries.append("???")
@@ -184,6 +187,38 @@ def validation_stage(t: pa.Table) -> pa.Table:
                                      pa.bool_()),
         "has_format_issue": pa.array([r["has_format_issue"] for r in rows],
                                      pa.bool_()),
+    })
+
+
+def routing_stage(t: pa.Table) -> pa.Table:
+    rows = [analyze_routing(q) for q in t.column("query").to_pylist()]
+    return pa.table({
+        "query_id": t.column("query_id"),
+        "complexity": pa.array([r["complexity"] for r in rows]),
+        "suggested_level": pa.array([r["suggested_level"] for r in rows],
+                                    pa.int64()),
+        "keyword_score": pa.array([r["keyword_score"] for r in rows],
+                                  pa.float64()),
+        "length_score": pa.array([r["length_score"] for r in rows],
+                                 pa.float64()),
+        "entity_score": pa.array([r["entity_score"] for r in rows],
+                                 pa.float64()),
+        "total_score": pa.array([r["total_score"] for r in rows],
+                                pa.float64()),
+        "explanation": pa.array([r["explanation"] for r in rows]),
+    })
+
+
+def rewrite_stage(t: pa.Table) -> pa.Table:
+    rows = [rewrite_query(q) for q in t.column("query").to_pylist()]
+    return pa.table({
+        "query_id": t.column("query_id"),
+        "query_type": pa.array([r["query_type"] for r in rows]),
+        "rewritten": pa.array([r["rewritten"] for r in rows]),
+        "expanded_terms": pa.array([r["expanded_terms"] for r in rows]),
+        "n_terms": pa.array([r["n_terms"] for r in rows], pa.int64()),
+        "confidence": pa.array([r["confidence"] for r in rows],
+                               pa.float64()),
     })
 
 

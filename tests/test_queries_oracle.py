@@ -98,6 +98,8 @@ SQL_CHECKED = [
     # pattern specs as the Python kernels)
     "query_intents", "query_decomposition", "logic_forms",
     "query_validation", "fuzzy_matches",
+    # adaptive complexity routing + query rewriting (query/ module)
+    "query_routing", "query_rewrite",
 ]
 
 

@@ -331,7 +331,7 @@ def test_synthesize_and_entity_side():
     import pyarrow as pa
     t = synthesize_query_table(["Alpha One", "Beta Two", "Gamma Three"],
                                n_tuples=2)
-    assert t.num_rows == 2 * 19 + 3
+    assert t.num_rows == 2 * 21 + 3
     assert t.column("query_id").to_pylist() == list(range(t.num_rows))
     assert max(len(q.encode()) for q in t.column("query").to_pylist()) > 1000
 
@@ -343,3 +343,90 @@ def test_synthesize_and_entity_side():
     assert [e["name"] for e in side] == ["A Ent", "B Ent"]   # name asc
     assert adj["B Ent"][0]["neighbor_id"] == "b"
     assert adj["A Ent"][0]["neighbor"] == "B Ent"
+
+
+# ----------------------------------------------- query intelligence --
+# adaptive_routing.rs:288-340 tests + intelligence.rs semantics pins.
+
+from graphrag_rs_ray.functions.query_intel import (  # noqa: E402
+    analyze_routing,
+    detect_query_type,
+    rewrite_query,
+)
+
+
+def test_routing_broad_query():
+    r = analyze_routing("Give me an overview of AI technologies")
+    assert r["complexity"] in ("VeryBroad", "Broad")
+    assert r["suggested_level"] >= 1
+    assert abs(r["total_score"] - 0.56) < 1e-7
+
+
+def test_routing_specific_query():
+    r = analyze_routing("What is the relationship between Transformers and GPT?")
+    assert r["complexity"] in ("Specific", "VerySpecific")
+    assert r["suggested_level"] == 0
+    # kw -3/3, wc=8 → -0.3, indicators ' and '+ 'between' = 2 → -0.4
+    assert abs(r["total_score"] - (-0.5 - 0.09 - 0.08)) < 1e-7
+
+
+def test_routing_medium_query():
+    r = analyze_routing("How does machine learning work?")
+    assert r["suggested_level"] <= 1
+
+
+def test_routing_detailed():
+    r = analyze_routing("Summarize the main themes")
+    assert r["keyword_score"] > 0.0
+    assert r["explanation"] != ""
+    assert str(r["suggested_level"]) in r["explanation"]
+
+
+def test_routing_empty_query_bucket():
+    # zero words falls into the final `_` bucket (-0.5), faithfully
+    r = analyze_routing("")
+    assert r["length_score"] == -0.5
+
+
+def test_query_type_order():
+    # Relationship is checked before EntityLookup
+    assert detect_query_type("what is the relationship between a and b") == \
+        "Relationship"
+    assert detect_query_type("what is x") == "EntityLookup"
+    assert detect_query_type("how many x are there") == "Aggregation"
+    assert detect_query_type("x versus y") == "Comparison"
+    assert detect_query_type("when did it start") == "Temporal"
+    assert detect_query_type("the reason for x") == "Causal"
+    assert detect_query_type("something else") == "General"
+
+
+def test_rewrite_template_and_confidence():
+    r = rewrite_query("Who is John?")
+    assert r["query_type"] == "EntityLookup"
+    assert r["rewritten"] == "entity: john?"
+    assert r["n_terms"] == 2
+    assert abs(r["confidence"] - 0.5) < 1e-7
+
+
+def test_rewrite_synonyms_and_stopwords():
+    r = rewrite_query("find the large company")
+    assert r["query_type"] == "General"
+    assert r["rewritten"] == ("find search locate the large big huge "
+                              "significant company organization business firm")
+    assert "the" not in r["expanded_terms"].split()
+    assert r["n_terms"] == 11
+    assert abs(r["confidence"] - 0.8) < 1e-7
+
+
+def test_rewrite_dedup_quirk():
+    # base words append unconditionally; synonyms dedup globally — so a
+    # base word equal to an earlier synonym duplicates (faithful)
+    r = rewrite_query("find search")
+    assert r["rewritten"] == "find search locate search"
+
+
+def test_rewrite_empty():
+    r = rewrite_query("   ")
+    assert r["rewritten"] == ""
+    assert r["n_terms"] == 0
+    assert r["confidence"] == 0.5
