@@ -1056,6 +1056,69 @@ def q_query_rewrite(sf_dir: str):
         rewrite_stage, batch_format="pyarrow")
 
 
+def q_dual_keywords(sf_dir: str):
+    """Dual-level keyword extraction, no-LLM fallback path
+    (``lightrag/keyword_extraction.rs:168-190``): query words > 3 bytes,
+    first 10, lowercased, emitted as low-level keywords.  (The LLM path
+    — prompt build, JSON extraction, validation — is ported and
+    unit-tested in functions/lightrag.py; no real model in sandbox.)"""
+    from graphrag_rs_ray.pipelines.lightrag import dual_keywords_stage
+    return _rograg_queries_ds("dual_keywords", sf_dir).map_batches(
+        dual_keywords_stage, batch_format="pyarrow")
+
+
+def q_dual_retrieval(sf_dir: str):
+    """Dual-level retrieval merge strategies (``lightrag/dual_retrieval
+    .rs:197-322``): high-level (topic) and low-level (entity) BM25
+    candidate lists merged under interleave / high_first / low_first /
+    weighted (0.6/0.4), dedup first-occurrence, top-10.  Both lists are
+    staged with their positions; the oracle replays all four merges."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.lightrag import dual_retrieval_table
+
+    def staged_list(query: str, sub: str):
+        rows = td.bm25_topk(sf_dir, query=query, k=20).take_all()
+        tbl = pa.table({
+            "j": pa.array(range(len(rows)), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "score": pa.array([r["score"] for r in rows], pa.float64())})
+        staged = _stage(rd.from_arrow(tbl), "dual_retrieval", sf_dir, sub)
+        rows = sorted(staged.take_all(), key=lambda r: r["j"])
+        return [{"id": r["doc_id"], "score": r["score"]} for r in rows]
+
+    high = staged_list("fast hash join", "high")
+    low = staged_list("hash join", "low")
+    return rd.from_arrow(dual_retrieval_table(high, low, top_k=10))
+
+
+def q_lazy_search(sf_dir: str):
+    """LazyGraphRAG iterative-deepening search
+    (``lightrag/iterative_deepening.rs:112-315`` +
+    ``query_refinement.rs:104-222``): query → concept extraction →
+    refinement over the concept graph (relevance = (ln f + 1) ×
+    (1 + 0.5·connections), feedback boosts) → depth-limited chunk
+    accumulation with max-chunks / no-more-concepts stops.  Procedural
+    iterative kernel → rows-only driver check; gated by unit tests on a
+    hand-built graph."""
+    from graphrag_rs_ray.pipelines.concepts import (
+        concept_edges, concept_mention_rows, concept_table_from_mentions)
+    from graphrag_rs_ray.pipelines.lightrag import (
+        concept_views_from_tables, lazy_search_stage)
+
+    cfg = KGConfig()
+    chunks = pages_to_chunks(_kg_pages(sf_dir), cfg).materialize()
+    mentions = concept_mention_rows(chunks).materialize()
+    views = concept_views_from_tables(
+        pa.Table.from_pandas(
+            concept_table_from_mentions(mentions).to_pandas(),
+            preserve_index=False),
+        pa.Table.from_pandas(concept_edges(chunks).to_pandas(),
+                             preserve_index=False),
+        pa.Table.from_pandas(mentions.to_pandas(), preserve_index=False))
+    return lazy_search_stage(_rograg_queries_ds("lazy_search", sf_dir),
+                             views)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -1158,6 +1221,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_matches": q_fuzzy_matches,
         "query_routing": q_query_routing,
         "query_rewrite": q_query_rewrite,
+        # LightRAG query-side (dual keywords + merges oracle-checked;
+        # iterative deepening is procedural → rows-only)
+        "dual_keywords": q_dual_keywords,
+        "dual_retrieval": q_dual_retrieval,
+        "lazy_search": q_lazy_search,
     }
 
 
@@ -1186,6 +1254,8 @@ def oracle_sql() -> dict[str, str]:
     d["fuzzy_matches"] = _fuzzy_sql()
     d["query_routing"] = _routing_sql()
     d["query_rewrite"] = _rewrite_sql()
+    d["dual_keywords"] = _dual_keywords_sql()
+    d["dual_retrieval"] = _dual_retrieval_sql()
     return d
 
 
@@ -2829,4 +2899,58 @@ def _rewrite_sql() -> str:
                           ELSE least(tc::DOUBLE / (wc + 1.0), 1.0) * 0.6
                                + 0.5 * 0.4 END, 8) AS confidence
         FROM fin ORDER BY query_id
+    """
+
+
+def _dual_keywords_sql() -> str:
+    """Fallback dual-keyword oracle (``keyword_extraction.rs:168-190``):
+    words > 3 bytes, first 10 (1-based inclusive list slice), lowered."""
+    src = _staged_sql("dual_keywords")
+    return f"""
+        WITH qt AS (SELECT query_id, query FROM {src}),
+        wl AS (SELECT query_id,
+               list_filter(string_split_regex(query, '\\s+'),
+                           x -> x <> '') AS l FROM qt),
+        sl AS (SELECT query_id,
+               (list_filter(l, x -> strlen(x) > 3))[1:10] AS l FROM wl),
+        w AS (SELECT query_id, lower(unnest(l)) AS keyword,
+              unnest(range(len(l))) AS k_idx FROM sl)
+        SELECT query_id, 'low_level' AS level, k_idx::BIGINT AS k_idx,
+               keyword
+        FROM w ORDER BY query_id, k_idx
+    """
+
+
+def _dual_retrieval_sql(top_k: int = 10) -> str:
+    """Merge-strategy oracle (``dual_retrieval.rs:197-322``): replays
+    interleave / high_first / low_first / weighted from the staged
+    positioned candidate lists.  Each strategy = dedup-first-occurrence
+    in its event order, rank ≤ top_k; weighted ties pinned (weighted
+    score desc, source asc, position asc) matching the kernel."""
+    high = _staged_sql("dual_retrieval", "high")
+    low = _staged_sql("dual_retrieval", "low")
+
+    def strat(name: str, order: str) -> str:
+        return f"""
+        SELECT '{name}' AS strategy, rank::BIGINT AS rank, doc_id, score
+        FROM (SELECT *, row_number() OVER (ORDER BY {order}) AS rank
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY {order}) AS dup
+                    FROM ev) d WHERE dup = 1) r
+        WHERE rank <= {top_k}"""
+
+    parts = [strat("interleave", "j, src"),
+             strat("high_first", "src, j"),
+             strat("low_first", "1 - src, j"),
+             strat("weighted",
+                   "score * (CASE WHEN src = 0 THEN 0.6 ELSE 0.4 END) DESC,"
+                   " src, j")]
+    union = "\n        UNION ALL".join(parts)
+    return f"""
+        WITH ev AS (
+          SELECT j, doc_id, score, 0 AS src FROM {high}
+          UNION ALL
+          SELECT j, doc_id, score, 1 AS src FROM {low})
+        {union}
+        ORDER BY strategy, rank
     """

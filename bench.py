@@ -162,6 +162,32 @@ def run_bench() -> dict:
           lambda: q["consistency_report"](sf_dir).count())
     timed("centrality", lambda: q["centrality"](sf_dir).count())
 
+    # ROGRAG batch query processing at scale: 210k synthesized queries
+    # through the full five-stage analysis stack (intent, decomposition,
+    # validation, routing, rewrite) — measures regex/kernel throughput
+    # of the query-side pipelines. Input built + repartitioned untimed.
+    from graphrag_rs_ray.pipelines.queries import (
+        decomposition_stage, intent_stage, rewrite_stage, routing_stage,
+        synthesize_query_table, validation_stage)
+    qnames = e._rograg_inputs(sf_dir)["names"]          # untimed (cached KG)
+    qds = (rd.from_arrow(synthesize_query_table(qnames, n_tuples=10000))
+           .repartition(64).materialize())
+    n_q = qds.count()
+
+    def query_stack():
+        total = 0
+        for stage in (intent_stage, decomposition_stage, validation_stage,
+                      routing_stage, rewrite_stage):
+            total += qds.map_batches(stage, batch_format="pyarrow").count()
+        return total
+
+    timed("rograg_query_stack", query_stack)
+    result_queries_per_sec = round(
+        5 * n_q / timings["rograg_query_stack"], 1)
+    print(f"# rograg_query_stack: {n_q} queries x5 stages, "
+          f"{result_queries_per_sec} stage-queries/s",
+          file=sys.stderr, flush=True)
+
     headline = timings["kg_triples"]
     result = {
         "metric": "kg_e2e",

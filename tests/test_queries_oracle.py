@@ -100,6 +100,8 @@ SQL_CHECKED = [
     "query_validation", "fuzzy_matches",
     # adaptive complexity routing + query rewriting (query/ module)
     "query_routing", "query_rewrite",
+    # LightRAG dual-level keywords (fallback path) + retrieval merges
+    "dual_keywords", "dual_retrieval",
 ]
 
 
