@@ -946,17 +946,28 @@ def _rograg_inputs(sf_dir: str) -> dict:
         ents = (entities_dataset(_kg_pages(sf_dir), cfg)
                 .sort(["mention_count", "name"], descending=[True, False]))
         ents_df = ents.to_pandas()
-        combined = chunks_to_combined(
-            pages_to_chunks(_kg_pages(sf_dir), cfg), cfg)
+        chunks = pages_to_chunks(_kg_pages(sf_dir), cfg).materialize()
+        combined = chunks_to_combined(chunks, cfg).materialize()
         tris_df = dedup_triples(
             combined.map_batches(triples_only, batch_format="pyarrow"),
             cfg).to_pandas()
+        mentions_df = (combined.map_batches(entities_only,
+                                            batch_format="pyarrow")
+                       .to_pandas())
+        chunks_df = chunks.to_pandas()
         _ROGRAG_CACHE[sf_dir] = {
             "names": ents_df["name"].head(24).tolist(),
             "entities": pa.Table.from_pandas(
-                ents_df[["entity_id", "name", "type"]], preserve_index=False),
+                ents_df[["entity_id", "name", "type", "conf",
+                         "mention_count"]], preserve_index=False),
             "triples": pa.Table.from_pandas(
                 tris_df[["subj", "pred", "obj", "conf"]],
+                preserve_index=False),
+            "mentions": pa.Table.from_pandas(
+                mentions_df[["chunk_id", "doc_id", "entity_id", "conf"]],
+                preserve_index=False),
+            "chunks": pa.Table.from_pandas(
+                chunks_df[["chunk_id", "doc_id", "text"]],
                 preserve_index=False),
         }
     return _ROGRAG_CACHE[sf_dir]
@@ -1119,6 +1130,114 @@ def q_lazy_search(sf_dir: str):
                              views)
 
 
+def _tool_graph(sf_dir: str) -> dict:
+    from graphrag_rs_ray.pipelines.tools import build_tool_graph
+    inp = _rograg_inputs(sf_dir)
+    return build_tool_graph(inp["entities"], inp["triples"],
+                            inp["mentions"], inp["chunks"])
+
+
+def q_tool_graph_search(sf_dir: str):
+    """Batch ``graph_search`` tool execution (``function_calling/
+    functions.rs:121-241``): exact (1.0) / contains (0.8) / fuzzy (0.6)
+    phases with later phases gated on found < limit; deterministic
+    (relevance desc, name asc, id asc) ranking."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.tools import (
+        graph_search_stage, synthesize_search_calls)
+    g = _tool_graph(sf_dir)
+    calls = _stage(rd.from_arrow(synthesize_search_calls(g)),
+                   "tool_graph_search", sf_dir)
+    _stage(rd.from_arrow(_rograg_inputs(sf_dir)["entities"]),
+           "tool_graph_search", sf_dir, "entities")
+    return graph_search_stage(calls, g)
+
+
+def q_tool_entity_expand(sf_dir: str):
+    """Batch ``entity_expand`` tool (``functions.rs:246-376``): incident
+    relationships in the pinned (source, type, target) order, take
+    limit, related entity resolved; unknown ids yield error rows."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.tools import (
+        entity_expand_stage, synthesize_expand_calls)
+    g = _tool_graph(sf_dir)
+    calls = _stage(rd.from_arrow(synthesize_expand_calls(g)),
+                   "tool_entity_expand", sf_dir)
+    _stage(rd.from_arrow(_rograg_inputs(sf_dir)["entities"]),
+           "tool_entity_expand", sf_dir, "entities")
+    rels = pa.table({
+        "source": pa.array([r["source"] for r in g["rels"]], pa.string()),
+        "target": pa.array([r["target"] for r in g["rels"]], pa.string()),
+        "type": pa.array([r["type"] for r in g["rels"]], pa.string()),
+        "conf": pa.array([r["conf"] for r in g["rels"]], pa.float64()),
+    })
+    _stage(rd.from_arrow(rels), "tool_entity_expand", sf_dir, "rels")
+    return entity_expand_stage(calls, g)
+
+
+def q_tool_entity_context(sf_dir: str):
+    """Batch ``get_entity_context`` tool (``functions.rs:600-711``):
+    context chunks containing the entity (chunk_id asc, take limit) plus
+    the entity's mention rows (offsets not tracked by this engine's
+    mention aggregates — chunk_id + confidence, documented)."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.tools import (
+        entity_context_stage, synthesize_context_calls)
+    g = _tool_graph(sf_dir)
+    calls = _stage(rd.from_arrow(synthesize_context_calls(g)),
+                   "tool_entity_context", sf_dir)
+    _stage(rd.from_arrow(_rograg_inputs(sf_dir)["mentions"]),
+           "tool_entity_context", sf_dir, "mentions")
+    _stage(rd.from_arrow(_rograg_inputs(sf_dir)["entities"]),
+           "tool_entity_context", sf_dir, "entities")
+    return entity_context_stage(calls, g)
+
+
+def q_tool_validation(sf_dir: str):
+    """Batch tool-argument validation (each tool's validate_arguments,
+    ``functions.rs:222-241,348-376,438-472,693-711``): required/type
+    checks, range limits, and the traverse wrong-parameter-name guard,
+    over a call table covering every rule."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.tools import (
+        synthesize_validation_calls, validation_calls_stage)
+    calls = _stage(rd.from_arrow(synthesize_validation_calls()),
+                   "tool_validation", sf_dir)
+    return validation_calls_stage(calls)
+
+
+def q_tool_traverse(sf_dir: str):
+    """Batch ``relationship_traverse`` tool (``functions.rs:381-560``):
+    name-or-id resolution then the reference's stack-based search whose
+    global visited set admits at most one non-trivial path (pinned edge
+    order; procedural → rows-only driver check, unit-tested)."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.tools import (
+        synthesize_traverse_calls, traverse_stage)
+    g = _tool_graph(sf_dir)
+    calls = _stage(rd.from_arrow(synthesize_traverse_calls(g)),
+                   "tool_traverse", sf_dir)
+    return traverse_stage(calls, g)
+
+
+def q_tool_infer(sf_dir: str):
+    """Batch ``infer_relationships`` tool (``functions.rs:714-874`` +
+    ``inference.rs:83-402``): co-occurrence evidence scoring (base 0.2 +
+    proximity + friendship/negative pattern weights ±context bonus,
+    family damper), normalized by the target's chunk count, threshold
+    0.3, top-10.  Procedural text scanning → rows-only, unit-tested."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.tools import infer_stage
+    g = _tool_graph(sf_dir)
+    names = [e["name"] for e in g["entities"][:6]] + ["zzz qqq"]
+    calls = _stage(rd.from_arrow(pa.table({
+        "call_id": pa.array(range(len(names)), pa.int64()),
+        "entity_name": pa.array(names, pa.string()),
+        "relation_type": pa.array(["FRIEND"] * len(names), pa.string()),
+    })), "tool_infer", sf_dir)
+    return infer_stage(calls, g)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -1226,6 +1345,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dual_keywords": q_dual_keywords,
         "dual_retrieval": q_dual_retrieval,
         "lazy_search": q_lazy_search,
+        # batch agent-tool execution (function_calling/ + inference.rs)
+        "tool_graph_search": q_tool_graph_search,
+        "tool_entity_expand": q_tool_entity_expand,
+        "tool_entity_context": q_tool_entity_context,
+        "tool_validation": q_tool_validation,
+        "tool_traverse": q_tool_traverse,
+        "tool_infer": q_tool_infer,
     }
 
 
@@ -1256,6 +1382,10 @@ def oracle_sql() -> dict[str, str]:
     d["query_rewrite"] = _rewrite_sql()
     d["dual_keywords"] = _dual_keywords_sql()
     d["dual_retrieval"] = _dual_retrieval_sql()
+    d["tool_graph_search"] = _tool_search_sql()
+    d["tool_entity_expand"] = _tool_expand_sql()
+    d["tool_entity_context"] = _tool_context_sql()
+    d["tool_validation"] = _tool_validation_sql()
     return d
 
 
@@ -2724,25 +2854,25 @@ def _fuzzy_sql() -> str:
                UNION ALL SELECT query_id, mid, sim, mtype FROM part
                UNION ALL SELECT query_id, mid, sim, mtype FROM typ),
         cnt AS (SELECT query_id, count(*) AS n FROM m0 GROUP BY query_id),
-        me AS (SELECT DISTINCT query_id, ename FROM
-               (SELECT query_id, ename FROM exact
-                UNION ALL SELECT query_id, ename FROM part)),
+        me AS (SELECT DISTINCT query_id, mid FROM
+               (SELECT query_id, mid FROM exact
+                UNION ALL SELECT query_id, mid FROM part)),
         eadj AS (SELECT x.src, x.conf, e2.entity_id AS nb_id,
                  row_number() OVER (PARTITION BY x.src
-                                    ORDER BY x.conf DESC, x.dst ASC,
+                                    ORDER BY x.conf DESC, e2.name ASC,
                                              x.pred ASC) AS rn
                  FROM (SELECT subj AS src, obj AS dst, pred, conf
                        FROM {edges}
                        UNION ALL
                        SELECT obj AS src, subj AS dst, pred, conf
                        FROM {edges}) x
-                 JOIN e e1 ON e1.name = x.src
-                 JOIN e e2 ON e2.name = x.dst),
+                 JOIN e e1 ON e1.entity_id = x.src
+                 JOIN e e2 ON e2.entity_id = x.dst),
         exp AS (SELECT me.query_id, 'expanded_' || a.nb_id AS mid,
                 round(a.conf::DOUBLE * 0.6, 8) AS sim,
                 'related_concept' AS mtype
                 FROM me JOIN cnt USING (query_id)
-                JOIN eadj a ON a.src = me.ename
+                JOIN eadj a ON a.src = me.mid
                 WHERE cnt.n < 10 AND a.rn <= 5
                   AND a.conf::DOUBLE * 0.6 >= 0.6 * 0.7),
         allm AS (SELECT * FROM m0 UNION ALL SELECT * FROM exp),
@@ -2953,4 +3083,196 @@ def _dual_retrieval_sql(top_k: int = 10) -> str:
           SELECT j, doc_id, score, 1 AS src FROM {low})
         {union}
         ORDER BY strategy, rank
+    """
+
+
+def _tool_search_sql(top_default: int = 10) -> str:
+    """graph_search oracle (``functions.rs:121-241``): the three match
+    phases with later phases gated on the per-call found-so-far count,
+    the fuzzy rule (single-word prefix / last-word equality / edit
+    distance ≤ max(min_bytes//4, 1)) and the pinned ranking."""
+    calls = _staged_sql("tool_graph_search")
+    ents = _staged_sql("tool_graph_search", "entities")
+    qp = r"list_filter(string_split_regex(lower(entity_name), '\s+'), x -> x <> '')"
+    ep = r"list_filter(string_split_regex(ln, '\s+'), x -> x <> '')"
+    return f"""
+        WITH calls AS (SELECT call_id, entity_name, limit_arg FROM {calls}),
+        e AS (SELECT entity_id, name, type, conf, mention_count,
+              lower(name) AS ln FROM {ents}),
+        pair AS (SELECT c.call_id, c.entity_name, c.limit_arg, e.*
+                 FROM calls c CROSS JOIN e),
+        flags AS (SELECT *,
+            (trim(ln) = trim(lower(entity_name))) AS ex,
+            (contains(ln, lower(entity_name))
+             OR contains(lower(entity_name), ln)) AS ct,
+            CASE WHEN len({qp}) = 1 AND len({ep}) > 0
+                 THEN (starts_with(({ep})[1], ({qp})[1])
+                       OR starts_with(({qp})[1], ({ep})[1]))
+                 WHEN len({ep}) > 0 AND len({qp}) > 0
+                      AND ({ep})[len({ep})] = ({qp})[len({qp})] THEN TRUE
+                 ELSE levenshtein(ln, lower(entity_name))
+                      <= greatest(least(strlen(lower(entity_name)),
+                                        strlen(ln)) // 4, 1) END AS fz
+            FROM pair),
+        p1 AS (SELECT call_id, entity_id, name, type, conf, mention_count,
+               1.0 AS score FROM flags WHERE ex),
+        c1 AS (SELECT call_id, count(*) AS n FROM p1 GROUP BY call_id),
+        p2 AS (SELECT f.call_id, f.entity_id, f.name, f.type, f.conf,
+               f.mention_count, 0.8 AS score
+               FROM flags f LEFT JOIN c1 USING (call_id)
+               WHERE coalesce(c1.n, 0) < f.limit_arg AND f.ct AND NOT f.ex),
+        c2 AS (SELECT call_id, count(*) AS n FROM p2 GROUP BY call_id),
+        p3 AS (SELECT f.call_id, f.entity_id, f.name, f.type, f.conf,
+               f.mention_count, 0.6 AS score
+               FROM flags f LEFT JOIN c1 USING (call_id)
+               LEFT JOIN c2 USING (call_id)
+               WHERE coalesce(c1.n, 0) + coalesce(c2.n, 0) < f.limit_arg
+                 AND f.fz AND NOT f.ex AND NOT f.ct),
+        allm AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                 UNION ALL SELECT * FROM p3),
+        ranked AS (SELECT a.*, c.limit_arg,
+                   row_number() OVER (PARTITION BY a.call_id
+                                      ORDER BY a.score DESC, a.name ASC,
+                                               a.entity_id ASC) AS rank
+                   FROM allm a JOIN calls c USING (call_id))
+        SELECT call_id, rank::BIGINT AS rank, entity_id AS id, name, type,
+               round(conf::DOUBLE, 6) AS confidence,
+               score AS relevance_score, mention_count AS mentions_count
+        FROM ranked WHERE rank <= limit_arg
+        ORDER BY call_id, rank
+    """
+
+
+def _tool_expand_sql() -> str:
+    """entity_expand oracle (``functions.rs:246-376``): incident
+    relationships in the pinned (source, type, target) order, take
+    limit; unknown ids produce the error row."""
+    calls = _staged_sql("tool_entity_expand")
+    ents = _staged_sql("tool_entity_expand", "entities")
+    rels = _staged_sql("tool_entity_expand", "rels")
+    return f"""
+        WITH calls AS (SELECT call_id, entity_id, limit_arg FROM {calls}),
+        e AS (SELECT entity_id, name, type FROM {ents}),
+        r AS (SELECT source, target, type, conf FROM {rels}),
+        known AS (SELECT c.* FROM calls c JOIN e ON e.entity_id = c.entity_id),
+        unknown AS (SELECT c.* FROM calls c
+                    LEFT JOIN e ON e.entity_id = c.entity_id
+                    WHERE e.entity_id IS NULL),
+        inc AS (SELECT k.call_id, k.limit_arg, r.type AS rel_type, r.conf,
+                CASE WHEN r.source = k.entity_id
+                     THEN 'outgoing' ELSE 'incoming' END AS direction,
+                CASE WHEN r.source = k.entity_id
+                     THEN r.target ELSE r.source END AS rid,
+                row_number() OVER (PARTITION BY k.call_id
+                                   ORDER BY r.source, r.type, r.target)
+                  AS rn
+                FROM known k JOIN r
+                  ON r.source = k.entity_id OR r.target = k.entity_id),
+        rows_ AS (SELECT i.call_id, (i.rn - 1)::BIGINT AS idx,
+                  i.rel_type AS relationship_type, i.direction,
+                  i.rid AS related_id,
+                  coalesce(e2.name, '') AS related_name,
+                  coalesce(e2.type, '') AS related_type,
+                  round(i.conf::DOUBLE, 6) AS confidence, '' AS error
+                  FROM inc i LEFT JOIN e e2 ON e2.entity_id = i.rid
+                  WHERE i.rn <= i.limit_arg)
+        SELECT * FROM rows_
+        UNION ALL
+        SELECT call_id, -1::BIGINT, '', '', '', '', '', 0.0,
+               'Entity with id ''' || entity_id || ''' not found'
+        FROM unknown
+        ORDER BY call_id, idx
+    """
+
+
+def _tool_context_sql() -> str:
+    """get_entity_context oracle (``functions.rs:600-711``): per-call
+    chunk rows (chunks containing the entity, chunk_id asc, take limit;
+    n_entities = distinct entities in chunk) + mention rows (chunk_id
+    asc) + error rows for unknown ids."""
+    calls = _staged_sql("tool_entity_context")
+    ments = _staged_sql("tool_entity_context", "mentions")
+    ents = _staged_sql("tool_entity_context", "entities")
+    return f"""
+        WITH calls AS (SELECT call_id, entity_id, limit_arg FROM {calls}),
+        e AS (SELECT entity_id FROM {ents}),
+        m AS (SELECT chunk_id, doc_id, entity_id, conf FROM {ments}),
+        known AS (SELECT c.* FROM calls c JOIN e USING (entity_id)),
+        unknown AS (SELECT c.* FROM calls c
+                    LEFT JOIN e USING (entity_id)
+                    WHERE e.entity_id IS NULL),
+        nent AS (SELECT chunk_id, count(DISTINCT entity_id) AS n
+                 FROM m GROUP BY chunk_id),
+        echunks AS (SELECT k.call_id, m.chunk_id, m.doc_id,
+                    row_number() OVER (PARTITION BY k.call_id
+                                       ORDER BY m.chunk_id) AS rn,
+                    k.limit_arg
+                    FROM known k JOIN m ON m.entity_id = k.entity_id),
+        chunk_rows AS (SELECT ec.call_id, 'chunk' AS kind,
+                       (ec.rn - 1)::BIGINT AS idx, ec.chunk_id, ec.doc_id,
+                       ne.n::BIGINT AS n_entities, 0.0 AS conf, '' AS error
+                       FROM echunks ec JOIN nent ne USING (chunk_id)
+                       WHERE ec.rn <= ec.limit_arg),
+        mention_rows AS (SELECT k.call_id, 'mention' AS kind,
+                         (row_number() OVER (PARTITION BY k.call_id
+                                             ORDER BY m.chunk_id) - 1)
+                           ::BIGINT AS idx,
+                         m.chunk_id, '' AS doc_id, 0::BIGINT AS n_entities,
+                         round(m.conf::DOUBLE, 6) AS conf, '' AS error
+                         FROM known k JOIN m ON m.entity_id = k.entity_id)
+        SELECT * FROM chunk_rows
+        UNION ALL SELECT * FROM mention_rows
+        UNION ALL
+        SELECT call_id, 'error', -1::BIGINT, '', '', 0::BIGINT, 0.0,
+               'Entity with id ''' || entity_id || ''' not found'
+        FROM unknown
+        ORDER BY call_id, kind, idx
+    """
+
+
+def _tool_validation_sql() -> str:
+    """Tool-argument validation oracle: each tool's rule chain replayed
+    as ordered CASE branches ('' string = absent, -1 int = absent)."""
+    calls = _staged_sql("tool_validation")
+    return f"""
+        WITH c AS (SELECT * FROM {calls}),
+        v AS (SELECT call_id, function,
+          CASE function
+          WHEN 'graph_search' THEN
+            CASE WHEN entity_name = ''
+                 THEN 'entity_name must be a string'
+                 WHEN limit_arg >= 0 AND (limit_arg < 1 OR limit_arg > 100)
+                 THEN 'limit must be between 1 and 100'
+                 ELSE '' END
+          WHEN 'entity_expand' THEN
+            CASE WHEN entity_id = ''
+                 THEN 'entity_id must be a string'
+                 WHEN depth >= 0 AND (depth < 1 OR depth > 5)
+                 THEN 'depth must be between 1 and 5'
+                 WHEN limit_arg >= 0 AND (limit_arg < 1 OR limit_arg > 100)
+                 THEN 'limit must be between 1 and 100'
+                 ELSE '' END
+          WHEN 'relationship_traverse' THEN
+            CASE WHEN bad_param
+                 THEN 'PARAMETER ERROR: Use ''source_entity'' and ''target_entity'' (not ''entity_id_1'', ''entity1_id'', etc.)'
+                 WHEN source_entity = ''
+                 THEN 'REQUIRED PARAMETER: ''source_entity'' must be a string'
+                 WHEN target_entity = ''
+                 THEN 'REQUIRED PARAMETER: ''target_entity'' must be a string'
+                 WHEN max_hops >= 0 AND (max_hops < 1 OR max_hops > 10)
+                 THEN 'PARAMETER ERROR: ''max_hops'' must be between 1 and 10'
+                 ELSE '' END
+          WHEN 'get_entity_context' THEN
+            CASE WHEN entity_id = ''
+                 THEN 'entity_id must be a string'
+                 WHEN limit_arg >= 0 AND (limit_arg < 1 OR limit_arg > 50)
+                 THEN 'limit must be between 1 and 50'
+                 ELSE '' END
+          WHEN 'infer_relationships' THEN
+            CASE WHEN entity_name = '' THEN 'entity_name is required'
+                 ELSE '' END
+          ELSE '' END AS error
+          FROM c)
+        SELECT call_id, function, error, (error = '') AS is_valid
+        FROM v ORDER BY call_id
     """

@@ -502,7 +502,7 @@ def fuzzy_match_one(query: str, entities: list[dict],
     see pipelines.queries).  ``entities`` must be sorted by name asc
     (pinned iteration order); each has name/name_lower/type_lower/
     entity_id/words (frozenset of name_lower tokens).  ``adjacency``
-    maps entity name → top-5 neighbour dicts (conf desc, name asc,
+    maps entity ID → top-5 neighbour dicts (conf desc, name asc,
     pred asc; pre-truncated per fuzzy_matcher.rs:506 ``take(5)``).
 
     Returns ranked match rows (similarity desc, id asc, type asc),
@@ -543,8 +543,8 @@ def fuzzy_match_one(query: str, entities: list[dict],
                     "match_type": "semantic_entity"})
 
     if cfg.enable_semantic_expansion and len(matches) < cfg.max_matches:
-        for _eid, name in matched_eids:
-            for nb in adjacency.get(name, []):
+        for eid, _name in matched_eids:
+            for nb in adjacency.get(eid, []):
                 sim = nb["conf"] * 0.6
                 if sim >= cfg.similarity_threshold * 0.7:
                     matches.append({

@@ -229,8 +229,10 @@ def build_entity_side(entities_tbl: pa.Table,
                       triples_tbl: pa.Table) -> tuple[list[dict], dict]:
     """Prepare the broadcast side for ``fuzzy_match_stage``: the entity
     list sorted by name asc (pinned iteration order) and the per-entity
-    top-5 neighbour adjacency (conf desc, neighbour name asc, pred asc —
-    the deterministic stand-in for ``fuzzy_matcher.rs:506`` take(5))."""
+    top-5 neighbour adjacency keyed by ENTITY ID — triple endpoints are
+    the content-derived TYPE_name ids (stages/kg_extract.py) — ordered
+    (conf desc, neighbour name asc, pred asc), the deterministic
+    stand-in for ``fuzzy_matcher.rs:506`` take(5)."""
     ents = sorted(
         ({"entity_id": eid, "name": name, "name_lower": name.lower(),
           "type_lower": (typ or "").lower()}
@@ -238,7 +240,7 @@ def build_entity_side(entities_tbl: pa.Table,
                                    entities_tbl.column("name").to_pylist(),
                                    entities_tbl.column("type").to_pylist())),
         key=lambda e: e["name"])
-    by_name = {e["name"]: e["entity_id"] for e in ents}
+    name_by_id = {e["entity_id"]: e["name"] for e in ents}
 
     nbrs: dict[str, list[dict]] = {}
     for s, p, o, c in zip(triples_tbl.column("subj").to_pylist(),
@@ -246,14 +248,14 @@ def build_entity_side(entities_tbl: pa.Table,
                           triples_tbl.column("obj").to_pylist(),
                           triples_tbl.column("conf").to_pylist()):
         for src, dst in ((s, o), (o, s)):
-            if src in by_name and dst in by_name:
+            if src in name_by_id and dst in name_by_id:
                 nbrs.setdefault(src, []).append(
-                    {"conf": float(c), "neighbor": dst, "pred": p,
-                     "neighbor_id": by_name[dst]})
+                    {"conf": float(c), "neighbor": name_by_id[dst],
+                     "pred": p, "neighbor_id": dst})
     adjacency = {
-        name: sorted(lst, key=lambda n: (-n["conf"], n["neighbor"],
-                                         n["pred"]))[:5]
-        for name, lst in nbrs.items()}
+        eid: sorted(lst, key=lambda n: (-n["conf"], n["neighbor"],
+                                        n["pred"]))[:5]
+        for eid, lst in nbrs.items()}
     return ents, adjacency
 
 

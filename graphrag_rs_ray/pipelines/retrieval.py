@@ -145,11 +145,14 @@ def passage_dense_scores(chunks_ds, query: str, top_n: int = 20,
 
 
 def entity_passage_pairs(mentions_ds, num_buckets: int = 16):
-    """Distinct (entity name, passage) pairs from the mention rows — the
-    distributed form of the reference's ``entity_to_passages`` map."""
+    """Distinct (entity id, passage) pairs from the mention rows — the
+    distributed form of the reference's ``entity_to_passages`` map.
+    Keyed by ENTITY ID to match the fact-triple endpoints (the
+    content-derived TYPE_name ids), so the passage-frequency
+    downweighting and the entity↔passage PPR edges actually connect."""
     return hash_grouped_aggregate(
         mentions_ds.map_batches(
-            lambda t: pa.table({"entity": t.column("name"),
+            lambda t: pa.table({"entity": t.column("entity_id"),
                                 "passage": t.column("chunk_id")}),
             batch_format="pyarrow"),
         ["entity", "passage"],

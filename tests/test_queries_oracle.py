@@ -102,6 +102,9 @@ SQL_CHECKED = [
     "query_routing", "query_rewrite",
     # LightRAG dual-level keywords (fallback path) + retrieval merges
     "dual_keywords", "dual_retrieval",
+    # batch agent-tool execution (search/expand/context/validation)
+    "tool_graph_search", "tool_entity_expand", "tool_entity_context",
+    "tool_validation",
 ]
 
 

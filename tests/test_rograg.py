@@ -298,7 +298,7 @@ def test_similarity_kernels():
 
 
 def test_semantic_expansion():
-    adj = {"Entity Name": [
+    adj = {"e1": [   # keyed by matched entity ID
         {"conf": 0.9, "neighbor": "Second Entity", "pred": "knows",
          "neighbor_id": "e2"},
         {"conf": 0.5, "neighbor": "Third", "pred": "near",
@@ -337,12 +337,14 @@ def test_synthesize_and_entity_side():
 
     ents = pa.table({"entity_id": ["a", "b"], "name": ["B Ent", "A Ent"],
                      "type": ["PERSON", "ORG"]})
-    tris = pa.table({"subj": ["B Ent"], "pred": ["knows"], "obj": ["A Ent"],
+    # triple endpoints are entity IDS; adjacency is keyed by id
+    tris = pa.table({"subj": ["a"], "pred": ["knows"], "obj": ["b"],
                      "conf": [0.8]})
     side, adj = build_entity_side(ents, tris)
     assert [e["name"] for e in side] == ["A Ent", "B Ent"]   # name asc
-    assert adj["B Ent"][0]["neighbor_id"] == "b"
-    assert adj["A Ent"][0]["neighbor"] == "B Ent"
+    assert adj["a"][0]["neighbor_id"] == "b"
+    assert adj["a"][0]["neighbor"] == "A Ent"
+    assert adj["b"][0]["neighbor"] == "B Ent"
 
 
 # ----------------------------------------------- query intelligence --
