@@ -1238,6 +1238,40 @@ def q_tool_infer(sf_dir: str):
     return infer_stage(calls, g)
 
 
+def _response_log(query_name: str, sf_dir: str):
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.queries import (
+        synthesize_query_table, synthesize_response_log)
+    names = _rograg_inputs(sf_dir)["names"]
+    log = synthesize_response_log(synthesize_query_table(names), names)
+    return _stage(rd.from_arrow(log), query_name, sf_dir)
+
+
+def q_response_quality(sf_dir: str):
+    """Per-response quality scoring (``rograg/quality_metrics.rs:
+    986-1128``): accuracy/completeness/coherence/relevance/source-
+    credibility components, weighted overall, retrieval-strategy
+    classification and threshold alerts, over a response log derived
+    from the engine's own decomposition/logic-form/intent kernels."""
+    from graphrag_rs_ray.pipelines.queries import response_quality_stage
+    return response_quality_stage(_response_log("response_quality", sf_dir))
+
+
+def q_quality_report(sf_dir: str):
+    """Corpus-level quality report (``quality_metrics.rs:1131-1337``):
+    performance statistics (running averages ≡ plain means over the
+    history, fallback rate, last-10 throughput), alert counts, and the
+    baseline-vs-rograg comparative analysis (aggregated means,
+    population std-dev, improvement percentages, the reference's
+    heuristic significance test)."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.queries import quality_report_table
+    _response_log("quality_report", sf_dir)
+    log = _pq.read_table(_stage_path("quality_report", sf_dir))
+    return rd.from_arrow(quality_report_table(log))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -1352,6 +1386,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_validation": q_tool_validation,
         "tool_traverse": q_tool_traverse,
         "tool_infer": q_tool_infer,
+        # ROGRAG quality metrics (per-response scoring + corpus report)
+        "response_quality": q_response_quality,
+        "quality_report": q_quality_report,
     }
 
 
@@ -1386,6 +1423,8 @@ def oracle_sql() -> dict[str, str]:
     d["tool_entity_expand"] = _tool_expand_sql()
     d["tool_entity_context"] = _tool_context_sql()
     d["tool_validation"] = _tool_validation_sql()
+    d["response_quality"] = _response_quality_sql()
+    d["quality_report"] = _quality_report_sql()
     return d
 
 
@@ -3275,4 +3314,210 @@ def _tool_validation_sql() -> str:
           FROM c)
         SELECT call_id, function, error, (error = '') AS is_valid
         FROM v ORDER BY call_id
+    """
+
+
+def _scored_log_cte(src: str) -> str:
+    """Shared WITH-fragment: the per-row quality components recomputed
+    from a staged response log (``quality_metrics.rs:986-1128``).
+    Produces CTE ``scored``."""
+    from graphrag_rs_ray.functions.quality_metrics import TRANSITION_WORDS
+    trans = " OR ".join(f"contains(lower(s), '{t}')"
+                        for t in TRANSITION_WORDS)
+    return f"""
+        lg AS (SELECT * FROM {src}),
+        sr AS (SELECT log_id,
+               CASE WHEN sources = '' THEN []::VARCHAR[]
+                    ELSE string_split(sources, ';') END AS sl FROM lg),
+        parts AS (SELECT l.*, s.sl,
+            CASE WHEN len(s.sl) = 0 THEN 0.0
+                 ELSE (least(len(s.sl) / 5.0, 1.0)
+                       + len(list_distinct(list_transform(
+                             s.sl, x -> substr(x, 1, 5))))::DOUBLE
+                         / len(s.sl)) / 2.0 END AS cred,
+            (least(strlen(content) / 500.0, 1.0)
+             + least(n_sources / 3.0, 1.0)
+             + least(n_subqueries / 5.0, 1.0)) / 3.0 AS comp_s,
+            string_split_regex(content, '[.!?]') AS sents,
+            list_filter(string_split_regex(content, '\\s+'),
+                        x -> x <> '') AS cwords,
+            list_distinct(list_filter(
+                string_split_regex(lower(query), '\\s+'),
+                w -> w <> '' AND strlen(w) > 3)) AS qw,
+            list_distinct(list_filter(
+                string_split_regex(lower(content), '\\s+'),
+                x -> x <> '')) AS aw
+            FROM lg l JOIN sr s USING (log_id)),
+        comps AS (SELECT *,
+            (confidence + cred) / 2.0 AS acc,
+            CASE WHEN len(sents) <= 1 THEN 1.0
+                 ELSE (least(len(list_filter(sents, s -> {trans}))::DOUBLE
+                             / len(sents), 1.0)
+                       + CASE WHEN len(cwords) = 0 THEN 1.0
+                              ELSE len(list_distinct(cwords))::DOUBLE
+                                   / len(cwords) END) / 2.0 END AS coh,
+            CASE WHEN len(qw) = 0 THEN 1.0
+                 ELSE len(list_intersect(qw, aw))::DOUBLE / len(qw) END
+              AS rel
+            FROM parts),
+        scored AS (SELECT log_id, query, cohort, timestamp,
+            processing_time_ms, decomposition_success,
+            round(acc, 8) AS accuracy_score,
+            round(comp_s, 8) AS completeness_score,
+            round(coh, 8) AS coherence_score,
+            round(rel, 8) AS relevance_score,
+            round(cred, 8) AS source_credibility,
+            round(least(acc * 0.3 + comp_s * 0.25 + coh * 0.2
+                        + rel * 0.15 + cred * 0.1, 1.0), 8)
+              AS overall_quality,
+            CASE WHEN n_fallback > 0 THEN 'Fallback'
+                 WHEN n_logic > 0 AND n_fuzzy > 0 THEN 'Hybrid'
+                 WHEN n_logic > 0 THEN 'LogicForm'
+                 ELSE 'FuzzyMatch' END AS strategy,
+            concat_ws(';',
+              CASE WHEN round(least(acc * 0.3 + comp_s * 0.25 + coh * 0.2
+                                    + rel * 0.15 + cred * 0.1, 1.0), 8)
+                        < 0.6 THEN 'QualityDegradation' END,
+              CASE WHEN processing_time_ms > 10000
+                   THEN 'PerformanceDegradation' END) AS alerts
+            FROM comps)"""
+
+
+def _response_quality_sql() -> str:
+    """Per-response quality oracle (``quality_metrics.rs:986-1128``)."""
+    return f"""
+        WITH {_scored_log_cte(_staged_sql("response_quality"))}
+        SELECT log_id, accuracy_score, completeness_score,
+               coherence_score, relevance_score, source_credibility,
+               overall_quality, strategy, alerts
+        FROM scored ORDER BY log_id
+    """
+
+
+def _quality_report_sql() -> str:
+    """Corpus-level quality-report oracle (``quality_metrics.rs:
+    1131-1337``): performance stats, alert counts, per-cohort
+    aggregates (population std-dev), improvement percentages and the
+    heuristic significance test, replayed from the staged log."""
+    return f"""
+        WITH {_scored_log_cte(_staged_sql("quality_report"))},
+        n AS (SELECT count(*) AS n FROM scored),
+        last10 AS (SELECT timestamp FROM scored
+                   ORDER BY log_id DESC LIMIT 10),
+        thr AS (SELECT CASE WHEN max(timestamp) - min(timestamp) > 0
+                            THEN count(*)::DOUBLE
+                                 / (max(timestamp) - min(timestamp))
+                            ELSE 0.0 END AS qps FROM last10),
+        agg AS (SELECT cohort,
+                avg(accuracy_score) AS mean_accuracy,
+                avg(completeness_score) AS mean_completeness,
+                avg(coherence_score) AS mean_coherence,
+                avg(relevance_score) AS mean_relevance,
+                avg(processing_time_ms) AS mean_processing_time_ms,
+                sum(decomposition_success::INT)::DOUBLE / count(*)
+                  AS success_rate,
+                sqrt(var_pop(overall_quality)) AS std_dev_quality,
+                count(*) AS cn
+                FROM scored GROUP BY cohort),
+        b AS (SELECT * FROM agg WHERE cohort = 'baseline'),
+        r AS (SELECT * FROM agg WHERE cohort = 'rograg'),
+        sig AS (SELECT
+            (r.mean_accuracy - b.mean_accuracy)
+              / ((r.std_dev_quality + b.std_dev_quality) / 2.0)
+              AS effect,
+            CASE WHEN abs((r.mean_accuracy - b.mean_accuracy)
+                 / ((r.std_dev_quality + b.std_dev_quality) / 2.0)) > 0.5
+                 THEN 0.01 ELSE 0.1 END AS p_acc,
+            CASE WHEN r.mean_completeness > b.mean_completeness
+                 THEN 0.05 ELSE 0.1 END AS p_comp,
+            CASE WHEN r.mean_coherence > b.mean_coherence
+                 THEN 0.05 ELSE 0.1 END AS p_coh
+            FROM r, b),
+        imp AS (SELECT
+            CASE WHEN b.mean_accuracy = 0.0
+                 THEN CASE WHEN r.mean_accuracy > 0.0
+                           THEN 100.0 ELSE 0.0 END
+                 ELSE (r.mean_accuracy - b.mean_accuracy)
+                      / b.mean_accuracy * 100.0 END AS i_acc,
+            CASE WHEN b.mean_completeness = 0.0
+                 THEN CASE WHEN r.mean_completeness > 0.0
+                           THEN 100.0 ELSE 0.0 END
+                 ELSE (r.mean_completeness - b.mean_completeness)
+                      / b.mean_completeness * 100.0 END AS i_comp,
+            CASE WHEN b.mean_coherence = 0.0
+                 THEN CASE WHEN r.mean_coherence > 0.0
+                           THEN 100.0 ELSE 0.0 END
+                 ELSE (r.mean_coherence - b.mean_coherence)
+                      / b.mean_coherence * 100.0 END AS i_coh,
+            CASE WHEN b.mean_relevance = 0.0
+                 THEN CASE WHEN r.mean_relevance > 0.0
+                           THEN 100.0 ELSE 0.0 END
+                 ELSE (r.mean_relevance - b.mean_relevance)
+                      / b.mean_relevance * 100.0 END AS i_rel,
+            ((r.mean_accuracy + r.mean_completeness + r.mean_coherence
+              + r.mean_relevance) / 4.0
+             - (b.mean_accuracy + b.mean_completeness + b.mean_coherence
+                + b.mean_relevance) / 4.0)
+            / ((b.mean_accuracy + b.mean_completeness + b.mean_coherence
+                + b.mean_relevance) / 4.0) * 100.0 AS i_all
+            FROM r, b)
+        SELECT 'performance' AS section, 'total_queries' AS name,
+               round(n::DOUBLE, 8) AS value FROM n
+        UNION ALL SELECT 'performance', 'successful_decompositions',
+          round(sum(decomposition_success::INT)::DOUBLE, 8) FROM scored
+        UNION ALL SELECT 'performance', 'avg_processing_time_ms',
+          round(avg(processing_time_ms), 8) FROM scored
+        UNION ALL SELECT 'performance', 'avg_quality_score',
+          round(avg(overall_quality), 8) FROM scored
+        UNION ALL SELECT 'performance', 'fallback_rate',
+          round(sum((strategy = 'Fallback')::INT)::DOUBLE / count(*), 8)
+          FROM scored
+        UNION ALL SELECT 'performance', 'throughput_qps',
+          round(qps, 8) FROM thr
+        UNION ALL SELECT 'alerts', 'quality_degradation',
+          round(sum(contains(alerts, 'QualityDegradation')::INT)::DOUBLE,
+                8) FROM scored
+        UNION ALL SELECT 'alerts', 'performance_degradation',
+          round(sum(contains(alerts,
+                             'PerformanceDegradation')::INT)::DOUBLE, 8)
+          FROM scored
+        UNION ALL SELECT cohort, 'mean_accuracy',
+          round(mean_accuracy, 8) FROM agg
+        UNION ALL SELECT cohort, 'mean_completeness',
+          round(mean_completeness, 8) FROM agg
+        UNION ALL SELECT cohort, 'mean_coherence',
+          round(mean_coherence, 8) FROM agg
+        UNION ALL SELECT cohort, 'mean_relevance',
+          round(mean_relevance, 8) FROM agg
+        UNION ALL SELECT cohort, 'mean_processing_time_ms',
+          round(mean_processing_time_ms, 8) FROM agg
+        UNION ALL SELECT cohort, 'success_rate',
+          round(success_rate, 8) FROM agg
+        UNION ALL SELECT cohort, 'std_dev_quality',
+          round(std_dev_quality, 8) FROM agg
+        UNION ALL SELECT 'improvement', 'accuracy', round(i_acc, 8)
+          FROM imp
+        UNION ALL SELECT 'improvement', 'completeness', round(i_comp, 8)
+          FROM imp
+        UNION ALL SELECT 'improvement', 'coherence', round(i_coh, 8)
+          FROM imp
+        UNION ALL SELECT 'improvement', 'relevance', round(i_rel, 8)
+          FROM imp
+        UNION ALL SELECT 'improvement', 'overall', round(i_all, 8)
+          FROM imp
+        UNION ALL SELECT 'significance', 'p_value_accuracy',
+          round(p_acc, 8) FROM sig
+        UNION ALL SELECT 'significance', 'p_value_completeness',
+          round(p_comp, 8) FROM sig
+        UNION ALL SELECT 'significance', 'p_value_coherence',
+          round(p_coh, 8) FROM sig
+        UNION ALL SELECT 'significance', 'p_value_overall',
+          round((p_acc + p_comp + p_coh) / 3.0, 8) FROM sig
+        UNION ALL SELECT 'significance', 'effect_size',
+          round(effect, 8) FROM sig
+        UNION ALL SELECT 'significance', 'is_significant_95',
+          CASE WHEN (p_acc + p_comp + p_coh) / 3.0 < 0.05
+               THEN 1.0 ELSE 0.0 END FROM sig
+        UNION ALL SELECT 'significance', 'sample_size',
+          round(least((SELECT cn FROM b), (SELECT cn FROM r))::DOUBLE, 8)
     """

@@ -222,6 +222,189 @@ def rewrite_stage(t: pa.Table) -> pa.Table:
     })
 
 
+# ---------------------------------------------------- quality metrics --
+
+
+def synthesize_response_log(queries_tbl: pa.Table,
+                            names: list[str]) -> pa.Table:
+    """Deterministic ROGRAG response log derived from the query corpus
+    and the engine's own analysis kernels (decomposition success /
+    subquery counts / logic-form hits / intent confidence are real;
+    answer text, sources, timings are arithmetic in the row index) —
+    the INPUT side of the quality-metrics stack, staged for the oracle."""
+    from ..functions.rograg import (classify_intent, decompose_hybrid,
+                                    parse_logic_form)
+    if not names:
+        names = ["Placeholder Entity"]
+    out = {k: [] for k in (
+        "log_id", "query", "content", "sources", "n_sources",
+        "n_subqueries", "n_logic", "n_fuzzy", "n_fallback",
+        "decomposition_success", "confidence", "processing_time_ms",
+        "timestamp", "cohort")}
+    qs = queries_tbl.column("query").to_pylist()
+    half = len(qs) // 2
+    for i, q in enumerate(qs):
+        dec = decompose_hybrid(q)
+        nsub = len(dec["subqueries"])
+        n_logic = sum(1 for s in dec["subqueries"]
+                      if parse_logic_form(s["text"]) is not None)
+        a = names[i % len(names)]
+        b = names[(i + 1) % len(names)]
+        if i % 5 == 0:
+            content = ""
+        else:
+            content = f"{q} answer: {a} relates to {b}."
+            if i % 2 == 0:
+                content += (" therefore the connection holds. moreover"
+                            " supporting evidence exists.")
+        sources = [names[(i + j) % len(names)] for j in range(i % 6)]
+        out["log_id"].append(i)
+        out["query"].append(q)
+        out["content"].append(content)
+        out["sources"].append(";".join(sources))
+        out["n_sources"].append(len(sources))
+        out["n_subqueries"].append(nsub)
+        out["n_logic"].append(n_logic)
+        out["n_fuzzy"].append(max(nsub - n_logic, 0))
+        out["n_fallback"].append(1 if i % 7 == 0 else 0)
+        out["decomposition_success"].append(nsub > 1)
+        # 4-decimal quantization: the 8-decimal intent confidence halved
+        # in accuracy_score lands exactly on round-8 midpoints where
+        # Python and DuckDB tie-break differently (oracle-parity rule:
+        # never synthesize values near rounding midpoints)
+        out["confidence"].append(round(classify_intent(q)["confidence"], 4))
+        out["processing_time_ms"].append(50 + (i * 137) % 12000)
+        out["timestamp"].append(1700000000 + i * 3)
+        out["cohort"].append("baseline" if i < half else "rograg")
+    return pa.table({
+        "log_id": pa.array(out["log_id"], pa.int64()),
+        "query": pa.array(out["query"], pa.string()),
+        "content": pa.array(out["content"], pa.string()),
+        "sources": pa.array(out["sources"], pa.string()),
+        "n_sources": pa.array(out["n_sources"], pa.int64()),
+        "n_subqueries": pa.array(out["n_subqueries"], pa.int64()),
+        "n_logic": pa.array(out["n_logic"], pa.int64()),
+        "n_fuzzy": pa.array(out["n_fuzzy"], pa.int64()),
+        "n_fallback": pa.array(out["n_fallback"], pa.int64()),
+        "decomposition_success": pa.array(out["decomposition_success"],
+                                          pa.bool_()),
+        "confidence": pa.array(out["confidence"], pa.float64()),
+        "processing_time_ms": pa.array(out["processing_time_ms"],
+                                       pa.int64()),
+        "timestamp": pa.array(out["timestamp"], pa.int64()),
+        "cohort": pa.array(out["cohort"], pa.string()),
+    })
+
+
+def _score_log_rows(t: pa.Table) -> list[dict]:
+    from ..functions.quality_metrics import (quality_alerts,
+                                             response_quality,
+                                             retrieval_strategy)
+    rows = []
+    for r in t.to_pylist():
+        sources = r["sources"].split(";") if r["sources"] else []
+        q = response_quality(r["query"], r["content"], sources,
+                             r["n_subqueries"], r["confidence"])
+        q.update({
+            "log_id": r["log_id"],
+            "strategy": retrieval_strategy(r["n_logic"], r["n_fuzzy"],
+                                           r["n_fallback"]),
+            "alerts": ";".join(quality_alerts(q["overall_quality"],
+                                              r["processing_time_ms"])),
+            "processing_time_ms": r["processing_time_ms"],
+            "decomposition_success": r["decomposition_success"],
+            "cohort": r["cohort"], "timestamp": r["timestamp"],
+        })
+        rows.append(q)
+    return rows
+
+
+def response_quality_stage(log_ds):
+    def run(t: pa.Table) -> pa.Table:
+        rows = _score_log_rows(t)
+        return pa.table({
+            "log_id": pa.array([r["log_id"] for r in rows], pa.int64()),
+            "accuracy_score": pa.array(
+                [r["accuracy_score"] for r in rows], pa.float64()),
+            "completeness_score": pa.array(
+                [r["completeness_score"] for r in rows], pa.float64()),
+            "coherence_score": pa.array(
+                [r["coherence_score"] for r in rows], pa.float64()),
+            "relevance_score": pa.array(
+                [r["relevance_score"] for r in rows], pa.float64()),
+            "source_credibility": pa.array(
+                [r["source_credibility"] for r in rows], pa.float64()),
+            "overall_quality": pa.array(
+                [r["overall_quality"] for r in rows], pa.float64()),
+            "strategy": pa.array([r["strategy"] for r in rows],
+                                 pa.string()),
+            "alerts": pa.array([r["alerts"] for r in rows], pa.string()),
+        })
+
+    return log_ds.map_batches(run, batch_format="pyarrow")
+
+
+def quality_report_table(log_tbl: pa.Table) -> pa.Table:
+    """Corpus-level quality report (performance statistics + alerts +
+    cohort comparative analysis) as (section, name, value) rows —
+    quality_metrics.rs:1131-1337 over the full staged log."""
+    from ..functions.quality_metrics import (aggregated_metrics,
+                                             improvement_percentage,
+                                             statistical_significance,
+                                             throughput_qps)
+    rows = _score_log_rows(log_tbl)
+    n = len(rows)
+    out: list[tuple[str, str, float]] = []
+
+    def emit(section: str, name: str, value: float):
+        out.append((section, name, round(float(value), 8)))
+
+    emit("performance", "total_queries", n)
+    emit("performance", "successful_decompositions",
+         sum(1 for r in rows if r["decomposition_success"]))
+    emit("performance", "avg_processing_time_ms",
+         sum(r["processing_time_ms"] for r in rows) / n)
+    emit("performance", "avg_quality_score",
+         sum(r["overall_quality"] for r in rows) / n)
+    emit("performance", "fallback_rate",
+         sum(1 for r in rows if r["strategy"] == "Fallback") / n)
+    emit("performance", "throughput_qps",
+         throughput_qps([r["timestamp"] for r in rows]))
+    emit("alerts", "quality_degradation",
+         sum(1 for r in rows if "QualityDegradation" in r["alerts"]))
+    emit("alerts", "performance_degradation",
+         sum(1 for r in rows if "PerformanceDegradation" in r["alerts"]))
+
+    base = [r for r in rows if r["cohort"] == "baseline"]
+    rog = [r for r in rows if r["cohort"] == "rograg"]
+    agg_b = aggregated_metrics(base)
+    agg_r = aggregated_metrics(rog)
+    for tag, agg in (("baseline", agg_b), ("rograg", agg_r)):
+        for k, v in agg.items():
+            emit(tag, k, v)
+    for k in ("accuracy", "completeness", "coherence", "relevance"):
+        emit("improvement", k, improvement_percentage(
+            agg_r[f"mean_{k}"], agg_b[f"mean_{k}"]))
+    emit("improvement", "overall", improvement_percentage(
+        (agg_r["mean_accuracy"] + agg_r["mean_completeness"]
+         + agg_r["mean_coherence"] + agg_r["mean_relevance"]) / 4.0,
+        (agg_b["mean_accuracy"] + agg_b["mean_completeness"]
+         + agg_b["mean_coherence"] + agg_b["mean_relevance"]) / 4.0))
+    sig = statistical_significance(agg_r, agg_b)
+    for k in ("p_value_accuracy", "p_value_completeness",
+              "p_value_coherence", "p_value_overall", "effect_size"):
+        emit("significance", k, sig[k])
+    emit("significance", "is_significant_95",
+         1.0 if sig["is_significant_95"] else 0.0)
+    emit("significance", "sample_size", min(len(base), len(rog)))
+
+    return pa.table({
+        "section": pa.array([r[0] for r in out], pa.string()),
+        "name": pa.array([r[1] for r in out], pa.string()),
+        "value": pa.array([r[2] for r in out], pa.float64()),
+    })
+
+
 # --------------------------------------------------------- fuzzy matching --
 
 

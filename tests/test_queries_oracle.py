@@ -105,6 +105,8 @@ SQL_CHECKED = [
     # batch agent-tool execution (search/expand/context/validation)
     "tool_graph_search", "tool_entity_expand", "tool_entity_context",
     "tool_validation",
+    # ROGRAG quality metrics (per-response scoring + corpus report)
+    "response_quality", "quality_report",
 ]
 
 
