@@ -1272,6 +1272,47 @@ def q_quality_report(sf_dir: str):
     return rd.from_arrow(quality_report_table(log))
 
 
+def q_logic_bindings(sf_dir: str):
+    """Logic-form EXECUTION against the KG (``logic_form.rs:562-930``):
+    parse → Is/Related/Compare bindings (contains-match entities with
+    exact/contains/word-Jaccard name-similarity confidence; pinned-order
+    direct-relationship lookup with the no-direct 0.3 fallback binding;
+    type-comparison binding), answer = first binding, mean confidence,
+    entity-id sources."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.queries import (
+        build_rograg_graph, logic_bindings_stage)
+    inp = _rograg_inputs(sf_dir)
+    g = build_rograg_graph(inp["entities"], inp["triples"])
+    calls = _rograg_queries_ds("logic_bindings", sf_dir)
+    _stage(rd.from_arrow(inp["entities"]), "logic_bindings", sf_dir,
+           "entities")
+    rels = pa.table({
+        "source": pa.array([r["source"] for r in g["rels"]], pa.string()),
+        "target": pa.array([r["target"] for r in g["rels"]], pa.string()),
+        "type": pa.array([r["type"] for r in g["rels"]], pa.string()),
+        "conf": pa.array([r["conf"] for r in g["rels"]], pa.float64()),
+    })
+    _stage(rd.from_arrow(rels), "logic_bindings", sf_dir, "rels")
+    return logic_bindings_stage(calls, g)
+
+
+def q_rograg_process(sf_dir: str):
+    """The full ROGRAG processor pipeline (``processor.rs:353-560``):
+    validate → intent gate → hybrid decomposition → per-subquery
+    logic-form retrieval with fuzzy fallback, producing the structural
+    response row (status, refusal reason, per-strategy counts, answer,
+    mean confidence).  The template prose assembly (``streaming.rs``)
+    is presentation-layer and summarized by the answer/count columns
+    (documented).  Procedural composition → rows-only driver check."""
+    from graphrag_rs_ray.pipelines.queries import (
+        build_rograg_graph, rograg_process_stage)
+    inp = _rograg_inputs(sf_dir)
+    g = build_rograg_graph(inp["entities"], inp["triples"])
+    return rograg_process_stage(
+        _rograg_queries_ds("rograg_process", sf_dir), g)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -1389,6 +1430,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ROGRAG quality metrics (per-response scoring + corpus report)
         "response_quality": q_response_quality,
         "quality_report": q_quality_report,
+        # logic-form execution (oracle) + the full processor pipeline
+        "logic_bindings": q_logic_bindings,
+        "rograg_process": q_rograg_process,
     }
 
 
@@ -1425,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
     d["tool_validation"] = _tool_validation_sql()
     d["response_quality"] = _response_quality_sql()
     d["quality_report"] = _quality_report_sql()
+    d["logic_bindings"] = _logic_bindings_sql()
     return d
 
 
@@ -3520,4 +3565,127 @@ def _quality_report_sql() -> str:
                THEN 1.0 ELSE 0.0 END FROM sig
         UNION ALL SELECT 'significance', 'sample_size',
           round(least((SELECT cn FROM b), (SELECT cn FROM r))::DOUBLE, 8)
+    """
+
+
+def _logic_bindings_sql() -> str:
+    """Logic-form execution oracle (``logic_form.rs:562-930``): parse
+    (first of six patterns), resolve entities (exact-lower first, else
+    contains-either, pinned order), emit Is / Related (incl. the
+    no-direct 0.3 binding) / Compare bindings with the name-similarity
+    confidence ladder, per-query first-binding answer and mean
+    confidence."""
+    from graphrag_rs_ray.functions.rograg import LOGIC_PATTERNS
+    src = _staged_sql("logic_bindings")
+    ents = _staged_sql("logic_bindings", "entities")
+    rels = _staged_sql("logic_bindings", "rels")
+    pats = [_sqq(p["regex"]) for p in LOGIC_PATTERNS]
+    m_cols = ", ".join(f"regexp_matches(query, '{p}') AS m{i}"
+                       for i, p in enumerate(pats, 1))
+    pidx = ("CASE " + " ".join(f"WHEN m{i} THEN {i}"
+                               for i in range(1, 7)) + " END")
+    # parsed arg pairs per executor-relevant pattern
+    pa_rows = []
+    for i, pred, has2 in ((1, "Is", False), (2, "Is", False),
+                          (3, "Related", True), (6, "Compare", True)):
+        g2 = (f"trim(regexp_extract(query, '{pats[i - 1]}', 2))"
+              if has2 else "''")
+        pa_rows.append(
+            f"SELECT query_id, '{pred}' AS pred,"
+            f" trim(regexp_extract(query, '{pats[i - 1]}', 1)) AS a1,"
+            f" {g2} AS a2 FROM m WHERE pidx = {i}")
+    pa_union = "\n          UNION ALL ".join(pa_rows)
+    jac = ("CASE WHEN len(list_distinct(aw || ew)) = 0 THEN 0.0"
+           " ELSE len(list_intersect(aw, ew))::DOUBLE"
+           " / len(list_distinct(aw || ew)) END")
+    wl = (r"list_distinct(list_filter(string_split_regex({c}, '\s+'),"
+          r" x -> x <> ''))")
+    return f"""
+        WITH q AS (SELECT query_id, query FROM {src}),
+        e AS (SELECT entity_id, name, type, lower(name) AS ln
+              FROM {ents}),
+        r AS (SELECT source, target, type, conf FROM {rels}),
+        m0 AS (SELECT query_id, query, {m_cols} FROM q),
+        m AS (SELECT *, {pidx} AS pidx FROM m0),
+        pa AS ({pa_union}),
+        is0 AS (
+          SELECT p.query_id, e.entity_id, e.name, e.type, e.ln,
+                 lower(p.a1) AS al,
+                 {wl.replace("{c}", "lower(p.a1)")} AS aw,
+                 {wl.replace("{c}", "e.ln")} AS ew
+          FROM pa p JOIN e ON contains(e.ln, lower(p.a1))
+          WHERE p.pred = 'Is' AND p.a1 <> ''),
+        is_rows AS (
+          SELECT query_id, 'Is' AS predicate,
+            (row_number() OVER (PARTITION BY query_id
+                                ORDER BY name, entity_id) - 1)::BIGINT
+              AS bind_idx,
+            'X' AS variable,
+            name || ' (' || type || ')' AS value,
+            entity_id,
+            CASE WHEN al = ln THEN 1.0
+                 WHEN contains(ln, al) OR contains(al, ln) THEN 0.8
+                 ELSE {jac} END AS confidence
+          FROM is0),
+        cand AS (
+          SELECT p.query_id, p.pred, w.which, e.entity_id, e.name, e.type,
+                 (lower(CASE w.which WHEN 1 THEN p.a1 ELSE p.a2 END)
+                  = e.ln) AS ex
+          FROM pa p
+          CROSS JOIN (SELECT 1 AS which UNION ALL SELECT 2) w
+          JOIN e ON (lower(CASE w.which WHEN 1 THEN p.a1 ELSE p.a2 END)
+                     = e.ln
+                     OR contains(e.ln, lower(CASE w.which WHEN 1 THEN p.a1
+                                             ELSE p.a2 END))
+                     OR contains(lower(CASE w.which WHEN 1 THEN p.a1
+                                       ELSE p.a2 END), e.ln))
+          WHERE p.pred IN ('Related', 'Compare')
+            AND p.a1 <> '' AND p.a2 <> ''),
+        res AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id, pred, which
+                                         ORDER BY ex DESC, name, entity_id)
+                      AS rn FROM cand) WHERE rn = 1),
+        pairs AS (SELECT r1.query_id, r1.pred,
+                  r1.entity_id AS id1, r1.name AS n1, r1.type AS t1,
+                  r2.entity_id AS id2, r2.name AS n2, r2.type AS t2
+                  FROM res r1 JOIN res r2
+                    ON r1.query_id = r2.query_id AND r1.pred = r2.pred
+                   AND r1.which = 1 AND r2.which = 2),
+        rel_rows AS (
+          SELECT p.query_id, 'Related' AS predicate,
+            (row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY r.source, r.type, r.target) - 1)
+              ::BIGINT AS bind_idx,
+            'R' AS variable,
+            p.n1 || ' ' || r.type || ' ' || p.n2 AS value,
+            '' AS entity_id, r.conf AS confidence
+          FROM pairs p JOIN r
+            ON (r.source = p.id1 OR r.target = p.id1)
+           AND (r.source = p.id2 OR r.target = p.id2)
+          WHERE p.pred = 'Related'),
+        nodirect AS (
+          SELECT p.query_id, 'Related' AS predicate, 0::BIGINT AS bind_idx,
+            'R' AS variable,
+            'No direct relationship found between ' || p.n1 || ' and '
+              || p.n2 AS value,
+            '' AS entity_id, 0.3 AS confidence
+          FROM pairs p LEFT JOIN rel_rows rr USING (query_id)
+          WHERE p.pred = 'Related' AND rr.query_id IS NULL),
+        cmp_rows AS (
+          SELECT p.query_id, 'Compare' AS predicate, 0::BIGINT AS bind_idx,
+            'comparison' AS variable,
+            p.n1 || ' is a ' || p.t1 || ' while ' || p.n2 || ' is a '
+              || p.t2 AS value,
+            '' AS entity_id, 0.7 AS confidence
+          FROM pairs p WHERE p.pred = 'Compare'),
+        allb AS (SELECT * FROM is_rows UNION ALL SELECT * FROM rel_rows
+                 UNION ALL SELECT * FROM nodirect
+                 UNION ALL SELECT * FROM cmp_rows)
+        SELECT query_id, predicate, bind_idx, variable, value, entity_id,
+               round(confidence, 8) AS confidence,
+               first_value(value) OVER (PARTITION BY query_id
+                                        ORDER BY bind_idx) AS answer,
+               round(avg(confidence) OVER (PARTITION BY query_id), 8)
+                 AS overall_confidence
+        FROM allb ORDER BY query_id, bind_idx
     """

@@ -569,3 +569,200 @@ def fuzzy_match_one(query: str, entities: list[dict],
         m["rank"] = rank
         m["overall_confidence"] = conf
     return matches
+
+
+# ---------------------------------------------- logic-form execution --
+# logic_form.rs:562-781 — executor for Is / Related / Compare (Has /
+# Happened / Caused are TODO-empty in the reference, faithfully).
+# Entity iteration order pinned to name asc, id asc; relationship
+# iteration pinned to (source, type, target) asc.
+
+
+def lf_name_similarity(query_name: str, entity_name: str) -> float:
+    """logic_form.rs:760-780 — exact 1.0 / contains-either 0.8 / word
+    Jaccard."""
+    ql = query_name.lower()
+    el = entity_name.lower()
+    if ql == el:
+        return 1.0
+    if ql in el or el in ql:
+        return 0.8
+    qw = set(ql.split())
+    ew = set(el.split())
+    union = len(qw | ew)
+    return len(qw & ew) / union if union else 0.0
+
+
+def lf_find_entity(entities: list[dict], name: str) -> dict | None:
+    """logic_form.rs:744-757 — exact lowercase match first, else
+    contains (either direction); first hit in pinned order."""
+    nl = name.lower()
+    for e in entities:
+        if e["name"].lower() == nl:
+            return e
+    for e in entities:
+        el = e["name"].lower()
+        if nl in el or el in nl:
+            return e
+    return None
+
+
+def execute_logic_form(lf: dict, entities: list[dict],
+                       rels: list[dict], by_id: dict) -> list[dict]:
+    """logic_form.rs:587-741 — bindings per predicate."""
+    pred = lf["predicate"]
+    args = lf["args"]
+    bindings: list[dict] = []
+    if pred == "Is" and args:
+        arg = args[0]
+        al = arg["value"].lower()
+        for e in entities:
+            if al in e["name"].lower():
+                bindings.append({
+                    "variable": arg["variable"] or "X",
+                    "value": f"{e['name']} ({e['type']})",
+                    "entity_id": e["entity_id"],
+                    "confidence": lf_name_similarity(arg["value"],
+                                                     e["name"])})
+    elif pred == "Related" and len(args) >= 2:
+        e1 = lf_find_entity(entities, args[0]["value"])
+        e2 = lf_find_entity(entities, args[1]["value"])
+        if e1 is not None and e2 is not None:
+            for rel in rels:
+                incident = (rel["source"] == e1["entity_id"]
+                            or rel["target"] == e1["entity_id"])
+                touches2 = (rel["source"] == e2["entity_id"]
+                            or rel["target"] == e2["entity_id"])
+                if incident and touches2:
+                    bindings.append({
+                        "variable": "R",
+                        "value": f"{e1['name']} {rel['type']} {e2['name']}",
+                        "entity_id": "",
+                        "confidence": rel["conf"]})
+            if not bindings:
+                bindings.append({
+                    "variable": "R",
+                    "value": ("No direct relationship found between "
+                              f"{e1['name']} and {e2['name']}"),
+                    "entity_id": "", "confidence": 0.3})
+    elif pred == "Compare" and len(args) >= 2:
+        e1 = lf_find_entity(entities, args[0]["value"])
+        e2 = lf_find_entity(entities, args[1]["value"])
+        if e1 is not None and e2 is not None:
+            bindings.append({
+                "variable": "comparison",
+                "value": (f"{e1['name']} is a {e1['type']} while "
+                          f"{e2['name']} is a {e2['type']}"),
+                "entity_id": "", "confidence": 0.7})
+    return bindings
+
+
+def retrieve_logic_form(query: str, entities: list[dict],
+                        rels: list[dict], by_id: dict) -> dict | None:
+    """logic_form.rs:834-930 — parse → execute → answer/confidence/
+    sources; None when parsing fails or no bindings (the processor's
+    signal to fall back to fuzzy matching)."""
+    lf = parse_logic_form(query)
+    if lf is None:
+        return None
+    bindings = execute_logic_form(lf, entities, rels, by_id)
+    if not bindings:
+        return None
+    answer = bindings[0]["value"]
+    conf = sum(b["confidence"] for b in bindings) / len(bindings)
+    sources = [b["entity_id"] for b in bindings if b["entity_id"]]
+    return {"predicate": lf["predicate"], "bindings": bindings,
+            "answer": answer, "confidence": round(conf, 8),
+            "sources": sources}
+
+
+# ------------------------------------------------- processor pipeline --
+
+VALIDATION_ISSUE_DESCRIPTIONS = [
+    ("empty", "Query is empty"),
+    ("toolong", "Query is very long"),
+    ("safety", "Query contains potentially inappropriate content"),
+    ("format", "Query contains no alphabetic characters"),
+]
+
+
+def _first_issue_description(v: dict) -> str:
+    """validator.rs issue push order: length, safety, format."""
+    if v["has_length_issue"]:
+        return ("Query is empty" if not v["is_valid"]
+                else "Query is very long")
+    if v["has_safety_issue"]:
+        return "Query contains potentially inappropriate content"
+    if v["has_format_issue"]:
+        return "Query contains no alphabetic characters"
+    return "Query validation failed"
+
+
+def process_query(query: str, entities: list[dict], rels: list[dict],
+                  by_id: dict, adjacency: dict,
+                  fuzzy_cfg: FuzzyMatchConfig = FuzzyMatchConfig(),
+                  intent_cfg: IntentConfig = IntentConfig()) -> dict:
+    """The ROGRAG processor pipeline (``processor.rs:353-560``):
+    validate → intent gate → hybrid decomposition → per-subquery
+    logic-form retrieval with fuzzy-matching fallback (fallback counter
+    increments on every fuzzy use, and again when fuzzy itself finds
+    nothing and the Fallback stub result is emitted).  Returns the
+    STRUCTURAL response row; the reference's template-based prose
+    assembly (``streaming.rs``) is presentation-layer and out of scope
+    (documented).
+
+    NOTE: with the reference's default refusal_threshold (0.8) and its
+    intent formula topping out near 0.5, the intent gate refuses almost
+    every query — faithful; pass a permissive ``intent_cfg`` (a public
+    reference config knob) to exercise the retrieval path."""
+    v = validate_query(query)
+    if not v["is_valid"]:
+        return {"status": "refused",
+                "refusal_reason": _first_issue_description(v),
+                "refusal_kind": "Invalid query", "n_subqueries": 0,
+                "n_logic": 0, "n_fuzzy": 0, "n_fallback": 0,
+                "fallback_count": 0, "answer": "",
+                "mean_confidence": 0.0, "n_sources": 0}
+    intent = classify_intent(query, intent_cfg)
+    if intent["should_refuse"]:
+        return {"status": "refused",
+                "refusal_reason": intent["refusal_reason"]
+                or "Query cannot be answered safely",
+                "refusal_kind": "Safety refusal", "n_subqueries": 0,
+                "n_logic": 0, "n_fuzzy": 0, "n_fallback": 0,
+                "fallback_count": 0, "answer": "",
+                "mean_confidence": 0.0, "n_sources": 0}
+
+    dec = decompose_hybrid(query)
+    n_logic = n_fuzzy = n_fallback = fallback_count = 0
+    confs: list[float] = []
+    sources: list[str] = []
+    answer = ""
+    for sub in dec["subqueries"]:
+        lr = retrieve_logic_form(sub["text"], entities, rels, by_id)
+        if lr is not None:
+            n_logic += 1
+            confs.append(lr["confidence"])
+            sources.extend(lr["sources"])
+            if not answer:
+                answer = lr["answer"]
+            continue
+        matches = fuzzy_match_one(sub["text"], entities, adjacency,
+                                  fuzzy_cfg)
+        if matches:
+            fallback_count += 1            # processor.rs:508 — fuzzy IS
+            n_fuzzy += 1                   # the fallback level
+            confs.append(matches[0]["overall_confidence"])
+            sources.extend(m["match_id"] for m in matches)
+        else:
+            fallback_count += 1            # fuzzy failed → stub result
+            n_fallback += 1
+            confs.append(0.1)
+    return {"status": "answered", "refusal_reason": "",
+            "refusal_kind": "", "n_subqueries": len(dec["subqueries"]),
+            "n_logic": n_logic, "n_fuzzy": n_fuzzy,
+            "n_fallback": n_fallback, "fallback_count": fallback_count,
+            "answer": answer,
+            "mean_confidence": round(sum(confs) / len(confs), 8)
+            if confs else 0.0,
+            "n_sources": len(sources)}

@@ -222,6 +222,136 @@ def rewrite_stage(t: pa.Table) -> pa.Table:
     })
 
 
+# ------------------------------------------- logic execution / processor --
+
+
+def build_rograg_graph(entities_tbl: pa.Table,
+                       triples_tbl: pa.Table) -> dict:
+    """Combined broadcast side for the logic-form executor and the
+    processor: entities sorted (name, id) asc with lowered fields,
+    relationships pinned (source, type, target) asc (endpoints are
+    entity IDs), plus the fuzzy-match adjacency."""
+    ents = sorted(
+        ({"entity_id": eid, "name": name, "type": typ,
+          "name_lower": name.lower(), "type_lower": (typ or "").lower()}
+         for eid, name, typ in zip(
+             entities_tbl.column("entity_id").to_pylist(),
+             entities_tbl.column("name").to_pylist(),
+             entities_tbl.column("type").to_pylist())),
+        key=lambda e: (e["name"], e["entity_id"]))
+    by_id = {e["entity_id"]: e for e in ents}
+    rels = sorted(
+        ({"source": s, "target": o, "type": p, "conf": float(c)}
+         for s, p, o, c in zip(triples_tbl.column("subj").to_pylist(),
+                               triples_tbl.column("pred").to_pylist(),
+                               triples_tbl.column("obj").to_pylist(),
+                               triples_tbl.column("conf").to_pylist())
+         if s in by_id and o in by_id),
+        key=lambda r: (r["source"], r["type"], r["target"]))
+    _, adjacency = build_entity_side(entities_tbl, triples_tbl)
+    return {"entities": ents, "rels": rels, "by_id": by_id,
+            "adjacency": adjacency}
+
+
+def logic_bindings_stage(queries_ds, graph: dict):
+    """Logic-form retrieval per query (``logic_form.rs:834-930``): one
+    row per binding with the per-query answer and mean confidence;
+    queries that fail to parse or bind produce no rows."""
+    import ray
+
+    from ..functions.rograg import retrieve_logic_form
+
+    ref = ray.put(graph)
+
+    def run(t: pa.Table) -> pa.Table:
+        g = ray.get(ref)
+        out = {k: [] for k in ("query_id", "predicate", "bind_idx",
+                               "variable", "value", "entity_id",
+                               "confidence", "answer",
+                               "overall_confidence")}
+        for qid, q in zip(t.column("query_id").to_pylist(),
+                          t.column("query").to_pylist()):
+            lr = retrieve_logic_form(q, g["entities"], g["rels"],
+                                     g["by_id"])
+            if lr is None:
+                continue
+            for i, b in enumerate(lr["bindings"]):
+                out["query_id"].append(qid)
+                out["predicate"].append(lr["predicate"])
+                out["bind_idx"].append(i)
+                out["variable"].append(b["variable"])
+                out["value"].append(b["value"])
+                out["entity_id"].append(b["entity_id"])
+                out["confidence"].append(round(b["confidence"], 8))
+                out["answer"].append(lr["answer"])
+                out["overall_confidence"].append(lr["confidence"])
+        return pa.table({
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "predicate": pa.array(out["predicate"], pa.string()),
+            "bind_idx": pa.array(out["bind_idx"], pa.int64()),
+            "variable": pa.array(out["variable"], pa.string()),
+            "value": pa.array(out["value"], pa.string()),
+            "entity_id": pa.array(out["entity_id"], pa.string()),
+            "confidence": pa.array(out["confidence"], pa.float64()),
+            "answer": pa.array(out["answer"], pa.string()),
+            "overall_confidence": pa.array(out["overall_confidence"],
+                                           pa.float64()),
+        })
+
+    return queries_ds.map_batches(run, batch_format="pyarrow")
+
+
+def rograg_process_stage(queries_ds, graph: dict):
+    """Full processor pipeline per query (``processor.rs:353-560``),
+    run under TWO intent configs: the reference default (refusal
+    threshold 0.8 — which its low-topping intent formula causes to
+    refuse nearly everything, faithfully) and a permissive 0.2 variant
+    that exercises the retrieval path."""
+    import ray
+
+    from ..functions.rograg import IntentConfig, process_query
+
+    ref = ray.put(graph)
+    cfgs = [("default", IntentConfig()),
+            ("permissive", IntentConfig(refusal_threshold=0.2))]
+
+    def run(t: pa.Table) -> pa.Table:
+        g = ray.get(ref)
+        qids, cfg_col, rows = [], [], []
+        for qid, q in zip(t.column("query_id").to_pylist(),
+                          t.column("query").to_pylist()):
+            for tag, icfg in cfgs:
+                qids.append(qid)
+                cfg_col.append(tag)
+                rows.append(process_query(q, g["entities"], g["rels"],
+                                          g["by_id"], g["adjacency"],
+                                          intent_cfg=icfg))
+        return pa.table({
+            "query_id": pa.array(qids, pa.int64()),
+            "config": pa.array(cfg_col, pa.string()),
+            "status": pa.array([r["status"] for r in rows], pa.string()),
+            "refusal_reason": pa.array([r["refusal_reason"] for r in rows],
+                                       pa.string()),
+            "refusal_kind": pa.array([r["refusal_kind"] for r in rows],
+                                     pa.string()),
+            "n_subqueries": pa.array([r["n_subqueries"] for r in rows],
+                                     pa.int64()),
+            "n_logic": pa.array([r["n_logic"] for r in rows], pa.int64()),
+            "n_fuzzy": pa.array([r["n_fuzzy"] for r in rows], pa.int64()),
+            "n_fallback": pa.array([r["n_fallback"] for r in rows],
+                                   pa.int64()),
+            "fallback_count": pa.array([r["fallback_count"] for r in rows],
+                                       pa.int64()),
+            "answer": pa.array([r["answer"] for r in rows], pa.string()),
+            "mean_confidence": pa.array([r["mean_confidence"]
+                                         for r in rows], pa.float64()),
+            "n_sources": pa.array([r["n_sources"] for r in rows],
+                                  pa.int64()),
+        })
+
+    return queries_ds.map_batches(run, batch_format="pyarrow")
+
+
 # ---------------------------------------------------- quality metrics --
 
 

@@ -107,6 +107,8 @@ SQL_CHECKED = [
     "tool_validation",
     # ROGRAG quality metrics (per-response scoring + corpus report)
     "response_quality", "quality_report",
+    # logic-form execution against the KG (bindings + answer)
+    "logic_bindings",
 ]
 
 

@@ -432,3 +432,116 @@ def test_rewrite_empty():
     assert r["rewritten"] == ""
     assert r["n_terms"] == 0
     assert r["confidence"] == 0.5
+
+
+# ------------------------------------------- logic execution + processor --
+
+from graphrag_rs_ray.functions.rograg import (  # noqa: E402
+    execute_logic_form,
+    lf_find_entity,
+    lf_name_similarity,
+    process_query,
+    retrieve_logic_form,
+)
+
+
+def _exec_graph():
+    ents = [
+        {"entity_id": "PERSON_alice", "name": "Alice", "type": "PERSON"},
+        {"entity_id": "PERSON_alice_smith", "name": "Alice Smith",
+         "type": "PERSON"},
+        {"entity_id": "ORG_acme", "name": "Acme", "type": "ORGANIZATION"},
+    ]
+    ents = sorted(ents, key=lambda e: (e["name"], e["entity_id"]))
+    for e in ents:
+        e["name_lower"] = e["name"].lower()
+        e["type_lower"] = e["type"].lower()
+    rels = [{"source": "PERSON_alice", "target": "ORG_acme",
+             "type": "WORKS_AT", "conf": 0.9}]
+    by_id = {e["entity_id"]: e for e in ents}
+    return ents, rels, by_id
+
+
+def test_lf_name_similarity():
+    assert lf_name_similarity("Alice", "alice") == 1.0
+    assert lf_name_similarity("Alice", "Alice Smith") == 0.8
+    assert lf_name_similarity("Alice Jones", "Bob Jones") == 1 / 3
+    assert lf_name_similarity("", "") == 1.0      # both empty → exact
+
+
+def test_execute_is():
+    ents, rels, by_id = _exec_graph()
+    lf = {"predicate": "Is",
+          "args": [{"value": "Alice", "variable": "X",
+                    "arg_type": "Entity"}]}
+    b = execute_logic_form(lf, ents, rels, by_id)
+    # contains-match hits both Alices in pinned name order
+    assert [x["entity_id"] for x in b] == ["PERSON_alice",
+                                           "PERSON_alice_smith"]
+    assert b[0]["value"] == "Alice (PERSON)"
+    assert b[0]["confidence"] == 1.0
+    assert b[1]["confidence"] == 0.8
+
+
+def test_execute_related_and_compare():
+    ents, rels, by_id = _exec_graph()
+    lf = {"predicate": "Related",
+          "args": [{"value": "Alice", "variable": "X"},
+                   {"value": "Acme", "variable": "Y"}]}
+    b = execute_logic_form(lf, ents, rels, by_id)
+    assert b[0]["value"] == "Alice WORKS_AT Acme"
+    lf2 = {"predicate": "Related",
+           "args": [{"value": "Alice Smith", "variable": "X"},
+                    {"value": "Acme", "variable": "Y"}]}
+    b2 = execute_logic_form(lf2, ents, rels, by_id)
+    assert b2[0]["value"].startswith("No direct relationship found")
+    assert b2[0]["confidence"] == 0.3
+    cmp_ = execute_logic_form(
+        {"predicate": "Compare",
+         "args": [{"value": "Alice", "variable": "X"},
+                  {"value": "Acme", "variable": "Y"}]}, ents, rels, by_id)
+    assert cmp_[0]["value"] == "Alice is a PERSON while Acme is a ORGANIZATION"
+
+
+def test_retrieve_logic_form():
+    ents, rels, by_id = _exec_graph()
+    r = retrieve_logic_form("What is Alice", ents, rels, by_id)
+    assert r["predicate"] == "Is"
+    assert r["answer"] == "Alice (PERSON)"
+    assert abs(r["confidence"] - 0.9) < 1e-9     # mean(1.0, 0.8)
+    assert r["sources"] == ["PERSON_alice", "PERSON_alice_smith"]
+    assert retrieve_logic_form("no pattern here", ents, rels, by_id) is None
+    # parses but no matching entity → no bindings → None
+    assert retrieve_logic_form("What is Zzz", ents, rels, by_id) is None
+
+
+def test_process_query_paths():
+    ents, rels, by_id = _exec_graph()
+    adj = {}
+    refused = process_query("   ", ents, rels, by_id, adj)
+    assert refused["status"] == "refused"
+    assert refused["refusal_reason"] == "Query is empty"
+    safety = process_query("how much harm did Alice cause?",
+                           ents, rels, by_id, adj)
+    assert safety["refusal_kind"] == "Safety refusal"
+    # FAITHFUL: the default refusal_threshold (0.8) + the reference's
+    # intent formula (max ≈ 0.5 for these queries) refuses everything
+    faithful = process_query("What is Alice", ents, rels, by_id, adj)
+    assert faithful["status"] == "refused"
+    permissive = IntentConfig(refusal_threshold=0.2)
+    ans = process_query("What is Alice", ents, rels, by_id, adj,
+                        intent_cfg=permissive)
+    assert ans["status"] == "answered"
+    assert ans["n_logic"] == 1 and ans["n_subqueries"] == 1
+    assert ans["answer"] == "Alice (PERSON)"
+    # unparseable subquery → fuzzy; no matches → Fallback stub
+    # ('gibberish...' scores no intent → Ambiguous refusal even
+    # permissively, so use a Temporal query with no entity match)
+    stub = process_query("when did zzz qqq happen before the year", ents,
+                         rels, by_id, adj, intent_cfg=permissive)
+    assert stub["status"] == "answered"
+    # the 'or' INSIDE 'before' splits the query into 2 syntactic
+    # subqueries (substring-separator quirk) — both stub out
+    assert stub["n_subqueries"] == 2
+    assert stub["n_fallback"] == 2 and stub["fallback_count"] == 2
+    assert abs(stub["mean_confidence"] - 0.1) < 1e-9
