@@ -517,6 +517,81 @@ def q_all_paths(sf_dir: str):
     return all_paths(edges, start, end, max_depth=4)
 
 
+def _staged_conf_triples(query: str, sf_dir: str):
+    """Deduped KG triples + a deterministic synthetic confidence in
+    [0.05, 0.95) from the triple's blake2b digest (the extractor emits a
+    constant 0.8, which would make ``min_relationship_strength`` a no-op;
+    the staged column feeds BOTH sides so only determinism matters —
+    same device as ``_pair_weight``)."""
+    import hashlib
+    cfg = KGConfig()
+    tri = triples_dataset(_kg_pages(sf_dir), cfg)
+
+    def fin(t: pa.Table) -> pa.Table:
+        cs = []
+        for s, p, o in zip(t.column("subj").to_pylist(),
+                           t.column("pred").to_pylist(),
+                           t.column("obj").to_pylist()):
+            h = int.from_bytes(hashlib.blake2b(
+                f"{s}\x1f{p}\x1f{o}".encode(), digest_size=8).digest(), "big")
+            cs.append(0.05 + (h % 900) / 1000.0)
+        return pa.table({"subj": t.column("subj"), "pred": t.column("pred"),
+                         "obj": t.column("obj"),
+                         "conf": pa.array(cs, pa.float64())})
+
+    return _stage(tri.map_batches(fin, batch_format="pyarrow"), query, sf_dir)
+
+
+def _first_subjects(query: str, sf_dir: str, n: int) -> list[str]:
+    """The n lexicographically-first distinct subjects of an
+    already-staged table — harness-side seed choice (not an operator),
+    read straight from the staged Parquet with DuckDB so it costs
+    milliseconds instead of a Dataset shuffle, and matches the oracle's
+    seed rule by construction."""
+    import duckdb
+    path = os.path.join(_stage_path(query, sf_dir), "*.parquet")
+    rows = duckdb.execute(
+        f"SELECT DISTINCT subj FROM read_parquet('{path}') "
+        f"ORDER BY subj LIMIT {n}").fetchall()
+    return [r[0] for r in rows]
+
+
+def q_ego_network(sf_dir: str):
+    """2-hop ego network around the lexicographically-first subject over
+    the confidence-gated graph (``traversal.rs:248-309``): node rows with
+    min hop + relationship rows with the reference's duplicate-push
+    occurrence counts.  Oracle: recursive-CTE distances + endpoint-
+    indicator occurrence sum."""
+    from graphrag_rs_ray.pipelines.traversal import ego_network
+    tri = _staged_conf_triples("ego_network", sf_dir)
+    seed = _first_subjects("ego_network", sf_dir, 1)[0]
+    return ego_network(tri, seed, k_hops=2, min_strength=0.5,
+                       num_buckets=16)
+
+
+def q_multi_source_bfs(sf_dir: str):
+    """Simultaneous BFS from the 3 lexicographically-first subjects
+    (``traversal.rs:322-374``): min hop from any source ≤ 3 plus the
+    in_entities flag (nodes popped before the depth gate)."""
+    from graphrag_rs_ray.pipelines.traversal import multi_source_bfs
+    tri = _staged_conf_triples("multi_source_bfs", sf_dir)
+    return multi_source_bfs(tri, _first_subjects("multi_source_bfs", sf_dir, 3),
+                            max_depth=3,
+                            min_strength=0.5, num_buckets=16)
+
+
+def q_query_focused_subgraph(sf_dir: str):
+    """Query-focused subgraph = union of per-seed ego networks with
+    entity / (source, target, type)-key relationship dedup and
+    min-over-seeds distances (``traversal.rs:521-566``)."""
+    from graphrag_rs_ray.pipelines.traversal import query_focused_subgraph
+    tri = _staged_conf_triples("query_focused_subgraph", sf_dir)
+    return query_focused_subgraph(
+        tri, _first_subjects("query_focused_subgraph", sf_dir, 3),
+                                  expansion_hops=2, min_strength=0.5,
+                                  num_buckets=16)
+
+
 def q_triangle_counts(sf_dir: str):
     """Per-node triangles + local clustering coefficient
     (``analytics.rs:452-484``); oracle = DuckDB 3-way self-join over the
@@ -1381,6 +1456,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": q_triangle_counts,
         "shortest_paths": q_shortest_paths,
         "all_paths": q_all_paths,
+        "ego_network": q_ego_network,
+        "multi_source_bfs": q_multi_source_bfs,
+        "query_focused_subgraph": q_query_focused_subgraph,
         "graph_statistics": q_graph_statistics,
         "centrality": q_centrality,
         "communities": q_communities,
@@ -1470,6 +1548,12 @@ def oracle_sql() -> dict[str, str]:
     d["response_quality"] = _response_quality_sql()
     d["quality_report"] = _quality_report_sql()
     d["logic_bindings"] = _logic_bindings_sql()
+    d["ego_network"] = _traversal_sql("ego_network", n_seeds=1, k=2,
+                                      mode="ego")
+    d["multi_source_bfs"] = _traversal_sql("multi_source_bfs", n_seeds=3,
+                                           k=3, mode="msbfs")
+    d["query_focused_subgraph"] = _traversal_sql("query_focused_subgraph",
+                                                 n_seeds=3, k=2, mode="qfs")
     return d
 
 
@@ -3689,3 +3773,48 @@ def _logic_bindings_sql() -> str:
                  AS overall_confidence
         FROM allb ORDER BY query_id, bind_idx
     """
+
+
+def _traversal_sql(query: str, n_seeds: int, k: int, mode: str) -> str:
+    """Traversal oracles (``traversal.rs:248-374,521-566``): recursive-CTE
+    min-hop distances over the confidence-gated symmetric edge multiset,
+    then mode-specific projection — 'ego'/'qfs' emit the tagged node∪rel
+    union table (occurrence counts / deduped keys), 'msbfs' the
+    (node, dist, in_entities) distances map."""
+    t = _staged_sql(query)
+    base = """
+        WITH RECURSIVE rels AS (
+          SELECT subj, pred, obj FROM {t} WHERE conf >= 0.5),
+        sym AS (SELECT subj AS src, obj AS dst FROM rels
+                UNION ALL SELECT obj, subj FROM rels),
+        seeds AS (SELECT node FROM (SELECT DISTINCT subj AS node FROM {t})
+                  ORDER BY node LIMIT {n}),
+        walk(node, hop) AS (
+          SELECT node, 0 FROM seeds
+          UNION
+          SELECT s.dst, w.hop + 1 FROM walk w JOIN sym s ON s.src = w.node
+          WHERE w.hop < {k}),
+        dist AS (SELECT node, min(hop)::BIGINT AS hop FROM walk
+                 GROUP BY node)
+    """.replace("{t}", t).replace("{n}", str(n_seeds)).replace("{k}", str(k))
+    if mode == "msbfs":
+        return base + """
+        SELECT node, hop AS dist,
+               (CASE WHEN hop < {k} THEN 1 ELSE 0 END)::BIGINT AS in_entities
+        FROM dist
+        """.replace("{k}", str(k))
+    occ_val = "n" if mode == "ego" else "1::BIGINT"
+    return base + """
+        , occ AS (
+          SELECT r.subj, r.pred, r.obj,
+                 ((CASE WHEN ds.hop <= {km1} THEN 1 ELSE 0 END)
+                + (CASE WHEN dd.hop <= {km1} THEN 1 ELSE 0 END))::BIGINT AS n
+          FROM rels r
+          LEFT JOIN dist ds ON ds.node = r.subj
+          LEFT JOIN dist dd ON dd.node = r.obj)
+        SELECT 'node' AS kind, node AS a, '' AS b, '' AS rel_type,
+               hop AS val
+        FROM dist
+        UNION ALL
+        SELECT 'rel', subj, obj, pred, {v} FROM occ WHERE n > 0
+    """.replace("{km1}", str(k - 1)).replace("{v}", occ_val)

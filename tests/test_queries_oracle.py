@@ -109,6 +109,8 @@ SQL_CHECKED = [
     "response_quality", "quality_report",
     # logic-form execution against the KG (bindings + answer)
     "logic_bindings",
+    # traversal slice (ego / multi-source BFS / query-focused subgraph)
+    "ego_network", "multi_source_bfs", "query_focused_subgraph",
 ]
 
 
