@@ -517,29 +517,30 @@ def q_all_paths(sf_dir: str):
     return all_paths(edges, start, end, max_depth=4)
 
 
-def _staged_conf_triples(query: str, sf_dir: str):
-    """Deduped KG triples + a deterministic synthetic confidence in
-    [0.05, 0.95) from the triple's blake2b digest (the extractor emits a
-    constant 0.8, which would make ``min_relationship_strength`` a no-op;
-    the staged column feeds BOTH sides so only determinism matters —
-    same device as ``_pair_weight``)."""
+def _synth_conf(t: pa.Table) -> pa.Table:
+    """Deterministic synthetic confidence in [0.05, 0.95) from a triple's
+    blake2b digest (the extractor emits a constant 0.8, which would make
+    strength gates / weighted PPR no-ops; the column feeds BOTH sides so
+    only determinism matters — same device as ``_pair_weight``)."""
     import hashlib
+    cs = []
+    for s, p, o in zip(t.column("subj").to_pylist(),
+                       t.column("pred").to_pylist(),
+                       t.column("obj").to_pylist()):
+        h = int.from_bytes(hashlib.blake2b(
+            f"{s}\x1f{p}\x1f{o}".encode(), digest_size=8).digest(), "big")
+        cs.append(0.05 + (h % 900) / 1000.0)
+    return pa.table({"subj": t.column("subj"), "pred": t.column("pred"),
+                     "obj": t.column("obj"),
+                     "conf": pa.array(cs, pa.float64())})
+
+
+def _staged_conf_triples(query: str, sf_dir: str):
+    """Deduped KG triples + ``_synth_conf`` confidences, staged."""
     cfg = KGConfig()
     tri = triples_dataset(_kg_pages(sf_dir), cfg)
-
-    def fin(t: pa.Table) -> pa.Table:
-        cs = []
-        for s, p, o in zip(t.column("subj").to_pylist(),
-                           t.column("pred").to_pylist(),
-                           t.column("obj").to_pylist()):
-            h = int.from_bytes(hashlib.blake2b(
-                f"{s}\x1f{p}\x1f{o}".encode(), digest_size=8).digest(), "big")
-            cs.append(0.05 + (h % 900) / 1000.0)
-        return pa.table({"subj": t.column("subj"), "pred": t.column("pred"),
-                         "obj": t.column("obj"),
-                         "conf": pa.array(cs, pa.float64())})
-
-    return _stage(tri.map_batches(fin, batch_format="pyarrow"), query, sf_dir)
+    return _stage(tri.map_batches(_synth_conf, batch_format="pyarrow"),
+                  query, sf_dir)
 
 
 def _first_subjects(query: str, sf_dir: str, n: int) -> list[str]:
@@ -902,6 +903,61 @@ def q_hipporag_retrieval(sf_dir: str):
 
     return rtr.hipporag_retrieve(facts_topk, ep, ps_tbl, edges,
                                  ppr_iterations=8)
+
+
+def q_pagerank_retrieval(sf_dir: str):
+    """PageRank-based retrieval — the fast-GraphRAG search
+    (``retrieval/pagerank_retrieval.rs:134-330``): list-Jaccard vector
+    similarity over "name entity_type" + the +0.3 per-mention
+    query-in-chunk bonus → normalized reset over a 1/n default →
+    personalized PageRank on the weighted entity graph (weight-sum
+    out-degrees, uniform dangling redistribution — the reference's
+    production parallel path; FIXED 12 iterations, per-iteration
+    round-8) → 0.3/0.4 combination, 0.1 threshold → chunk expansion
+    with the ``entity_<id>`` fallback quirk → top-25.
+
+    Entities, mention rows, chunk texts and the pre-summed weighted
+    edge table are staged; DuckDB replays similarity → reset → the full
+    recurrence → combination → expansion."""
+    from graphrag_rs_ray.functions.pagerank_retrieval import (
+        PageRankRetrievalConfig)
+    from graphrag_rs_ray.pipelines.kg import dedup_triples
+    from graphrag_rs_ray.pipelines.pagerank_retrieval import (
+        search_with_pagerank, weighted_edges)
+    from graphrag_rs_ray.stages.canonicalize import (
+        entity_bucket_merge, partial_entity_agg)
+    from graphrag_rs_ray.stages.hashagg import hash_grouped_aggregate
+    from graphrag_rs_ray.stages.kg_extract import triples_only
+
+    cfg = KGConfig()
+    query = "university of berlin"
+    chunks = pages_to_chunks(_kg_pages(sf_dir), cfg).materialize()
+    combined = chunks_to_combined(chunks, cfg).materialize()
+    mentions = combined.map_batches(entities_only, batch_format="pyarrow")
+
+    ents = hash_grouped_aggregate(
+        mentions.map_batches(partial_entity_agg, batch_format="pyarrow",
+                             batch_size=None),
+        ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
+    ents_st = _stage(ents.map_batches(
+        lambda t: t.select(["entity_id", "name", "type"]),
+        batch_format="pyarrow"), "pagerank_retrieval", sf_dir, "ents")
+    men_st = _stage(mentions.map_batches(
+        lambda t: t.select(["entity_id", "chunk_id", "mention_count"]),
+        batch_format="pyarrow"), "pagerank_retrieval", sf_dir, "mentions")
+    ch_st = _stage(chunks.map_batches(
+        lambda t: t.select(["chunk_id", "text"]), batch_format="pyarrow"),
+        "pagerank_retrieval", sf_dir, "chunks")
+
+    tri = dedup_triples(
+        combined.map_batches(triples_only, batch_format="pyarrow"), cfg)
+    edges_st = _stage(
+        weighted_edges(tri.map_batches(_synth_conf, batch_format="pyarrow")),
+        "pagerank_retrieval", sf_dir, "edges")
+
+    return search_with_pagerank(ents_st, men_st, ch_st, None, query,
+                                PageRankRetrievalConfig(),
+                                edges_ds=edges_st)
 
 
 def q_pipeline_validation(sf_dir: str):
@@ -1456,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": q_triangle_counts,
         "shortest_paths": q_shortest_paths,
         "all_paths": q_all_paths,
+        "pagerank_retrieval": q_pagerank_retrieval,
         "ego_network": q_ego_network,
         "multi_source_bfs": q_multi_source_bfs,
         "query_focused_subgraph": q_query_focused_subgraph,
@@ -1548,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
     d["response_quality"] = _response_quality_sql()
     d["quality_report"] = _quality_report_sql()
     d["logic_bindings"] = _logic_bindings_sql()
+    d["pagerank_retrieval"] = _pagerank_retrieval_sql()
     d["ego_network"] = _traversal_sql("ego_network", n_seeds=1, k=2,
                                       mode="ego")
     d["multi_source_bfs"] = _traversal_sql("multi_source_bfs", n_seeds=3,
@@ -1668,6 +1726,104 @@ def _hipporag_sql(n_iter: int, damping: float,
               FROM s{n_iter} s JOIN ps ON s.node = ps.passage)
         ORDER BY score DESC, passage_id ASC
         LIMIT {top_k_results}""")
+    return "\n".join(parts)
+
+
+def _pagerank_retrieval_sql(query: str = "university of berlin",
+                            n_iter: int = 12, d: float = 0.85,
+                            vw: float = 0.3, pw: float = 0.4,
+                            min_sim: float = 0.1, bonus: float = 0.3,
+                            thr: float = 0.1, max_results: int = 25) -> str:
+    """PageRank-retrieval oracle (``pagerank_retrieval.rs:134-330`` +
+    ``pagerank.rs:248-358,388-407,536-566``): list-Jaccard similarity
+    (duplicate-counting intersection over whitespace-split lowercase
+    word LISTS), per-mention chunk-contains bonus, reset = normalized
+    vector scores over a uniform-1/n default, the weight-sum-normalized
+    PPR recurrence with uniform dangling redistribution (round-8 per
+    iteration, both sides), 0.3/0.4 combination + 0.1 threshold, chunk
+    expansion with the ``entity_<id>`` fallback, top-``max_results``."""
+    ents = _staged_sql("pagerank_retrieval", "ents")
+    mts = _staged_sql("pagerank_retrieval", "mentions")
+    chs = _staged_sql("pagerank_retrieval", "chunks")
+    edges = _staged_sql("pagerank_retrieval", "edges")
+    qwords = query.lower().split()
+    qlist = "[" + ", ".join(f"'{w}'" for w in qwords) + "]"
+    ql = float(len(qwords))
+    parts = [f"""
+        WITH ents AS MATERIALIZED (
+          SELECT entity_id, name, type FROM {ents}),
+        e AS MATERIALIZED (SELECT src, dst, w FROM {edges}),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM ents),
+        ew AS (SELECT entity_id,
+                 list_filter(string_split_regex(
+                     lower(name || ' ' || type), '\\s+'),
+                   x -> x <> '') AS ws
+               FROM ents),
+        jraw AS (SELECT entity_id,
+                   len(list_filter({qlist},
+                       w -> list_contains(ws, w)))::DOUBLE AS ic,
+                   len(ws)::DOUBLE AS el
+                 FROM ew),
+        jp AS (SELECT entity_id, ic / ({ql} + el - ic) AS sim FROM jraw
+               WHERE ic > 0 AND ic / ({ql} + el - ic) > {min_sim}),
+        mchunk AS (SELECT chunk_id FROM {chs}
+                   WHERE contains(lower(text), '{query.lower()}')),
+        bon AS (SELECT m.entity_id,
+                       {bonus} * sum(m.mention_count)::DOUBLE AS bv
+                FROM {mts} m JOIN mchunk USING (chunk_id)
+                GROUP BY m.entity_id),
+        vs AS MATERIALIZED (
+          SELECT coalesce(j.entity_id, b.entity_id) AS entity_id,
+                 round(coalesce(j.sim, 0.0) + coalesce(b.bv, 0.0), 8) AS v
+          FROM jp j FULL JOIN bon b ON j.entity_id = b.entity_id),
+        tot AS (SELECT sum(v) AS tv FROM vs),
+        reset AS MATERIALIZED (
+          SELECT en.entity_id AS node,
+                 CASE WHEN v.v IS NOT NULL
+                      THEN v.v / (SELECT tv FROM tot)
+                      ELSE 1.0 / (SELECT n FROM nn) END AS r
+          FROM ents en LEFT JOIN vs v ON en.entity_id = v.entity_id),
+        deg AS MATERIALIZED (SELECT src, sum(w) AS wsum FROM e
+                             GROUP BY src),
+        s0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS score
+               FROM reset)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+        g{i} AS (SELECT coalesce(sum(s.score), 0.0) AS gm FROM s{i - 1} s
+                 WHERE s.node NOT IN (SELECT src FROM deg)),
+        s{i} AS MATERIALIZED (
+          SELECT r.node,
+                 round((1.0 - {d}) * r.r + coalesce(c.csum, 0.0)
+                       + {d} * (SELECT gm FROM g{i})
+                         / (SELECT n FROM nn), 8) AS score
+          FROM reset r LEFT JOIN (
+            SELECT e.dst AS node,
+                   sum({d} * s.score * e.w / dg.wsum) AS csum
+            FROM e JOIN s{i - 1} s ON e.src = s.node
+                   JOIN deg dg ON e.src = dg.src
+            GROUP BY e.dst) c ON r.node = c.node)""")
+    parts.append(f""",
+        comb AS (SELECT s.node AS entity_id,
+                        round({vw} * coalesce(v.v, 0.0)
+                              + {pw} * s.score, 8) AS score,
+                        coalesce(v.v, 0.0) AS vector_score,
+                        s.score AS pagerank_score
+                 FROM s{n_iter} s LEFT JOIN vs v ON s.node = v.entity_id
+                 WHERE round({vw} * coalesce(v.v, 0.0)
+                             + {pw} * s.score, 8) >= {thr}),
+        dp AS (SELECT DISTINCT m.entity_id, m.chunk_id FROM {mts} m
+               JOIN comb c ON m.entity_id = c.entity_id),
+        rws AS (SELECT c.entity_id,
+                       coalesce(d.chunk_id,
+                                'entity_' || c.entity_id) AS chunk_id,
+                       c.score, c.vector_score, c.pagerank_score
+                FROM comb c LEFT JOIN dp d ON c.entity_id = d.entity_id)
+        SELECT row_number() OVER (
+                 ORDER BY score DESC, entity_id, chunk_id) AS rank,
+               entity_id, chunk_id, score, vector_score, pagerank_score
+        FROM rws
+        ORDER BY score DESC, entity_id, chunk_id
+        LIMIT {max_results}""")
     return "\n".join(parts)
 
 

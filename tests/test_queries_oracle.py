@@ -111,6 +111,8 @@ SQL_CHECKED = [
     "logic_bindings",
     # traversal slice (ego / multi-source BFS / query-focused subgraph)
     "ego_network", "multi_source_bfs", "query_focused_subgraph",
+    # fast-GraphRAG PageRank retrieval (vector sim → PPR → expansion)
+    "pagerank_retrieval",
 ]
 
 
