@@ -960,6 +960,57 @@ def q_pagerank_retrieval(sf_dir: str):
                                 edges_ds=edges_st)
 
 
+def _planner_specs():
+    """Deterministic optimizer workload over the KG's three entity
+    types — every ``QueryOp`` variant, both swap directions, the 3-leaf
+    greedy multi-way case, and nested compositions
+    (``query/optimizer.rs`` test shapes, widened)."""
+    p = ("scan", "PERSON")
+    o = ("scan", "ORGANIZATION")
+    loc = ("scan", "LOCATION")
+    return [
+        ("q01_scan", p),
+        ("q02_filter", ("filter", "name", "alice")),
+        ("q03_join_swap", ("join", p, loc, "inner")),
+        ("q04_join_noswap", ("join", loc, p, "inner")),
+        ("q05_multiway", ("join", ("join", p, o, "inner"), loc, "inner")),
+        ("q06_neighbors2", ("neighbors", p, "related_to", 2)),
+        ("q07_union", ("union", o, loc)),
+        ("q08_limit", ("limit", ("join", p, o, "inner"), 10)),
+        ("q09_cross", ("join", o, loc, "cross")),
+        ("q10_leftouter", ("join", p, loc, "leftouter")),
+        ("q11_nbr_filter", ("neighbors", ("filter", "type", "PERSON"),
+                            None, 1)),
+        ("q12_union_joins", ("union", ("join", p, loc, "inner"),
+                             ("limit", o, 5))),
+    ]
+
+
+def q_query_plans(sf_dir: str):
+    """Rule-based query optimizer (``query/optimizer.rs``): graph
+    statistics aggregated distributed (entity-type / relationship-type
+    histograms, staged), then rewrite (smaller-side-first joins) →
+    greedy multi-way join ordering → cost/cardinality/selectivity
+    estimation over the fixed workload.  The oracle re-derives every
+    decision (swap predicates, greedy pair choice) and every cost
+    formula from the staged histograms in SQL."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.kg import entities_dataset
+    from graphrag_rs_ray.pipelines.planner import (
+        entity_type_counts, optimize_workload, rel_type_counts,
+        stats_from_counts)
+
+    cfg = KGConfig()
+    ents = entities_dataset(_kg_pages(sf_dir), cfg)
+    tri = triples_dataset(_kg_pages(sf_dir), cfg)
+    et = _stage(entity_type_counts(ents), "query_plans", sf_dir, "etypes")
+    rt = _stage(rel_type_counts(tri), "query_plans", sf_dir, "rtypes")
+    stats = stats_from_counts(
+        [(r["type"], int(r["cnt"])) for r in et.take_all()],
+        [(r["pred"], int(r["cnt"])) for r in rt.take_all()])
+    return rd.from_arrow(optimize_workload(_planner_specs(), stats))
+
+
 def q_pipeline_validation(sf_dir: str):
     """Four-phase pipeline validation report
     (``evaluation/pipeline_validation.rs``) over a deterministically
@@ -1513,6 +1564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shortest_paths": q_shortest_paths,
         "all_paths": q_all_paths,
         "pagerank_retrieval": q_pagerank_retrieval,
+        "query_plans": q_query_plans,
         "ego_network": q_ego_network,
         "multi_source_bfs": q_multi_source_bfs,
         "query_focused_subgraph": q_query_focused_subgraph,
@@ -1606,6 +1658,7 @@ def oracle_sql() -> dict[str, str]:
     d["quality_report"] = _quality_report_sql()
     d["logic_bindings"] = _logic_bindings_sql()
     d["pagerank_retrieval"] = _pagerank_retrieval_sql()
+    d["query_plans"] = _query_plans_sql()
     d["ego_network"] = _traversal_sql("ego_network", n_seeds=1, k=2,
                                       mode="ego")
     d["multi_source_bfs"] = _traversal_sql("multi_source_bfs", n_seeds=3,
@@ -1727,6 +1780,156 @@ def _hipporag_sql(n_iter: int, damping: float,
         ORDER BY score DESC, passage_id ASC
         LIMIT {top_k_results}""")
     return "\n".join(parts)
+
+
+def _query_plans_sql() -> str:
+    """Query-optimizer oracle (``query/optimizer.rs:100-484``): the two
+    staged type histograms → scalar counts → every cost formula
+    (trunc = the reference's ``as usize``, integer ×9//10 union
+    arithmetic, powi as repeated multiply) and every optimizer decision
+    (strict-> swap; greedy strict-< first-found pair choice) re-derived
+    as SQL predicates; plan strings are CASE-selected literals."""
+    et = _staged_sql("query_plans", "etypes")
+    rt = _staged_sql("query_plans", "rtypes")
+
+    lits = {"P": "EntityScan(PERSON)", "O": "EntityScan(ORGANIZATION)",
+            "L": "EntityScan(LOCATION)"}
+    cards = {"P": "np", "O": "no_", "L": "nl"}
+
+    # ---- q05 branch enumeration (rewrite swaps × greedy pair choice) --
+    ci_in = "trunc(sqrt(np*no_))"
+    q05 = []          # (predicate, ci, cj, ck, plan_literal)
+    for sp1 in (False, True):
+        inner = ("O", "P") if sp1 else ("P", "O")
+        p1 = "np > no_" if sp1 else "NOT (np > no_)"
+        for sp2 in (False, True):
+            order = (["L", *inner] if sp2 else [*inner, "L"])
+            p2 = f"{ci_in} > nl" if sp2 else f"NOT ({ci_in} > nl)"
+            cx, cy, cz = (cards[t] for t in order)
+            p01, p02, p12 = f"{cx}*{cy}", f"{cx}*{cz}", f"{cy}*{cz}"
+            for choice, cpred in (
+                    ((1, 2), f"{p12} < least({p01}, {p02})"),
+                    ((0, 2), f"NOT ({p12} < least({p01}, {p02})) "
+                             f"AND {p02} < {p01}"),
+                    ((0, 1), f"NOT ({p12} < least({p01}, {p02})) "
+                             f"AND NOT ({p02} < {p01})")):
+                i, j = choice
+                k = ({0, 1, 2} - {i, j}).pop()
+                plan = (f"Join[Inner]({lits[order[k]]},"
+                        f"Join[Inner]({lits[order[i]]},{lits[order[j]]}))")
+                q05.append((f"({p1}) AND ({p2}) AND ({cpred})",
+                            cards[order[i]], cards[order[j]],
+                            cards[order[k]], plan))
+
+    def case(branches, expr_of):
+        return ("CASE " + " ".join(
+            f"WHEN {pred} THEN {expr_of(b)}" for b in branches
+            for pred in [b[0]]) + " END")
+
+    q05_plan = case(q05, lambda b: f"'{b[4]}'")
+    q05_ci = case(q05, lambda b: b[1])
+    q05_cj = case(q05, lambda b: b[2])
+    q05_ck = case(q05, lambda b: b[3])
+
+    jsw = (f"CASE WHEN np > nl THEN "
+           f"'Join[Inner]({lits['L']},{lits['P']})' ELSE "
+           f"'Join[Inner]({lits['P']},{lits['L']})' END")
+    losw = (f"CASE WHEN np > nl THEN "
+            f"'Join[LeftOuter]({lits['L']},{lits['P']})' ELSE "
+            f"'Join[LeftOuter]({lits['P']},{lits['L']})' END")
+    u12 = (f"CASE WHEN np > nl THEN "
+           f"'Union(Join[Inner]({lits['L']},{lits['P']}),"
+           f"Limit(5)({lits['O']}))' ELSE "
+           f"'Union(Join[Inner]({lits['P']},{lits['L']}),"
+           f"Limit(5)({lits['O']}))' END")
+
+    return f"""
+        WITH et AS (SELECT type, cnt FROM {et}),
+        rt AS (SELECT pred, cnt FROM {rt}),
+        sc AS (SELECT
+          coalesce((SELECT cnt FROM et WHERE type = 'PERSON'), 0)::DOUBLE
+            AS np,
+          coalesce((SELECT cnt FROM et
+                    WHERE type = 'ORGANIZATION'), 0)::DOUBLE AS no_,
+          coalesce((SELECT cnt FROM et WHERE type = 'LOCATION'), 0)::DOUBLE
+            AS nl,
+          (SELECT sum(cnt) FROM et)::DOUBLE AS te,
+          (SELECT sum(cnt) FROM rt)::DOUBLE * 2.0
+            / (SELECT sum(cnt) FROM et)::DOUBLE AS dg)
+
+        SELECT 'q01_scan' AS query_id, 'EntityScan(PERSON)' AS plan,
+               round(np, 8) AS cost, np::BIGINT AS cardinality,
+               round(np / te, 8) AS selectivity FROM sc
+        UNION ALL
+        SELECT 'q02_filter', 'Filter(name=alice)', round(te, 8),
+               trunc(te * 0.1)::BIGINT, 0.1 FROM sc
+        UNION ALL
+        SELECT 'q03_join_swap', {jsw}, round(np + nl + np * nl, 8),
+               trunc(sqrt(np * nl))::BIGINT,
+               round((np / te) * (nl / te), 8) FROM sc
+        UNION ALL
+        SELECT 'q04_join_noswap',
+               CASE WHEN nl > np THEN
+                 'Join[Inner]({lits["P"]},{lits["L"]})' ELSE
+                 'Join[Inner]({lits["L"]},{lits["P"]})' END,
+               round(nl + np + nl * np, 8), trunc(sqrt(nl * np))::BIGINT,
+               round((nl / te) * (np / te), 8) FROM sc
+        UNION ALL
+        SELECT 'q05_multiway', {q05_plan},
+               round(ck + (ci + cj + ci * cj)
+                     + ck * trunc(sqrt(ci * cj)), 8),
+               trunc(sqrt(ck * trunc(sqrt(ci * cj))))::BIGINT,
+               round((ck / te) * ((ci / te) * (cj / te)), 8)
+        FROM (SELECT {q05_ci} AS ci, {q05_cj} AS cj, {q05_ck} AS ck,
+                     np, no_, nl, te
+              FROM sc)
+        UNION ALL
+        SELECT 'q06_neighbors2',
+               'Neighbors(related_to,hops=2)(EntityScan(PERSON))',
+               round(np + trunc(least(np * (dg * dg), te)), 8),
+               trunc(least(np * (dg * dg), te))::BIGINT,
+               round(trunc(least(np * (dg * dg), te)) / te, 8) FROM sc
+        UNION ALL
+        SELECT 'q07_union', 'Union({lits["O"]},{lits["L"]})',
+               round(no_ + nl, 8),
+               (no_::BIGINT + nl::BIGINT) * 9 // 10,
+               round(least(no_ / te + nl / te, 1.0), 8) FROM sc
+        UNION ALL
+        SELECT 'q08_limit',
+               CASE WHEN np > no_ THEN
+                 'Limit(10)(Join[Inner]({lits["O"]},{lits["P"]}))' ELSE
+                 'Limit(10)(Join[Inner]({lits["P"]},{lits["O"]}))' END,
+               round(np + no_ + np * no_, 8),
+               least(10, trunc(sqrt(np * no_))::BIGINT),
+               round(least(10.0 / te, 1.0), 8) FROM sc
+        UNION ALL
+        SELECT 'q09_cross',
+               CASE WHEN no_ > nl THEN
+                 'Join[Cross]({lits["L"]},{lits["O"]})' ELSE
+                 'Join[Cross]({lits["O"]},{lits["L"]})' END,
+               round(no_ + nl + no_ * nl, 8),
+               no_::BIGINT * nl::BIGINT,
+               round((no_ / te) * (nl / te), 8) FROM sc
+        UNION ALL
+        SELECT 'q10_leftouter', {losw}, round(np + nl + np * nl, 8),
+               CASE WHEN np > nl THEN nl::BIGINT ELSE np::BIGINT END,
+               round((np / te) * (nl / te), 8) FROM sc
+        UNION ALL
+        SELECT 'q11_nbr_filter',
+               'Neighbors(*,hops=1)(Filter(type=PERSON))',
+               round(te + trunc(least(trunc(te * 0.1) * dg, te)), 8),
+               trunc(least(trunc(te * 0.1) * dg, te))::BIGINT,
+               round(trunc(least(trunc(te * 0.1) * dg, te)) / te, 8)
+        FROM sc
+        UNION ALL
+        SELECT 'q12_union_joins', {u12},
+               round((np + nl + np * nl) + no_, 8),
+               (trunc(sqrt(np * nl))::BIGINT
+                + least(5, no_::BIGINT)) * 9 // 10,
+               round(least((np / te) * (nl / te)
+                           + least(5.0 / te, 1.0), 1.0), 8) FROM sc
+        ORDER BY query_id
+    """
 
 
 def _pagerank_retrieval_sql(query: str = "university of berlin",

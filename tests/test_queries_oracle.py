@@ -113,6 +113,8 @@ SQL_CHECKED = [
     "ego_network", "multi_source_bfs", "query_focused_subgraph",
     # fast-GraphRAG PageRank retrieval (vector sim → PPR → expansion)
     "pagerank_retrieval",
+    # rule-based query optimizer (cost model + join reordering)
+    "query_plans",
 ]
 
 
