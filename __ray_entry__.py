@@ -986,6 +986,49 @@ def _planner_specs():
     ]
 
 
+def q_hybrid_fusion(sf_dir: str):
+    """Hybrid KG retrieval (``retrieval/hybrid.rs``): the entity+chunk
+    corpus (namespaced ids, "name type" entity content) scored two ways
+    — hash-embedding cosine and BM25 — then ALL FOUR fusion methods
+    (RRF / Weighted / CombSUM / MaxScore) over the staged shortlists,
+    one ``method`` cohort each.  RRF runs with threshold 0 (the
+    reference DEFAULT threshold 0.1 exceeds RRF's maximum possible
+    score (0.7+0.3)/61 — zero-result quirk pinned in unit tests); the
+    other three keep the 0.1 default."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+    from graphrag_rs_ray.functions.hybrid_fusion import (
+        FUSION_METHODS, HybridFusionConfig)
+    from graphrag_rs_ray.pipelines.hybrid import (
+        fuse_tables, keyword_shortlist, kg_corpus, semantic_shortlist)
+    from graphrag_rs_ray.stages.canonicalize import (
+        entity_bucket_merge, partial_entity_agg)
+    from graphrag_rs_ray.stages.hashagg import hash_grouped_aggregate
+
+    cfg = KGConfig()
+    query = "university professor research"
+    chunks = pages_to_chunks(_kg_pages(sf_dir), cfg).materialize()
+    combined = chunks_to_combined(chunks, cfg).materialize()
+    ents = hash_grouped_aggregate(
+        combined.map_batches(entities_only, batch_format="pyarrow")
+        .map_batches(partial_entity_agg, batch_format="pyarrow",
+                     batch_size=None),
+        ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
+    corpus = kg_corpus(ents, chunks).materialize()
+
+    _stage(semantic_shortlist(corpus, query), "hybrid_fusion", sf_dir,
+           "sem")
+    _stage(keyword_shortlist(corpus, query), "hybrid_fusion", sf_dir, "kw")
+    sem_tbl = _pq.read_table(_stage_path("hybrid_fusion", sf_dir, "sem"))
+    kw_tbl = _pq.read_table(_stage_path("hybrid_fusion", sf_dir, "kw"))
+
+    cfgs = [HybridFusionConfig(min_score_threshold=0.0)
+            if m == "rrf" else HybridFusionConfig()
+            for m in FUSION_METHODS]
+    return rd.from_arrow(fuse_tables(sem_tbl, kw_tbl, FUSION_METHODS,
+                                     cfgs))
+
+
 def q_query_plans(sf_dir: str):
     """Rule-based query optimizer (``query/optimizer.rs``): graph
     statistics aggregated distributed (entity-type / relationship-type
@@ -1565,6 +1608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "all_paths": q_all_paths,
         "pagerank_retrieval": q_pagerank_retrieval,
         "query_plans": q_query_plans,
+        "hybrid_fusion": q_hybrid_fusion,
         "ego_network": q_ego_network,
         "multi_source_bfs": q_multi_source_bfs,
         "query_focused_subgraph": q_query_focused_subgraph,
@@ -1659,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
     d["logic_bindings"] = _logic_bindings_sql()
     d["pagerank_retrieval"] = _pagerank_retrieval_sql()
     d["query_plans"] = _query_plans_sql()
+    d["hybrid_fusion"] = _hybrid_fusion_sql()
     d["ego_network"] = _traversal_sql("ego_network", n_seeds=1, k=2,
                                       mode="ego")
     d["multi_source_bfs"] = _traversal_sql("multi_source_bfs", n_seeds=3,
@@ -1780,6 +1825,65 @@ def _hipporag_sql(n_iter: int, damping: float,
         ORDER BY score DESC, passage_id ASC
         LIMIT {top_k_results}""")
     return "\n".join(parts)
+
+
+def _hybrid_fusion_sql(sw: float = 0.7, kw_w: float = 0.3,
+                       rrf_k: float = 60.0, thr: float = 0.1,
+                       limit: int = 15) -> str:
+    """Hybrid-fusion oracle (``hybrid.rs:230-427``): each method
+    replayed as a FULL JOIN of the staged shortlists — RRF from the
+    staged 0-based ranks, Weighted from per-list MAX normalization,
+    CombSUM raw sums, MaxScore with the 0.0-default max quirk;
+    threshold on the UNROUNDED combined score (mirroring the kernel),
+    round-8 outputs, score-desc/id-asc truncation per method."""
+    sem = _staged_sql("hybrid_fusion", "sem")
+    kw = _staged_sql("hybrid_fusion", "kw")
+    base = f"""
+        WITH sem AS MATERIALIZED (SELECT id, score, content, rank
+                                  FROM {sem}),
+        kw AS MATERIALIZED (SELECT id, score, content, rank FROM {kw}),
+        mx AS (SELECT (SELECT max(score) FROM sem) AS ms,
+                      (SELECT max(score) FROM kw) AS mk)
+    """
+    combined = {
+        "rrf": (f"coalesce((1.0 / ({rrf_k} + s.rank + 1.0)) * {sw}, 0.0)"
+                f" + coalesce((1.0 / ({rrf_k} + k.rank + 1.0)) * {kw_w},"
+                f" 0.0)"),
+        "weighted": (
+            f"coalesce((CASE WHEN (SELECT ms FROM mx) > 0.0 THEN"
+            f" s.score / (SELECT ms FROM mx) ELSE 0.0 END) * {sw}, 0.0)"
+            f" + coalesce((CASE WHEN (SELECT mk FROM mx) > 0.0 THEN"
+            f" k.score / (SELECT mk FROM mx) ELSE 0.0 END) * {kw_w},"
+            f" 0.0)"),
+        "combsum": "coalesce(s.score, 0.0) + coalesce(k.score, 0.0)",
+        "maxscore": ("CASE WHEN s.id IS NULL THEN greatest(0.0, k.score) "
+                     "WHEN k.id IS NULL THEN s.score "
+                     "ELSE greatest(s.score, k.score) END"),
+    }
+    blocks = []
+    for method, expr in combined.items():
+        t = 0.0 if method == "rrf" else thr
+        blocks.append(f"""
+        (SELECT '{method}' AS method, id, content,
+                round(raw, 8) AS score,
+                round(semantic_score, 8) AS semantic_score,
+                round(keyword_score, 8) AS keyword_score,
+                CASE WHEN id LIKE 'entity:%' THEN 'entity'
+                     WHEN id LIKE 'chunk:%' THEN 'chunk'
+                     ELSE 'hybrid' END AS result_type,
+                CASE WHEN id LIKE 'entity:%' THEN content
+                     ELSE '' END AS entities,
+                id AS source_chunks
+         FROM (SELECT coalesce(s.id, k.id) AS id,
+                      coalesce(k.content, s.content) AS content,
+                      {expr} AS raw,
+                      coalesce(s.score, 0.0) AS semantic_score,
+                      coalesce(k.score, 0.0) AS keyword_score
+               FROM sem s FULL JOIN kw k ON s.id = k.id)
+         WHERE raw >= {t}
+         ORDER BY round(raw, 8) DESC, id ASC
+         LIMIT {limit})""")
+    return base + "\n        " + "\n        UNION ALL\n".join(blocks)
 
 
 def _query_plans_sql() -> str:

@@ -115,6 +115,8 @@ SQL_CHECKED = [
     "pagerank_retrieval",
     # rule-based query optimizer (cost model + join reordering)
     "query_plans",
+    # hybrid retrieval: 4 fusion methods over sem+kw shortlists
+    "hybrid_fusion",
 ]
 
 
