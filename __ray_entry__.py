@@ -1029,6 +1029,78 @@ def q_hybrid_fusion(sf_dir: str):
                                      cfgs))
 
 
+_ENRICHED_QUERY = "customer market segment analysis in chapter 2 section 2.1"
+
+
+def q_enriched_search(sf_dir: str):
+    """Enriched metadata-aware retrieval
+    (``retrieval/enriched.rs:57-143`` metadata_search): documents get
+    deterministic markdown chapter/section headers, the enricher fills
+    chapter/section/keywords/summary/position, extraction supplies
+    chunk entities, BM25 supplies the base shortlist; the boost stack
+    (keyword / structure / summary / completeness) re-scores every
+    gated chunk.  Chunk metadata, mention names and base scores are
+    staged; the oracle replays gate + boosts + min-1 clamp in SQL."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.enriched import metadata_search
+    from graphrag_rs_ray.pipelines.hybrid import keyword_shortlist
+    from graphrag_rs_ray.stages.enrich import EnrichedChunkStage
+
+    cfg = KGConfig(chunk_size=400, chunk_overlap=50)
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        return pa.table({
+            "doc_id": pa.array([f"doc{i}" for i in ids], pa.string()),
+            "text": pa.array(
+                [f"# Chapter {i % 4}\n\n## Section {i % 4}.{i % 3}\n\n"
+                 f"{x or ''}" for i, x in zip(ids, texts)], pa.string())})
+
+    enriched = docs.map_batches(prep, batch_format="pyarrow").map_batches(
+        EnrichedChunkStage(cfg, fmt="markdown"),
+        batch_format="pyarrow").materialize()
+
+    # chunk entities via the gazetteer NER engine (the pattern extractor
+    # needs capitalized names — the documents table is lowercase prose,
+    # so the term gazetteer is the right extractor here)
+    from graphrag_rs_ray.stages.memo import memoized_stage
+    from graphrag_rs_ray.stages.ner import NERStage
+    term_types = [{"name": "TERM", "dictionary": [
+        "spark", "hash join", "customer", "vector", "stream", "query"]}]
+    term_rules = [{"name": "term_gazetteer", "entity_type": "TERM",
+                   "rule_type": "dictionary", "pattern": "",
+                   "priority": 5}]
+    ner = memoized_stage("enriched-term-ner",
+                         lambda: NERStage(term_types, term_rules))
+    men_st = _stage(
+        enriched.map_batches(ner, batch_format="pyarrow", batch_size=None)
+        .map_batches(lambda t: pa.table({"chunk_id": t.column("chunk_id"),
+                                         "name": t.column("surface")}),
+                     batch_format="pyarrow"),
+        "enriched_search", sf_dir, "mentions")
+
+    corpus = enriched.map_batches(
+        lambda t: pa.table({"id": t.column("chunk_id"),
+                            "content": t.column("text")}),
+        batch_format="pyarrow")
+    base_st = _stage(
+        keyword_shortlist(corpus, _ENRICHED_QUERY, top_n=50).map_batches(
+            lambda t: t.select(["id", "score"]), batch_format="pyarrow"),
+        "enriched_search", sf_dir, "base")
+    base = {r["id"]: r["score"] for r in base_st.take_all()}
+
+    ch_st = _stage(enriched.map_batches(
+        lambda t: t.select(["chunk_id", "chapter", "section", "subsection",
+                            "keywords", "summary", "structural_level",
+                            "position_in_document"]),
+        batch_format="pyarrow"), "enriched_search", sf_dir, "chunks")
+
+    return metadata_search(ch_st, men_st, base, _ENRICHED_QUERY)
+
+
 def q_query_plans(sf_dir: str):
     """Rule-based query optimizer (``query/optimizer.rs``): graph
     statistics aggregated distributed (entity-type / relationship-type
@@ -1609,6 +1681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_retrieval": q_pagerank_retrieval,
         "query_plans": q_query_plans,
         "hybrid_fusion": q_hybrid_fusion,
+        "enriched_search": q_enriched_search,
         "ego_network": q_ego_network,
         "multi_source_bfs": q_multi_source_bfs,
         "query_focused_subgraph": q_query_focused_subgraph,
@@ -1704,6 +1777,7 @@ def oracle_sql() -> dict[str, str]:
     d["pagerank_retrieval"] = _pagerank_retrieval_sql()
     d["query_plans"] = _query_plans_sql()
     d["hybrid_fusion"] = _hybrid_fusion_sql()
+    d["enriched_search"] = _enriched_search_sql()
     d["ego_network"] = _traversal_sql("ego_network", n_seeds=1, k=2,
                                       mode="ego")
     d["multi_source_bfs"] = _traversal_sql("multi_source_bfs", n_seeds=3,
@@ -1825,6 +1899,84 @@ def _hipporag_sql(n_iter: int, damping: float,
         ORDER BY score DESC, passage_id ASC
         LIMIT {top_k_results}""")
     return "\n".join(parts)
+
+
+def _enriched_search_sql(kw_w: float = 0.3, st_w: float = 0.2,
+                         sum_w: float = 0.15, min_m: int = 1) -> str:
+    """Enriched-retrieval oracle (``enriched.rs:85-143`` +
+    ``core/metadata.rs:166-200``): gate (entities OR keywords), keyword
+    / structure / summary / completeness boosts and the min-1 clamp
+    replayed from the staged chunk-metadata, mention and base tables;
+    query words and structure refs are constant-folded from the fixed
+    query (their extraction is unit-gated)."""
+    from graphrag_rs_ray.functions.enriched_retrieval import (
+        extract_structure_references, query_words)
+
+    ch = _staged_sql("enriched_search", "chunks")
+    men = _staged_sql("enriched_search", "mentions")
+    base = _staged_sql("enriched_search", "base")
+    qw = sorted(query_words(_ENRICHED_QUERY))
+    refs = extract_structure_references(_ENRICHED_QUERY.lower())
+    qset = "[" + ", ".join(f"'{w}'" for w in qw) + "]"
+    maxqw = float(max(len(qw), 1))
+    sumthr = max(len(qw) // 2, 1)
+    sparts = []
+    for ref in refs:
+        for field, pts in (("chapter", 0.5), ("section", 0.3),
+                           ("subsection", 0.2)):
+            sparts.append(f"(CASE WHEN c.{field} IS NOT NULL AND "
+                          f"contains(lower(c.{field}), '{ref}') "
+                          f"THEN {pts} ELSE 0.0 END)")
+    sraw = " + ".join(sparts) if sparts else "0.0"
+    return f"""
+        WITH ch AS MATERIALIZED (SELECT * FROM {ch}),
+        ent AS (SELECT chunk_id,
+                       string_agg(DISTINCT name, ',' ORDER BY name)
+                         AS entities
+                FROM {men} GROUP BY chunk_id),
+        b AS (SELECT id AS chunk_id, score FROM {base}),
+        scored AS (
+          SELECT c.chunk_id, coalesce(b.score, 0.5) AS base_score,
+                 coalesce(e.entities, '') AS entities,
+                 len(list_filter(c.keywords,
+                     k -> list_contains({qset}, lower(k)))) AS kmatch,
+                 {sraw} AS sraw,
+                 CASE WHEN c.summary IS NOT NULL AND
+                      len(list_filter({qset},
+                          w -> contains(lower(c.summary), w)))
+                        >= {sumthr}
+                      THEN 1 ELSE 0 END AS summ,
+                 (CASE WHEN c.chapter IS NOT NULL THEN 2.0 ELSE 0.0 END
+                  + CASE WHEN c.section IS NOT NULL THEN 1.0
+                         ELSE 0.0 END
+                  + CASE WHEN c.subsection IS NOT NULL THEN 1.0
+                         ELSE 0.0 END
+                  + CASE WHEN len(c.keywords) > 0 THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN c.summary IS NOT NULL THEN 1.0
+                         ELSE 0.0 END
+                  + CASE WHEN c.structural_level IS NOT NULL THEN 1.0
+                         ELSE 0.0 END
+                  + CASE WHEN c.position_in_document IS NOT NULL
+                         THEN 1.0 ELSE 0.0 END) / 9.0 AS comp
+          FROM ch c LEFT JOIN b USING (chunk_id)
+                    LEFT JOIN ent e ON c.chunk_id = e.chunk_id
+          WHERE e.entities IS NOT NULL OR len(c.keywords) > 0),
+        boosted AS (
+          SELECT chunk_id, base_score, entities,
+                 (CASE WHEN kmatch >= {min_m}
+                       THEN (kmatch::DOUBLE / {maxqw}) * {kw_w}
+                       ELSE 0.0 END
+                  + CASE WHEN sraw > 0.0 THEN sraw * {st_w}
+                         ELSE 0.0 END
+                  + CASE WHEN summ = 1 THEN {sum_w} ELSE 0.0 END
+                  + CASE WHEN comp > 0.7 THEN 0.05 ELSE 0.0 END)
+                   AS boost
+          FROM scored)
+        SELECT chunk_id, round(least(base_score + boost, 1.0), 8)
+                 AS score,
+               base_score, round(boost, 8) AS boost, entities
+        FROM boosted WHERE boost > 0.05
+    """
 
 
 def _hybrid_fusion_sql(sw: float = 0.7, kw_w: float = 0.3,

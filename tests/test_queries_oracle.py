@@ -117,6 +117,8 @@ SQL_CHECKED = [
     "query_plans",
     # hybrid retrieval: 4 fusion methods over sem+kw shortlists
     "hybrid_fusion",
+    # enriched metadata-aware retrieval (boost stack over chunk metadata)
+    "enriched_search",
 ]
 
 
