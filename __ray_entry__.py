@@ -1029,6 +1029,154 @@ def q_hybrid_fusion(sf_dir: str):
                                      cfgs))
 
 
+_ADAPTIVE_QUERIES = [
+    ("q1", "connections between berlin and tokyo"),
+    ("q2", "the theory of knowledge and meaning"),
+    ("q3", "quarterly revenue growth figures"),
+]
+_ADAPTIVE_COHORTS = [
+    ("q1c08", "q1", 0.8), ("q2c08", "q2", 0.8), ("q3c08", "q3", 0.8),
+    ("q1c03", "q1", 0.3),          # below-0.6 → balanced complex weights
+]
+
+
+def q_adaptive_fusion(sf_dir: str):
+    """Adaptive strategy selection (``retrieval/adaptive.rs:129-254``
+    + the analyzer ``retrieval/mod.rs:600-650``): four distributed
+    strategy shortlists per query (hash-cosine vector, entity-match
+    graph signal, summary-BM25 hierarchical, text-BM25), fused by the
+    weights the analyzer's query type selects — trunc(10·w) truncation,
+    ×w weighting, keep-max dedup, score-desc ranking.  Four cohorts:
+    three high-confidence query types + one low-confidence cohort
+    proving the balanced-weights fallback.  Entities, per-chunk entity
+    strings and all four shortlists are staged; the oracle re-derives
+    the query type (mutual-substring key-entity rule) and the whole
+    fusion from them.  The stateful diversity-aware selection pass is
+    unit-gated (``test_adaptive_retrieval``)."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+    from graphrag_rs_ray.functions.adaptive_retrieval import AdaptiveConfig
+    from graphrag_rs_ray.pipelines.adaptive import (
+        adaptive_fuse, analyze_query, graph_strategy_shortlist)
+    from graphrag_rs_ray.pipelines.enriched import chunk_entity_names
+    from graphrag_rs_ray.pipelines.hybrid import (
+        keyword_shortlist, semantic_shortlist)
+    from graphrag_rs_ray.stages.canonicalize import (
+        entity_bucket_merge, partial_entity_agg)
+    from graphrag_rs_ray.stages.enrich import EnrichedChunkStage
+    from graphrag_rs_ray.stages.hashagg import hash_grouped_aggregate
+
+    cfg = KGConfig()
+    pages = _kg_pages(sf_dir)
+    chunks = pages_to_chunks(pages, cfg).materialize()
+    combined = chunks_to_combined(chunks, cfg).materialize()
+    mentions = combined.map_batches(entities_only, batch_format="pyarrow")
+
+    ents = hash_grouped_aggregate(
+        mentions.map_batches(partial_entity_agg, batch_format="pyarrow",
+                             batch_size=None),
+        ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
+    _stage(ents.map_batches(lambda t: t.select(["name"]),
+                            batch_format="pyarrow"),
+           "adaptive_fusion", sf_dir, "ents")
+    _stage(chunk_entity_names(mentions).materialize(),
+           "adaptive_fusion", sf_dir, "chunkents")
+
+    corpus_text = chunks.map_batches(
+        lambda t: pa.table({"id": t.column("chunk_id"),
+                            "content": t.column("text")}),
+        batch_format="pyarrow").materialize()
+    summaries = (pages.map_batches(extract_text_stage,
+                                   batch_format="pyarrow")
+                 .map_batches(EnrichedChunkStage(cfg),
+                              batch_format="pyarrow")
+                 .map_batches(lambda t: pa.table({
+                     "id": t.column("chunk_id"),
+                     "content": t.column("summary")}),
+                     batch_format="pyarrow")).materialize()
+
+    def tag(ds, qid):
+        return ds.map_batches(
+            lambda t, _q=qid: t.append_column(
+                "query_id", pa.array([_q] * t.num_rows, pa.string())),
+            batch_format="pyarrow")
+
+    per_strategy = {"vec": [], "grf": [], "hier": [], "bm": []}
+    for qid, qtext in _ADAPTIVE_QUERIES:
+        per_strategy["vec"].append(tag(
+            semantic_shortlist(corpus_text, qtext, top_n=10).map_batches(
+                lambda t: t.select(["id", "score", "rank"]),
+                batch_format="pyarrow"), qid))
+        per_strategy["grf"].append(tag(
+            graph_strategy_shortlist(mentions, qtext, top_n=10), qid))
+        per_strategy["hier"].append(tag(
+            keyword_shortlist(summaries, qtext, top_n=10).map_batches(
+                lambda t: t.select(["id", "score", "rank"]),
+                batch_format="pyarrow"), qid))
+        per_strategy["bm"].append(tag(
+            keyword_shortlist(corpus_text, qtext, top_n=10).map_batches(
+                lambda t: t.select(["id", "score", "rank"]),
+                batch_format="pyarrow"), qid))
+    staged = {}
+    for key, parts in per_strategy.items():
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        _stage(ds, "adaptive_fusion", sf_dir, key)
+        staged[key] = _pq.read_table(
+            _stage_path("adaptive_fusion", sf_dir, key))
+
+    names = sorted(r["name"] for r in _pq.read_table(
+        _stage_path("adaptive_fusion", sf_dir, "ents")).to_pylist())
+    ce_tbl = _pq.read_table(_stage_path("adaptive_fusion", sf_dir,
+                                        "chunkents"))
+    chunk_ents = dict(zip(ce_tbl.column("chunk_id").to_pylist(),
+                          ce_tbl.column("entities").to_pylist()))
+    qtexts = dict(_ADAPTIVE_QUERIES)
+    acfg = AdaptiveConfig()
+    strategy_of = {"vec": "vector", "grf": "graph", "hier": "hierarchical",
+                   "bm": "bm25"}
+    cols = {k: [] for k in ("cohort", "rank", "id", "score", "entities",
+                            "query_type", "confidence", "vw", "gw", "hw",
+                            "bw", "total_before_fusion")}
+    for cohort, qid, conf in _ADAPTIVE_COHORTS:
+        analysis = analyze_query(qtexts[qid], names)
+        tables = {}
+        for key, tbl in staged.items():
+            m = pa.compute.equal(tbl.column("query_id"), qid)
+            sub = tbl.filter(m).sort_by("rank")
+            tables[strategy_of[key]] = sub
+        fused, weights, total = adaptive_fuse(
+            tables, chunk_ents, analysis["query_type"], conf, acfg)
+        for rank, (cid, score, ent) in enumerate(fused, 1):
+            cols["cohort"].append(cohort)
+            cols["rank"].append(rank)
+            cols["id"].append(cid)
+            cols["score"].append(score)
+            cols["entities"].append(ent)
+            cols["query_type"].append(analysis["query_type"])
+            cols["confidence"].append(conf)
+            cols["vw"].append(weights.vector_weight)
+            cols["gw"].append(weights.graph_weight)
+            cols["hw"].append(weights.hierarchical_weight)
+            cols["bw"].append(weights.bm25_weight)
+            cols["total_before_fusion"].append(total)
+    return rd.from_arrow(pa.table({
+        "cohort": pa.array(cols["cohort"], pa.string()),
+        "rank": pa.array(cols["rank"], pa.int64()),
+        "id": pa.array(cols["id"], pa.string()),
+        "score": pa.array(cols["score"], pa.float64()),
+        "entities": pa.array(cols["entities"], pa.string()),
+        "query_type": pa.array(cols["query_type"], pa.string()),
+        "confidence": pa.array(cols["confidence"], pa.float64()),
+        "vw": pa.array(cols["vw"], pa.float64()),
+        "gw": pa.array(cols["gw"], pa.float64()),
+        "hw": pa.array(cols["hw"], pa.float64()),
+        "bw": pa.array(cols["bw"], pa.float64()),
+        "total_before_fusion": pa.array(cols["total_before_fusion"],
+                                        pa.int64())}))
+
+
 _ENRICHED_QUERY = "customer market segment analysis in chapter 2 section 2.1"
 
 
@@ -1682,6 +1830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_plans": q_query_plans,
         "hybrid_fusion": q_hybrid_fusion,
         "enriched_search": q_enriched_search,
+        "adaptive_fusion": q_adaptive_fusion,
         "ego_network": q_ego_network,
         "multi_source_bfs": q_multi_source_bfs,
         "query_focused_subgraph": q_query_focused_subgraph,
@@ -1778,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
     d["query_plans"] = _query_plans_sql()
     d["hybrid_fusion"] = _hybrid_fusion_sql()
     d["enriched_search"] = _enriched_search_sql()
+    d["adaptive_fusion"] = _adaptive_fusion_sql()
     d["ego_network"] = _traversal_sql("ego_network", n_seeds=1, k=2,
                                       mode="ego")
     d["multi_source_bfs"] = _traversal_sql("multi_source_bfs", n_seeds=3,
@@ -1899,6 +2049,101 @@ def _hipporag_sql(n_iter: int, damping: float,
         ORDER BY score DESC, passage_id ASC
         LIMIT {top_k_results}""")
     return "\n".join(parts)
+
+
+def _adaptive_fusion_sql(rps: int = 10) -> str:
+    """Adaptive-fusion oracle (``adaptive.rs:56-254`` +
+    ``retrieval/mod.rs:600-650``): the query type re-derived from the
+    staged entity names (mutual-substring key-entity rule; the
+    abstract/question predicates fold to literals — the word lists are
+    query constants), weights CASE-selected per cohort with the
+    below-0.6 balanced fallback, then trunc(10·w) truncation, ×w
+    weighting, keep-max dedup and score-desc ranking replayed from the
+    four staged shortlists."""
+    from graphrag_rs_ray.functions.adaptive_retrieval import (
+        ABSTRACT_INDICATORS, QUESTION_WORDS)
+
+    ents = _staged_sql("adaptive_fusion", "ents")
+    ce = _staged_sql("adaptive_fusion", "chunkents")
+    tabs = {k: _staged_sql("adaptive_fusion", k)
+            for k in ("vec", "grf", "hier", "bm")}
+    wcase = {"vw": ("0.2", "0.2", "0.6", "0.2"),
+             "gw": ("0.6", "0.5", "0.1", "0.1"),
+             "hw": ("0.1", "0.2", "0.3", "0.1"),
+             "bw": ("0.1", "0.1", "0.0", "0.6")}
+
+    parts = [f"""
+        WITH ents AS MATERIALIZED (SELECT name FROM {ents}),
+        ce AS MATERIALIZED (SELECT chunk_id, entities FROM {ce}),
+        vec AS (SELECT * FROM {tabs['vec']}),
+        grf AS (SELECT * FROM {tabs['grf']}),
+        hier AS (SELECT * FROM {tabs['hier']}),
+        bm AS (SELECT * FROM {tabs['bm']})"""]
+    for qid, qtext in _ADAPTIVE_QUERIES:
+        words = qtext.lower().split()
+        wl = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        has_abs = any(w in ABSTRACT_INDICATORS for w in words)
+        has_q = any(w in QUESTION_WORDS for w in words)
+        fallback = ("'conceptual'" if has_abs
+                    else ("'exploratory'" if has_q else "'factual'"))
+        parts.append(f""",
+        kent_{qid} AS (SELECT count(*)::BIGINT AS n FROM ents e
+          WHERE len(list_filter({wl},
+                w -> contains(lower(e.name), w)
+                     OR contains(w, lower(e.name)))) > 0),
+        qt_{qid} AS (SELECT CASE
+            WHEN (SELECT n FROM kent_{qid}) > 1 THEN 'relationship'
+            WHEN (SELECT n FROM kent_{qid}) = 1 THEN 'entity_focused'
+            ELSE {fallback} END AS qt)""")
+    outs = []
+    for cohort, qid, conf in _ADAPTIVE_COHORTS:
+        wexprs = {}
+        for wname, (rel, ent, con, fac) in wcase.items():
+            wexprs[wname] = (
+                f"CASE WHEN {conf} < 0.6 THEN 0.25 ELSE "
+                f"CASE (SELECT qt FROM qt_{qid}) "
+                f"WHEN 'relationship' THEN {rel} "
+                f"WHEN 'entity_focused' THEN {ent} "
+                f"WHEN 'conceptual' THEN {con} "
+                f"WHEN 'factual' THEN {fac} ELSE 0.25 END END")
+        parts.append(f""",
+        wts_{cohort} AS (SELECT {wexprs['vw']} AS vw,
+                                {wexprs['gw']} AS gw,
+                                {wexprs['hw']} AS hw,
+                                {wexprs['bw']} AS bw),
+        sel_{cohort} AS (
+          SELECT id, score * (SELECT vw FROM wts_{cohort}) AS ws
+          FROM vec WHERE query_id = '{qid}'
+            AND rank < trunc({rps}.0 * (SELECT vw FROM wts_{cohort}))
+          UNION ALL
+          SELECT id, score * (SELECT gw FROM wts_{cohort})
+          FROM grf WHERE query_id = '{qid}'
+            AND rank < trunc({rps}.0 * (SELECT gw FROM wts_{cohort}))
+          UNION ALL
+          SELECT id, score * (SELECT hw FROM wts_{cohort})
+          FROM hier WHERE query_id = '{qid}'
+            AND rank < trunc({rps}.0 * (SELECT hw FROM wts_{cohort}))
+          UNION ALL
+          SELECT id, score * (SELECT bw FROM wts_{cohort})
+          FROM bm WHERE query_id = '{qid}'
+            AND rank < trunc({rps}.0 * (SELECT bw FROM wts_{cohort}))),
+        ded_{cohort} AS (SELECT id, max(ws) AS ws FROM sel_{cohort}
+                         GROUP BY id)""")
+        outs.append(f"""
+        SELECT '{cohort}' AS cohort,
+               row_number() OVER (ORDER BY d.ws DESC, d.id) AS rank,
+               d.id, round(d.ws, 8) AS score,
+               coalesce(c.entities, '') AS entities,
+               (SELECT qt FROM qt_{qid}) AS query_type,
+               {conf} AS confidence,
+               (SELECT vw FROM wts_{cohort}) AS vw,
+               (SELECT gw FROM wts_{cohort}) AS gw,
+               (SELECT hw FROM wts_{cohort}) AS hw,
+               (SELECT bw FROM wts_{cohort}) AS bw,
+               (SELECT count(*)::BIGINT FROM sel_{cohort})
+                 AS total_before_fusion
+        FROM ded_{cohort} d LEFT JOIN ce c ON d.id = c.chunk_id""")
+    return "".join(parts) + "\n        UNION ALL\n".join(outs)
 
 
 def _enriched_search_sql(kw_w: float = 0.3, st_w: float = 0.2,

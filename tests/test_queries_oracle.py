@@ -119,6 +119,8 @@ SQL_CHECKED = [
     "hybrid_fusion",
     # enriched metadata-aware retrieval (boost stack over chunk metadata)
     "enriched_search",
+    # adaptive strategy selection (type-weighted cross-strategy fusion)
+    "adaptive_fusion",
 ]
 
 
