@@ -1102,19 +1102,25 @@ def q_adaptive_fusion(sf_dir: str):
             batch_format="pyarrow")
 
     per_strategy = {"vec": [], "grf": [], "hier": [], "bm": []}
+    # round_digits=6: staged score × ≤2-decimal strategy weight stays
+    # exactly 8-decimal → round(ws, 8) can never hit a Python/DuckDB
+    # midpoint tie (oracle-parity rule)
     for qid, qtext in _ADAPTIVE_QUERIES:
         per_strategy["vec"].append(tag(
-            semantic_shortlist(corpus_text, qtext, top_n=10).map_batches(
+            semantic_shortlist(corpus_text, qtext, top_n=10,
+                               round_digits=6).map_batches(
                 lambda t: t.select(["id", "score", "rank"]),
                 batch_format="pyarrow"), qid))
         per_strategy["grf"].append(tag(
             graph_strategy_shortlist(mentions, qtext, top_n=10), qid))
         per_strategy["hier"].append(tag(
-            keyword_shortlist(summaries, qtext, top_n=10).map_batches(
+            keyword_shortlist(summaries, qtext, top_n=10,
+                              round_digits=6).map_batches(
                 lambda t: t.select(["id", "score", "rank"]),
                 batch_format="pyarrow"), qid))
         per_strategy["bm"].append(tag(
-            keyword_shortlist(corpus_text, qtext, top_n=10).map_batches(
+            keyword_shortlist(corpus_text, qtext, top_n=10,
+                              round_digits=6).map_batches(
                 lambda t: t.select(["id", "score", "rank"]),
                 batch_format="pyarrow"), qid))
     staged = {}

@@ -43,10 +43,13 @@ def kg_corpus(entities_ds, chunks_ds):
 
 
 def semantic_shortlist(corpus_ds, query: str, top_n: int = 100,
-                       dim: int = 64):
+                       dim: int = 64, round_digits: int = 8):
     """Hash-embedding cosine top-n (score desc, id asc), rank attached.
     The reference's semantic search returns the ID as the row content
-    (``hybrid.rs:196-208``) — mirrored in the ``content`` column."""
+    (``hybrid.rs:196-208``) — mirrored in the ``content`` column.
+    ``round_digits=6`` for consumers that multiply the staged score by
+    a ≤2-decimal weight (keeps products exactly 8-decimal — the
+    round-8 midpoint parity rule)."""
     import numpy as np
     import ray
     import ray.data as rd
@@ -63,8 +66,8 @@ def semantic_shortlist(corpus_ds, query: str, top_n: int = 100,
                               batch.column("content").to_pylist()])
         return pa.table({
             "id": batch.column("id"),
-            "score": pa.array(np.round((mat @ qv).astype(np.float64), 8),
-                              pa.float64())})
+            "score": pa.array(np.round((mat @ qv).astype(np.float64),
+                                       round_digits), pa.float64())})
 
     top = (corpus_ds.map_batches(score, batch_format="pyarrow")
            .sort(["score", "id"], descending=[True, False])
@@ -77,7 +80,8 @@ def semantic_shortlist(corpus_ds, query: str, top_n: int = 100,
 
 
 def keyword_shortlist(corpus_ds, query: str, top_n: int = 100,
-                      k1: float = 1.2, b: float = 0.75):
+                      k1: float = 1.2, b: float = 0.75,
+                      round_digits: int = 8):
     """BM25 top-n over the corpus (``retrieval/bm25.rs:70-153``
     semantics: normalized TF, Lucene ln(N/df)+1 IDF, positive scores
     only), distributed df/stats + a stateless scoring map."""
@@ -140,7 +144,7 @@ def keyword_shortlist(corpus_ds, query: str, top_n: int = 100,
                     tf + k1 * (1.0 - b + b * dl / avg_len))
             if s > 0.0:
                 out_id.append(i)
-                out_score.append(round(s, 8))
+                out_score.append(round(s, round_digits))
                 out_content.append(text or "")
         return pa.table({"id": pa.array(out_id, pa.string()),
                          "score": pa.array(out_score, pa.float64()),
