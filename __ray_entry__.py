@@ -1183,6 +1183,64 @@ def q_adaptive_fusion(sf_dir: str):
                                         pa.int64())}))
 
 
+def _staged_conf_entities(query: str, sf_dir: str):
+    """Canonical entities with a deterministic synthetic confidence
+    (blake2b of the entity_id — the extractor's constant 0.8 would make
+    confidence tie-breaks and averages degenerate; same device as
+    ``_synth_conf``)."""
+    import hashlib
+    from graphrag_rs_ray.pipelines.kg import entities_dataset
+
+    ents = entities_dataset(_kg_pages(sf_dir), KGConfig())
+
+    def fin(t: pa.Table) -> pa.Table:
+        cs = []
+        for eid in t.column("entity_id").to_pylist():
+            h = int.from_bytes(hashlib.blake2b(
+                eid.encode(), digest_size=8).digest(), "big")
+            cs.append(0.05 + (h % 900) / 1000.0)
+        return pa.table({"entity_id": t.column("entity_id"),
+                         "name": t.column("name"),
+                         "type": t.column("type"),
+                         "conf": pa.array(cs, pa.float64()),
+                         "mention_count": t.column("mention_count")})
+
+    return _stage(ents.map_batches(fin, batch_format="pyarrow"),
+                  query, sf_dir, "ents")
+
+
+def q_semantic_merge_pairs(sf_dir: str):
+    """Semantic-merge candidate pairs
+    (``entity/semantic_merging.rs:57-88,209-236,519-541``): same-type
+    entity pairs with name_sim·0.7 + type·0.3 strictly above the 0.7
+    threshold (exact/containment/word-Jaccard name similarity) — the
+    order-free half of the grouping, computed per-type distributed
+    (cross-type pairs cap at 0.7).  The oracle recomputes ALL pairwise
+    similarities (both types) from the staged entities."""
+    from graphrag_rs_ray.pipelines.semantic_merge import candidate_pairs
+    ents = _staged_conf_entities("semantic_merge_pairs", sf_dir)
+    return candidate_pairs(ents, threshold=0.7)
+
+
+def q_semantic_merge_groups(sf_dir: str):
+    """Merge decisions + merged entities per greedy similarity group
+    (``semantic_merging.rs:133-185,238-273,333-378``): group-mean
+    pairwise name similarity, the >0.8 merge gate with reasoning
+    strings, longest-name/confidence best-name (LAST-maximal ties),
+    combined descriptions, max(avg conf, decision conf).  The greedy
+    star-grouping pass is sequential by reference semantics
+    (unit-gated); its assignments are STAGED with member order so the
+    oracle re-derives every decision column from the raw entity rows."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.semantic_merge import merge_groups_table
+    ents = _staged_conf_entities("semantic_merge_groups", sf_dir)
+    rows = sorted(ents.take_all(), key=lambda e: e["entity_id"])
+    assignments, groups = merge_groups_table(rows, threshold=0.7)
+    _stage(rd.from_arrow(assignments), "semantic_merge_groups", sf_dir,
+           "groups")
+    return rd.from_arrow(groups)
+
+
 _ENRICHED_QUERY = "customer market segment analysis in chapter 2 section 2.1"
 
 
@@ -1837,6 +1895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_fusion": q_hybrid_fusion,
         "enriched_search": q_enriched_search,
         "adaptive_fusion": q_adaptive_fusion,
+        "semantic_merge_pairs": q_semantic_merge_pairs,
+        "semantic_merge_groups": q_semantic_merge_groups,
         "ego_network": q_ego_network,
         "multi_source_bfs": q_multi_source_bfs,
         "query_focused_subgraph": q_query_focused_subgraph,
@@ -1934,6 +1994,8 @@ def oracle_sql() -> dict[str, str]:
     d["hybrid_fusion"] = _hybrid_fusion_sql()
     d["enriched_search"] = _enriched_search_sql()
     d["adaptive_fusion"] = _adaptive_fusion_sql()
+    d["semantic_merge_pairs"] = _semantic_merge_pairs_sql()
+    d["semantic_merge_groups"] = _semantic_merge_groups_sql()
     d["ego_network"] = _traversal_sql("ego_network", n_seeds=1, k=2,
                                       mode="ego")
     d["multi_source_bfs"] = _traversal_sql("multi_source_bfs", n_seeds=3,
@@ -2055,6 +2117,103 @@ def _hipporag_sql(n_iter: int, damping: float,
         ORDER BY score DESC, passage_id ASC
         LIMIT {top_k_results}""")
     return "\n".join(parts)
+
+
+_NS_SQL = """CASE
+    WHEN lower(x.name) = lower(y.name) THEN 1.0
+    WHEN contains(lower(x.name), lower(y.name))
+         OR contains(lower(y.name), lower(x.name)) THEN 0.9
+    WHEN len(list_distinct(list_concat(x.ws, y.ws))) = 0 THEN 0.0
+    ELSE len(list_intersect(x.ws, y.ws))::DOUBLE
+         / len(list_distinct(list_concat(x.ws, y.ws)))::DOUBLE
+    END"""
+
+_WS_SQL = ("list_distinct(list_filter(string_split_regex(lower(name), "
+           "'\\s+'), w -> w <> ''))")
+
+
+def _semantic_merge_pairs_sql(threshold: float = 0.7) -> str:
+    """Pair-similarity oracle (``semantic_merging.rs:209-236,519-541``):
+    exact/containment/word-Jaccard name similarity over ALL entity
+    pairs (a < b), + 0.3 type term, strictly-above-threshold filter."""
+    ents = _staged_sql("semantic_merge_pairs", "ents")
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT entity_id, name, type, {_WS_SQL} AS ws FROM {ents})
+        SELECT a, b, round(ns, 8) AS name_sim,
+               round(ns * 0.7 + ts * 0.3, 8) AS sim
+        FROM (SELECT x.entity_id AS a, y.entity_id AS b,
+                     {_NS_SQL} AS ns,
+                     CASE WHEN x.type = y.type THEN 1.0 ELSE 0.0 END
+                       AS ts
+              FROM e x JOIN e y ON x.entity_id < y.entity_id)
+        WHERE ns * 0.7 + ts * 0.3 > {threshold}
+    """
+
+
+def _semantic_merge_groups_sql() -> str:
+    """Group-decision oracle (``semantic_merging.rs:133-185,238-273,
+    333-378``): mean pairwise name similarity per staged group, the
+    same-type gate, >0.8 merge decision with printf reasoning,
+    last-maximal best name, member-order descriptions, merged
+    confidence/mention arithmetic."""
+    ents = _staged_sql("semantic_merge_groups", "ents")
+    asg = _staged_sql("semantic_merge_groups", "groups")
+    return f"""
+        WITH e AS (SELECT entity_id, name, type, conf, mention_count,
+                          {_WS_SQL} AS ws
+                   FROM {ents}),
+        m AS MATERIALIZED (
+          SELECT a.group_id, a.member_idx, e.* FROM {asg} a
+          JOIN e USING (entity_id)),
+        pair AS (SELECT x.group_id, {_NS_SQL} AS ns
+                 FROM m x JOIN m y ON x.group_id = y.group_id
+                       AND x.member_idx < y.member_idx),
+        gsim AS (SELECT group_id, sum(ns) / count(*) AS mns FROM pair
+                 GROUP BY group_id),
+        gt AS (SELECT group_id, count(*)::BIGINT AS n,
+                      count(DISTINCT type) = 1 AS same,
+                      sum(conf) / count(*) AS avgc,
+                      sum(mention_count)::BIGINT AS mm
+               FROM m GROUP BY group_id),
+        best AS (SELECT group_id, name FROM (
+                   SELECT group_id, name, row_number() OVER (
+                     PARTITION BY group_id
+                     ORDER BY length(name) DESC, conf DESC,
+                              member_idx DESC) AS rn FROM m)
+                 WHERE rn = 1),
+        descr AS (SELECT group_id, string_agg(
+                    CASE WHEN mention_count > 0
+                         THEN 'Entity ''' || name ||
+                              ''' mentioned in context'
+                         ELSE 'Entity ''' || name || ''' of type ' ||
+                              type END,
+                    '; ' ORDER BY member_idx) AS d
+                  FROM m GROUP BY group_id)
+        SELECT g.group_id, g.n AS n_entities,
+               (CASE WHEN g.same AND s.mns > 0.8 THEN 1 ELSE 0
+                END)::BIGINT AS should_merge,
+               round(CASE WHEN NOT g.same THEN 1.0
+                          WHEN s.mns > 0.8 THEN s.mns
+                          ELSE 1.0 - s.mns END, 8) AS confidence,
+               CASE WHEN NOT g.same THEN 'Different entity types'
+                    WHEN s.mns > 0.8 THEN printf(
+                      'High name similarity (%.2f) and matching types',
+                      s.mns)
+                    ELSE printf('Low name similarity (%.2f)', s.mns)
+               END AS reasoning,
+               CASE WHEN g.same AND s.mns > 0.8 THEN b.name ELSE ''
+               END AS merged_name,
+               CASE WHEN g.same AND s.mns > 0.8 THEN d.d ELSE ''
+               END AS merged_description,
+               CASE WHEN g.same AND s.mns > 0.8
+                    THEN round(greatest(g.avgc, s.mns), 8) ELSE 0.0
+               END AS merged_confidence,
+               (CASE WHEN g.same AND s.mns > 0.8 THEN g.mm ELSE 0
+                END)::BIGINT AS merged_mentions
+        FROM gt g JOIN gsim s USING (group_id)
+             JOIN best b USING (group_id) JOIN descr d USING (group_id)
+    """
 
 
 def _adaptive_fusion_sql(rps: int = 10) -> str:

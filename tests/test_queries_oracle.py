@@ -121,6 +121,8 @@ SQL_CHECKED = [
     "enriched_search",
     # adaptive strategy selection (type-weighted cross-strategy fusion)
     "adaptive_fusion",
+    # semantic entity merging (pair sims; group decisions + merged rows)
+    "semantic_merge_pairs", "semantic_merge_groups",
 ]
 
 
