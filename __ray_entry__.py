@@ -1241,6 +1241,106 @@ def q_semantic_merge_groups(sf_dir: str):
     return rd.from_arrow(groups)
 
 
+def _staged_doc_entities(query: str, sf_dir: str):
+    """Distinct per-document entities (doc_id, local_entity_id, name)
+    from the mention rows — the linker's flattened input
+    (``entity_linker.rs:121-134``), staged."""
+    from graphrag_rs_ray.stages.hashagg import (
+        grouped_arrow_agg, hash_grouped_aggregate)
+    cfg = KGConfig()
+    combined = chunks_to_combined(pages_to_chunks(_kg_pages(sf_dir), cfg),
+                                  cfg)
+    mentions = combined.map_batches(entities_only, batch_format="pyarrow")
+    flat = hash_grouped_aggregate(
+        mentions.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                "local_entity_id": t.column("entity_id"),
+                                "name": t.column("name")}),
+            batch_format="pyarrow"),
+        ["doc_id", "local_entity_id"],
+        grouped_arrow_agg(["doc_id", "local_entity_id"],
+                          [("name", "min")],
+                          rename=["doc_id", "local_entity_id", "name"]))
+    return _stage(flat, query, sf_dir, "flat")
+
+
+def _linked_clusters(query: str, sf_dir: str):
+    import ray.data as rd
+    from graphrag_rs_ray.functions.entity_linker import link_entities
+    flat = _staged_doc_entities(query, sf_dir)
+    rows = sorted(flat.take_all(),
+                  key=lambda e: (e["doc_id"], e["local_entity_id"]))
+    clusters, stats = link_entities(rows, "hybrid")
+    a = {"doc_id": [], "local_entity_id": [], "cluster_id": [],
+         "kind": [], "member_idx": []}
+    for c in clusters:
+        for idx, m in enumerate(c["members"]):
+            a["doc_id"].append(m["doc_id"])
+            a["local_entity_id"].append(m["local_entity_id"])
+            a["cluster_id"].append(c["cluster_id"])
+            a["kind"].append(c["kind"])
+            a["member_idx"].append(idx)
+    _stage(rd.from_arrow(pa.table({
+        "doc_id": pa.array(a["doc_id"], pa.string()),
+        "local_entity_id": pa.array(a["local_entity_id"], pa.string()),
+        "cluster_id": pa.array(a["cluster_id"], pa.string()),
+        "kind": pa.array(a["kind"], pa.string()),
+        "member_idx": pa.array(a["member_idx"], pa.int64())})),
+        query, sf_dir, "asg")
+    return clusters, stats
+
+
+def q_entity_clusters(sf_dir: str):
+    """Cross-document entity linking, hybrid strategy
+    (``corpus/entity_linker.rs:330-375``): same-name multi-groups →
+    exact clusters (conf 1.0, doc_freq = size, alias = name), singleton
+    fall-through → greedy 0.85 fuzzy star pass (char-distance /
+    byte-maxlen similarity, conf 0.85, doc_freq hardcoded 1).  Exact
+    clusters and every cluster column are re-derived by the oracle from
+    the staged flat entities; the greedy pass's assignments are staged
+    (order-sequential, unit-gated).  Deterministic ids replace the
+    reference's uuid4 (documented)."""
+    import ray.data as rd
+    clusters, _ = _linked_clusters("entity_clusters", sf_dir)
+    return rd.from_arrow(pa.table({
+        "cluster_id": pa.array([c["cluster_id"] for c in clusters],
+                               pa.string()),
+        "kind": pa.array([c["kind"] for c in clusters], pa.string()),
+        "canonical_name": pa.array([c["canonical_name"] for c in clusters],
+                                   pa.string()),
+        "entity_type": pa.array([c["entity_type"] for c in clusters],
+                                pa.string()),
+        "n_members": pa.array([len(c["members"]) for c in clusters],
+                              pa.int64()),
+        "confidence_score": pa.array(
+            [c["confidence_score"] for c in clusters], pa.float64()),
+        "document_frequency": pa.array(
+            [c["document_frequency"] for c in clusters], pa.int64()),
+        "aliases": pa.array([",".join(c["aliases"]) for c in clusters],
+                            pa.string())}))
+
+
+def q_entity_linking_stats(sf_dir: str):
+    """LinkingStats for the hybrid run (``entity_linker.rs:45-87,
+    476-487``): processed / clusters / exact / fuzzy match counts and
+    accuracy = linked/processed — all recomputed by the oracle from the
+    staged flat + assignment tables."""
+    import ray.data as rd
+    _, stats = _linked_clusters("entity_linking_stats", sf_dir)
+    return rd.from_arrow(pa.table({
+        "entities_processed": pa.array([stats["entities_processed"]],
+                                       pa.int64()),
+        "clusters_created": pa.array([stats["clusters_created"]],
+                                     pa.int64()),
+        "exact_matches": pa.array([stats["exact_matches"]], pa.int64()),
+        "fuzzy_matches": pa.array([stats["fuzzy_matches"]], pa.int64()),
+        "semantic_matches": pa.array([stats["semantic_matches"]],
+                                     pa.int64()),
+        "lmcd_clusters": pa.array([stats["lmcd_clusters"]], pa.int64()),
+        "linking_accuracy": pa.array(
+            [round(stats["linking_accuracy"], 8)], pa.float64())}))
+
+
 _ENRICHED_QUERY = "customer market segment analysis in chapter 2 section 2.1"
 
 
@@ -1897,6 +1997,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_fusion": q_adaptive_fusion,
         "semantic_merge_pairs": q_semantic_merge_pairs,
         "semantic_merge_groups": q_semantic_merge_groups,
+        "entity_clusters": q_entity_clusters,
+        "entity_linking_stats": q_entity_linking_stats,
         "ego_network": q_ego_network,
         "multi_source_bfs": q_multi_source_bfs,
         "query_focused_subgraph": q_query_focused_subgraph,
@@ -1996,6 +2098,8 @@ def oracle_sql() -> dict[str, str]:
     d["adaptive_fusion"] = _adaptive_fusion_sql()
     d["semantic_merge_pairs"] = _semantic_merge_pairs_sql()
     d["semantic_merge_groups"] = _semantic_merge_groups_sql()
+    d["entity_clusters"] = _entity_clusters_sql()
+    d["entity_linking_stats"] = _entity_linking_stats_sql()
     d["ego_network"] = _traversal_sql("ego_network", n_seeds=1, k=2,
                                       mode="ego")
     d["multi_source_bfs"] = _traversal_sql("multi_source_bfs", n_seeds=3,
@@ -2117,6 +2221,89 @@ def _hipporag_sql(n_iter: int, damping: float,
         ORDER BY score DESC, passage_id ASC
         LIMIT {top_k_results}""")
     return "\n".join(parts)
+
+
+_ETYPE_SQL = """CASE
+    WHEN contains(lower({cn}), 'company') OR contains(lower({cn}), 'corp')
+         OR contains(lower({cn}), 'inc') THEN 'organization'
+    WHEN substr({cn}, 1, 1) = upper(substr({cn}, 1, 1))
+         AND substr({cn}, 1, 1) <> lower(substr({cn}, 1, 1))
+         AND NOT contains({cn}, ' ') THEN 'person'
+    WHEN contains(lower({cn}), 'city') OR contains(lower({cn}), 'country')
+         THEN 'location'
+    ELSE 'other' END"""
+
+
+def _entity_clusters_sql() -> str:
+    """Hybrid-linking cluster oracle (``entity_linker.rs:330-473``):
+    exact clusters derived INDEPENDENTLY from the flat entities
+    (same-name groups > 1), fuzzy clusters from the staged assignments
+    with canonical name (count → length → name ties), type heuristics,
+    and the hardcoded confidence/doc-frequency/alias quirks."""
+    flat = _staged_sql("entity_clusters", "flat")
+    asg = _staged_sql("entity_clusters", "asg")
+    et = _ETYPE_SQL.replace("{cn}", "cn")
+    return f"""
+        WITH flat AS MATERIALIZED (
+          SELECT doc_id, local_entity_id, name FROM {flat}),
+        asg AS MATERIALIZED (SELECT * FROM {asg}),
+        exact AS (
+          SELECT 'exact:' || name AS cluster_id, 'exact' AS kind,
+                 name AS cn, count(*)::BIGINT AS n_members,
+                 1.0 AS confidence_score,
+                 count(*)::BIGINT AS document_frequency,
+                 name AS aliases
+          FROM flat GROUP BY name HAVING count(*) > 1),
+        fz AS (SELECT a.cluster_id, f.name FROM asg a
+               JOIN flat f USING (doc_id, local_entity_id)
+               WHERE a.kind = 'fuzzy'),
+        fcnt AS (SELECT cluster_id, name, count(*) AS cnt FROM fz
+                 GROUP BY cluster_id, name),
+        fcan AS (SELECT cluster_id, name AS cn FROM (
+                   SELECT cluster_id, name, row_number() OVER (
+                     PARTITION BY cluster_id
+                     ORDER BY cnt DESC, length(name) DESC, name DESC)
+                       AS rn
+                   FROM fcnt) WHERE rn = 1),
+        fuzzy AS (
+          SELECT z.cluster_id, 'fuzzy' AS kind, c.cn,
+                 count(*)::BIGINT AS n_members, 0.85 AS confidence_score,
+                 1::BIGINT AS document_frequency, '' AS aliases
+          FROM fz z JOIN fcan c USING (cluster_id)
+          GROUP BY z.cluster_id, c.cn)
+        SELECT cluster_id, kind, cn AS canonical_name,
+               {et} AS entity_type, n_members, confidence_score,
+               document_frequency, aliases
+        FROM (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy)
+    """
+
+
+def _entity_linking_stats_sql() -> str:
+    """LinkingStats oracle (``entity_linker.rs:45-87,476-487``)."""
+    flat = _staged_sql("entity_linking_stats", "flat")
+    asg = _staged_sql("entity_linking_stats", "asg")
+    return f"""
+        WITH flat AS (SELECT * FROM {flat}),
+        asg AS (SELECT * FROM {asg}),
+        nproc AS (SELECT count(*)::BIGINT AS n FROM flat),
+        ex AS (SELECT count(*)::BIGINT AS nc,
+                      coalesce(sum(cnt - 1), 0)::BIGINT AS em
+               FROM (SELECT count(*) AS cnt FROM flat GROUP BY name
+                     HAVING count(*) > 1)),
+        fu AS (SELECT count(*)::BIGINT AS nc,
+                      coalesce(sum(cnt - 1), 0)::BIGINT AS fm
+               FROM (SELECT count(*) AS cnt FROM asg
+                     WHERE kind = 'fuzzy' GROUP BY cluster_id))
+        SELECT (SELECT n FROM nproc) AS entities_processed,
+               (SELECT nc FROM ex) + (SELECT nc FROM fu)
+                 AS clusters_created,
+               (SELECT em FROM ex) AS exact_matches,
+               (SELECT fm FROM fu) AS fuzzy_matches,
+               0::BIGINT AS semantic_matches, 0::BIGINT AS lmcd_clusters,
+               round(((SELECT em FROM ex) + (SELECT fm FROM fu))::DOUBLE
+                     / (SELECT n FROM nproc)::DOUBLE, 8)
+                 AS linking_accuracy
+    """
 
 
 _NS_SQL = """CASE

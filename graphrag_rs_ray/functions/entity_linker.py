@@ -1,0 +1,213 @@
+"""Cross-document entity linking — port of
+``graphrag-core/src/corpus/entity_linker.rs`` (exact / fuzzy /
+semantic / LMCD / hybrid linking strategies over per-document entity
+lists, cluster construction, linking statistics).
+
+Semantics pinned (exact clusters + all cluster/stat arithmetic are
+re-derived by the DuckDB oracle; the greedy fuzzy pass is
+order-sequential → its assignments are staged, unit-gated):
+
+- String similarity (``:424-438``): 1 − levenshtein(chars) /
+  max(BYTE lengths) — the same char-distance/byte-maxlen mix as the
+  ROGRAG fuzzy matcher (ASCII-equal here).
+- exact_match_linking (``:159-192``): group by exact name; EVERY name
+  gets a cluster (singletons too); exact_matches += size − 1.
+- fuzzy_match_linking (``:194-249``): greedy seed pass in list order
+  (star clusters); similarity ≥ threshold; confidence = threshold;
+  document_frequency HARDCODED 1 (quirk); aliases empty; sequential
+  cluster ids.
+- semantic_similarity_linking (``:251-261``): the reference's own
+  fallback = fuzzy at threshold·0.8, counts moved to
+  semantic_matches.
+- lmcd_clustering (``:263-329``): first-seen exact keys, except an
+  entity whose name is > 0.9-similar to an EXISTING key is deferred to
+  a singleton pool; key clusters get confidence threshold + 0.1,
+  singletons threshold − 0.1.
+- hybrid_linking (``:330-375``): same-name groups of > 1 → exact
+  clusters (confidence 1.0, doc_freq = size, aliases [name]);
+  singletons fall through to fuzzy at 0.85.
+- select_canonical_name (``:441-456``): most frequent name, then
+  longest; the reference's final tie is HashMap order — we break by
+  lexicographically-greatest name (documented).
+- infer_entity_type (``:459-473``): company/corp/inc → organization;
+  else uppercase-first single word → person; else city/country →
+  location; else other (rule ORDER pinned).
+- Stats (``:476-487``): accuracy = (exact + fuzzy + semantic) /
+  processed.
+- Cluster ids: the reference uses uuid4 — replaced by deterministic
+  ids (``exact:<name>`` / ``<kind>_<counter>`` over sorted input),
+  documented deviation.
+"""
+
+from __future__ import annotations
+
+
+def levenshtein_chars(s1: str, s2: str) -> int:
+    a, b = list(s1), list(s2)
+    n, m = len(a), len(b)
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[m]
+
+
+def string_similarity(s1: str, s2: str) -> float:
+    """1 − char-distance / byte-maxlen (``entity_linker.rs:424-438``)."""
+    if s1 == s2:
+        return 1.0
+    max_len = max(len(s1.encode()), len(s2.encode()))
+    if max_len == 0:
+        return 1.0
+    return 1.0 - levenshtein_chars(s1, s2) / max_len
+
+
+def infer_entity_type(name: str) -> str:
+    low = name.lower()
+    if "company" in low or "corp" in low or "inc" in low:
+        return "organization"
+    first = name[0] if name else "a"
+    if first.isupper() and " " not in name:
+        return "person"
+    if "city" in low or "country" in low:
+        return "location"
+    return "other"
+
+
+def select_canonical_name(names: list[str]) -> str:
+    counts: dict[str, int] = {}
+    for n in names:
+        counts[n] = counts.get(n, 0) + 1
+    return max(counts, key=lambda n: (counts[n], len(n), n))
+
+
+def _cluster(cid, kind, canonical, members, conf, doc_freq, aliases):
+    return {"cluster_id": cid, "kind": kind, "canonical_name": canonical,
+            "entity_type": infer_entity_type(canonical),
+            "members": members, "confidence_score": conf,
+            "document_frequency": doc_freq, "aliases": aliases}
+
+
+def exact_match_linking(entities: list[dict]):
+    """``entity_linker.rs:159-192``; entities carry doc_id /
+    local_entity_id / name."""
+    groups: dict[str, list[dict]] = {}
+    for e in entities:
+        groups.setdefault(e["name"], []).append(e)
+    clusters, exact_matches = [], 0
+    for name in sorted(groups):
+        g = groups[name]
+        if len(g) > 1:
+            exact_matches += len(g) - 1
+        clusters.append(_cluster(f"exact:{name}", "exact", name, g, 1.0,
+                                 len(g), [name]))
+    return clusters, exact_matches
+
+
+def fuzzy_match_linking(entities: list[dict], threshold: float,
+                        kind: str = "fuzzy", counter_start: int = 0):
+    """``entity_linker.rs:194-249`` greedy star pass in input order."""
+    unprocessed = list(entities)
+    clusters, matches, counter = [], 0, counter_start
+    while unprocessed:
+        seed = unprocessed.pop(0)
+        members = [seed]
+        rest = []
+        for e in unprocessed:
+            if string_similarity(seed["name"], e["name"]) >= threshold:
+                members.append(e)
+                matches += 1
+            else:
+                rest.append(e)
+        unprocessed = rest
+        canonical = select_canonical_name([m["name"] for m in members])
+        clusters.append(_cluster(f"{kind}_{counter}", kind, canonical,
+                                 members, threshold, 1, []))
+        counter += 1
+    return clusters, matches
+
+
+def lmcd_clustering(entities: list[dict], confidence_threshold: float):
+    """``entity_linker.rs:263-329``."""
+    exact: dict[str, list[dict]] = {}
+    key_order: list[str] = []
+    remaining = []
+    for e in entities:
+        if e["name"] in exact:
+            exact[e["name"]].append(e)
+            continue
+        similar = any(string_similarity(k, e["name"]) > 0.9
+                      for k in key_order)
+        if not similar:
+            exact[e["name"]] = [e]
+            key_order.append(e["name"])
+        else:
+            remaining.append(e)
+    clusters = []
+    for i, name in enumerate(key_order):
+        clusters.append(_cluster(f"lmcd_cluster_{i}", "lmcd", name,
+                                 exact[name],
+                                 confidence_threshold + 0.1, 1, []))
+    for i, e in enumerate(remaining):
+        clusters.append(_cluster(f"lmcd_singleton_{i}", "lmcd_singleton",
+                                 e["name"], [e],
+                                 confidence_threshold - 0.1, 1, []))
+    return clusters, len(key_order)
+
+
+def hybrid_linking(entities: list[dict]):
+    """``entity_linker.rs:330-375``: exact multi-groups then fuzzy 0.85
+    over the singletons (singletons kept in input order)."""
+    groups: dict[str, list[dict]] = {}
+    order: list[str] = []
+    for e in entities:
+        if e["name"] not in groups:
+            order.append(e["name"])
+        groups.setdefault(e["name"], []).append(e)
+    clusters, exact_matches = [], 0
+    singles = []
+    for name in order:
+        g = groups[name]
+        if len(g) > 1:
+            clusters.append(_cluster(f"exact:{name}", "exact", name, g,
+                                     1.0, len(g), [name]))
+            exact_matches += len(g) - 1
+        else:
+            singles.extend(g)
+    fuzzy, fuzzy_matches = fuzzy_match_linking(singles, 0.85)
+    return clusters + fuzzy, exact_matches, fuzzy_matches
+
+
+def link_entities(entities: list[dict], strategy: str = "hybrid",
+                  threshold: float = 0.85):
+    """Strategy dispatch (``entity_linker.rs:113-156``) → (clusters,
+    stats dict)."""
+    stats = {"entities_processed": len(entities), "clusters_created": 0,
+             "exact_matches": 0, "fuzzy_matches": 0,
+             "semantic_matches": 0, "lmcd_clusters": 0,
+             "disambiguation_conflicts": 0, "linking_accuracy": 0.0}
+    if strategy == "exact":
+        clusters, stats["exact_matches"] = exact_match_linking(entities)
+    elif strategy == "fuzzy":
+        clusters, stats["fuzzy_matches"] = fuzzy_match_linking(
+            entities, threshold)
+    elif strategy == "semantic":
+        clusters, stats["semantic_matches"] = fuzzy_match_linking(
+            entities, threshold * 0.8, kind="semantic")
+    elif strategy == "lmcd":
+        clusters, stats["lmcd_clusters"] = lmcd_clustering(
+            entities, threshold)
+    elif strategy == "hybrid":
+        clusters, em, fm = hybrid_linking(entities)
+        stats["exact_matches"], stats["fuzzy_matches"] = em, fm
+    else:
+        raise ValueError(strategy)
+    stats["clusters_created"] = len(clusters)
+    if stats["entities_processed"]:
+        linked = (stats["exact_matches"] + stats["fuzzy_matches"]
+                  + stats["semantic_matches"])
+        stats["linking_accuracy"] = linked / stats["entities_processed"]
+    return clusters, stats

@@ -1,0 +1,111 @@
+"""Cross-document entity linking (``corpus/entity_linker.rs``) —
+strategy kernels on hand entities."""
+
+import pytest
+
+from graphrag_rs_ray.functions.entity_linker import (
+    exact_match_linking,
+    fuzzy_match_linking,
+    hybrid_linking,
+    infer_entity_type,
+    levenshtein_chars,
+    link_entities,
+    lmcd_clustering,
+    select_canonical_name,
+    string_similarity,
+)
+
+
+def _e(doc, eid, name):
+    return {"doc_id": doc, "local_entity_id": eid, "name": name}
+
+
+ENTS = [_e("d1", "e1", "Apple"), _e("d2", "e2", "Apple"),
+        _e("d1", "e3", "Aple"), _e("d3", "e4", "Zeta Corp")]
+
+
+def test_string_similarity_and_levenshtein():
+    assert string_similarity("Apple", "Apple") == 1.0
+    assert levenshtein_chars("Apple", "Aple") == 1
+    # 1 - dist/byte-maxlen: 1 - 1/5
+    assert string_similarity("Apple", "Aple") == pytest.approx(0.8)
+    assert string_similarity("", "") == 1.0
+    # char distance over byte maxlen (multibyte names)
+    assert string_similarity("café", "cafe") == pytest.approx(1 - 1 / 5)
+
+
+def test_infer_entity_type():
+    # rule ORDER pinned: org check first ('inc' substring quirk incl.)
+    assert infer_entity_type("Acme Corp") == "organization"
+    assert infer_entity_type("Prince") == "organization"     # 'inc' ⊂
+    assert infer_entity_type("Berlin") == "person"           # no space
+    assert infer_entity_type("mexico city") == "location"
+    assert infer_entity_type("some thing") == "other"
+    assert infer_entity_type("") == "other"
+
+
+def test_select_canonical_name():
+    # most frequent wins
+    assert select_canonical_name(["A", "B", "B"]) == "B"
+    # frequency tie → longest
+    assert select_canonical_name(["Al", "Albert"]) == "Albert"
+    # full tie → lexicographically greatest (documented determinism)
+    assert select_canonical_name(["Xa", "Xb"]) == "Xb"
+
+
+def test_exact_match_linking():
+    clusters, em = exact_match_linking(ENTS)
+    # EVERY name gets a cluster, singletons included (rs:159-192)
+    assert len(clusters) == 3
+    assert em == 1                          # Apple group of 2 → +1
+    apple = next(c for c in clusters if c["canonical_name"] == "Apple")
+    assert apple["document_frequency"] == 2 and apple["aliases"] == ["Apple"]
+    assert apple["confidence_score"] == 1.0
+
+
+def test_fuzzy_match_linking():
+    clusters, fm = fuzzy_match_linking(ENTS, 0.8)
+    # seed 'Apple' absorbs 'Apple' (1.0) and 'Aple' (0.8 ≥ 0.8)
+    assert fm == 2
+    assert len(clusters) == 2
+    first = clusters[0]
+    assert first["cluster_id"] == "fuzzy_0"
+    assert len(first["members"]) == 3
+    assert first["canonical_name"] == "Apple"   # most frequent
+    assert first["confidence_score"] == 0.8
+    assert first["document_frequency"] == 1     # hardcoded quirk
+
+
+def test_lmcd_clustering():
+    clusters, nk = lmcd_clustering(ENTS, 0.7)
+    # 'Apple' key; second 'Apple' joins the key; 'Aple' is >0.9-similar?
+    # sim(Apple, Aple) = 0.8 → NOT similar → own key; 'Zeta Corp' key
+    assert nk == 3
+    kinds = [c["kind"] for c in clusters]
+    assert kinds.count("lmcd") == 3 and kinds.count("lmcd_singleton") == 0
+    key = next(c for c in clusters if c["canonical_name"] == "Apple")
+    assert len(key["members"]) == 2
+    assert key["confidence_score"] == pytest.approx(0.8)   # thr + 0.1
+    # a near-duplicate of an existing key defers to a singleton
+    ents2 = [_e("d1", "a", "Springfield"), _e("d2", "b", "Springfeld")]
+    c2, nk2 = lmcd_clustering(ents2, 0.7)
+    assert nk2 == 1
+    single = next(c for c in c2 if c["kind"] == "lmcd_singleton")
+    assert single["canonical_name"] == "Springfeld"
+    assert single["confidence_score"] == pytest.approx(0.6)  # thr - 0.1
+
+
+def test_hybrid_linking_and_stats():
+    clusters, em, fm = hybrid_linking(ENTS)
+    # exact multi-group Apple×2; singles Aple/Zeta Corp fuzzy at 0.85:
+    # sim(Aple, Zeta Corp) tiny → two singleton fuzzy clusters
+    assert em == 1 and fm == 0
+    kinds = sorted(c["kind"] for c in clusters)
+    assert kinds == ["exact", "fuzzy", "fuzzy"]
+    _, stats = link_entities(ENTS, "hybrid")
+    assert stats["entities_processed"] == 4
+    assert stats["clusters_created"] == 3
+    assert stats["linking_accuracy"] == pytest.approx(1 / 4)
+    # semantic = fuzzy at 0.8·thr, counted as semantic_matches
+    _, s2 = link_entities(ENTS, "semantic", threshold=1.0)
+    assert s2["semantic_matches"] == 2 and s2["fuzzy_matches"] == 0

@@ -123,6 +123,8 @@ SQL_CHECKED = [
     "adaptive_fusion",
     # semantic entity merging (pair sims; group decisions + merged rows)
     "semantic_merge_pairs", "semantic_merge_groups",
+    # cross-document entity linking (hybrid clusters + stats)
+    "entity_clusters", "entity_linking_stats",
 ]
 
 
