@@ -1341,6 +1341,105 @@ def q_entity_linking_stats(sf_dir: str):
             [round(stats["linking_accuracy"], 8)], pa.float64())}))
 
 
+def q_text_statistics(sf_dir: str):
+    """Per-document TextStats (``text/analysis.rs:238-280``): word /
+    sentence / paragraph / char counts with the min-1 clamps and both
+    average ratios — straight off the documents table (zero staging;
+    the oracle recomputes everything in SQL)."""
+    import ray.data as rd
+    from graphrag_rs_ray.functions.text_analysis import calculate_statistics
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("doc_id", "word_count", "sentence_count",
+                                "paragraph_count", "char_count",
+                                "avg_sentence_length", "avg_word_length")}
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            s = calculate_statistics(text or "")
+            cols["doc_id"].append(did)
+            for k in list(cols)[1:]:
+                cols[k].append(s[k])
+        return pa.table({
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "word_count": pa.array(cols["word_count"], pa.int64()),
+            "sentence_count": pa.array(cols["sentence_count"], pa.int64()),
+            "paragraph_count": pa.array(cols["paragraph_count"],
+                                        pa.int64()),
+            "char_count": pa.array(cols["char_count"], pa.int64()),
+            "avg_sentence_length": pa.array(cols["avg_sentence_length"],
+                                            pa.float64()),
+            "avg_word_length": pa.array(cols["avg_word_length"],
+                                        pa.float64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+_SN_ROMANS = ["I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX",
+              "X", "XI", "XII"]
+
+
+def q_section_numbers(sf_dir: str):
+    """Section-number extraction (``text/analysis.rs:78-213``):
+    deterministic heading lines synthesized from the documents table
+    exercise every branch — decimal dotted, chapter/section/part
+    keyword forms (number / roman / single letter — including the
+    'Part C' alternation quirk that parses C as roman 100), bare roman
+    (single letters like "C." too), bare alpha, and no-number lines.
+    Lines are staged; the oracle replays regex precedence AND the
+    reversed subtractive roman-numeral evaluation in SQL."""
+    import ray.data as rd
+    from graphrag_rs_ray.functions.text_analysis import (
+        extract_section_number)
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        lid, lines = [], []
+        for did in t.column("doc_id").to_pylist():
+            i = int(did)
+            pats = [
+                f"{i % 9 + 1}.{i % 4}.{i % 3} Overview of the topic",
+                f"Chapter {i % 12 + 1} Introduction",
+                f"Section {_SN_ROMANS[i % 12]} Analysis",
+                f"{_SN_ROMANS[i % 12]}. Preface",
+                f"{chr(65 + i % 26)}. Appendix material",
+                f"Part {chr(65 + i % 26)} Extra",
+                "No numbering in this line",
+                f"{i % 20 + 1}: Data section",
+            ]
+            lid.append(i)
+            lines.append(pats[i % 8])
+        return pa.table({"line_id": pa.array(lid, pa.int64()),
+                         "line": pa.array(lines, pa.string())})
+
+    staged = _stage(docs.map_batches(gen, batch_format="pyarrow"),
+                    "section_numbers", sf_dir, "lines")
+
+    def extract(t: pa.Table) -> pa.Table:
+        fmts, raws, comps = [], [], []
+        for line in t.column("line").to_pylist():
+            sn = extract_section_number(line)
+            if sn is None:
+                fmts.append("none")
+                raws.append("")
+                comps.append("")
+            else:
+                fmts.append(sn["format"])
+                raws.append(sn["raw"])
+                comps.append(",".join(str(c) for c in sn["components"]))
+        return pa.table({"line_id": t.column("line_id"),
+                         "line": t.column("line"),
+                         "fmt": pa.array(fmts, pa.string()),
+                         "raw": pa.array(raws, pa.string()),
+                         "components": pa.array(comps, pa.string())})
+
+    return staged.map_batches(extract, batch_format="pyarrow")
+
+
 _ENRICHED_QUERY = "customer market segment analysis in chapter 2 section 2.1"
 
 
@@ -1999,6 +2098,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_merge_groups": q_semantic_merge_groups,
         "entity_clusters": q_entity_clusters,
         "entity_linking_stats": q_entity_linking_stats,
+        "text_statistics": q_text_statistics,
+        "section_numbers": q_section_numbers,
         "ego_network": q_ego_network,
         "multi_source_bfs": q_multi_source_bfs,
         "query_focused_subgraph": q_query_focused_subgraph,
@@ -2100,6 +2201,8 @@ def oracle_sql() -> dict[str, str]:
     d["semantic_merge_groups"] = _semantic_merge_groups_sql()
     d["entity_clusters"] = _entity_clusters_sql()
     d["entity_linking_stats"] = _entity_linking_stats_sql()
+    d["text_statistics"] = _text_statistics_sql()
+    d["section_numbers"] = _section_numbers_sql()
     d["ego_network"] = _traversal_sql("ego_network", n_seeds=1, k=2,
                                       mode="ego")
     d["multi_source_bfs"] = _traversal_sql("multi_source_bfs", n_seeds=3,
@@ -2221,6 +2324,97 @@ def _hipporag_sql(n_iter: int, damping: float,
         ORDER BY score DESC, passage_id ASC
         LIMIT {top_k_results}""")
     return "\n".join(parts)
+
+
+def _text_statistics_sql() -> str:
+    """TextStats oracle (``analysis.rs:238-280``): whitespace words,
+    ``.!?`` character sentences (min 1), \\n\\n paragraphs (min 1),
+    char counts, single-division ratios (bit-identical shapes)."""
+    return """
+        SELECT doc_id,
+          len(list_filter(string_split_regex(text, '\\s+'),
+              w -> w <> ''))::BIGINT AS word_count,
+          greatest(length(text) - length(replace(replace(replace(text,
+              '.', ''), '!', ''), '?', '')), 1)::BIGINT
+            AS sentence_count,
+          greatest(len(list_filter(string_split(text, chr(10) || chr(10)),
+              p -> trim(p) <> '')), 1)::BIGINT AS paragraph_count,
+          length(text)::BIGINT AS char_count,
+          len(list_filter(string_split_regex(text, '\\s+'),
+              w -> w <> ''))::DOUBLE
+            / greatest(length(text) - length(replace(replace(replace(text,
+              '.', ''), '!', ''), '?', '')), 1)::DOUBLE
+            AS avg_sentence_length,
+          CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                    w -> w <> '')) > 0
+               THEN length(text)::DOUBLE
+                    / len(list_filter(string_split_regex(text, '\\s+'),
+                          w -> w <> ''))::DOUBLE
+               ELSE 0.0 END AS avg_word_length
+        FROM documents
+    """
+
+
+def _roman_val_sql(col: str) -> str:
+    """Reversed-subtractive roman evaluation (``analysis.rs:188-213``)
+    as a forward rule: a char's value is negated when strictly smaller
+    than its right neighbour's."""
+    def val(pos: str) -> str:
+        return (f"(CASE substr({col}, {pos}, 1) "
+                f"WHEN 'I' THEN 1 WHEN 'V' THEN 5 WHEN 'X' THEN 10 "
+                f"WHEN 'L' THEN 50 WHEN 'C' THEN 100 WHEN 'D' THEN 500 "
+                f"WHEN 'M' THEN 1000 ELSE 0 END)")
+    return (f"list_sum(list_transform(range(1, length({col}) + 1), "
+            f"i -> CASE WHEN {val('i')} < {val('i + 1')} "
+            f"THEN -{val('i')} ELSE {val('i')} END))")
+
+
+def _section_numbers_sql() -> str:
+    """Section-number oracle (``analysis.rs:78-213``): the four regex
+    branches replayed in precedence order with the roman evaluation in
+    SQL; components re-derived from the raw capture."""
+    lines = _staged_sql("section_numbers", "lines")
+    rv_ch = _roman_val_sql("ch2")
+    rv_ro = _roman_val_sql("ro")
+    return f"""
+        WITH l AS (SELECT line_id, line FROM {lines}),
+        cap AS (SELECT line_id, line,
+          regexp_extract(line, '^(\\d+(?:\\.\\d+)*)\\s*[.:]?\\s', 1)
+            AS dec,
+          regexp_extract(line,
+            '(?i)^(chapter|section|part|appendix)\\s+(\\d+|[IVXLCDM]+|[A-Z])\\b',
+            1) AS ch1,
+          regexp_extract(line,
+            '(?i)^(chapter|section|part|appendix)\\s+(\\d+|[IVXLCDM]+|[A-Z])\\b',
+            2) AS ch2,
+          regexp_extract(line, '^([IVXLCDM]+)[.:]?\\s', 1) AS ro,
+          regexp_extract(line, '^([A-Z])[.:]?\\s', 1) AS al
+          FROM l)
+        SELECT line_id, line,
+          CASE WHEN dec <> '' THEN 'decimal'
+               WHEN ch2 <> '' THEN 'mixed'
+               WHEN ro <> '' THEN 'roman'
+               WHEN al <> '' THEN 'alphabetic'
+               ELSE 'none' END AS fmt,
+          CASE WHEN dec <> '' THEN dec
+               WHEN ch2 <> '' THEN ch1 || ' ' || ch2
+               WHEN ro <> '' THEN ro
+               WHEN al <> '' THEN al
+               ELSE '' END AS raw,
+          CASE WHEN dec <> '' THEN
+                 array_to_string(list_transform(string_split(dec, '.'),
+                   x -> x::BIGINT::VARCHAR), ',')
+               WHEN ch2 <> '' THEN
+                 CASE WHEN regexp_matches(ch2, '^\\d+$')
+                        THEN ch2::BIGINT::VARCHAR
+                      WHEN regexp_matches(ch2, '^[IVXLCDM]+$')
+                        THEN ({rv_ch})::VARCHAR
+                      ELSE (ascii(ch2) - ascii('A') + 1)::VARCHAR END
+               WHEN ro <> '' THEN ({rv_ro})::VARCHAR
+               WHEN al <> '' THEN (ascii(al) - ascii('A') + 1)::VARCHAR
+               ELSE '' END AS components
+        FROM cap
+    """
 
 
 _ETYPE_SQL = """CASE

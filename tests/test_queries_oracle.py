@@ -125,6 +125,8 @@ SQL_CHECKED = [
     "semantic_merge_pairs", "semantic_merge_groups",
     # cross-document entity linking (hybrid clusters + stats)
     "entity_clusters", "entity_linking_stats",
+    # text analysis (TextStats; section-number extraction + roman eval)
+    "text_statistics", "section_numbers",
 ]
 
 
