@@ -1060,7 +1060,7 @@ def q_adaptive_fusion(sf_dir: str):
         adaptive_fuse, analyze_query, graph_strategy_shortlist)
     from graphrag_rs_ray.pipelines.enriched import chunk_entity_names
     from graphrag_rs_ray.pipelines.hybrid import (
-        keyword_shortlist, semantic_shortlist)
+        keyword_shortlist_multi, semantic_shortlist_multi)
     from graphrag_rs_ray.stages.canonicalize import (
         entity_bucket_merge, partial_entity_agg)
     from graphrag_rs_ray.stages.enrich import EnrichedChunkStage
@@ -1104,25 +1104,19 @@ def q_adaptive_fusion(sf_dir: str):
     per_strategy = {"vec": [], "grf": [], "hier": [], "bm": []}
     # round_digits=6: staged score × ≤2-decimal strategy weight stays
     # exactly 8-decimal → round(ws, 8) can never hit a Python/DuckDB
-    # midpoint tie (oracle-parity rule)
+    # midpoint tie (oracle-parity rule).  Batched variants: ONE
+    # embedding pass and ONE BM25 df/len/score pass per corpus cover
+    # all three queries (12 shortlist jobs → 3 corpus passes).
+    qmap = dict(_ADAPTIVE_QUERIES)
+    vec_m = semantic_shortlist_multi(corpus_text, qmap, top_n=10)
+    bm_m = keyword_shortlist_multi(corpus_text, qmap, top_n=10)
+    hier_m = keyword_shortlist_multi(summaries, qmap, top_n=10)
     for qid, qtext in _ADAPTIVE_QUERIES:
-        per_strategy["vec"].append(tag(
-            semantic_shortlist(corpus_text, qtext, top_n=10,
-                               round_digits=6).map_batches(
-                lambda t: t.select(["id", "score", "rank"]),
-                batch_format="pyarrow"), qid))
+        per_strategy["vec"].append(tag(vec_m[qid], qid))
         per_strategy["grf"].append(tag(
             graph_strategy_shortlist(mentions, qtext, top_n=10), qid))
-        per_strategy["hier"].append(tag(
-            keyword_shortlist(summaries, qtext, top_n=10,
-                              round_digits=6).map_batches(
-                lambda t: t.select(["id", "score", "rank"]),
-                batch_format="pyarrow"), qid))
-        per_strategy["bm"].append(tag(
-            keyword_shortlist(corpus_text, qtext, top_n=10,
-                              round_digits=6).map_batches(
-                lambda t: t.select(["id", "score", "rank"]),
-                batch_format="pyarrow"), qid))
+        per_strategy["hier"].append(tag(hier_m[qid], qid))
+        per_strategy["bm"].append(tag(bm_m[qid], qid))
     staged = {}
     for key, parts in per_strategy.items():
         ds = parts[0]
@@ -1521,14 +1515,27 @@ def q_query_plans(sf_dir: str):
     decision (swap predicates, greedy pair choice) and every cost
     formula from the staged histograms in SQL."""
     import ray.data as rd
-    from graphrag_rs_ray.pipelines.kg import entities_dataset
+    from graphrag_rs_ray.pipelines.kg import dedup_triples
     from graphrag_rs_ray.pipelines.planner import (
         entity_type_counts, optimize_workload, rel_type_counts,
         stats_from_counts)
+    from graphrag_rs_ray.stages.canonicalize import (
+        entity_bucket_merge, partial_entity_agg)
+    from graphrag_rs_ray.stages.hashagg import hash_grouped_aggregate
+    from graphrag_rs_ray.stages.kg_extract import triples_only
 
     cfg = KGConfig()
-    ents = entities_dataset(_kg_pages(sf_dir), cfg)
-    tri = triples_dataset(_kg_pages(sf_dir), cfg)
+    # ONE extraction pass feeds both histograms (entities_dataset +
+    # triples_dataset would run the extractor twice)
+    combined = chunks_to_combined(pages_to_chunks(_kg_pages(sf_dir), cfg),
+                                  cfg).materialize()
+    ents = hash_grouped_aggregate(
+        combined.map_batches(entities_only, batch_format="pyarrow")
+        .map_batches(partial_entity_agg, batch_format="pyarrow",
+                     batch_size=None),
+        ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
+    tri = dedup_triples(
+        combined.map_batches(triples_only, batch_format="pyarrow"), cfg)
     et = _stage(entity_type_counts(ents), "query_plans", sf_dir, "etypes")
     rt = _stage(rel_type_counts(tri), "query_plans", sf_dir, "rtypes")
     stats = stats_from_counts(
@@ -2633,11 +2640,12 @@ def _adaptive_fusion_sql(rps: int = 10) -> str:
         fallback = ("'conceptual'" if has_abs
                     else ("'exploratory'" if has_q else "'factual'"))
         parts.append(f""",
-        kent_{qid} AS (SELECT count(*)::BIGINT AS n FROM ents e
+        kent_{qid} AS MATERIALIZED (
+          SELECT count(*)::BIGINT AS n FROM ents e
           WHERE len(list_filter({wl},
                 w -> contains(lower(e.name), w)
                      OR contains(w, lower(e.name)))) > 0),
-        qt_{qid} AS (SELECT CASE
+        qt_{qid} AS MATERIALIZED (SELECT CASE
             WHEN (SELECT n FROM kent_{qid}) > 1 THEN 'relationship'
             WHEN (SELECT n FROM kent_{qid}) = 1 THEN 'entity_focused'
             ELSE {fallback} END AS qt)""")
@@ -2653,11 +2661,12 @@ def _adaptive_fusion_sql(rps: int = 10) -> str:
                 f"WHEN 'conceptual' THEN {con} "
                 f"WHEN 'factual' THEN {fac} ELSE 0.25 END END")
         parts.append(f""",
-        wts_{cohort} AS (SELECT {wexprs['vw']} AS vw,
+        wts_{cohort} AS MATERIALIZED (
+                        SELECT {wexprs['vw']} AS vw,
                                 {wexprs['gw']} AS gw,
                                 {wexprs['hw']} AS hw,
                                 {wexprs['bw']} AS bw),
-        sel_{cohort} AS (
+        sel_{cohort} AS MATERIALIZED (
           SELECT id, score * (SELECT vw FROM wts_{cohort}) AS ws
           FROM vec WHERE query_id = '{qid}'
             AND rank < trunc({rps}.0 * (SELECT vw FROM wts_{cohort}))

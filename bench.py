@@ -161,6 +161,13 @@ def run_bench() -> dict:
     timed("consistency_report",
           lambda: q["consistency_report"](sf_dir).count())
     timed("centrality", lambda: q["centrality"](sf_dir).count())
+    # round-2 late additions: traversal subgraphs, planner, entity
+    # linking, text analysis (retrieval fusions' heavy halves — BM25,
+    # cosine, extraction — are covered by the entries above)
+    timed("ego_network", lambda: q["ego_network"](sf_dir).count())
+    timed("query_plans", lambda: q["query_plans"](sf_dir).count())
+    timed("entity_clusters", lambda: q["entity_clusters"](sf_dir).count())
+    timed("text_statistics", lambda: q["text_statistics"](sf_dir).count())
 
     # ROGRAG batch query processing at scale: 210k synthesized queries
     # through the full five-stage analysis stack (intent, decomposition,

@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.textstats import bm25_tokenize
 from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
@@ -158,6 +159,153 @@ def keyword_shortlist(corpus_ds, query: str, top_n: int = 100,
         "score": pa.array([r["score"] for r in top], pa.float64()),
         "content": pa.array([r["content"] for r in top], pa.string()),
         "rank": pa.array(range(len(top)), pa.int64())}))
+
+
+def semantic_shortlist_multi(corpus_ds, queries: dict[str, str],
+                             top_n: int = 10, dim: int = 64,
+                             round_digits: int = 6):
+    """Batched ``semantic_shortlist``: ONE embedding pass scores every
+    query (corpus × Q matmul), then one cheap per-query sort of the
+    materialized scored table.  Returns {qid: Dataset(id, score,
+    rank)}."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..functions.embedding import HashEmbedder
+
+    qids = sorted(queries)
+    emb = HashEmbedder(dim)
+    qmat = np.stack([emb.embed(queries[q]) for q in qids])
+    q_ref = ray.put(qmat)
+
+    def score(batch: pa.Table) -> pa.Table:
+        e = HashEmbedder(dim)
+        qm = ray.get(q_ref)
+        mat = e.embed_many([c or "" for c in
+                            batch.column("content").to_pylist()])
+        scores = np.round((mat @ qm.T).astype(np.float64), round_digits)
+        out = {"id": batch.column("id")}
+        for k, qid in enumerate(qids):
+            out[f"s_{qid}"] = pa.array(scores[:, k], pa.float64())
+        return pa.table(out)
+
+    scored = corpus_ds.map_batches(score,
+                                   batch_format="pyarrow").materialize()
+    out = {}
+    for qid in qids:
+        top = (scored.map_batches(
+            lambda t, _q=qid: pa.table({"id": t.column("id"),
+                                        "score": t.column(f"s_{_q}")}),
+            batch_format="pyarrow")
+            .sort(["score", "id"], descending=[True, False])
+            .limit(top_n).take_all())
+        out[qid] = rd.from_arrow(pa.table({
+            "id": pa.array([r["id"] for r in top], pa.string()),
+            "score": pa.array([r["score"] for r in top], pa.float64()),
+            "rank": pa.array(range(len(top)), pa.int64())}))
+    return out
+
+
+def keyword_shortlist_multi(corpus_ds, queries: dict[str, str],
+                            top_n: int = 10, k1: float = 1.2,
+                            b: float = 0.75, round_digits: int = 6):
+    """Batched ``keyword_shortlist``: one df pass over the UNION of all
+    query terms, one doc-length pass, one scoring pass emitting every
+    query's BM25 column.  Per-query score arithmetic is identical to
+    the single-query path."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean
+
+    corpus_ds = corpus_ds.materialize()
+    qids = sorted(queries)
+    q_terms = {q: sorted(set(bm25_tokenize(queries[q]))) for q in qids}
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+
+    def term_docs(batch: pa.Table) -> pa.Table:
+        terms, ids = [], []
+        for i, text in zip(batch.column("id").to_pylist(),
+                           batch.column("content").to_pylist()):
+            for t in set(bm25_tokenize(text or "")):
+                if t in all_terms:
+                    terms.append(t)
+                    ids.append(i)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "id": pa.array(ids, pa.string())})
+
+    df_rows = hash_grouped_aggregate(
+        corpus_ds.map_batches(term_docs, batch_format="pyarrow"), ["term"],
+        grouped_arrow_agg(["term"], [("id", "count")],
+                          rename=["term", "df"])).take_all()
+    df_map = {r["term"]: int(r["df"]) for r in df_rows}
+
+    def doclen(batch: pa.Table) -> pa.Table:
+        lens = [len(bm25_tokenize(t or ""))
+                for t in batch.column("content").to_pylist()]
+        return pa.table({"doc_len": pa.array(lens, pa.int64())})
+
+    agg = (corpus_ds.map_batches(doclen, batch_format="pyarrow")
+           .aggregate(Count(alias_name="n"),
+                      Mean("doc_len", alias_name="avg")))
+    n_docs, avg_len = int(agg["n"]), float(agg["avg"])
+    ref = ray.put((q_terms, df_map))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qt, dfm = ray.get(ref)
+        ids = batch.column("id").to_pylist()
+        texts = batch.column("content").to_pylist()
+        cols: dict[str, list] = {"id": []}
+        for q in qids:
+            cols[f"s_{q}"] = []
+        for i, text in zip(ids, texts):
+            toks = bm25_tokenize(text or "")
+            dl = len(toks)
+            if dl == 0:
+                continue
+            counts: dict[str, int] = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            cols["id"].append(i)
+            for q in qids:
+                s = 0.0
+                for t in qt[q]:
+                    c = counts.get(t)
+                    df_t = dfm.get(t, 0)
+                    if not c or df_t == 0:
+                        continue
+                    idf = math.log(n_docs / df_t) + 1.0
+                    tf = c / dl
+                    s += idf * (tf * (k1 + 1.0)) / (
+                        tf + k1 * (1.0 - b + b * dl / avg_len))
+                cols[f"s_{q}"].append(round(s, round_digits))
+        out = {"id": pa.array(cols["id"], pa.string())}
+        for q in qids:
+            out[f"s_{q}"] = pa.array(cols[f"s_{q}"], pa.float64())
+        return pa.table(out)
+
+    scored = corpus_ds.map_batches(score,
+                                   batch_format="pyarrow").materialize()
+    out = {}
+    for qid in qids:
+        top_rows = (scored.map_batches(
+            lambda t, _q=qid: pa.table({
+                "id": t.column("id"),
+                "score": t.column(f"s_{_q}")}).filter(
+                    pc.greater(t.column(f"s_{_q}"), 0.0)),
+            batch_format="pyarrow")
+            .sort(["score", "id"], descending=[True, False])
+            .limit(top_n).take_all())
+        out[qid] = _rows_to_ranked(top_rows)
+    return out
+
+
+def _rows_to_ranked(rows):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "id": pa.array([r["id"] for r in rows], pa.string()),
+        "score": pa.array([r["score"] for r in rows], pa.float64()),
+        "rank": pa.array(range(len(rows)), pa.int64())}))
 
 
 def fuse_tables(sem_tbl: pa.Table, kw_tbl: pa.Table, methods,

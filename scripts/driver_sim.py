@@ -24,9 +24,12 @@ q = e.queries(); o = e.oracle_sql()
 fails = []
 import ray.data as rd
 only = set(sys.argv[1:])   # optional: sweep just the named queries
+import time as _time
+_t_all = _time.perf_counter()
 for name in sorted(o):
     if only and name not in only:
         continue
+    _t0 = _time.perf_counter()
     try:
         r = q[name](SF)
         rdf = norm(r.to_pandas() if isinstance(r, rd.Dataset) else
@@ -49,6 +52,8 @@ for name in sorted(o):
         status = f"ERROR {type(ex).__name__}: {str(ex)[:120]}"
     if status != "OK":
         fails.append((name, status))
-    print(f"{name}: {status}", flush=True)
-print(json.dumps({"total": len(o), "failures": fails}))
+    print(f"{name}: {status} ({_time.perf_counter() - _t0:.1f}s)",
+          flush=True)
+print(json.dumps({"total": len(o), "failures": fails,
+                  "total_sec": round(_time.perf_counter() - _t_all, 1)}))
 ray.shutdown()
