@@ -840,16 +840,22 @@ def graph_statistics_row(triples_ds, num_buckets: int = 64):
 
 
 def k_hop(triples_ds, seeds: list[str], k: int = 3, direction: str = "both",
-          num_buckets: int = 64):
+          num_buckets: int = 64, small_graph_limit: int = 2_000_000):
     """K-hop neighbourhood expansion (BFS) from a seed set — the batch
     equivalent of ``graph/traversal.rs:85-151`` (whose ``get_neighbors``
     follows relationships in BOTH directions, ``traversal.rs:485-504``).
     Returns (node, hop) with hop = minimum distance (seeds = hop 0).
 
-    Distributed shape: the frontier is a Dataset; each hop is one
+    Two paths, one recurrence (the connected_components discipline):
+    ≤ ``small_graph_limit`` direction-expanded edges → local BFS kernel
+    (each distributed round costs seconds of fixed shuffle overhead —
+    pure waste when the graph fits one worker; the sf KG saturates at
+    ~900 entities, 42 s → <2 s measured at sf0.01); larger graphs run
+    the sharded loop: the frontier is a Dataset; each hop is one
     ``bucketed_join(frontier, edges)`` + a min-hop re-aggregate of
     (reached ∪ candidates) — per-round dedup keeps cyclic graphs from
-    exploding the frontier.  The driver never holds the reached set."""
+    exploding the frontier.  The driver never holds the reached set.
+    Equality pinned in ``test_traversal`` / ``test_graph_ops``."""
     import ray.data as rd
 
     def edge_rows(t: pa.Table) -> pa.Table:
@@ -860,6 +866,26 @@ def k_hop(triples_ds, seeds: list[str], k: int = 3, direction: str = "both",
         return pa.concat_tables([fwd, rev])
 
     edges = triples_ds.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    if edges.count() <= small_graph_limit:
+        from collections import deque
+        adj: dict[str, list[str]] = {}
+        for r in edges.take_all():
+            adj.setdefault(r["src"], []).append(r["dst"])
+        dist = {n: 0 for n in set(seeds)}
+        dq = deque((n, 0) for n in sorted(set(seeds)))
+        while dq:
+            u, d = dq.popleft()
+            if d >= k:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d + 1
+                    dq.append((v, d + 1))
+        nodes = sorted(dist)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.string()),
+            "hop": pa.array([dist[n] for n in nodes], pa.int64())}))
 
     reached = rd.from_arrow(pa.table({
         "node": pa.array(sorted(set(seeds)), pa.string()),

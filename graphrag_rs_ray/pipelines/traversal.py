@@ -107,12 +107,16 @@ def _subgraph_local(rels, seeds, hops: int, dedup: bool):
 
 
 def traversal_distances(triples_ds, seeds: list[str], max_depth: int,
-                        min_strength: float = 0.5, num_buckets: int = 64):
+                        min_strength: float = 0.5, num_buckets: int = 64,
+                        small_graph_limit: int = 2_000_000):
     """(node, hop) min-BFS distances ≤ max_depth over the
     confidence-filtered undirected multigraph — the distance core shared
-    by bfs / ego / multi-source / query-focused traversal."""
+    by bfs / ego / multi-source / query-focused traversal.  The caller's
+    ``small_graph_limit`` is FORWARDED into ``k_hop`` so forcing the
+    sharded twin (limit 0) really exercises the distributed loop."""
     return k_hop(_filtered(triples_ds, min_strength), seeds, k=max_depth,
-                 direction="both", num_buckets=num_buckets)
+                 direction="both", num_buckets=num_buckets,
+                 small_graph_limit=small_graph_limit)
 
 
 def _rel_occurrences(rels, dist_ds, inner_max_hop: int,
@@ -169,7 +173,8 @@ def _subgraph_table(triples_ds, seeds: list[str], hops: int,
                 for r in filtered.take_all()]
         return _subgraph_local(rels, seeds, hops, dedup)
     dist = k_hop(filtered, seeds, k=hops, direction="both",
-                 num_buckets=num_buckets).materialize()
+                 num_buckets=num_buckets,
+                 small_graph_limit=small_graph_limit).materialize()
 
     def node_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -242,7 +247,8 @@ def multi_source_bfs(triples_ds, seeds: list[str], max_depth: int = 3,
             "in_entities": pa.array(
                 [int(dist[n] < max_depth) for n in nodes], pa.int64())}))
     dist = traversal_distances(triples_ds, sorted(set(seeds)), max_depth,
-                               min_strength, num_buckets)
+                               min_strength, num_buckets,
+                               small_graph_limit=small_graph_limit)
 
     def fin(t: pa.Table) -> pa.Table:
         hop = t.column("hop")

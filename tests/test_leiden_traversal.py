@@ -165,6 +165,10 @@ def test_k_hop_matches_bfs(ray_session, direction):
                 num_buckets=4).to_pandas()
     got_map = dict(zip(got["node"], got["hop"]))
     assert got_map == _bfs_python(edges, ["a"], 3, direction)
+    # local fast path == forced sharded loop (small_graph_limit=0)
+    sharded = k_hop(_triples_ds(edges), ["a"], k=3, direction=direction,
+                    num_buckets=4, small_graph_limit=0).to_pandas()
+    assert dict(zip(sharded["node"], sharded["hop"])) == got_map
 
 
 def test_degree_stats_values(ray_session):
