@@ -2028,6 +2028,213 @@ def q_rograg_process(sf_dir: str):
         _rograg_queries_ds("rograg_process", sf_dir), g)
 
 
+# ------------------------------------------------------ corpus module --
+# document_manager.rs / collection_processor.rs / graph_indexer.rs /
+# knowledge_graph.rs — collection metadata, window-based extraction,
+# document concepts, and the corpus-level knowledge graph.
+
+
+def _corpus_pages(sf_dir: str):
+    """pages → (doc_id=url, text) rows: the corpus module's document
+    collection (the sf documents carry no capitalized text, so the
+    synthetic entity-bearing pages are the collection content)."""
+
+    def to_doc(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("url"),
+                         "text": t.column("text")})
+
+    return _kg_pages(sf_dir).map_batches(to_doc, batch_format="pyarrow")
+
+
+def q_doc_collection(sf_dir: str):
+    """DocumentMetadata rows (``document_manager.rs:9-47,225-285``) over
+    the documents table — synthesized ``corpus/doc_<id>.<ext>`` paths
+    (doc_id % 7 extension cycle keeps the mapping SQL-replayable),
+    DocumentType, byte sizes, the substring-count language heuristic,
+    and first-wins content dedup (the oracle re-derives duplicates from
+    raw text equality; the blake2b hash column is dropped — hashing is
+    not SQL-expressible and dup_of carries the check)."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.corpus import collection_table
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ct = collection_table(ds)
+    return ct.map_batches(lambda t: t.drop_columns(["content_hash"]),
+                          batch_format="pyarrow")
+
+
+def q_corpus_entities(sf_dir: str):
+    """Graph-indexer extraction + quality gate
+    (``graph_indexer.rs:62-131``, ``collection_processor.rs:215-263``):
+    3-word all-capitalized windows (conf 0.6) then single capitalized
+    words with byte length > 2 (conf 0.5), pre-dedup scan-order
+    ``<doc>_entity_<k>`` ids, first-occurrence name dedup, and the
+    type heuristics.  ZERO derivation staging: the oracle replays
+    tokenization, windows, ids, dedup and typing in SQL from the staged
+    collection text alone."""
+    from graphrag_rs_ray.pipelines.corpus import corpus_entities
+    docs = _stage(_corpus_pages(sf_dir), "corpus_entities", sf_dir, "docs")
+    return corpus_entities(docs)
+
+
+def _concepts_with_staging(query: str, sf_dir: str):
+    from graphrag_rs_ray.pipelines.corpus import corpus_concepts
+    docs = _stage(_corpus_pages(sf_dir), query, sf_dir, "docs")
+    con = corpus_concepts(docs)
+    pos = con.map_batches(
+        lambda t: t.select(["doc_id", "pattern_idx", "start", "length"]),
+        batch_format="pyarrow")
+    _stage(pos, query, sf_dir, "pos")
+    return con
+
+
+def q_corpus_concepts(sf_dir: str):
+    """Document concepts (``collection_processor.rs:265-310``): 5 regex
+    patterns, sequential per-doc ids in (pattern, match) scan order,
+    100-char context from 50 before the match, frequency/confidence
+    constants.  Match POSITIONS are staged; the oracle re-derives the
+    concept text, context window and ids from the raw collection text."""
+    return _concepts_with_staging("corpus_concepts", sf_dir)
+
+
+def q_corpus_concept_clusters(sf_dir: str):
+    """Exact-text concept clustering
+    (``collection_processor.rs:313-352``): group by lowercased trimmed
+    concept text, members in (doc, pattern, match) scan order,
+    ``cluster_<k>`` ids by sorted canonical text (pinned; the reference
+    iterates a HashMap), and the faithful hardcoded document_frequency
+    / total_mentions / confidence constants."""
+    from graphrag_rs_ray.pipelines.corpus import concept_cluster_table
+    con = _concepts_with_staging("corpus_concept_clusters", sf_dir)
+    return concept_cluster_table(con)
+
+
+def _corpus_linked(query: str, sf_dir: str):
+    """Corpus entity extraction → hybrid cross-document linking; stages
+    the flat entities AND the cluster assignments (with cluster order,
+    the reference's clusters-vec order) for the oracle."""
+    import ray.data as rd
+    from graphrag_rs_ray.functions.entity_linker import link_entities
+    from graphrag_rs_ray.pipelines.corpus import corpus_entities
+
+    docs = _stage(_corpus_pages(sf_dir), query, sf_dir, "docs")
+    ents = corpus_entities(docs)
+    flat = _stage(ents.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "local_entity_id": t.column("entity_id"),
+                            "name": t.column("name")}),
+        batch_format="pyarrow"), query, sf_dir, "flat")
+    # linker input order: documents in sorted-id order (pinned; the
+    # reference iterates a HashMap), entities in extraction output
+    # order within a doc (= name-byte order after the indexer's dedup)
+    rows = sorted(flat.take_all(),
+                  key=lambda e: (e["doc_id"], e["name"].encode()))
+    clusters, stats = link_entities(rows, "hybrid")
+    a = {"doc_id": [], "local_entity_id": [], "cluster_id": [],
+         "kind": [], "cluster_ord": [], "member_idx": []}
+    for ci, c in enumerate(clusters):
+        for mi, m in enumerate(c["members"]):
+            a["doc_id"].append(m["doc_id"])
+            a["local_entity_id"].append(m["local_entity_id"])
+            a["cluster_id"].append(c["cluster_id"])
+            a["kind"].append(c["kind"])
+            a["cluster_ord"].append(ci)
+            a["member_idx"].append(mi)
+    _stage(rd.from_arrow(pa.table({
+        "doc_id": pa.array(a["doc_id"], pa.string()),
+        "local_entity_id": pa.array(a["local_entity_id"], pa.string()),
+        "cluster_id": pa.array(a["cluster_id"], pa.string()),
+        "kind": pa.array(a["kind"], pa.string()),
+        "cluster_ord": pa.array(a["cluster_ord"], pa.int64()),
+        "member_idx": pa.array(a["member_idx"], pa.int64())})),
+        query, sf_dir, "asg")
+    return clusters, stats, flat
+
+
+def q_corpus_kg_entities(sf_dir: str):
+    """GlobalEntity rows (``knowledge_graph.rs:148-184,256-290``):
+    total mentions, sorted distinct source documents and aliases, and
+    the (ln(df)+1)·0.4 + (ln(mentions)+1)·0.3 + spread·0.3 over 3
+    importance score.  The oracle re-derives every column — including
+    the linker's canonical-name vote, confidence and type heuristics —
+    from the staged flat entities + assignments."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.corpus import corpus_kg_tables
+    clusters, _, _ = _corpus_linked("corpus_kg_entities", sf_dir)
+    ge_tbl, _, _ = corpus_kg_tables(clusters)
+    return rd.from_arrow(ge_tbl)
+
+
+def q_corpus_kg_relations(sf_dir: str):
+    """Co-occurrence relations (``knowledge_graph.rs:186-254``): each
+    document's cluster-order member multiset → ordered (i<j) pairs
+    (2-members-in-one-doc clusters yield faithful self-pairs), conf
+    0.7 + 0.1 per repeat capped at 1.0, document frequency, appended
+    source documents, and ``rel_<k>`` ids in pinned first-occurrence
+    scan order (sorted docs; the reference iterates a HashMap)."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.corpus import corpus_kg_tables
+    clusters, _, _ = _corpus_linked("corpus_kg_relations", sf_dir)
+    _, rel_tbl, _ = corpus_kg_tables(clusters)
+    return rd.from_arrow(rel_tbl)
+
+
+def q_corpus_stats(sf_dir: str):
+    """One-row CorpusStats + QualityMetrics + GraphStats
+    (``collection_processor.rs:34-102``, ``knowledge_graph.rs:293-336``)
+    incl. the faithful quirks: avg_relations_per_document is 0 (the
+    extraction phase tracks none), largest_component_size = node count
+    (the reference's simplification), density counts DIRECTED relation
+    keys over undirected max edges."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.corpus import corpus_stats_table
+    clusters, _, flat = _corpus_linked("corpus_stats", sf_dir)
+    n_docs = _corpus_pages(sf_dir).count()
+    return rd.from_arrow(corpus_stats_table(n_docs, flat.count(), clusters))
+
+
+def q_corpus_search(sf_dir: str):
+    """KG text query + top-k (``knowledge_graph.rs:348-370,402-407``):
+    case-insensitive substring match over canonical name / aliases,
+    importance-descending order (ties pinned id-ascending), top 10.
+    Search term 'hampton' hits the hub person."""
+    import ray.data as rd
+    from graphrag_rs_ray.functions.corpus_index import (
+        global_entities_from_clusters, query_entities)
+    clusters, _, _ = _corpus_linked("corpus_search", sf_dir)
+    ge = global_entities_from_clusters(clusters)
+    hits = query_entities(ge, "hampton", limit=10)
+    return rd.from_arrow(pa.table({
+        "id": pa.array([e["id"] for e in hits], pa.string()),
+        "canonical_name": pa.array([e["canonical_name"] for e in hits],
+                                   pa.string()),
+        "importance_score": pa.array(
+            [round(e["importance_score"], 8) for e in hits], pa.float64()),
+    }))
+
+
+def q_corpus_related(sf_dir: str):
+    """find_related_entities (``knowledge_graph.rs:416-453``): the
+    reference's stack-pop "BFS" over DIRECTED co-occurrence edges with
+    a global visited set and a pop-time depth gate — order-dependent
+    procedural semantics (unit-gated kernel; rows-only driver check)."""
+    import ray.data as rd
+    from graphrag_rs_ray.functions.corpus_index import (
+        cooccurrence_relations, find_related_entities,
+        global_entities_from_clusters, query_entities)
+    clusters, _, _ = _corpus_linked("corpus_related", sf_dir)
+    rels = cooccurrence_relations(clusters)
+    edges = [(r["source_entity_id"], r["target_entity_id"]) for r in rels]
+    ge = global_entities_from_clusters(clusters)
+    top = query_entities(ge, "", limit=1)  # highest-importance entity
+    seed = top[0]["id"] if top else ""
+    related = find_related_entities(edges, seed, max_depth=2)
+    return rd.from_arrow(pa.table({
+        "seed": pa.array([seed] * len(related), pa.string()),
+        "entity_id": pa.array(related, pa.string()),
+        "discovery_ord": pa.array(range(len(related)), pa.int64())}))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -2162,6 +2369,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # logic-form execution (oracle) + the full processor pipeline
         "logic_bindings": q_logic_bindings,
         "rograg_process": q_rograg_process,
+        # corpus module (document_manager / collection_processor /
+        # graph_indexer / knowledge_graph)
+        "doc_collection": q_doc_collection,
+        "corpus_entities": q_corpus_entities,
+        "corpus_concepts": q_corpus_concepts,
+        "corpus_concept_clusters": q_corpus_concept_clusters,
+        "corpus_kg_entities": q_corpus_kg_entities,
+        "corpus_kg_relations": q_corpus_kg_relations,
+        "corpus_stats": q_corpus_stats,
+        "corpus_search": q_corpus_search,
+        "corpus_related": q_corpus_related,
     }
 
 
@@ -2210,6 +2428,14 @@ def oracle_sql() -> dict[str, str]:
     d["entity_linking_stats"] = _entity_linking_stats_sql()
     d["text_statistics"] = _text_statistics_sql()
     d["section_numbers"] = _section_numbers_sql()
+    d["doc_collection"] = _doc_collection_sql()
+    d["corpus_entities"] = _corpus_entities_sql()
+    d["corpus_concepts"] = _corpus_concepts_sql()
+    d["corpus_concept_clusters"] = _corpus_concept_clusters_sql()
+    d["corpus_kg_entities"] = _corpus_kg_entities_sql()
+    d["corpus_kg_relations"] = _corpus_kg_relations_sql()
+    d["corpus_stats"] = _corpus_stats_sql()
+    d["corpus_search"] = _corpus_search_sql()
     d["ego_network"] = _traversal_sql("ego_network", n_seeds=1, k=2,
                                       mode="ego")
     d["multi_source_bfs"] = _traversal_sql("multi_source_bfs", n_seeds=3,
@@ -2504,6 +2730,343 @@ def _entity_linking_stats_sql() -> str:
                round(((SELECT em FROM ex) + (SELECT fm FROM fu))::DOUBLE
                      / (SELECT n FROM nproc)::DOUBLE, 8)
                  AS linking_accuracy
+    """
+
+
+# ------------------------------------------------ corpus-module SQL --
+
+_GI_TYPE_SQL = """CASE
+    WHEN contains(lower({n}), 'person') THEN 'person'
+    WHEN contains(lower({n}), 'organization') THEN 'organization'
+    WHEN contains(lower({n}), 'location') THEN 'location'
+    WHEN contains(lower({n}), 'other') THEN 'other'
+    WHEN ends_with(lower({n}), 'company') OR ends_with(lower({n}), 'corp')
+         OR ends_with(lower({n}), 'inc') THEN 'organization'
+    WHEN contains(lower({n}), 'city') OR contains(lower({n}), 'country')
+         OR contains(lower({n}), 'state') THEN 'location'
+    WHEN {phase} = 1 AND strlen({n}) < 20 THEN 'person'
+    ELSE 'other' END"""
+
+
+def _doc_collection_sql() -> str:
+    """DocumentMetadata oracle (``document_manager.rs:34-47,225-285``):
+    extension cycle / type mapping / byte sizes in plain SQL; language =
+    the reference's SUBSTRING-occurrence heuristic via replace-length
+    counts; duplicates re-derived from raw text equality (first doc_id
+    wins) instead of the hash column."""
+    hits = " + ".join(
+        f"(strlen(text) - strlen(replace(text, '{w}', ''))) // {len(w)}"
+        for w in ("the", "and", "or", "but", "in", "on", "at", "to"))
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text,
+            CASE doc_id % 7 WHEN 0 THEN 'txt' WHEN 1 THEN 'pdf'
+              WHEN 2 THEN 'html' WHEN 3 THEN 'md' WHEN 4 THEN 'json'
+              WHEN 5 THEN 'xml' ELSE 'dat' END AS ext,
+            len(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS wc,
+            ({hits}) AS hits,
+            min(doc_id) OVER (PARTITION BY text) AS first_id
+          FROM documents)
+        SELECT doc_id,
+          'doc_' || CAST(doc_id AS VARCHAR) AS title,
+          'corpus/doc_' || CAST(doc_id AS VARCHAR) || '.' || ext AS path,
+          CASE ext WHEN 'txt' THEN 'text' WHEN 'pdf' THEN 'pdf'
+            WHEN 'html' THEN 'html' WHEN 'md' THEN 'markdown'
+            WHEN 'json' THEN 'json' WHEN 'xml' THEN 'xml'
+            ELSE 'unknown' END AS document_type,
+          strlen(text)::BIGINT AS size_bytes,
+          CASE WHEN strlen(text) < 10 THEN NULL
+               WHEN wc > 0 AND hits::DOUBLE / wc::DOUBLE > 0.05 THEN 'en'
+               ELSE 'unknown' END AS language,
+          doc_id <> first_id AS is_duplicate,
+          CASE WHEN doc_id <> first_id THEN first_id END AS dup_of
+        FROM d
+    """
+
+
+def _corpus_entities_sql() -> str:
+    """Graph-indexer extraction oracle (``graph_indexer.rs:62-131``):
+    whitespace tokenization, 3-word all-capitalized windows then
+    len>2 capitalized singles, pre-dedup scan ids (singles offset by
+    the window count), first-scan-occurrence dedup, type heuristics
+    and the (no-op) quality gate — all re-derived in SQL from the
+    staged collection text alone."""
+    docs = _staged_sql("corpus_entities", "docs")
+    tcase = _GI_TYPE_SQL.replace("{n}", "name").replace("{phase}", "phase")
+    return f"""
+        WITH docs AS MATERIALIZED (SELECT * FROM {docs}),
+        w0 AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS lst
+               FROM docs),
+        w AS MATERIALIZED (
+          SELECT doc_id, unnest(lst) AS word,
+                 unnest(range(1, len(lst) + 1)) AS pos
+          FROM w0),
+        win AS (
+          SELECT a.doc_id, a.pos,
+                 a.word || ' ' || b.word || ' ' || c.word AS name,
+                 0.6 AS confidence, 0 AS phase
+          FROM w a
+          JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+          WHERE regexp_matches(a.word, '^\\p{{Lu}}')
+            AND regexp_matches(b.word, '^\\p{{Lu}}')
+            AND regexp_matches(c.word, '^\\p{{Lu}}')),
+        sing AS (
+          SELECT doc_id, pos, word AS name, 0.5 AS confidence, 1 AS phase
+          FROM w
+          WHERE strlen(word) > 2 AND regexp_matches(word, '^\\p{{Lu}}')),
+        nw AS (SELECT doc_id, count(*) AS n FROM win GROUP BY doc_id),
+        u AS (SELECT * FROM win UNION ALL SELECT * FROM sing),
+        ids AS (
+          SELECT u.doc_id, u.pos, u.name, u.confidence, u.phase,
+                 CASE WHEN u.phase = 0 THEN row_number() OVER (
+                     PARTITION BY u.doc_id, u.phase ORDER BY u.pos) - 1
+                 ELSE coalesce(nw.n, 0) + row_number() OVER (
+                     PARTITION BY u.doc_id, u.phase ORDER BY u.pos) - 1
+                 END AS k
+          FROM u LEFT JOIN nw ON nw.doc_id = u.doc_id),
+        ded AS (SELECT * FROM (
+            SELECT ids.*, row_number() OVER (
+                PARTITION BY doc_id, name ORDER BY phase, pos) AS rn
+            FROM ids) WHERE rn = 1)
+        SELECT doc_id,
+               doc_id || '_entity_' || CAST(k AS VARCHAR) AS entity_id,
+               name, {tcase} AS entity_type, confidence
+        FROM ded
+        WHERE confidence >= 0.3 AND strlen(name) >= 2 AND trim(name) <> ''
+    """
+
+
+def _corpus_concepts_sql(query: str = "corpus_concepts") -> str:
+    """Document-concept oracle (``collection_processor.rs:265-310``):
+    concept text, context window, ids and constants re-derived from the
+    staged match positions + raw collection text."""
+    docs = _staged_sql(query, "docs")
+    pos = _staged_sql(query, "pos")
+    return f"""
+        WITH docs AS MATERIALIZED (SELECT * FROM {docs}),
+        pos AS (SELECT * FROM {pos}),
+        o AS (SELECT doc_id, pattern_idx, "start", "length",
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY pattern_idx, "start") - 1 AS k
+              FROM pos)
+        SELECT o.doc_id,
+               'concept_' || o.doc_id || '_' || CAST(o.k AS VARCHAR)
+                 AS concept_id,
+               substring(d.text, o."start" + 1, o."length") AS text,
+               substring(d.text, greatest(o."start" - 50, 0) + 1, 100)
+                 AS context,
+               1::BIGINT AS frequency, 0.7 AS confidence,
+               o.pattern_idx, o."start", o."length"
+        FROM o JOIN docs d USING (doc_id)
+    """
+
+
+def _corpus_concept_clusters_sql() -> str:
+    """Concept-cluster oracle (``collection_processor.rs:313-352``):
+    canonical = lower(trim(text)), members in (doc, pattern, match)
+    scan order, ids by sorted canonical text, hardcoded constants."""
+    docs = _staged_sql("corpus_concept_clusters", "docs")
+    pos = _staged_sql("corpus_concept_clusters", "pos")
+    return f"""
+        WITH docs AS MATERIALIZED (SELECT * FROM {docs}),
+        pos AS (SELECT * FROM {pos}),
+        c AS (SELECT p.doc_id, p.pattern_idx, p."start",
+                lower(trim(substring(d.text, p."start" + 1, p."length")))
+                  AS canon,
+                'concept_' || p.doc_id || '_' || CAST(
+                  row_number() OVER (PARTITION BY p.doc_id
+                      ORDER BY p.pattern_idx, p."start") - 1 AS VARCHAR)
+                  AS concept_id
+              FROM pos p JOIN docs d USING (doc_id)),
+        g AS (SELECT canon AS canonical_text,
+                string_agg(concept_id, ','
+                    ORDER BY doc_id, pattern_idx, "start")
+                  AS member_concept_ids,
+                count(*)::BIGINT AS n_members
+              FROM c GROUP BY canon)
+        SELECT 'cluster_' || CAST(row_number() OVER (
+                 ORDER BY canonical_text) - 1 AS VARCHAR) AS cluster_id,
+               canonical_text, member_concept_ids, n_members,
+               1::BIGINT AS document_frequency,
+               1::BIGINT AS total_mentions, 0.8 AS confidence
+        FROM g
+    """
+
+
+def _corpus_cluster_ctes(query: str) -> str:
+    """Shared corpus-KG CTEs: staged flat entities + assignments →
+    per-cluster attributes (canonical-name vote, confidence, document
+    frequency — ``entity_linker.rs`` semantics re-derived, same shapes
+    as ``_entity_clusters_sql``)."""
+    flat = _staged_sql(query, "flat")
+    asg = _staged_sql(query, "asg")
+    return f"""
+        flat AS MATERIALIZED (SELECT * FROM {flat}),
+        asg AS MATERIALIZED (SELECT * FROM {asg}),
+        m AS MATERIALIZED (
+          SELECT a.doc_id, a.local_entity_id, a.cluster_id, a.kind,
+                 a.cluster_ord, a.member_idx, f.name
+          FROM asg a JOIN flat f USING (doc_id, local_entity_id)),
+        fcnt AS (SELECT cluster_id, name, count(*) AS cnt FROM m
+                 WHERE kind = 'fuzzy' GROUP BY cluster_id, name),
+        fcan AS (SELECT cluster_id, name AS cn FROM (
+            SELECT cluster_id, name, row_number() OVER (
+                PARTITION BY cluster_id
+                ORDER BY cnt DESC, length(name) DESC, name DESC) AS rn
+            FROM fcnt) WHERE rn = 1),
+        cl AS (
+          SELECT m.cluster_id, m.kind, m.cluster_ord,
+                 count(*) AS n_members,
+                 CASE WHEN m.kind = 'exact' THEN 1.0 ELSE 0.85 END
+                   AS conf,
+                 CASE WHEN m.kind = 'exact' THEN count(*) ELSE 1 END
+                   AS df,
+                 coalesce(max(fc.cn), max(m.name)) AS cn
+          FROM m LEFT JOIN fcan fc ON fc.cluster_id = m.cluster_id
+          GROUP BY m.cluster_id, m.kind, m.cluster_ord)
+    """
+
+
+_IMP_SQL = ("((ln({df}) + 1.0) * 0.4 + (ln({tm}) + 1.0) * 0.3 "
+            "+ {nsd} * 0.3) / 3.0")
+
+
+def _corpus_kg_entities_sql() -> str:
+    """GlobalEntity oracle (``knowledge_graph.rs:148-184,256-290``)."""
+    et = _ETYPE_SQL.replace("{cn}", "cl.cn")
+    imp = _IMP_SQL.format(df="cl.df", tm="cl.n_members", nsd="d2.nsd")
+    return f"""
+        WITH {_corpus_cluster_ctes("corpus_kg_entities")},
+        d2 AS (SELECT cluster_id,
+                 string_agg(DISTINCT doc_id, ',' ORDER BY doc_id) AS sd,
+                 count(DISTINCT doc_id) AS nsd
+               FROM m GROUP BY cluster_id),
+        al AS (SELECT cluster_id,
+                 string_agg(DISTINCT name, ',' ORDER BY name) AS a
+               FROM m GROUP BY cluster_id)
+        SELECT cl.cluster_id AS id, cl.cn AS canonical_name,
+               {et} AS entity_type,
+               cl.df::BIGINT AS document_frequency,
+               cl.n_members::BIGINT AS total_mentions,
+               al.a AS aliases, d2.sd AS source_documents,
+               d2.nsd::BIGINT AS n_source_docs,
+               cl.conf AS confidence_score,
+               round({imp}, 8) AS importance_score
+        FROM cl
+        JOIN d2 ON d2.cluster_id = cl.cluster_id
+        JOIN al ON al.cluster_id = cl.cluster_id
+    """
+
+
+def _corpus_rel_ctes(query: str) -> str:
+    """Pair CTEs for co-occurrence relations
+    (``knowledge_graph.rs:186-254``): per-document member lists in
+    cluster order, ordered i<j pairs (self-pairs included), grouped by
+    (source, target) with first-occurrence scan position."""
+    return f"""
+        {_corpus_cluster_ctes(query)},
+        mm AS (SELECT doc_id, cluster_id,
+                 row_number() OVER (PARTITION BY doc_id
+                     ORDER BY cluster_ord, member_idx) AS ord
+               FROM asg),
+        p AS (SELECT a.doc_id, a.cluster_id AS s, b.cluster_id AS t,
+                a.ord AS i, b.ord AS j,
+                row_number() OVER (ORDER BY a.doc_id, a.ord, b.ord) AS pp
+              FROM mm a
+              JOIN mm b ON b.doc_id = a.doc_id AND b.ord > a.ord),
+        g AS (SELECT s, t, count(*)::BIGINT AS document_frequency,
+                least(0.7 + 0.1 * (count(*) - 1), 1.0) AS conf,
+                string_agg(doc_id, ',' ORDER BY doc_id, i, j)
+                  AS source_documents,
+                min(pp) AS fp
+              FROM p GROUP BY s, t)
+    """
+
+
+def _corpus_kg_relations_sql() -> str:
+    return f"""
+        WITH {_corpus_rel_ctes("corpus_kg_relations")}
+        SELECT 'rel_' || CAST(row_number() OVER (ORDER BY fp) - 1
+                 AS VARCHAR) AS id,
+               s AS source_entity_id, t AS target_entity_id,
+               'co_occurs' AS relation_type, round(conf, 8) AS confidence,
+               document_frequency, source_documents
+        FROM g
+    """
+
+
+def _corpus_stats_sql() -> str:
+    """CorpusStats + QualityMetrics + GraphStats oracle
+    (``collection_processor.rs:58-102``, ``knowledge_graph.rs:293-336``)
+    — every count, ratio and weighted score recomputed from the staged
+    docs/flat/assignment tables."""
+    docs = _staged_sql("corpus_stats", "docs")
+    return f"""
+        WITH {_corpus_rel_ctes("corpus_stats")},
+        nd AS (SELECT count(*)::BIGINT AS n FROM {docs}),
+        ne AS (SELECT count(*)::BIGINT AS n FROM flat),
+        gc AS (SELECT count(*)::BIGINT AS n,
+                 coalesce(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+                   AS xd,
+                 avg(conf) AS ec
+               FROM cl),
+        rl AS (SELECT count(*)::BIGINT AS nr, avg(conf) AS rc FROM g),
+        s AS (SELECT
+            (SELECT n FROM nd) AS nd, (SELECT n FROM ne) AS ne,
+            (SELECT n FROM gc) AS n, (SELECT xd FROM gc) AS xd,
+            coalesce((SELECT ec FROM gc), 0.0) AS ec,
+            (SELECT nr FROM rl) AS nr,
+            coalesce((SELECT rc FROM rl), 0.0) AS rc),
+        r AS (SELECT s.*,
+                CASE WHEN ne > 0 THEN xd::DOUBLE / ne ELSE 0.0 END
+                  AS ratio
+              FROM s)
+        SELECT nd AS documents_processed,
+               ne AS total_entities_extracted,
+               n AS unique_entities_after_linking,
+               round(ratio, 8) AS cross_document_entity_ratio,
+               round(CASE WHEN nd > 0 THEN ne::DOUBLE / nd ELSE 0.0 END, 8)
+                 AS avg_entities_per_document,
+               0.0 AS avg_relations_per_document,
+               round(ec, 8) AS entity_confidence_avg,
+               round(rc, 8) AS relation_confidence_avg,
+               round(ratio, 8) AS cross_document_consistency,
+               round(ec * 0.3 + rc * 0.3 + ratio * 0.4, 8)
+                 AS overall_quality_score,
+               n AS total_entities, nr AS total_relations,
+               xd AS cross_document_entities,
+               n - xd AS single_document_entities,
+               n AS largest_component_size,
+               round(CASE WHEN n > 0 THEN 2.0 * nr / n ELSE 0.0 END, 8)
+                 AS avg_entity_connections,
+               round(CASE WHEN n > 1 AND (n * (n - 1)) // 2 > 0
+                     THEN nr::DOUBLE / ((n * (n - 1)) // 2)
+                     ELSE 0.0 END, 8) AS graph_density
+        FROM r
+    """
+
+
+def _corpus_search_sql(term: str = "hampton", top_k: int = 10) -> str:
+    """KG text-query oracle (``knowledge_graph.rs:348-370,402-407``):
+    member-name substring match (aliases = member names, canonical is
+    always one of them), importance sort with pinned id tie-break."""
+    imp = _IMP_SQL.format(df="cl.df", tm="cl.n_members", nsd="d2.nsd")
+    return f"""
+        WITH {_corpus_cluster_ctes("corpus_search")},
+        d2 AS (SELECT cluster_id, count(DISTINCT doc_id) AS nsd
+               FROM m GROUP BY cluster_id),
+        hit AS (SELECT cluster_id FROM m GROUP BY cluster_id
+                HAVING bool_or(contains(lower(name), '{term}'))),
+        imp AS (SELECT cl.cluster_id AS id, cl.cn AS canonical_name,
+                  {imp} AS imp
+                FROM cl JOIN d2 ON d2.cluster_id = cl.cluster_id)
+        SELECT id, canonical_name, round(imp, 8) AS importance_score
+        FROM imp JOIN hit ON hit.cluster_id = imp.id
+        ORDER BY imp DESC, id ASC LIMIT {top_k}
     """
 
 

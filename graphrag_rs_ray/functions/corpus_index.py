@@ -340,6 +340,21 @@ def corpus_stats_row(n_documents: int, total_entities_extracted: int,
     return row
 
 
+def query_entities(global_entities: list[dict], query: str,
+                   limit: int | None = None) -> list[dict]:
+    """Text query over the corpus KG (``knowledge_graph.rs:348-370``)
+    + ``get_top_entities`` (``:402-407``): case-insensitive substring
+    match on canonical name or any alias, sorted by importance
+    descending.  Ties are pinned id-ascending (the reference's stable
+    sort keeps HashMap order — nondeterministic)."""
+    ql = query.lower()
+    res = [e for e in global_entities
+           if ql in e["canonical_name"].lower()
+           or any(ql in a.lower() for a in e["aliases"])]
+    res.sort(key=lambda e: (-e["importance_score"], e["id"]))
+    return res if limit is None else res[:limit]
+
+
 def find_related_entities(edges: list[tuple[str, str]], entity_id: str,
                           max_depth: int) -> list[str]:
     """The reference's stack-pop "BFS" (``knowledge_graph.rs:416-453``):

@@ -136,3 +136,32 @@ def heading_path(sections: list[Section], idx: int) -> list[str]:
         path.append(sections[cur].heading.text)
         cur = sections[cur].parent_section
     return list(reversed(path))
+
+
+def section_depths(sections: list[Section]) -> list[int]:
+    """Depth map (``text/document_structure.rs:120-146``): 0 = root,
+    parent depth + 1 otherwise.  Parents always precede children in the
+    stack-built section list, so one forward pass suffices."""
+    depths: list[int] = []
+    for s in sections:
+        depths.append(0 if s.parent_section is None
+                      else depths[s.parent_section] + 1)
+    return depths
+
+
+def structure_statistics(headings: list[Heading], sections: list[Section],
+                         roots: list[int]) -> dict:
+    """StructureStatistics (``text/document_structure.rs:237-276``):
+    heading/section totals, max hierarchy depth (0 when empty), root
+    count, and per-level heading counts (levels 1..6 pivoted to
+    columns — the reference keeps a HashMap)."""
+    depths = section_depths(sections)
+    stats = {
+        "total_headings": len(headings),
+        "total_sections": len(sections),
+        "max_depth": max(depths, default=0),
+        "root_sections": len(roots),
+    }
+    for lvl in range(1, 7):
+        stats[f"level_{lvl}"] = sum(1 for h in headings if h.level == lvl)
+    return stats
