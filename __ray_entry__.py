@@ -2235,6 +2235,151 @@ def q_corpus_related(sf_dir: str):
         "discovery_ord": pa.array(range(len(related)), pa.int64())}))
 
 
+# -------------------------------------------------- document structure --
+# text/document_structure.rs — section hierarchy built by the layout
+# parsers (sections, stack parenting, depth map, heading paths, stats).
+
+
+def _structure_docs(sf_dir: str):
+    """Deterministic markdown documents synthesized from the documents
+    table, exercising every markdown-parser branch: 4-level nesting,
+    level pops, a 7-hash invalid line, a bare ``##`` (empty text,
+    dropped), a missing-space ``#word`` line, space-indented headings,
+    second roots, trailing-heading docs (empty final section) and
+    no-structure docs (``doc_id % 11 == 0``)."""
+    import ray.data as rd
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for did in t.column("doc_id").to_pylist():
+            i = int(did)
+            if i % 11 == 0:
+                lines = [f"Plain narrative {i}.", "No headings here.",
+                         f"Just body text {i % 3}."]
+            else:
+                lines = [f"# Document {i}", f"Body intro for doc {i}.",
+                         f"## Background {i % 5}", "Shared body line.",
+                         f"### Detail {i % 3}", f"#### Deep dive {i % 2}"]
+                if i % 4 == 0:
+                    lines.append("####### seven hashes is not a heading")
+                if i % 3 == 0:
+                    lines.append("##")
+                if i % 5 == 0:
+                    lines.append("#missing-space heading")
+                if i % 6 == 1:
+                    lines.append(f"   ## Indented {i % 3}")
+                lines.append(f"## Methods {i % 7}")
+                if i % 2 == 0:
+                    lines.append(f"# Part Two of {i}")
+                if i % 7 != 0:
+                    lines.append(f"Closing remark {i}.")
+            ids.append(i)
+            texts.append("\n".join(lines))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return docs.map_batches(gen, batch_format="pyarrow")
+
+
+def _structure_rows(t: pa.Table) -> pa.Table:
+    from graphrag_rs_ray.functions.layout import (heading_path,
+                                                  parse_layout,
+                                                  section_depths)
+    c: dict[str, list] = {k: [] for k in (
+        "doc_id", "idx", "level", "heading_text", "start_offset",
+        "end_offset", "line_number", "content_start", "content_end",
+        "parent_idx", "depth", "heading_path", "n_children", "is_root")}
+    for did, text in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        _, sections, _ = parse_layout(text, "markdown")
+        depths = section_depths(sections)
+        for idx, s in enumerate(sections):
+            h = s.heading
+            c["doc_id"].append(did)
+            c["idx"].append(idx)
+            c["level"].append(h.level)
+            c["heading_text"].append(h.text)
+            c["start_offset"].append(h.start_offset)
+            c["end_offset"].append(h.end_offset)
+            c["line_number"].append(h.line_number)
+            c["content_start"].append(s.content_start)
+            c["content_end"].append(s.content_end)
+            c["parent_idx"].append(s.parent_section)
+            c["depth"].append(depths[idx])
+            c["heading_path"].append(" > ".join(heading_path(sections, idx)))
+            c["n_children"].append(len(s.child_sections))
+            c["is_root"].append(s.parent_section is None)
+    return pa.table({
+        "doc_id": pa.array(c["doc_id"], pa.int64()),
+        "idx": pa.array(c["idx"], pa.int64()),
+        "level": pa.array(c["level"], pa.int64()),
+        "heading_text": pa.array(c["heading_text"], pa.string()),
+        "start_offset": pa.array(c["start_offset"], pa.int64()),
+        "end_offset": pa.array(c["end_offset"], pa.int64()),
+        "line_number": pa.array(c["line_number"], pa.int64()),
+        "content_start": pa.array(c["content_start"], pa.int64()),
+        "content_end": pa.array(c["content_end"], pa.int64()),
+        "parent_idx": pa.array(c["parent_idx"], pa.int64()),
+        "depth": pa.array(c["depth"], pa.int64()),
+        "heading_path": pa.array(c["heading_path"], pa.string()),
+        "n_children": pa.array(c["n_children"], pa.int64()),
+        "is_root": pa.array(c["is_root"], pa.bool_())})
+
+
+def q_doc_structure(sf_dir: str):
+    """Section table (``text/document_structure.rs:66-230``): markdown
+    headings (``parsers/markdown.rs:84-110``) → sections with content
+    ranges (``html.rs:83-97`` shared build), stack parenting
+    (``html.rs:100-137``), depth map (``document_structure.rs:120-146``)
+    and root→leaf heading paths (``:188-206``).  ZERO derivation
+    staging: the oracle re-parses the staged markdown text in SQL and
+    rebuilds parents via nearest-smaller-level, depth/path via a
+    recursive CTE."""
+    docs = _stage(_structure_docs(sf_dir), "doc_structure", sf_dir, "docs")
+    return docs.map_batches(_structure_rows, batch_format="pyarrow")
+
+
+def q_doc_structure_stats(sf_dir: str):
+    """Per-document StructureStatistics
+    (``document_structure.rs:237-293``): heading/section totals, max
+    hierarchy depth, root count and per-level heading counts (pivoted
+    to level_1..level_6 columns)."""
+    from graphrag_rs_ray.functions.layout import (parse_layout,
+                                                  structure_statistics)
+    docs = _stage(_structure_docs(sf_dir), "doc_structure_stats", sf_dir,
+                  "docs")
+
+    def stats_rows(t: pa.Table) -> pa.Table:
+        c: dict[str, list] = {"doc_id": [], "total_headings": [],
+                              "total_sections": [], "max_depth": [],
+                              "root_sections": [], "has_structure": []}
+        for lvl in range(1, 7):
+            c[f"level_{lvl}"] = []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            headings, sections, roots = parse_layout(text, "markdown")
+            st = structure_statistics(headings, sections, roots)
+            c["doc_id"].append(did)
+            for k in ("total_headings", "total_sections", "max_depth",
+                      "root_sections"):
+                c[k].append(st[k])
+            for lvl in range(1, 7):
+                c[f"level_{lvl}"].append(st[f"level_{lvl}"])
+            c["has_structure"].append(bool(headings))
+        out = {"doc_id": pa.array(c["doc_id"], pa.int64())}
+        for k in ("total_headings", "total_sections", "max_depth",
+                  "root_sections"):
+            out[k] = pa.array(c[k], pa.int64())
+        for lvl in range(1, 7):
+            out[f"level_{lvl}"] = pa.array(c[f"level_{lvl}"], pa.int64())
+        out["has_structure"] = pa.array(c["has_structure"], pa.bool_())
+        return pa.table(out)
+
+    return docs.map_batches(stats_rows, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -2380,6 +2525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": q_corpus_stats,
         "corpus_search": q_corpus_search,
         "corpus_related": q_corpus_related,
+        # document structure (text/document_structure.rs + layout parsers)
+        "doc_structure": q_doc_structure,
+        "doc_structure_stats": q_doc_structure_stats,
     }
 
 
@@ -2436,6 +2584,8 @@ def oracle_sql() -> dict[str, str]:
     d["corpus_kg_relations"] = _corpus_kg_relations_sql()
     d["corpus_stats"] = _corpus_stats_sql()
     d["corpus_search"] = _corpus_search_sql()
+    d["doc_structure"] = _doc_structure_sql()
+    d["doc_structure_stats"] = _doc_structure_stats_sql()
     d["ego_network"] = _traversal_sql("ego_network", n_seeds=1, k=2,
                                       mode="ego")
     d["multi_source_bfs"] = _traversal_sql("multi_source_bfs", n_seeds=3,
@@ -3067,6 +3217,115 @@ def _corpus_search_sql(term: str = "hampton", top_k: int = 10) -> str:
         SELECT id, canonical_name, round(imp, 8) AS importance_score
         FROM imp JOIN hit ON hit.cluster_id = imp.id
         ORDER BY imp DESC, id ASC LIMIT {top_k}
+    """
+
+
+# ------------------------------------------- document-structure SQL --
+
+
+def _doc_structure_ctes(query: str) -> str:
+    """Shared replay CTEs: staged markdown text → headings (line scan
+    with cumulative character offsets), sections (content ranges),
+    stack parents (nearest preceding smaller level — equivalent to the
+    reference's stack pop), and depth/path via a recursive walk."""
+    docs = _staged_sql(query, "docs")
+    return f"""
+        docs AS MATERIALIZED (SELECT * FROM {docs}),
+        l0 AS (SELECT doc_id, string_split(text, chr(10)) AS lst
+               FROM docs),
+        l AS (SELECT doc_id, unnest(lst) AS line,
+                unnest(range(1, len(lst) + 1)) AS pos
+              FROM l0),
+        lo AS (SELECT doc_id, line, pos, trim(line) AS t,
+                 coalesce(sum(length(line) + 1) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS off
+               FROM l),
+        h0 AS (SELECT doc_id, line, pos, t, off,
+                 length(t) - length(ltrim(t, '#')) AS lvl
+               FROM lo WHERE starts_with(t, '#')),
+        h AS (SELECT doc_id, line, pos, off, lvl,
+                trim(substring(t, lvl + 1)) AS htext
+              FROM h0
+              WHERE lvl BETWEEN 1 AND 6
+                AND substring(t, lvl + 1, 1) = ' '
+                AND trim(substring(t, lvl + 1)) <> ''),
+        sec AS MATERIALIZED (
+          SELECT h.doc_id,
+                 row_number() OVER (PARTITION BY h.doc_id
+                                    ORDER BY h.pos) - 1 AS idx,
+                 h.lvl AS level, h.htext,
+                 h.off AS start_offset,
+                 h.off + length(h.line) AS end_offset,
+                 h.pos - 1 AS line_number,
+                 h.off + length(h.line) AS content_start,
+                 coalesce(lead(h.off) OVER (PARTITION BY h.doc_id
+                                            ORDER BY h.pos),
+                          dl.n) AS content_end
+          FROM h JOIN (SELECT doc_id, length(text) AS n FROM docs) dl
+                 USING (doc_id)),
+        par AS (SELECT i.doc_id, i.idx, max(j.idx) AS parent_idx
+                FROM sec i JOIN sec j
+                  ON j.doc_id = i.doc_id AND j.idx < i.idx
+                 AND j.level < i.level
+                GROUP BY i.doc_id, i.idx),
+        s2 AS MATERIALIZED (
+          SELECT sec.*, par.parent_idx
+          FROM sec LEFT JOIN par USING (doc_id, idx)),
+        walk AS (
+          SELECT doc_id, idx, 0 AS depth, htext AS path
+          FROM s2 WHERE parent_idx IS NULL
+          UNION ALL
+          SELECT s.doc_id, s.idx, w.depth + 1,
+                 w.path || ' > ' || s.htext
+          FROM s2 s JOIN walk w
+            ON w.doc_id = s.doc_id AND w.idx = s.parent_idx)
+    """
+
+
+def _doc_structure_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_doc_structure_ctes("doc_structure")},
+        ch AS (SELECT doc_id, parent_idx AS idx, count(*)::BIGINT AS n
+               FROM s2 WHERE parent_idx IS NOT NULL
+               GROUP BY doc_id, parent_idx)
+        SELECT s2.doc_id, s2.idx::BIGINT AS idx, s2.level::BIGINT AS level,
+               s2.htext AS heading_text,
+               s2.start_offset::BIGINT AS start_offset,
+               s2.end_offset::BIGINT AS end_offset,
+               s2.line_number::BIGINT AS line_number,
+               s2.content_start::BIGINT AS content_start,
+               s2.content_end::BIGINT AS content_end,
+               s2.parent_idx::BIGINT AS parent_idx,
+               w.depth::BIGINT AS depth, w.path AS heading_path,
+               coalesce(ch.n, 0)::BIGINT AS n_children,
+               s2.parent_idx IS NULL AS is_root
+        FROM s2
+        JOIN walk w USING (doc_id, idx)
+        LEFT JOIN ch USING (doc_id, idx)
+    """
+
+
+def _doc_structure_stats_sql() -> str:
+    lvls = ",\n               ".join(
+        f"coalesce(sum(CASE WHEN s2.level = {k} THEN 1 ELSE 0 END), 0)"
+        f"::BIGINT AS level_{k}" for k in range(1, 7))
+    return f"""
+        WITH RECURSIVE {_doc_structure_ctes("doc_structure_stats")},
+        sw AS (SELECT s2.doc_id, s2.idx, s2.level, s2.parent_idx, w.depth
+               FROM s2 JOIN walk w USING (doc_id, idx))
+        SELECT d.doc_id,
+               count(s2.idx)::BIGINT AS total_headings,
+               count(s2.idx)::BIGINT AS total_sections,
+               coalesce(max(s2.depth), 0)::BIGINT AS max_depth,
+               coalesce(sum(CASE WHEN s2.idx IS NOT NULL
+                            AND s2.parent_idx IS NULL
+                            THEN 1 ELSE 0 END), 0)::BIGINT AS root_sections,
+               {lvls},
+               count(s2.idx) > 0 AS has_structure
+        FROM docs d LEFT JOIN sw s2 USING (doc_id)
+        GROUP BY d.doc_id
     """
 
 
