@@ -2380,6 +2380,173 @@ def q_doc_structure_stats(sf_dir: str):
     return docs.map_batches(stats_rows, batch_format="pyarrow")
 
 
+# ------------------------------------------------------ LLM evaluation --
+# evaluation/mod.rs — prompt generation over EvaluableQueryResults,
+# deterministic fake-LLM scoring, JSON parse, threshold/weakest/report.
+
+
+def _eval_components(i: int, text: str) -> tuple[dict, str]:
+    """Deterministic EvaluableQueryResult synthesized from a document
+    row, exercising every formatter branch: empty lists (counts 0 →
+    the 'No ... retrieved.' strings), take-10 entity/relationship
+    truncation (up to 12/11), take-5 chunk truncation (up to 7) and
+    the 200-char chunk preview ellipsis."""
+    from graphrag_rs_ray.functions.evaluation import build_result
+    strategy = ("semantic", "keyword", "hybrid")[i % 3]
+    ents = [{"name": f"Entity {i % 50}_{j}",
+             "entity_type": ("person", "organization", "location",
+                             "concept")[j % 4],
+             "confidence": 0.5 + 0.05 * (j % 10)}
+            for j in range(i % 13)]
+    rels = [{"source": f"Entity {i % 50}_{j}",
+             "target": f"Entity {i % 50}_{j + 1}",
+             "relation_type": ("knows", "works_at", "located_in")[j % 3],
+             "confidence": 0.6 + 0.05 * (j % 8)}
+            for j in range(i % 12)]
+    chunks = [text[j * 40:j * 40 + 230] for j in range(i % 8)]
+    res = build_result(
+        query=f"What is the subject of document {i}?",
+        answer=text[:160] if text else "(empty document)",
+        entities=ents, relationships=rels, chunks=chunks,
+        retrieval_strategy=strategy)
+    return res, strategy
+
+
+def q_llm_evaluation(sf_dir: str):
+    """LLM evaluation loop (``evaluation/mod.rs:164-318``): prompt
+    assembly (sequential placeholder .replace, top-10/10/5 formatter
+    truncations, 200-char chunk previews), a deterministic fake-LLM
+    response in the reference's demanded JSON format, strict parse,
+    overall/threshold/weakest-dimension and the byte-exact report.
+    The oracle re-assembles the prompt from the staged normalized
+    tables, re-derives every score from length(prompt) and rebuilds
+    prompt AND report md5s — prompt parity is load-bearing for all
+    downstream columns.  Per-result map, bounded list sizes: scale-safe."""
+    import hashlib
+
+    import ray.data as rd
+    from graphrag_rs_ray.functions.evaluation import (
+        fake_llm_evaluation_response, generate_prompt, parse_evaluation,
+        passes_threshold, report, weakest_dimension)
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def gen_results(t: pa.Table) -> pa.Table:
+        c = {k: [] for k in ("doc_id", "query", "answer", "strategy",
+                             "n_entities", "n_relationships", "n_chunks")}
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            res, strategy = _eval_components(int(did), text)
+            c["doc_id"].append(int(did))
+            c["query"].append(res["query"])
+            c["answer"].append(res["answer"])
+            c["strategy"].append(strategy)
+            c["n_entities"].append(res["metadata"]["entities_count"])
+            c["n_relationships"].append(
+                res["metadata"]["relationships_count"])
+            c["n_chunks"].append(res["metadata"]["chunks_count"])
+        return pa.table({
+            "doc_id": pa.array(c["doc_id"], pa.int64()),
+            "query": pa.array(c["query"], pa.string()),
+            "answer": pa.array(c["answer"], pa.string()),
+            "strategy": pa.array(c["strategy"], pa.string()),
+            "n_entities": pa.array(c["n_entities"], pa.int64()),
+            "n_relationships": pa.array(c["n_relationships"], pa.int64()),
+            "n_chunks": pa.array(c["n_chunks"], pa.int64())})
+
+    def gen_lists(t: pa.Table) -> pa.Table:
+        c: dict[str, list] = {k: [] for k in (
+            "doc_id", "kind", "ord", "name", "etype", "source", "rtype",
+            "target", "conf", "ctext")}
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            res, _ = _eval_components(int(did), text)
+            for j, e in enumerate(res["retrieved_entities"]):
+                c["doc_id"].append(int(did)); c["kind"].append("ent")
+                c["ord"].append(j); c["name"].append(e["name"])
+                c["etype"].append(e["entity_type"])
+                c["source"].append(None); c["rtype"].append(None)
+                c["target"].append(None)
+                c["conf"].append(e["confidence"]); c["ctext"].append(None)
+            for j, r in enumerate(res["retrieved_relationships"]):
+                c["doc_id"].append(int(did)); c["kind"].append("rel")
+                c["ord"].append(j); c["name"].append(None)
+                c["etype"].append(None); c["source"].append(r["source"])
+                c["rtype"].append(r["relation_type"])
+                c["target"].append(r["target"])
+                c["conf"].append(r["confidence"]); c["ctext"].append(None)
+            for j, ch in enumerate(res["context_chunks"]):
+                c["doc_id"].append(int(did)); c["kind"].append("chunk")
+                c["ord"].append(j); c["name"].append(None)
+                c["etype"].append(None); c["source"].append(None)
+                c["rtype"].append(None); c["target"].append(None)
+                c["conf"].append(None); c["ctext"].append(ch)
+        return pa.table({
+            "doc_id": pa.array(c["doc_id"], pa.int64()),
+            "kind": pa.array(c["kind"], pa.string()),
+            "ord": pa.array(c["ord"], pa.int64()),
+            "name": pa.array(c["name"], pa.string()),
+            "etype": pa.array(c["etype"], pa.string()),
+            "source": pa.array(c["source"], pa.string()),
+            "rtype": pa.array(c["rtype"], pa.string()),
+            "target": pa.array(c["target"], pa.string()),
+            "conf": pa.array(c["conf"], pa.float64()),
+            "ctext": pa.array(c["ctext"], pa.string())})
+
+    _stage(docs.map_batches(gen_results, batch_format="pyarrow"),
+           "llm_evaluation", sf_dir, "results")
+    _stage(docs.map_batches(gen_lists, batch_format="pyarrow"),
+           "llm_evaluation", sf_dir, "lists")
+
+    def eval_rows(t: pa.Table) -> pa.Table:
+        c: dict[str, list] = {k: [] for k in (
+            "doc_id", "strategy", "prompt_chars", "prompt_md5",
+            "score_relevance", "score_faithfulness", "score_completeness",
+            "score_coherence", "score_groundedness", "overall_score",
+            "passes_3", "weakest_dimension", "weakest_score", "summary",
+            "report_md5")}
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            res, strategy = _eval_components(int(did), text)
+            prompt = generate_prompt(res)
+            ev = parse_evaluation(
+                fake_llm_evaluation_response(prompt, strategy))
+            wname, wsc = weakest_dimension(ev)
+            c["doc_id"].append(int(did))
+            c["strategy"].append(strategy)
+            c["prompt_chars"].append(len(prompt))
+            c["prompt_md5"].append(
+                hashlib.md5(prompt.encode("utf-8")).hexdigest())
+            for dim in ("relevance", "faithfulness", "completeness",
+                        "coherence", "groundedness"):
+                c[f"score_{dim}"].append(ev[dim]["score"])
+            c["overall_score"].append(ev["overall_score"])
+            c["passes_3"].append(passes_threshold(ev, 3.0))
+            c["weakest_dimension"].append(wname)
+            c["weakest_score"].append(wsc["score"])
+            c["summary"].append(ev["summary"])
+            c["report_md5"].append(
+                hashlib.md5(report(ev).encode("utf-8")).hexdigest())
+        out = {"doc_id": pa.array(c["doc_id"], pa.int64()),
+               "strategy": pa.array(c["strategy"], pa.string()),
+               "prompt_chars": pa.array(c["prompt_chars"], pa.int64()),
+               "prompt_md5": pa.array(c["prompt_md5"], pa.string())}
+        for dim in ("relevance", "faithfulness", "completeness",
+                    "coherence", "groundedness"):
+            out[f"score_{dim}"] = pa.array(c[f"score_{dim}"], pa.int64())
+        out["overall_score"] = pa.array(c["overall_score"], pa.float64())
+        out["passes_3"] = pa.array(c["passes_3"], pa.bool_())
+        out["weakest_dimension"] = pa.array(c["weakest_dimension"],
+                                            pa.string())
+        out["weakest_score"] = pa.array(c["weakest_score"], pa.int64())
+        out["summary"] = pa.array(c["summary"], pa.string())
+        out["report_md5"] = pa.array(c["report_md5"], pa.string())
+        return pa.table(out)
+
+    return docs.map_batches(eval_rows, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -2528,6 +2695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # document structure (text/document_structure.rs + layout parsers)
         "doc_structure": q_doc_structure,
         "doc_structure_stats": q_doc_structure_stats,
+        # LLM evaluation framework (evaluation/mod.rs)
+        "llm_evaluation": q_llm_evaluation,
     }
 
 
@@ -2586,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
     d["corpus_search"] = _corpus_search_sql()
     d["doc_structure"] = _doc_structure_sql()
     d["doc_structure_stats"] = _doc_structure_stats_sql()
+    d["llm_evaluation"] = _llm_evaluation_sql()
     d["ego_network"] = _traversal_sql("ego_network", n_seeds=1, k=2,
                                       mode="ego")
     d["multi_source_bfs"] = _traversal_sql("multi_source_bfs", n_seeds=3,
@@ -3326,6 +3496,120 @@ def _doc_structure_stats_sql() -> str:
                count(s2.idx) > 0 AS has_structure
         FROM docs d LEFT JOIN sw s2 USING (doc_id)
         GROUP BY d.doc_id
+    """
+
+
+# ------------------------------------------------- LLM-evaluation SQL --
+
+
+def _llm_evaluation_sql() -> str:
+    """Evaluation oracle (``evaluation/mod.rs:164-318``): re-assembles
+    the prompt from the staged results + normalized list rows (same
+    sequential placeholder replaces, same top-10/10/5 truncations and
+    200-char previews), re-derives the deterministic fake-LLM scores
+    from length(prompt), and rebuilds the report string — md5s of both
+    strings prove byte parity."""
+    from graphrag_rs_ray.functions.evaluation import DEFAULT_TEMPLATE
+    results = _staged_sql("llm_evaluation", "results")
+    lists = _staged_sql("llm_evaluation", "lists")
+    # report template with distinct tokens; literal newlines preserved
+    rpt = ("## LLM Evaluation Report\n\n"
+           "**Overall Score**: {o}/5.0\n\n"
+           "### Dimension Scores\n"
+           "- Relevance:     {s0}/5 - {r0}\n"
+           "- Faithfulness:  {s1}/5 - {r1}\n"
+           "- Completeness:  {s2}/5 - {r2}\n"
+           "- Coherence:     {s3}/5 - {r3}\n"
+           "- Groundedness:  {s4}/5 - {r4}\n\n"
+           "### Summary\n{sm}\n\n"
+           "### Weakest Dimension\n{wn}: {wr} (score {ws}/5)\n")
+    rexpr = "$RPT${r}$RPT$".replace("{r}", rpt)
+    for tok, val in (
+            ("{o}", "printf('%.2f', overall)"),
+            ("{s0}", "s0::VARCHAR"), ("{r0}", "r0"),
+            ("{s1}", "s1::VARCHAR"), ("{r1}", "r1"),
+            ("{s2}", "s2::VARCHAR"), ("{r2}", "r2"),
+            ("{s3}", "s3::VARCHAR"), ("{r3}", "r3"),
+            ("{s4}", "s4::VARCHAR"), ("{r4}", "r4"),
+            ("{sm}", "summary"), ("{wn}", "wname"), ("{wr}", "wreason"),
+            ("{ws}", "wscore::VARCHAR")):
+        rexpr = f"replace({rexpr}, '{tok}', {val})"
+    pexpr = "$TPL${t}$TPL$".replace("{t}", DEFAULT_TEMPLATE)
+    for tok, val in (
+            ("{query}", "r.query"), ("{answer}", "r.answer"),
+            ("{entities_count}", "r.n_entities::VARCHAR"),
+            ("{relationships_count}", "r.n_relationships::VARCHAR"),
+            ("{chunks_count}", "r.n_chunks::VARCHAR"),
+            ("{entities}", "coalesce(el.s, 'No entities retrieved.')"),
+            ("{relationships}",
+             "coalesce(rl.s, 'No relationships retrieved.')"),
+            ("{chunks}", "coalesce(cl.s, 'No context chunks retrieved.')")):
+        pexpr = f"replace({pexpr}, '{tok}', {val})"
+    reasons = ",\n            ".join(
+        f"'deterministic {dim} assessment (' || s{d}::VARCHAR || '/5)'"
+        f" AS r{d}"
+        for d, dim in enumerate(("relevance", "faithfulness",
+                                 "completeness", "coherence",
+                                 "groundedness")))
+    return f"""
+        WITH res AS MATERIALIZED (SELECT * FROM {results}),
+        lst AS MATERIALIZED (SELECT * FROM {lists}),
+        el AS (SELECT doc_id, string_agg(
+                 '- ' || name || ' (type: ' || etype || ', confidence: '
+                 || printf('%.2f', conf) || ')', chr(10) ORDER BY ord) AS s
+               FROM lst WHERE kind = 'ent' AND ord < 10 GROUP BY doc_id),
+        rl AS (SELECT doc_id, string_agg(
+                 '- ' || source || ' --[' || rtype || ']--> ' || target
+                 || ' (confidence: ' || printf('%.2f', conf) || ')',
+                 chr(10) ORDER BY ord) AS s
+               FROM lst WHERE kind = 'rel' AND ord < 10 GROUP BY doc_id),
+        cl AS (SELECT doc_id, string_agg(
+                 'Chunk ' || (ord + 1)::VARCHAR || ':' || chr(10)
+                 || CASE WHEN length(ctext) > 200
+                    THEN substring(ctext, 1, 200) || '...' ELSE ctext END
+                 || chr(10), chr(10) ORDER BY ord) AS s
+               FROM lst WHERE kind = 'chunk' AND ord < 5 GROUP BY doc_id),
+        p AS (SELECT r.doc_id, r.strategy, {pexpr} AS prompt
+              FROM res r
+              LEFT JOIN el ON el.doc_id = r.doc_id
+              LEFT JOIN rl ON rl.doc_id = r.doc_id
+              LEFT JOIN cl ON cl.doc_id = r.doc_id),
+        sc AS (SELECT doc_id, strategy, prompt, length(prompt) AS plen,
+                 (1 + ((length(prompt) * 3 + 0) % 5))::BIGINT AS s0,
+                 (1 + ((length(prompt) * 4 + 1) % 5))::BIGINT AS s1,
+                 (1 + ((length(prompt) * 5 + 4) % 5))::BIGINT AS s2,
+                 (1 + ((length(prompt) * 6 + 9) % 5))::BIGINT AS s3,
+                 (1 + ((length(prompt) * 7 + 16) % 5))::BIGINT AS s4
+               FROM p),
+        ag AS (SELECT *,
+                 (s0 + s1 + s2 + s3 + s4) / 5.0 AS overall,
+                 CASE WHEN s0<=s1 AND s0<=s2 AND s0<=s3 AND s0<=s4
+                        THEN 'relevance'
+                      WHEN s1<=s2 AND s1<=s3 AND s1<=s4
+                        THEN 'faithfulness'
+                      WHEN s2<=s3 AND s2<=s4 THEN 'completeness'
+                      WHEN s3<=s4 THEN 'coherence'
+                      ELSE 'groundedness' END AS wname,
+                 least(s0, s1, s2, s3, s4)::BIGINT AS wscore,
+                 {reasons},
+                 'Automated sandbox evaluation via ' || strategy
+                   || ' retrieval.' AS summary
+               FROM sc),
+        fin AS (SELECT *,
+                  CASE wname WHEN 'relevance' THEN r0
+                    WHEN 'faithfulness' THEN r1
+                    WHEN 'completeness' THEN r2
+                    WHEN 'coherence' THEN r3 ELSE r4 END AS wreason
+                FROM ag)
+        SELECT doc_id, strategy, plen::BIGINT AS prompt_chars,
+               md5(prompt) AS prompt_md5,
+               s0 AS score_relevance, s1 AS score_faithfulness,
+               s2 AS score_completeness, s3 AS score_coherence,
+               s4 AS score_groundedness,
+               overall AS overall_score, overall >= 3.0 AS passes_3,
+               wname AS weakest_dimension, wscore AS weakest_score,
+               summary, md5({rexpr}) AS report_md5
+        FROM fin
     """
 
 
