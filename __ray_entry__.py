@@ -2547,6 +2547,47 @@ def q_llm_evaluation(sf_dir: str):
     return docs.map_batches(eval_rows, batch_format="pyarrow")
 
 
+# ------------------------------------------------ graph embeddings --
+# graph/embeddings.rs — Node2Vec + GraphSAGE over a bounded KG subgraph.
+
+
+_GE_CFG = dict(dimension=32, walk_length=20, walks_per_node=4,
+               context_size=5, epochs=2, seed=17)
+
+
+def q_node2vec(sf_dir: str):
+    """Node2Vec (``graph/embeddings.rs:132-320``): distributed biased
+    walks (counter-seeded streams — partition-order-independent) over a
+    bounded weighted KG subgraph, sequential simplified skip-gram
+    (reference semantics).  Not SQL-expressible (seeded RNG + sequential
+    training) — rows-only driver check; local==distributed equality and
+    the reference's own test expectations are unit-gated."""
+    from graphrag_rs_ray.functions.graph_embeddings import EmbeddingConfig
+    from graphrag_rs_ray.pipelines.graph_embeddings import (
+        node2vec_embeddings)
+    edges = _staged_weighted_edges("node2vec", sf_dir, max_nodes=48)
+    out = node2vec_embeddings(edges, EmbeddingConfig(**_GE_CFG))
+    return out.map_batches(
+        lambda t: t.select(["node", "dim", "l2_norm"]),
+        batch_format="pyarrow")
+
+
+def q_graphsage(sf_dir: str):
+    """GraphSAGE (``graph/embeddings.rs:360-509``): per-layer node
+    fan-out with broadcast (adjacency, features); mean aggregation,
+    seeded sample-without-replacement.  Rows-only (seeded RNG)."""
+    from graphrag_rs_ray.functions.graph_embeddings import GraphSAGEConfig
+    from graphrag_rs_ray.pipelines.graph_embeddings import (
+        graphsage_embeddings)
+    edges = _staged_weighted_edges("graphsage", sf_dir, max_nodes=48)
+    out = graphsage_embeddings(
+        edges, GraphSAGEConfig(dimension=32, num_layers=2,
+                               samples_per_layer=[5, 3], seed=17))
+    return out.map_batches(
+        lambda t: t.select(["node", "dim", "l2_norm"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -2697,6 +2738,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_structure_stats": q_doc_structure_stats,
         # LLM evaluation framework (evaluation/mod.rs)
         "llm_evaluation": q_llm_evaluation,
+        # graph embeddings (graph/embeddings.rs; seeded-RNG rows-only)
+        "node2vec_embeddings": q_node2vec,
+        "graphsage_embeddings": q_graphsage,
     }
 
 
