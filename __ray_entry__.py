@@ -2588,6 +2588,72 @@ def q_graphsage(sf_dir: str):
         batch_format="pyarrow")
 
 
+# ------------------------------------------------ vector store actor --
+# vector/voy_store.rs — shared mutable vector index as a Ray actor.
+
+
+def _loaded_vector_store(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from graphrag_rs_ray.state.vector_store import (
+        load_dataset_into_store, vector_store_actor)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, columns=["embedding"]).column("embedding")
+    dim = len(head[0])
+    store = vector_store_actor(dim)
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    load_dataset_into_store(store, ds, "vec_id", "embedding")
+    return store, path
+
+
+def q_vector_store_topk(sf_dir: str):
+    """Vector-store search (``vector/voy_store.rs:88-204``): stream the
+    embeddings table into ONE shared-index actor (batched add RPCs),
+    build, then top-10 cosine per query (first 5 vec_ids) — ranks tied
+    by vec_id ascending, matching the knn oracle convention.  Backend is
+    exact cosine instead of Voy's k-d tree (documented swap)."""
+    import ray
+    import ray.data as rd
+    store, path = _loaded_vector_store(sf_dir)
+    ray.get(store.build_index.remote())
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    order = _pc.sort_indices(head.column("vec_id"))[:5]
+    qids = _pc.take(head.column("vec_id"), order).to_pylist()
+    qvecs = _pc.take(head.column("embedding"), order).to_pylist()
+    rows = {"query_id": [], "vec_id": [], "rank": []}
+    for qid, qv in zip(qids, qvecs):
+        hits = ray.get(store.search.remote(qv, 50))
+        hits.sort(key=lambda h: (-h[1], int(h[0])))
+        for r, (vid, _) in enumerate(hits[:10], start=1):
+            rows["query_id"].append(int(qid))
+            rows["vec_id"].append(int(vid))
+            rows["rank"].append(r)
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "vec_id": pa.array(rows["vec_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64())}))
+
+
+def q_vector_store_stats(sf_dir: str):
+    """VoyStoreStatistics (``voy_store.rs:288-320``) over the loaded
+    store: count, dimension, built flag, min/max/avg raw-embedding
+    norms (round 8 — pairwise-vs-sequential summation)."""
+    import ray
+    import ray.data as rd
+    store, _ = _loaded_vector_store(sf_dir)
+    ray.get(store.build_index.remote())
+    st = ray.get(store.statistics.remote())
+    return rd.from_arrow(pa.table({
+        "vector_count": pa.array([st["vector_count"]], pa.int64()),
+        "dimension": pa.array([st["dimension"]], pa.int64()),
+        "index_built": pa.array([st["index_built"]], pa.bool_()),
+        "min_norm": pa.array([round(st["min_norm"], 8)], pa.float64()),
+        "max_norm": pa.array([round(st["max_norm"], 8)], pa.float64()),
+        "avg_norm": pa.array([round(st["avg_norm"], 8)], pa.float64())}))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -2741,6 +2807,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph embeddings (graph/embeddings.rs; seeded-RNG rows-only)
         "node2vec_embeddings": q_node2vec,
         "graphsage_embeddings": q_graphsage,
+        # shared vector-store actor (vector/voy_store.rs)
+        "vector_store_topk": q_vector_store_topk,
+        "vector_store_stats": q_vector_store_stats,
     }
 
 
@@ -2800,6 +2869,33 @@ def oracle_sql() -> dict[str, str]:
     d["doc_structure"] = _doc_structure_sql()
     d["doc_structure_stats"] = _doc_structure_stats_sql()
     d["llm_evaluation"] = _llm_evaluation_sql()
+    d["vector_store_topk"] = """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings ORDER BY vec_id LIMIT 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                            e.vec_id ASC) AS rank
+          FROM q CROSS JOIN embeddings e)
+        SELECT query_id, vec_id, rank::BIGINT AS rank
+        FROM scored WHERE rank <= 10
+    """
+    d["vector_store_stats"] = """
+        WITH n AS (SELECT sqrt(list_dot_product(
+                     embedding::DOUBLE[], embedding::DOUBLE[])) AS nm,
+                   len(embedding) AS dim
+                   FROM embeddings)
+        SELECT count(*)::BIGINT AS vector_count,
+               max(dim)::BIGINT AS dimension,
+               true AS index_built,
+               round(min(nm), 8) AS min_norm,
+               round(max(nm), 8) AS max_norm,
+               round(avg(nm), 8) AS avg_norm
+        FROM n
+    """
     d["ego_network"] = _traversal_sql("ego_network", n_seeds=1, k=2,
                                       mode="ego")
     d["multi_source_bfs"] = _traversal_sql("multi_source_bfs", n_seeds=3,

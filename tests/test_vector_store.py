@@ -1,0 +1,104 @@
+"""VectorStore (vector/voy_store.rs) — API surface, error paths,
+removal compaction, statistics, and the shared-index actor."""
+
+import numpy as np
+import pytest
+
+from graphrag_rs_ray.state.vector_store import VectorStore
+
+
+def store_with(n=4, dim=3):
+    s = VectorStore(dim)
+    for i in range(n):
+        v = np.zeros(dim)
+        v[i % dim] = 1.0 + i
+        s.add_vector(f"v{i}", v)
+    return s
+
+
+def test_add_and_dimension_checks():
+    s = VectorStore(3)
+    s.add_vector("a", [1.0, 0.0, 0.0])
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        s.add_vector("b", [1.0, 0.0])
+    with pytest.raises(ValueError, match="already exists"):
+        s.add_vector("a", [0.0, 1.0, 0.0])
+    assert len(s) == 1 and s.contains("a") and not s.is_empty()
+
+
+def test_search_requires_build_and_dim():
+    s = store_with()
+    with pytest.raises(ValueError, match="Index not built"):
+        s.search([1.0, 0.0, 0.0], 2)
+    s.build_index()
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        s.search([1.0], 2)
+    hits = s.search([1.0, 0.0, 0.0], 2)
+    # v0 and v3 point along axis 0; cosine ties broken by insertion order
+    assert [h[0] for h in hits] == ["v0", "v3"]
+    assert hits[0][1] == pytest.approx(1.0)
+
+
+def test_build_empty_errors():
+    with pytest.raises(ValueError, match="No embeddings"):
+        VectorStore(3).build_index()
+
+
+def test_remove_compacts_indices():
+    # voy_store.rs:246-279
+    s = store_with(4)
+    s.build_index()
+    s.remove_vector("v1")
+    assert not s.index_built
+    assert s.ids() == ["v0", "v2", "v3"]
+    assert s.id_to_index == {"v0": 0, "v2": 1, "v3": 2}
+    with pytest.raises(ValueError, match="not found"):
+        s.remove_vector("v1")
+    s.build_index()
+    assert [h[0] for h in s.search([0.0, 0.0, 1.0], 1)] == ["v2"]
+    # axis 1 now has no mass: zero sims tie back to insertion order
+    assert [h[0] for h in s.search([0.0, 1.0, 0.0], 1)] == ["v0"]
+
+
+def test_statistics():
+    s = VectorStore(2)
+    st = s.statistics()
+    assert st["vector_count"] == 0 and st["min_norm"] == float("inf")
+    s.add_vector("a", [3.0, 4.0])
+    s.add_vector("b", [0.0, 2.0])
+    st = s.statistics()
+    assert st["min_norm"] == 2.0 and st["max_norm"] == 5.0
+    assert st["avg_norm"] == 3.5 and not st["index_built"]
+    s.build_index()
+    assert s.statistics()["index_built"]
+    s.clear()
+    assert s.is_empty() and not s.index_built
+
+
+def test_get_vector_roundtrip():
+    s = store_with(2)
+    assert np.array_equal(s.get_vector("v1"), [0.0, 2.0, 0.0])
+    assert s.get_vector("missing") is None
+
+
+def test_actor_flow():
+    import ray
+    import ray.data as rd
+    import pyarrow as pa
+    from graphrag_rs_ray.state.vector_store import (
+        load_dataset_into_store, vector_store_actor)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(["a", "b", "c"], pa.string()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0], [0.7, 0.7]],
+                              pa.list_(pa.float64()))}))
+    store = vector_store_actor(2)
+    n = load_dataset_into_store(store, ds, "vec_id", "embedding",
+                                batch_size=2)
+    assert n == 3
+    ray.get(store.build_index.remote())
+    hits = ray.get(store.search.remote([1.0, 0.0], 2))
+    assert hits[0][0] == "a" and hits[1][0] == "c"
+    # shared mutability: a second caller sees the same index
+    assert ray.get(store.contains.remote("b"))
+    ray.get(store.remove_vector.remote("b"))
+    assert ray.get(store.ids.remote()) == ["a", "c"]
