@@ -1335,6 +1335,73 @@ def q_entity_linking_stats(sf_dir: str):
             [round(stats["linking_accuracy"], 8)], pa.float64())}))
 
 
+def _staged_linker_entities(query: str, sf_dir: str, limit: int = 120):
+    """Bounded canonical-entity set (top-``limit`` by mention count,
+    entity_id tie-break, names ≤ 100 chars — the oracle's recursive
+    Jaro bitmask needs < 126 positions) with the synthetic blake2b
+    confidence (same device as ``_staged_conf_entities``), staged."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    from graphrag_rs_ray.pipelines.kg import entities_dataset
+
+    ents = entities_dataset(_kg_pages(sf_dir), KGConfig())
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(pc.utf8_length(t.column("name")), 100))
+        cs = []
+        for eid in t.column("entity_id").to_pylist():
+            h = int.from_bytes(hashlib.blake2b(
+                eid.encode(), digest_size=8).digest(), "big")
+            cs.append(0.05 + (h % 900) / 1000.0)
+        return pa.table({"entity_id": t.column("entity_id"),
+                         "name": t.column("name"),
+                         "type": t.column("type"),
+                         "conf": pa.array(cs, pa.float64()),
+                         "mention_count": t.column("mention_count")})
+
+    bounded = (ents.map_batches(fin, batch_format="pyarrow")
+               .sort(["mention_count", "entity_id"],
+                     descending=[True, False])
+               .limit(limit))
+    return _stage(bounded, query, sf_dir, "ents")
+
+
+def q_string_sim_pairs(sf_dir: str):
+    """String-similarity linker pair metrics
+    (``entity/string_similarity_linker.rs:129-345``): every same-type
+    entity pair's capped-Levenshtein / Jaro-Winkler (UNCONDITIONAL
+    prefix bonus) / token-Jaccard similarity, the max combination, and
+    the ≥ 0.85 link gate.  Exact-after-normalization pairs
+    short-circuit to 1.0 (NULL components).  The oracle replays ALL of
+    it from the staged bounded entities — including the reference's
+    textbook Jaro matcher via a recursive CTE carrying a HUGEINT
+    used-position bitmask (DuckDB's builtin jaro uses a different
+    matcher + a 0.7 boost threshold; measured mismatches)."""
+    from graphrag_rs_ray.pipelines.string_linking import similarity_pairs
+    ents = _staged_linker_entities("string_sim_pairs", sf_dir)
+    return similarity_pairs(ents)
+
+
+def q_string_links(sf_dir: str):
+    """Greedy string-similarity linking
+    (``string_similarity_linker.rs:66-126``): seed-vs-candidate star
+    pass over the entity_id-sorted bounded set, clusters > 1 member,
+    canonical = max-confidence member with LAST-maximal ties (Rust
+    ``max_by``), links = member → canonical.  The greedy pass is
+    order-sequential → its assignments are staged; the oracle
+    re-derives canonical selection from confidences AND re-verifies
+    every member's similarity-to-seed ≥ 0.85 with the full SQL metric
+    stack (a failed pair drops the row → hash mismatch)."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.string_linking import links_table
+    ents = _staged_linker_entities("string_links", sf_dir)
+    rows = sorted(ents.take_all(), key=lambda e: e["entity_id"])
+    assignments, links = links_table(rows)
+    _stage(rd.from_arrow(assignments), "string_links", sf_dir, "asg")
+    return rd.from_arrow(links)
+
+
 def q_text_statistics(sf_dir: str):
     """Per-document TextStats (``text/analysis.rs:238-280``): word /
     sentence / paragraph / char counts with the min-1 clamps and both
@@ -2731,6 +2798,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_merge_groups": q_semantic_merge_groups,
         "entity_clusters": q_entity_clusters,
         "entity_linking_stats": q_entity_linking_stats,
+        # string-similarity linker (entity/string_similarity_linker.rs)
+        "string_sim_pairs": q_string_sim_pairs,
+        "string_links": q_string_links,
         "text_statistics": q_text_statistics,
         "section_numbers": q_section_numbers,
         "ego_network": q_ego_network,
@@ -2856,6 +2926,8 @@ def oracle_sql() -> dict[str, str]:
     d["semantic_merge_groups"] = _semantic_merge_groups_sql()
     d["entity_clusters"] = _entity_clusters_sql()
     d["entity_linking_stats"] = _entity_linking_stats_sql()
+    d["string_sim_pairs"] = _string_sim_pairs_sql()
+    d["string_links"] = _string_links_sql()
     d["text_statistics"] = _text_statistics_sql()
     d["section_numbers"] = _section_numbers_sql()
     d["doc_collection"] = _doc_collection_sql()
@@ -3190,6 +3262,154 @@ def _entity_linking_stats_sql() -> str:
                round(((SELECT em FROM ex) + (SELECT fm FROM fu))::DOUBLE
                      / (SELECT n FROM nproc)::DOUBLE, 8)
                  AS linking_accuracy
+    """
+
+
+# ------------------------------------ string-similarity linker SQL --
+
+def _string_sim_stack(pairs_body: str, max_edit: int = 2) -> str:
+    """CTE chain replaying ``string_similarity_linker.rs`` similarity
+    metrics over a caller-provided ``pairs`` relation (ia, ib, na, nb,
+    la, lb).  Requires a preceding ``norm`` CTE and WITH RECURSIVE.
+    Ends with ``allsim(ia, ib, lev_sim, jw_sim, jaccard_sim, best)``
+    (best unrounded; exact-normalized pairs → 1.0 / NULL components).
+    The Jaro matcher (``:262-326``) is replayed positionally: the
+    recursive CTE walks s1 carrying a HUGEINT used-position bitmask
+    over s2 (names must stay < 126 chars — the staging bounds them),
+    matched positions + chars as lists for the transposition count."""
+    return f"""
+pairs AS ({pairs_body}),
+nonexact AS (SELECT * FROM pairs WHERE na <> nb),
+rec AS (
+  SELECT ia, ib, na, nb, la, lb,
+         greatest(greatest(la, lb)//2 - 1, 0) AS md,
+         0::BIGINT AS i, 0::HUGEINT AS mask,
+         []::BIGINT[] AS js, []::VARCHAR[] AS cs
+  FROM nonexact
+  UNION ALL
+  SELECT ia, ib, na, nb, la, lb, md, i+1,
+         CASE WHEN j IS NULL THEN mask
+              ELSE mask | (1::HUGEINT << ((j-1)::INT)) END,
+         CASE WHEN j IS NULL THEN js ELSE list_append(js, j) END,
+         CASE WHEN j IS NULL THEN cs
+              ELSE list_append(cs, substr(na, (i+1)::INT, 1)) END
+  FROM (SELECT *, list_min(list_filter(
+          range(greatest(1, i+1-md), least(lb, i+1+md)+1),
+          j -> substr(nb, j::INT, 1) = substr(na, (i+1)::INT, 1)
+               AND ((mask >> ((j-1)::INT)) & 1::HUGEINT) = 0::HUGEINT))
+          AS j
+        FROM rec WHERE i < la) s),
+jdone AS (SELECT ia, ib, na, nb, la, lb, len(js) AS m, list_sort(js) AS sj,
+                 cs
+          FROM rec WHERE i = la),
+jaro AS (
+  SELECT ia, ib,
+    CASE WHEN la = 0 AND lb = 0 THEN 1.0
+         WHEN la = 0 OR lb = 0 THEN 0.0
+         WHEN m = 0 THEN 0.0
+         ELSE (m::DOUBLE/la + m::DOUBLE/lb
+               + (m::DOUBLE - t/2.0)/m::DOUBLE)/3.0
+    END AS jaro
+  FROM (SELECT *, len(list_filter(range(1, m+1),
+          k -> cs[k::INT] <> substr(nb, sj[k::INT]::INT, 1)))::DOUBLE AS t
+        FROM jdone) x),
+comp AS (
+  SELECT p.*, j.jaro,
+    levenshtein(p.na, p.nb) AS lev,
+    greatest(strlen(p.na), strlen(p.nb)) AS maxb,
+    CASE WHEN least(p.la,p.lb) >= 1
+              AND substr(p.na,1,1) = substr(p.nb,1,1) THEN
+      CASE WHEN least(p.la,p.lb) >= 2
+                AND substr(p.na,2,1) = substr(p.nb,2,1) THEN
+        CASE WHEN least(p.la,p.lb) >= 3
+                  AND substr(p.na,3,1) = substr(p.nb,3,1) THEN
+          CASE WHEN least(p.la,p.lb) >= 4
+                    AND substr(p.na,4,1) = substr(p.nb,4,1)
+               THEN 4 ELSE 3 END
+        ELSE 2 END
+      ELSE 1 END
+    ELSE 0 END AS prefix,
+    CASE WHEN p.na = '' THEN []::VARCHAR[]
+         ELSE list_distinct(string_split(p.na, ' ')) END AS tka,
+    CASE WHEN p.nb = '' THEN []::VARCHAR[]
+         ELSE list_distinct(string_split(p.nb, ' ')) END AS tkb
+  FROM nonexact p JOIN jaro j USING (ia, ib)),
+scored AS (
+  SELECT ia, ib,
+    CASE WHEN lev > {max_edit} THEN 0.0 WHEN maxb = 0 THEN 1.0
+         ELSE 1.0 - lev::DOUBLE / maxb END AS lev_sim,
+    jaro + prefix * 0.1 * (1.0 - jaro) AS jw_sim,
+    CASE WHEN len(tka) = 0 AND len(tkb) = 0 THEN 1.0
+         WHEN len(list_distinct(list_concat(tka, tkb))) = 0 THEN 0.0
+         ELSE len(list_filter(tka, x -> list_contains(tkb, x)))::DOUBLE
+              / len(list_distinct(list_concat(tka, tkb))) END
+      AS jaccard_sim
+  FROM comp),
+allsim AS (
+  SELECT ia, ib, lev_sim, jw_sim, jaccard_sim,
+         greatest(0.0, lev_sim, jw_sim, jaccard_sim) AS best
+  FROM scored
+  UNION ALL
+  SELECT ia, ib, NULL, NULL, NULL, 1.0 FROM pairs WHERE na = nb)"""
+
+
+_NORM_SQL = (r"array_to_string(regexp_split_to_array(trim(regexp_replace("
+             r"lower(name), '[^a-z0-9\s]', '', 'g')), '\s+'), ' ')")
+
+
+def _string_sim_pairs_sql() -> str:
+    ents = _staged_sql("string_sim_pairs", "ents")
+    pairs = """
+  SELECT a.entity_id ia, b.entity_id ib, a.n na, b.n nb,
+         length(a.n) la, length(b.n) lb
+  FROM norm a JOIN norm b
+    ON a.type = b.type AND a.entity_id < b.entity_id"""
+    return f"""
+WITH RECURSIVE
+ents AS (SELECT entity_id, name, type FROM {ents}),
+norm AS (SELECT entity_id, type, {_NORM_SQL} AS n FROM ents),
+{_string_sim_stack(pairs)}
+SELECT ia AS entity_a, ib AS entity_b,
+       round(lev_sim, 12) AS lev_sim, round(jw_sim, 12) AS jw_sim,
+       round(jaccard_sim, 12) AS jaccard_sim,
+       round(best, 12) AS sim,
+       (CASE WHEN best >= 0.85 THEN 1 ELSE 0 END)::BIGINT AS linked
+FROM allsim
+    """
+
+
+def _string_links_sql() -> str:
+    ents = _staged_sql("string_links", "ents")
+    asg = _staged_sql("string_links", "asg")
+    pairs = """
+  SELECT g.cluster_id ia, g.entity_id ib, a.n na, b.n nb,
+         length(a.n) la, length(b.n) lb
+  FROM asg g JOIN norm a ON a.entity_id = g.cluster_id
+             JOIN norm b ON b.entity_id = g.entity_id
+  WHERE g.member_idx >= 1"""
+    return f"""
+WITH RECURSIVE
+ents AS (SELECT * FROM {ents}),
+asg AS (SELECT * FROM {asg}),
+norm AS (SELECT entity_id, type, {_NORM_SQL} AS n FROM ents),
+{_string_sim_stack(pairs)},
+canon AS (
+  SELECT a.cluster_id, a.entity_id AS canonical_id
+  FROM asg a JOIN ents e ON e.entity_id = a.entity_id
+  QUALIFY row_number() OVER (PARTITION BY a.cluster_id
+            ORDER BY e.conf DESC, a.member_idx DESC) = 1),
+verified AS (
+  SELECT a.cluster_id, a.entity_id FROM asg a WHERE a.member_idx = 0
+  UNION ALL
+  SELECT s.ia AS cluster_id, s.ib AS entity_id
+  FROM allsim s WHERE s.best >= 0.85)
+SELECT a.entity_id, c.canonical_id
+FROM asg a
+JOIN canon c ON a.cluster_id = c.cluster_id
+JOIN verified v ON v.cluster_id = a.cluster_id
+              AND v.entity_id = a.entity_id
+WHERE a.entity_id <> c.canonical_id
+ORDER BY a.entity_id
     """
 
 

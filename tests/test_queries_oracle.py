@@ -125,6 +125,9 @@ SQL_CHECKED = [
     "semantic_merge_pairs", "semantic_merge_groups",
     # cross-document entity linking (hybrid clusters + stats)
     "entity_clusters", "entity_linking_stats",
+    # string-similarity linker (pair metrics incl. recursive-CTE Jaro
+    # replay; greedy links re-verified + canonical re-derived)
+    "string_sim_pairs", "string_links",
     # text analysis (TextStats; section-number extraction + roman eval)
     "text_statistics", "section_numbers",
 ]
