@@ -1402,6 +1402,39 @@ def q_string_links(sf_dir: str):
     return rd.from_arrow(links)
 
 
+def q_generated_answers(sf_dir: str):
+    """Answer generation (``generation/mod.rs:722-1018`` + the MockLLM
+    ``:24-410``): per-query context assembly (primary ≥ 0.7 ∧ type ∈
+    {chunk,entity} / supporting ≥ 0.3, stable-sorted, max_sources/2
+    truncation, top-3 summaries, 0.5/0.3/0.2 weighted confidence),
+    mode-dispatched MockLLM answering — extractive sentence scoring
+    with the template-suffix-in-question quirk, hybrid <50-char/"No
+    relevant" fallback, insufficient-context short-circuit —
+    confidence adjustments (×0.7 short, ×0.5 negative, entity-mention
+    boost), citation block + quality assessment strings.  Inputs are
+    deterministic retrieval shortlists synthesized from `documents`
+    and staged; the oracle replays the ENTIRE path in SQL (sentence
+    split, per-word scoring, stable ranks, %.1f/%.2f formatting,
+    md5 of the formatted citations)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.generation import (
+        generated_answers, synthesize_generation_inputs)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    order = pa.compute.sort_indices(docs.column("doc_id"))
+    docs = docs.take(order)
+    queries, results, summaries = synthesize_generation_inputs(
+        [str(i) for i in docs.column("doc_id").to_pylist()],
+        docs.column("text").to_pylist())
+    _stage(rd.from_arrow(queries), "generated_answers", sf_dir, "q")
+    r_ds = _stage(rd.from_arrow(results), "generated_answers", sf_dir,
+                  "r")
+    h_ds = _stage(rd.from_arrow(summaries), "generated_answers", sf_dir,
+                  "h")
+    return generated_answers(r_ds, h_ds, queries)
+
+
 def q_text_statistics(sf_dir: str):
     """Per-document TextStats (``text/analysis.rs:238-280``): word /
     sentence / paragraph / char counts with the min-1 clamps and both
@@ -2801,6 +2834,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # string-similarity linker (entity/string_similarity_linker.rs)
         "string_sim_pairs": q_string_sim_pairs,
         "string_links": q_string_links,
+        # answer generation (generation/mod.rs, MockLLM + generator)
+        "generated_answers": q_generated_answers,
         "text_statistics": q_text_statistics,
         "section_numbers": q_section_numbers,
         "ego_network": q_ego_network,
@@ -2928,6 +2963,7 @@ def oracle_sql() -> dict[str, str]:
     d["entity_linking_stats"] = _entity_linking_stats_sql()
     d["string_sim_pairs"] = _string_sim_pairs_sql()
     d["string_links"] = _string_links_sql()
+    d["generated_answers"] = _generation_sql()
     d["text_statistics"] = _text_statistics_sql()
     d["section_numbers"] = _section_numbers_sql()
     d["doc_collection"] = _doc_collection_sql()
@@ -3410,6 +3446,287 @@ JOIN verified v ON v.cluster_id = a.cluster_id
               AND v.entity_id = a.entity_id
 WHERE a.entity_id <> c.canonical_id
 ORDER BY a.entity_id
+    """
+
+
+# -------------------------------------------- answer-generation SQL --
+
+_GEN_EXT_SUF = "\n\nRelevant information:"
+_GEN_ABS_SUF = ("\n\nBased on the provided context, please answer the "
+                "question. If the context doesn't contain enough "
+                "information, please say so.")
+_GEN_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+_GEN_NAMES = ("['entity','second','third','fourth','fifth','sixth',"
+              "'guardian','companion','friend','character']")
+_GEN_EVENTS = ("['activity','discovery','location','place','action',"
+               "'building','structure','area','water']")
+_GEN_LOCS = ("['settlement','waterway','river','cavern','landmass',"
+             "'town','building','institution','dwelling']")
+
+
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _generation_sql() -> str:
+    """Full replay of ``generation/mod.rs`` over the staged
+    query/result/summary tables — context assembly, both template
+    paths' sentence scoring (suffix-in-question quirk), smart fallback,
+    mode dispatch, confidence arithmetic, citation md5."""
+    qt = _staged_sql("generated_answers", "q")
+    rt = _staged_sql("generated_answers", "r")
+    ht = _staged_sql("generated_answers", "h")
+    ws = _GEN_WS
+    return f"""
+WITH
+q AS (SELECT * FROM {qt}),
+r AS (SELECT * FROM {rt}),
+h AS (SELECT * FROM {ht}),
+cat AS (
+  SELECT query_id, seq, result_id, content, score,
+    CASE WHEN score >= 0.7 AND result_type IN ('chunk','entity') THEN 0
+         WHEN score >= 0.3 THEN 1 ELSE 2 END AS cat
+  FROM r),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, cat
+             ORDER BY score DESC, seq ASC) AS rn
+  FROM cat WHERE cat < 2),
+kept AS (SELECT * FROM ranked WHERE rn <= 5),
+hkept AS (
+  SELECT * FROM (
+    SELECT query_id, node_id, summary, score,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, seq ASC) AS rn
+    FROM h) t WHERE rn <= 3),
+avgs AS (
+  SELECT q.query_id,
+    round(coalesce(p.a, 0.0), 12) AS avg_p,
+    round(coalesce(s.a, 0.0), 12) AS avg_s,
+    round(coalesce(hh.a, 0.0), 12) AS avg_h
+  FROM q
+  LEFT JOIN (SELECT query_id, avg(score) AS a FROM kept WHERE cat = 0
+             GROUP BY query_id) p USING (query_id)
+  LEFT JOIN (SELECT query_id, avg(score) AS a FROM kept WHERE cat = 1
+             GROUP BY query_id) s USING (query_id)
+  LEFT JOIN (SELECT query_id, avg(score) AS a FROM hkept
+             GROUP BY query_id) hh USING (query_id)),
+cconf AS (SELECT query_id,
+                 least(avg_p*0.5 + avg_s*0.3 + avg_h*0.2, 1.0) AS ctx_conf
+          FROM avgs),
+parts AS (
+  SELECT query_id, cat AS ord1, rn, content AS txt, result_id AS sid,
+         score
+  FROM kept
+  UNION ALL
+  SELECT query_id, 2, rn, summary, node_id, score FROM hkept),
+comb AS (
+  SELECT q.query_id, coalesce(c.combined, '') AS combined
+  FROM q LEFT JOIN (
+    SELECT query_id,
+           string_agg(txt, chr(10)||chr(10) ORDER BY ord1, rn) AS combined
+    FROM parts GROUP BY query_id) c USING (query_id)),
+ctxt AS (SELECT query_id, trim(combined, {ws}) AS ctx FROM comb),
+sents0 AS (
+  SELECT query_id, list_filter(list_transform(
+    regexp_split_to_array(ctx, '[.!?]'), x -> trim(x, {ws})),
+    x -> x <> '') AS sl
+  FROM ctxt),
+sent AS (
+  SELECT query_id, unnest(sl) AS sentence,
+         unnest(range(1, len(sl)+1)) AS sidx
+  FROM sents0),
+paths AS (
+  SELECT query_id, 'ext' AS path,
+         lower(question || {_sql_lit(_GEN_EXT_SUF)}) AS lq FROM q
+  UNION ALL
+  SELECT query_id, 'abs', lower(question || {_sql_lit(_GEN_ABS_SUF)})
+  FROM q),
+qw0 AS (
+  SELECT query_id, path,
+         list_filter(string_split_regex(lq, '\\s+'),
+                     w -> length(w) > 2) AS qws
+  FROM paths),
+qw AS (SELECT query_id, path, unnest(qws) AS w FROM qw0),
+nqw AS (SELECT query_id, path, len(qws) AS nq FROM qw0),
+swords AS (SELECT query_id, sidx, lower(sentence) AS sl,
+                  list_filter(string_split_regex(lower(sentence), '\\s+'),
+                              x -> x <> '') AS sw
+           FROM sent),
+pts AS (
+  SELECT s.query_id, q.path, s.sidx,
+    CASE WHEN contains(s.sl, q.w) THEN 2.0
+         WHEN length(q.w) > 4 AND len(list_filter(s.sw,
+              t -> contains(t, q.w) OR contains(q.w, t))) > 0 THEN 1.0
+         ELSE 0.0 END AS p
+  FROM swords s JOIN qw q USING (query_id)),
+sentsc AS (
+  SELECT query_id, path, sidx, sum(p) AS total,
+         count(*) FILTER (WHERE p > 0.0) AS matches
+  FROM pts GROUP BY query_id, path, sidx),
+fsent AS (
+  SELECT c.query_id, c.path, c.sidx,
+         c.total + (c.matches::DOUBLE / n.nq) * 0.5 AS sc
+  FROM sentsc c JOIN nqw n USING (query_id, path)),
+rsent AS (
+  SELECT f.*, s.sentence,
+         row_number() OVER (PARTITION BY f.query_id, f.path
+           ORDER BY f.sc DESC, f.sidx ASC) AS srn
+  FROM fsent f JOIN sent s USING (query_id, sidx)),
+a5 AS (
+  SELECT query_id, path, string_agg(
+    sentence || ' (relevance: ' || printf('%.1f', sc) || ')',
+    chr(10)||chr(10) ORDER BY srn) AS ans
+  FROM rsent WHERE srn <= 5 AND sc > 0.5 GROUP BY query_id, path),
+a2 AS (
+  SELECT query_id, path, string_agg(
+    sentence || ' (low confidence: ' || printf('%.1f', sc) || ')',
+    chr(10)||chr(10) ORDER BY srn) AS ans
+  FROM rsent WHERE srn <= 2 AND sc > 0.0 GROUP BY query_id, path),
+eans AS (
+  SELECT p.query_id, p.path, p.lq,
+         coalesce(a5.ans, a2.ans,
+           'No directly relevant information found in the context.')
+           AS ans
+  FROM paths p LEFT JOIN a5 USING (query_id, path)
+               LEFT JOIN a2 USING (query_id, path)),
+lists AS (
+  SELECT c.query_id,
+    array_to_string(list_filter({_GEN_NAMES},
+      n -> contains(lower(c.ctx), n)), ', ') AS names,
+    array_to_string(list_transform(list_filter({_GEN_EVENTS},
+      e -> contains(lower(c.ctx), e)),
+      e -> 'events involving ' || e), ', ') AS events,
+    array_to_string(list_filter({_GEN_LOCS},
+      l -> contains(lower(c.ctx), l)), ', ') AS locs,
+    s.sl
+  FROM ctxt c JOIN sents0 s USING (query_id)),
+summ AS (
+  SELECT query_id,
+    CASE WHEN len(sl) = 0 THEN ''
+         WHEN length(sl[1]) > 150 THEN ''
+         WHEN len(sl) < 2 OR length(sl[1]) + length(sl[2]) > 150
+           THEN sl[1]
+         WHEN len(sl) < 3
+              OR (length(sl[1]) + 1 + length(sl[2])) + length(sl[3]) > 150
+           THEN sl[1] || ' ' || sl[2]
+         ELSE sl[1] || ' ' || sl[2] || ' ' || sl[3] END AS s
+  FROM lists),
+cresp AS (
+  SELECT e.query_id, e.path,
+    CASE
+      WHEN contains(e.lq, 'who') AND contains(e.lq, 'friend')
+           AND l.names <> ''
+        THEN 'Based on the context, the main characters mentioned '
+             || 'include: ' || l.names || '. These appear to be friends '
+             || 'and companions in the story.'
+      WHEN contains(e.lq, 'what')
+           AND (contains(e.lq, 'adventure') OR contains(e.lq, 'happen'))
+           AND l.events <> ''
+        THEN 'The context describes several events: ' || l.events
+      WHEN contains(e.lq, 'where') AND l.locs <> ''
+        THEN 'The story takes place in locations such as: ' || l.locs
+      ELSE 'Based on the available context: ' || m.s
+    END AS resp
+  FROM eans e JOIN lists l USING (query_id) JOIN summ m USING (query_id)),
+smart AS (
+  SELECT e.query_id, e.path,
+    CASE WHEN contains(e.ans, 'No relevant')
+              OR contains(e.ans, 'No directly')
+         THEN c.resp ELSE e.ans END AS ans
+  FROM eans e JOIN cresp c USING (query_id, path)),
+trunc0 AS (
+  SELECT query_id, path,
+    CASE WHEN length(ans) > 500 THEN substr(ans, 1, 497) || '...'
+         ELSE ans END AS ans
+  FROM smart),
+modeans AS (
+  SELECT q.query_id, q.mode,
+    CASE WHEN cb.combined = '' THEN 'No relevant content found.'
+         WHEN q.mode = 'extractive' THEN ext.ans
+         WHEN q.mode = 'abstractive' THEN ab.ans
+         WHEN length(ext.ans) < 50 OR contains(ext.ans, 'No relevant')
+           THEN ab.ans
+         ELSE ext.ans END AS answer
+  FROM q
+  JOIN comb cb USING (query_id)
+  JOIN (SELECT query_id, ans FROM trunc0 WHERE path = 'ext') ext
+    USING (query_id)
+  JOIN (SELECT query_id, ans FROM trunc0 WHERE path = 'abs') ab
+    USING (query_id)),
+final0 AS (
+  SELECT m.query_id,
+    CASE WHEN cc.ctx_conf < 0.3
+         THEN 'Insufficient information available to answer this '
+              || 'question.'
+         ELSE m.answer END AS answer,
+    cc.ctx_conf
+  FROM modeans m JOIN cconf cc USING (query_id)),
+ents0 AS (
+  SELECT query_id, list_sort(list_distinct(flatten(list(
+           list_filter(string_split(entities_csv, ','),
+                       x -> x <> ''))))) AS el
+  FROM r GROUP BY query_id),
+ment AS (
+  SELECT f.query_id,
+    len(list_filter(e.el, x -> contains(lower(f.answer), lower(x))))
+      AS nm
+  FROM final0 f JOIN ents0 e USING (query_id)),
+c1 AS (SELECT query_id, answer, ctx_conf,
+         CASE WHEN length(answer) < 20 THEN ctx_conf * 0.7
+              ELSE ctx_conf END AS v
+       FROM final0),
+c2 AS (SELECT query_id, answer, ctx_conf,
+         CASE WHEN contains(answer, 'No relevant')
+                   OR contains(answer, 'insufficient')
+              THEN v * 0.5 ELSE v END AS v
+       FROM c1),
+conf AS (
+  SELECT c2.query_id, c2.answer, c2.ctx_conf,
+    CASE WHEN c2.ctx_conf < 0.3 THEN c2.ctx_conf
+         ELSE least(CASE WHEN m.nm > 0
+                         THEN c2.v + least(m.nm * 0.1, 0.2)
+                         ELSE c2.v END, 1.0) END AS confidence
+  FROM c2 JOIN ment m USING (query_id)),
+srcs AS (
+  SELECT query_id, ord1, rn, sid, score, txt,
+    row_number() OVER (PARTITION BY query_id ORDER BY ord1, rn) AS cid
+  FROM parts),
+cit AS (
+  SELECT query_id,
+    string_agg(chr(10) || '[' || cid || '] ' ||
+      CASE ord1 WHEN 0 THEN 'chunk' WHEN 1 THEN 'supporting_chunk'
+           ELSE 'summary' END ||
+      ' (confidence: ' || printf('%.2f', score) || ') - ' ||
+      CASE WHEN length(txt) <= 100 THEN txt
+           ELSE substr(txt, 1, 100) || '...' END,
+      '' ORDER BY cid) AS cittxt,
+    count(*)::BIGINT AS nsrc
+  FROM srcs GROUP BY query_id),
+fmt AS (
+  SELECT f.query_id,
+    f.answer ||
+    coalesce(chr(10)||chr(10)||'Sources:' || c.cittxt, '') ||
+    CASE WHEN f.confidence > 0.0
+         THEN chr(10)||chr(10)||'Overall confidence: '
+              || printf('%.2f', f.confidence)
+         ELSE '' END AS formatted,
+    coalesce(c.nsrc, 0) AS nsrc
+  FROM conf f LEFT JOIN cit c USING (query_id))
+SELECT cf.query_id, q.mode AS mode_used, cf.answer,
+  round(cf.confidence, 12) AS confidence,
+  round(cf.ctx_conf, 12) AS context_quality,
+  ft.nsrc AS n_sources,
+  array_to_string(e.el, ',') AS entities_csv,
+  md5(ft.formatted) AS citations_md5,
+  'Confidence: ' || CASE WHEN cf.confidence >= 0.8 THEN 'High'
+                         WHEN cf.confidence >= 0.5 THEN 'Medium'
+                         ELSE 'Low' END ||
+  ' | Sources: ' || CASE WHEN ft.nsrc >= 3 THEN 'Well-sourced'
+                         WHEN ft.nsrc > 0 THEN 'Moderately sourced'
+                         ELSE 'Poorly sourced' END ||
+  ' | Context Quality: ' || printf('%.2f', cf.ctx_conf) AS quality
+FROM conf cf JOIN q USING (query_id) JOIN fmt ft USING (query_id)
+JOIN ents0 e USING (query_id)
     """
 
 

@@ -128,6 +128,9 @@ SQL_CHECKED = [
     # string-similarity linker (pair metrics incl. recursive-CTE Jaro
     # replay; greedy links re-verified + canonical re-derived)
     "string_sim_pairs", "string_links",
+    # answer generation (full MockLLM + generator replay incl. citation
+    # md5)
+    "generated_answers",
     # text analysis (TextStats; section-number extraction + roman eval)
     "text_statistics", "section_numbers",
 ]
