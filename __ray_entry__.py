@@ -1435,6 +1435,40 @@ def q_generated_answers(sf_dir: str):
     return generated_answers(r_ds, h_ds, queries)
 
 
+def q_lazy_chunks(sf_dir: str):
+    """LazyGraphRAG fixed-size overlap chunker
+    (``lightrag/lazy_pipeline.rs:236-271``): 512-char windows, 128
+    overlap, next start = end − overlap, ``{doc}_{k}`` ids, loop breaks
+    when a window reaches the end.  Zero staging — the oracle replays
+    the chunk-boundary arithmetic straight off `documents`."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.lazy_pipeline import fixed_chunks
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return fixed_chunks(docs)
+
+
+def q_lazy_pipeline_stats(sf_dir: str):
+    """LazyGraphRAG end-to-end PipelineStatistics
+    (``lazy_pipeline.rs:152-234`` + ``bidirectional_index.rs:368-388``):
+    document/chunk counts, concept-graph concept + co-occurrence≥2
+    relation counts, bidirectional-index entity/chunk/mapping counts
+    over NORMALIZED concept ids (lowercase, alnum+underscore filter —
+    the reference's space-replace is dead code, pinned) and the two
+    average ratios.  Concept-mention rows are staged; the oracle
+    re-derives every count (chunk count from the chunker arithmetic,
+    relations from the pair self-join, index stats from normalized
+    distinct pairs)."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.lazy_pipeline import (
+        fixed_chunks, lazy_concept_mentions, pipeline_statistics)
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    mentions = _stage(lazy_concept_mentions(fixed_chunks(docs)),
+                      "lazy_pipeline_stats", sf_dir)
+    return rd.from_arrow(pipeline_statistics(docs, mentions))
+
+
 def q_text_statistics(sf_dir: str):
     """Per-document TextStats (``text/analysis.rs:238-280``): word /
     sentence / paragraph / char counts with the min-1 clamps and both
@@ -2836,6 +2870,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_links": q_string_links,
         # answer generation (generation/mod.rs, MockLLM + generator)
         "generated_answers": q_generated_answers,
+        # LazyGraphRAG end-to-end pipeline (lightrag/lazy_pipeline.rs)
+        "lazy_chunks": q_lazy_chunks,
+        "lazy_pipeline_stats": q_lazy_pipeline_stats,
         "text_statistics": q_text_statistics,
         "section_numbers": q_section_numbers,
         "ego_network": q_ego_network,
@@ -2964,6 +3001,8 @@ def oracle_sql() -> dict[str, str]:
     d["string_sim_pairs"] = _string_sim_pairs_sql()
     d["string_links"] = _string_links_sql()
     d["generated_answers"] = _generation_sql()
+    d["lazy_chunks"] = _lazy_chunks_sql()
+    d["lazy_pipeline_stats"] = _lazy_stats_sql()
     d["text_statistics"] = _text_statistics_sql()
     d["section_numbers"] = _section_numbers_sql()
     d["doc_collection"] = _doc_collection_sql()
@@ -3727,6 +3766,59 @@ SELECT cf.query_id, q.mode AS mode_used, cf.answer,
   ' | Context Quality: ' || printf('%.2f', cf.ctx_conf) AS quality
 FROM conf cf JOIN q USING (query_id) JOIN fmt ft USING (query_id)
 JOIN ents0 e USING (query_id)
+    """
+
+
+# --------------------------------------------- lazy-pipeline SQL --
+
+_LAZY_CHUNKER_REL = """
+  SELECT doc_id::VARCHAR || '_' || k AS chunk_id, doc_id::VARCHAR AS doc_id,
+         substr(text, (k*384 + 1)::INT,
+                (least(k*384 + 512, L) - k*384)::INT) AS content,
+         (k*384)::BIGINT AS start_offset,
+         least(k*384 + 512, L)::BIGINT AS end_offset
+  FROM (SELECT doc_id, text, L,
+               unnest(range(0, (L // 384) + 2)) AS k
+        FROM (SELECT doc_id, text, length(text) AS L FROM documents)
+        WHERE L > 0)
+  WHERE k = 0 OR (k-1)*384 + 512 < L"""
+
+
+def _lazy_chunks_sql() -> str:
+    return f"SELECT * FROM ({_LAZY_CHUNKER_REL})"
+
+
+def _lazy_stats_sql() -> str:
+    m = _staged_sql("lazy_pipeline_stats")
+    return f"""
+WITH m AS MATERIALIZED (SELECT concept, chunk_id FROM {m}),
+norm AS MATERIALIZED (
+  SELECT DISTINCT regexp_replace(lower(concept), '[^a-z0-9_]', '', 'g')
+           AS nc, chunk_id
+  FROM m),
+pairs AS (
+  SELECT a.concept, b.concept AS cb, count(*) AS cnt
+  FROM m a JOIN m b ON a.chunk_id = b.chunk_id AND a.concept < b.concept
+  GROUP BY a.concept, b.concept HAVING count(*) >= 2),
+s AS (
+  SELECT
+    (SELECT count(*)::BIGINT FROM documents) AS document_count,
+    (SELECT count(*)::BIGINT FROM ({_LAZY_CHUNKER_REL})) AS chunk_count,
+    (SELECT count(DISTINCT concept)::BIGINT FROM m) AS concept_count,
+    (SELECT count(*)::BIGINT FROM pairs) AS relation_count,
+    (SELECT count(DISTINCT nc)::BIGINT FROM norm) AS total_entities,
+    (SELECT count(DISTINCT chunk_id)::BIGINT FROM norm)
+      AS total_chunks_indexed,
+    (SELECT count(*)::BIGINT FROM norm) AS total_mappings)
+SELECT document_count, chunk_count, concept_count, relation_count,
+       total_entities, total_chunks_indexed, total_mappings,
+       CASE WHEN total_entities > 0
+            THEN total_mappings::DOUBLE / total_entities::DOUBLE
+            ELSE 0.0 END AS avg_chunks_per_entity,
+       CASE WHEN total_chunks_indexed > 0
+            THEN total_mappings::DOUBLE / total_chunks_indexed::DOUBLE
+            ELSE 0.0 END AS avg_entities_per_chunk
+FROM s
     """
 
 

@@ -131,6 +131,8 @@ SQL_CHECKED = [
     # answer generation (full MockLLM + generator replay incl. citation
     # md5)
     "generated_answers",
+    # LazyGraphRAG pipeline (chunker arithmetic; end-to-end stats)
+    "lazy_chunks", "lazy_pipeline_stats",
     # text analysis (TextStats; section-number extraction + roman eval)
     "text_statistics", "section_numbers",
 ]
