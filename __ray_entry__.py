@@ -1469,6 +1469,57 @@ def q_lazy_pipeline_stats(sf_dir: str):
     return rd.from_arrow(pipeline_statistics(docs, mentions))
 
 
+def _agent_queries(sf_dir: str, query: str):
+    """Synthesized agent query corpus over the tool graph's entity
+    names, staged together with the entity-name table."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.agent import synthesize_agent_queries
+    g = _tool_graph(sf_dir)
+    names = [e["name"] for e in g["entities"][:8]]
+    queries = synthesize_agent_queries(names)
+    q_ds = _stage(rd.from_arrow(queries), query, sf_dir)
+    _stage(rd.from_arrow(pa.table({
+        "name": pa.array([e["name"] for e in g["entities"]],
+                         pa.string())})), query, sf_dir, "ents")
+    return q_ds, g
+
+
+def q_agent_plans(sf_dir: str):
+    """GraphRAG agent query planning (``function_calling/agent.rs:
+    115-298``): substring strategy detection, 1-/2-word window entity
+    extraction against the graph (first containing entity in
+    sorted-name order — the reference's HashMap iteration pinned,
+    documented), first quoted span, sort+dedup; per-strategy
+    graph_search/relationship_traverse call plans with the hardcoded
+    limits and the capitalized->3-byte adaptive fallback.  One 'plan'
+    header row (call_idx −1) plus one row per planned call; the oracle
+    replays the whole planner from the staged queries + entity
+    names."""
+    from graphrag_rs_ray.pipelines.agent import agent_plan_stage
+    q_ds, g = _agent_queries(sf_dir, "agent_plans")
+    return agent_plan_stage(q_ds, g)
+
+
+def q_query_analysis(sf_dir: str):
+    """QueryAnalyzer flags (``function_calling/tools.rs:241-278``):
+    entity/relationship/context focus by substring, requires_search =
+    no 'list all'/'show all', relationship > context > low
+    complexity."""
+    from graphrag_rs_ray.pipelines.agent import query_analysis_stage
+    q_ds, _ = _agent_queries(sf_dir, "query_analysis")
+    return query_analysis_stage(q_ds)
+
+
+def q_agent_sessions(sf_dir: str):
+    """Full agent loop (``agent.rs:80-113``): plan → FunctionCaller
+    tool execution (validation-failure rows kept, ``mod.rs:111-163``)
+    → synthesized answer strings (``agent.rs:300-383``).  Procedural
+    composition of oracle-checked pieces → rows-only."""
+    from graphrag_rs_ray.pipelines.agent import agent_session_stage
+    q_ds, g = _agent_queries(sf_dir, "agent_sessions")
+    return agent_session_stage(q_ds, g)
+
+
 def q_text_statistics(sf_dir: str):
     """Per-document TextStats (``text/analysis.rs:238-280``): word /
     sentence / paragraph / char counts with the min-1 clamps and both
@@ -2873,6 +2924,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LazyGraphRAG end-to-end pipeline (lightrag/lazy_pipeline.rs)
         "lazy_chunks": q_lazy_chunks,
         "lazy_pipeline_stats": q_lazy_pipeline_stats,
+        # function-calling agent layer (agent.rs / tools.rs)
+        "agent_plans": q_agent_plans,
+        "query_analysis": q_query_analysis,
+        "agent_sessions": q_agent_sessions,
         "text_statistics": q_text_statistics,
         "section_numbers": q_section_numbers,
         "ego_network": q_ego_network,
@@ -3003,6 +3058,8 @@ def oracle_sql() -> dict[str, str]:
     d["generated_answers"] = _generation_sql()
     d["lazy_chunks"] = _lazy_chunks_sql()
     d["lazy_pipeline_stats"] = _lazy_stats_sql()
+    d["agent_plans"] = _agent_plans_sql()
+    d["query_analysis"] = _query_analysis_sql()
     d["text_statistics"] = _text_statistics_sql()
     d["section_numbers"] = _section_numbers_sql()
     d["doc_collection"] = _doc_collection_sql()
@@ -3445,8 +3502,9 @@ ents AS (SELECT entity_id, name, type FROM {ents}),
 norm AS (SELECT entity_id, type, {_NORM_SQL} AS n FROM ents),
 {_string_sim_stack(pairs)}
 SELECT ia AS entity_a, ib AS entity_b,
-       round(lev_sim, 12) AS lev_sim, round(jw_sim, 12) AS jw_sim,
-       round(jaccard_sim, 12) AS jaccard_sim,
+       coalesce(round(lev_sim, 12), -1.0) AS lev_sim,
+       coalesce(round(jw_sim, 12), -1.0) AS jw_sim,
+       coalesce(round(jaccard_sim, 12), -1.0) AS jaccard_sim,
        round(best, 12) AS sim,
        (CASE WHEN best >= 0.85 THEN 1 ELSE 0 END)::BIGINT AS linked
 FROM allsim
@@ -3766,6 +3824,149 @@ SELECT cf.query_id, q.mode AS mode_used, cf.answer,
   ' | Context Quality: ' || printf('%.2f', cf.ctx_conf) AS quality
 FROM conf cf JOIN q USING (query_id) JOIN fmt ft USING (query_id)
 JOIN ents0 e USING (query_id)
+    """
+
+
+# ----------------------------------------------- agent-planner SQL --
+
+def _agent_plans_sql() -> str:
+    qt = _staged_sql("agent_plans")
+    ents = _staged_sql("agent_plans", "ents")
+    return f"""
+WITH q AS (SELECT query_id, query FROM {qt}),
+ents AS (SELECT name FROM {ents}),
+words AS (SELECT query_id, query,
+                 list_filter(string_split_regex(query, '\\s+'),
+                             x -> x <> '') AS ws
+          FROM q),
+w1 AS (SELECT query_id, unnest(ws) AS win FROM words),
+w2 AS (SELECT query_id,
+              unnest(list_transform(range(1, len(ws)),
+                k -> ws[k::INT] || ' ' || ws[(k+1)::INT])) AS win
+       FROM words),
+allw AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+m AS (
+  SELECT w.query_id,
+         (SELECT min(e.name) FROM ents e
+          WHERE contains(lower(e.name), lower(w.win))) AS ename
+  FROM allw w),
+quoted AS (
+  SELECT query_id,
+    CASE WHEN strpos(query, '"') > 0
+              AND strpos(substr(query, strpos(query, '"') + 1), '"') > 0
+         THEN substr(query, strpos(query, '"') + 1,
+                     strpos(substr(query, strpos(query, '"') + 1), '"')
+                     - 1)
+    END AS qent
+  FROM q),
+pot AS (
+  SELECT query_id, name,
+         row_number() OVER (PARTITION BY query_id ORDER BY name) AS rk
+  FROM (SELECT DISTINCT query_id, ename AS name FROM m
+        WHERE ename IS NOT NULL
+        UNION
+        SELECT query_id, qent FROM quoted WHERE qent IS NOT NULL)),
+np AS (SELECT query_id, count(*)::BIGINT AS n FROM pot
+       GROUP BY query_id),
+strat AS (
+  SELECT q.query_id, coalesce(np.n, 0) AS np,
+    CASE WHEN contains(lower(query), 'relationship')
+              OR contains(lower(query), 'connect')
+              OR contains(lower(query), 'relation')
+              OR contains(lower(query), 'between')
+           THEN 'relationship_exploration'
+         WHEN contains(lower(query), 'context')
+              OR contains(lower(query), 'detail')
+              OR contains(lower(query), 'about')
+              OR contains(lower(query), 'information')
+           THEN 'contextual_analysis'
+         WHEN coalesce(np.n, 0) > 0 THEN 'entity_search'
+         ELSE 'adaptive' END AS strategy
+  FROM q LEFT JOIN np USING (query_id)),
+kterms AS (
+  SELECT query_id, w, row_number() OVER (
+           PARTITION BY query_id ORDER BY pos) AS krk
+  FROM (SELECT query_id, unnest(ws) AS w,
+               unnest(range(1, len(ws)+1)) AS pos
+        FROM words) t
+  WHERE strlen(w) > 3 AND substr(w, 1, 1) = upper(substr(w, 1, 1))
+        AND substr(w, 1, 1) <> lower(substr(w, 1, 1))),
+calls AS (
+  SELECT p.query_id, (p.rk - 1)::BIGINT AS call_idx,
+         'graph_search' AS function, p.name AS entity_name,
+         '' AS source_entity, '' AS target_entity,
+         CASE s.strategy WHEN 'entity_search' THEN 5 ELSE 3
+           END::BIGINT AS arg_limit,
+         -1::BIGINT AS max_hops
+  FROM pot p JOIN strat s USING (query_id)
+  WHERE s.strategy IN ('entity_search', 'relationship_exploration',
+                       'contextual_analysis')
+  UNION ALL
+  SELECT s.query_id, s.np, 'relationship_traverse', '', p1.name,
+         p2.name, -1, 3
+  FROM strat s
+  JOIN pot p1 ON p1.query_id = s.query_id AND p1.rk = 1
+  JOIN pot p2 ON p2.query_id = s.query_id AND p2.rk = 2
+  WHERE s.strategy = 'relationship_exploration' AND s.np >= 2
+  UNION ALL
+  SELECT k.query_id, (k.krk - 1)::BIGINT, 'graph_search', k.w, '', '',
+         5, -1
+  FROM kterms k JOIN strat s USING (query_id)
+  WHERE s.strategy = 'adaptive' AND k.krk <= 3),
+ngs AS (SELECT query_id, count(*) FILTER (
+          WHERE function = 'graph_search')::BIGINT AS n
+        FROM calls GROUP BY query_id),
+allrows AS (
+  SELECT s.query_id, s.strategy, -1::BIGINT AS call_idx,
+         'plan' AS function, '' AS entity_name, '' AS source_entity,
+         '' AS target_entity, -1::BIGINT AS arg_limit,
+         -1::BIGINT AS max_hops
+  FROM strat s
+  UNION ALL
+  SELECT c.query_id, s.strategy, c.call_idx, c.function, c.entity_name,
+         c.source_entity, c.target_entity, c.arg_limit, c.max_hops
+  FROM calls c JOIN strat s USING (query_id))
+SELECT r.query_id, r.strategy, r.call_idx, r.function, r.entity_name,
+       r.source_entity, r.target_entity, r.arg_limit, r.max_hops,
+       coalesce(g.n, 0) AS n_entities, 0.8 AS confidence
+FROM allrows r LEFT JOIN ngs g USING (query_id)
+    """
+
+
+def _query_analysis_sql() -> str:
+    qt = _staged_sql("query_analysis")
+    return f"""
+SELECT query_id,
+  (contains(lower(query), 'what is') OR contains(lower(query), 'who is')
+   OR contains(lower(query), 'tell me about'))::BIGINT
+    AS is_entity_focused,
+  (contains(lower(query), 'relationship')
+   OR contains(lower(query), 'connect')
+   OR contains(lower(query), 'relation')
+   OR contains(lower(query), 'between')
+   OR contains(lower(query), 'how are')
+   OR contains(lower(query), 'associated'))::BIGINT
+    AS is_relationship_focused,
+  (contains(lower(query), 'context') OR contains(lower(query), 'detail')
+   OR contains(lower(query), 'information')
+   OR contains(lower(query), 'describe')
+   OR contains(lower(query), 'explain'))::BIGINT AS is_context_focused,
+  (NOT contains(lower(query), 'list all')
+   AND NOT contains(lower(query), 'show all'))::BIGINT
+    AS requires_search,
+  CASE WHEN contains(lower(query), 'relationship')
+            OR contains(lower(query), 'connect')
+            OR contains(lower(query), 'relation')
+            OR contains(lower(query), 'between')
+            OR contains(lower(query), 'how are')
+            OR contains(lower(query), 'associated') THEN 'high'
+       WHEN contains(lower(query), 'context')
+            OR contains(lower(query), 'detail')
+            OR contains(lower(query), 'information')
+            OR contains(lower(query), 'describe')
+            OR contains(lower(query), 'explain') THEN 'medium'
+       ELSE 'low' END AS complexity
+FROM {qt}
     """
 
 

@@ -46,9 +46,12 @@ def similarity_pairs(entities_ds, cfg: LinkerConfig = LinkerConfig(),
                     cols["entity_a"].append(rows[i][0])
                     cols["entity_b"].append(rows[j][0])
                     if norms[i] == norms[j]:
-                        cols["lev_sim"].append(None)
-                        cols["jw_sim"].append(None)
-                        cols["jaccard_sim"].append(None)
+                        # -1.0 sentinels: the reference never computes
+                        # components on the exact branch (NaN-vs-NaN
+                        # hash comparisons are unreliable)
+                        cols["lev_sim"].append(-1.0)
+                        cols["jw_sim"].append(-1.0)
+                        cols["jaccard_sim"].append(-1.0)
                         cols["sim"].append(1.0)
                         cols["linked"].append(1)
                         continue

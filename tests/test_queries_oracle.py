@@ -133,6 +133,8 @@ SQL_CHECKED = [
     "generated_answers",
     # LazyGraphRAG pipeline (chunker arithmetic; end-to-end stats)
     "lazy_chunks", "lazy_pipeline_stats",
+    # function-calling agent planner + query analyzer
+    "agent_plans", "query_analysis",
     # text analysis (TextStats; section-number extraction + roman eval)
     "text_statistics", "section_numbers",
 ]
@@ -163,7 +165,8 @@ def test_query_matches_oracle(ray_session, name):
                 f"{name}.{c}: value mismatch"
 
 
-ROWS_ONLY = ["kg_mentions",
+ROWS_ONLY = ["agent_sessions",
+             "kg_mentions",
              "kg_chunks", "kg_extract_text",
              "concept_mentions",
              "enriched_chunks", "multimodal_features",
