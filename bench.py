@@ -168,6 +168,14 @@ def run_bench() -> dict:
     timed("query_plans", lambda: q["query_plans"](sf_dir).count())
     timed("entity_clusters", lambda: q["entity_clusters"](sf_dir).count())
     timed("text_statistics", lambda: q["text_statistics"](sf_dir).count())
+    # round-2 third-session additions: answer generation, agent planning,
+    # string-similarity linking, LazyGraphRAG fixed chunker
+    timed("generated_answers",
+          lambda: q["generated_answers"](sf_dir).count())
+    timed("agent_plans", lambda: q["agent_plans"](sf_dir).count())
+    timed("string_sim_pairs",
+          lambda: q["string_sim_pairs"](sf_dir).count())
+    timed("lazy_chunks", lambda: q["lazy_chunks"](sf_dir).count())
 
     # ROGRAG batch query processing at scale: 210k synthesized queries
     # through the full five-stage analysis stack (intent, decomposition,
