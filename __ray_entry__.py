@@ -2030,11 +2030,20 @@ def q_lazy_search(sf_dir: str):
                              views)
 
 
+_TOOL_GRAPH_CACHE: dict[str, dict] = {}
+
+
 def _tool_graph(sf_dir: str) -> dict:
-    from graphrag_rs_ray.pipelines.tools import build_tool_graph
-    inp = _rograg_inputs(sf_dir)
-    return build_tool_graph(inp["entities"], inp["triples"],
-                            inp["mentions"], inp["chunks"])
+    """Driver-side tool-graph dict, built once per process (the
+    chunk/mention index build costs ~8 s at sf0.1 — shared across the
+    six tool queries + the agent slice)."""
+    if sf_dir not in _TOOL_GRAPH_CACHE:
+        from graphrag_rs_ray.pipelines.tools import build_tool_graph
+        inp = _rograg_inputs(sf_dir)
+        _TOOL_GRAPH_CACHE[sf_dir] = build_tool_graph(
+            inp["entities"], inp["triples"], inp["mentions"],
+            inp["chunks"])
+    return _TOOL_GRAPH_CACHE[sf_dir]
 
 
 def q_tool_graph_search(sf_dir: str):
