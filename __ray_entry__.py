@@ -1520,6 +1520,41 @@ def q_agent_sessions(sf_dir: str):
     return agent_session_stage(q_ds, g)
 
 
+def q_rograg_responses(sf_dir: str):
+    """ROGRAG response synthesis + template assembly
+    (``rograg/streaming.rs:62-1005``): five synthesis strategies
+    (sequential / weighted sqrt(Σc²/n) / best-only LAST-max /
+    smart-merge logic-preferred in-input-order / hierarchical
+    "Additionally:"), intent→template mapping with the
+    Causal/Temporal-have-no-templates fallback quirk, placeholder
+    generation (first-word entities, 'related' relationship scan,
+    skip-1 additional context, conf>0.6 details, threshold
+    indicator/conclusion strings, top-3 key points), cleanup
+    (collapse whitespace, terminal punctuation), top-3 source
+    attribution, 0.7/0.3 final confidence, word-chunk counts.  The
+    oracle replays EVERY string from the staged query/result rows
+    (intents come from the oracle-checked classifier, staged)."""
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.streaming import (
+        responses_stage, synthesize_streaming_inputs)
+    inp = _rograg_inputs(sf_dir)
+    docs_texts = [t or "" for t in _doc_texts(sf_dir)]
+    queries, results = synthesize_streaming_inputs(
+        inp["names"][:8], docs_texts)
+    _stage(rd.from_arrow(queries), "rograg_responses", sf_dir, "q")
+    r_ds = _stage(rd.from_arrow(results), "rograg_responses", sf_dir,
+                  "r")
+    return responses_stage(r_ds, queries)
+
+
+def _doc_texts(sf_dir: str) -> list[str]:
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    order = pa.compute.sort_indices(tbl.column("doc_id"))
+    return tbl.take(order).column("text").to_pylist()
+
+
 def q_text_statistics(sf_dir: str):
     """Per-document TextStats (``text/analysis.rs:238-280``): word /
     sentence / paragraph / char counts with the min-1 clamps and both
@@ -2937,6 +2972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agent_plans": q_agent_plans,
         "query_analysis": q_query_analysis,
         "agent_sessions": q_agent_sessions,
+        # ROGRAG response synthesis + templates (rograg/streaming.rs)
+        "rograg_responses": q_rograg_responses,
         "text_statistics": q_text_statistics,
         "section_numbers": q_section_numbers,
         "ego_network": q_ego_network,
@@ -3069,6 +3106,7 @@ def oracle_sql() -> dict[str, str]:
     d["lazy_pipeline_stats"] = _lazy_stats_sql()
     d["agent_plans"] = _agent_plans_sql()
     d["query_analysis"] = _query_analysis_sql()
+    d["rograg_responses"] = _rograg_responses_sql()
     d["text_statistics"] = _text_statistics_sql()
     d["section_numbers"] = _section_numbers_sql()
     d["doc_collection"] = _doc_collection_sql()
@@ -3833,6 +3871,231 @@ SELECT cf.query_id, q.mode AS mode_used, cf.answer,
   ' | Context Quality: ' || printf('%.2f', cf.ctx_conf) AS quality
 FROM conf cf JOIN q USING (query_id) JOIN fmt ft USING (query_id)
 JOIN ents0 e USING (query_id)
+    """
+
+
+# ----------------------------------------- rograg streaming SQL --
+
+def _rograg_responses_sql() -> str:
+    qt = _staged_sql("rograg_responses", "q")
+    rt = _staged_sql("rograg_responses", "r")
+    return f"""
+WITH q AS (SELECT * FROM {qt}),
+r AS MATERIALIZED (
+  SELECT query_id, seq, content, confidence, result_type,
+         string_split(sources_csv, ',') AS srcs
+  FROM {rt}),
+rs AS (SELECT *,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY confidence DESC, seq ASC) AS crk,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY confidence DESC, seq DESC) AS crk_last
+       FROM r),
+seq_syn AS (
+  SELECT query_id, string_agg(content, '. ' ORDER BY seq) AS content,
+         avg(confidence) AS conf
+  FROM r GROUP BY query_id),
+w0 AS (SELECT query_id, sum(confidence) AS total,
+              sum(confidence*confidence)/count(*) AS wc
+       FROM r GROUP BY query_id),
+w_top AS (SELECT query_id,
+                 string_agg(content, '. ' ORDER BY crk) AS content
+          FROM rs WHERE crk <= 3 GROUP BY query_id),
+w_syn AS (
+  SELECT w0.query_id,
+         CASE WHEN w0.total = 0.0 THEN s.content ELSE t.content END
+           AS content,
+         CASE WHEN w0.total = 0.0 THEN s.conf ELSE sqrt(w0.wc) END
+           AS conf
+  FROM w0 JOIN seq_syn s USING (query_id)
+          JOIN w_top t USING (query_id)),
+b_syn AS (SELECT query_id, content, confidence AS conf, srcs
+          FROM rs WHERE crk_last = 1),
+sm_haslogic AS (
+  SELECT query_id,
+         (count(*) FILTER (WHERE result_type = 'logic_form') > 0) AS hl
+  FROM r GROUP BY query_id),
+sm_rows AS (
+  SELECT p.*, row_number() OVER (PARTITION BY p.query_id
+                                 ORDER BY p.seq) AS rk
+  FROM r p JOIN sm_haslogic h USING (query_id)
+  WHERE (h.hl AND p.result_type = 'logic_form')
+     OR (NOT h.hl AND p.result_type IN ('fuzzy_match', 'fallback'))),
+sm_syn AS (
+  SELECT c.query_id, c.content, a.conf
+  FROM (SELECT query_id, string_agg(content, '. ' ORDER BY rk)
+                 AS content
+        FROM sm_rows WHERE rk <= 2 GROUP BY query_id) c
+  JOIN (SELECT query_id, avg(confidence) AS conf FROM sm_rows
+        GROUP BY query_id) a USING (query_id)),
+h_supp AS (SELECT query_id,
+                  string_agg(content, '; ' ORDER BY crk) AS supp
+           FROM rs WHERE crk IN (2, 3) GROUP BY query_id),
+h_syn AS (
+  SELECT f.query_id,
+         CASE WHEN s.supp IS NOT NULL
+              THEN f.content || '. ' || 'Additionally: ' || s.supp
+              ELSE f.content END AS content,
+         f.confidence AS conf
+  FROM (SELECT query_id, content, confidence FROM rs WHERE crk = 1) f
+  LEFT JOIN h_supp s USING (query_id)),
+syn AS (
+  SELECT q.query_id,
+    CASE q.strategy WHEN 'sequential' THEN s.content
+         WHEN 'weighted' THEN w.content WHEN 'best_only' THEN b.content
+         WHEN 'smart_merge' THEN m.content ELSE h.content END
+      AS content,
+    CASE q.strategy WHEN 'sequential' THEN s.conf
+         WHEN 'weighted' THEN w.conf WHEN 'best_only' THEN b.conf
+         WHEN 'smart_merge' THEN m.conf ELSE h.conf END AS conf
+  FROM q JOIN seq_syn s USING (query_id) JOIN w_syn w USING (query_id)
+         JOIN b_syn b USING (query_id) JOIN sm_syn m USING (query_id)
+         JOIN h_syn h USING (query_id)),
+srcflat AS (SELECT query_id, seq, unnest(srcs) AS s,
+                   unnest(range(1, len(srcs)+1)) AS k
+            FROM r),
+srcfirst AS (SELECT query_id, s, min(seq*1000 + k) AS ord
+             FROM srcflat GROUP BY query_id, s),
+srcall AS (SELECT query_id,
+                  string_agg(s, ',' ORDER BY ord) AS sources_csv,
+                  list(s ORDER BY ord) AS slist
+           FROM srcfirst GROUP BY query_id),
+attr AS (
+  SELECT q.query_id,
+         CASE WHEN q.strategy = 'best_only' THEN b.srcs
+              ELSE a.slist END AS alist
+  FROM q JOIN srcall a USING (query_id) JOIN b_syn b USING (query_id)),
+attstr AS (
+  SELECT query_id, string_agg('[' || k || '] ' || s, ', ' ORDER BY k)
+           AS att
+  FROM (SELECT query_id, unnest(alist) AS s,
+               unnest(range(1, len(alist)+1)) AS k
+        FROM attr) t
+  WHERE k <= 3 GROUP BY query_id),
+nsub AS (SELECT query_id, count(*)::BIGINT AS n,
+                max(CASE WHEN result_type = 'fallback' THEN 1 ELSE 0
+                    END)::BIGINT AS fb
+         FROM r GROUP BY query_id),
+tt AS (
+  SELECT q.query_id,
+    CASE lower(q.primary_intent)
+      WHEN 'factual' THEN 'factual'
+      WHEN 'definitional' THEN 'definitional'
+      WHEN 'relational' THEN 'relational'
+      WHEN 'comparative' THEN 'comparative'
+      WHEN 'summary' THEN 'summary'
+      WHEN 'exploratory' THEN 'summary'
+      WHEN 'causal' THEN 'causal'
+      WHEN 'temporal' THEN 'temporal'
+      ELSE CASE WHEN ns.n > 1 THEN 'summary' ELSE 'fallback' END
+    END AS ttype
+  FROM q JOIN nsub ns USING (query_id)),
+eff AS (SELECT query_id, ttype,
+               CASE WHEN ttype IN ('causal', 'temporal')
+                    THEN 'fallback' ELSE ttype END AS etype
+        FROM tt),
+fw AS (SELECT query_id, seq,
+              list_filter(string_split_regex(content, '\\s+'),
+                          x -> x <> '')[1] AS w
+       FROM r),
+ents AS (
+  SELECT q.query_id,
+         coalesce(f0.w, 'the subject') AS entity,
+         coalesce(f0.w, 'entity') AS entity1,
+         coalesce(f1.w, 'entity') AS entity2
+  FROM q
+  LEFT JOIN (SELECT query_id, w FROM fw WHERE seq = 0) f0
+    USING (query_id)
+  LEFT JOIN (SELECT query_id, w FROM fw WHERE seq = 1) f1
+    USING (query_id)),
+relx AS (SELECT query_id, content,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY seq) AS k
+         FROM r WHERE contains(content, 'related')
+                   OR contains(content, 'relationship')),
+rel AS (SELECT q.query_id,
+               coalesce(x.content, 'a connection') AS relationship
+        FROM q LEFT JOIN (SELECT query_id, content FROM relx
+                          WHERE k = 1) x USING (query_id)),
+addl AS (SELECT query_id,
+                'Additionally, ' ||
+                string_agg(content, '. ' ORDER BY seq) AS s
+         FROM r WHERE seq > 0 GROUP BY query_id),
+det0 AS (SELECT query_id, count(*) AS n,
+                string_agg(content, '. ' ORDER BY seq) AS s
+         FROM r WHERE confidence > 0.6 GROUP BY query_id),
+det AS (SELECT q.query_id,
+               CASE WHEN d.n > 1 THEN d.s ELSE '' END AS s
+        FROM q LEFT JOIN det0 d USING (query_id)),
+kp AS (SELECT query_id, 'Key points: ' ||
+              string_agg(rk || '. ' || content, '; ' ORDER BY rk) AS s
+       FROM (SELECT query_id, content,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY seq) AS rk
+             FROM r) t
+       WHERE rk <= 3 GROUP BY query_id),
+assembled AS (
+  SELECT e.query_id, e.etype, s.conf,
+    CASE e.etype
+      WHEN 'factual' THEN
+        'Based on the available information, ' || s.content || '. ' ||
+        CASE WHEN s.conf >= 0.9
+             THEN 'I''m very confident in this information.'
+             WHEN s.conf >= 0.7
+             THEN 'This information appears to be reliable.'
+             WHEN s.conf >= 0.5
+             THEN 'This information has moderate confidence.'
+             ELSE 'Please note that this information has limited '
+                  || 'confidence.' END
+      WHEN 'definitional' THEN
+        en.entity || ' is ' || s.content || '. ' || coalesce(ad.s, '')
+      WHEN 'relational' THEN
+        en.entity1 || ' and ' || en.entity2 ||
+        ' are related through ' || rl.relationship || '. ' || dt.s
+      WHEN 'comparative' THEN
+        'Comparing ' || en.entity1 || ' and ' || en.entity2 || ': ' ||
+        s.content || '. ' ||
+        CASE WHEN s.conf > 0.8
+             THEN 'This appears to be well-supported by the available '
+                  || 'information.'
+             WHEN s.conf > 0.6
+             THEN 'This conclusion is supported by the available '
+                  || 'evidence.'
+             ELSE 'This is based on limited information.' END
+      WHEN 'summary' THEN
+        'Here''s what I found about ' || en.entity || ': ' ||
+        s.content || '. ' || coalesce(k.s, '')
+      ELSE 'Based on the available information: ' || s.content
+    END AS raw
+  FROM eff e JOIN syn s USING (query_id) JOIN ents en USING (query_id)
+       JOIN rel rl USING (query_id) JOIN det dt USING (query_id)
+       LEFT JOIN addl ad USING (query_id)
+       LEFT JOIN kp k USING (query_id)),
+cleaned AS (
+  SELECT query_id, etype, conf,
+    trim(regexp_replace(regexp_replace(raw, '\\{{\\w+\\}}', '', 'g'),
+                        '\\s+', ' ', 'g')) AS c
+  FROM assembled),
+ended AS (
+  SELECT query_id, etype, conf,
+    CASE WHEN c = '' THEN c
+         WHEN right(c, 1) IN ('.', '!', '?') THEN c
+         ELSE c || '.' END AS c
+  FROM cleaned),
+final AS (
+  SELECT e.query_id, e.etype, e.conf,
+         e.c || chr(10) || chr(10) || 'Sources: ' || a.att AS content
+  FROM ended e JOIN attstr a USING (query_id))
+SELECT q.query_id, q.strategy, t.ttype AS template_type,
+       f.etype AS effective_template, f.content,
+       round(least(f.conf * 0.7 + q.intent_confidence * 0.3, 1.0), 12)
+         AS confidence,
+       sa.sources_csv, ns.n AS n_subqueries, ns.fb AS fallback_used,
+       ((len(list_filter(string_split_regex(f.content, '\\s+'),
+                         x -> x <> '')) + 255) // 256)::BIGINT
+         AS n_chunks
+FROM q JOIN final f USING (query_id) JOIN tt t USING (query_id)
+JOIN srcall sa USING (query_id) JOIN nsub ns USING (query_id)
     """
 
 

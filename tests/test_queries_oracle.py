@@ -135,6 +135,8 @@ SQL_CHECKED = [
     "lazy_chunks", "lazy_pipeline_stats",
     # function-calling agent planner + query analyzer
     "agent_plans", "query_analysis",
+    # ROGRAG response synthesis/templates (full string replay)
+    "rograg_responses",
     # text analysis (TextStats; section-number extraction + roman eval)
     "text_statistics", "section_numbers",
 ]
