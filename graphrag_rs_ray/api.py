@@ -48,6 +48,7 @@ class GraphRAG:
         self._docs: list[dict] = []
         self._entities = None      # materialized Datasets
         self._chunks = None
+        self._triples = None
 
     # ------------------------------------------------- lifecycle --
 
@@ -81,20 +82,39 @@ class GraphRAG:
                            "content": text})
         self._entities = None      # graph is stale (lazy rebuild)
         self._chunks = None
+        self._triples = None
 
     # ----------------------------------------------------- graph --
 
     def build_graph(self):
-        """Pages → chunks → canonical entities, via the flagship
-        dataflow (``pipelines/kg.py``); both sides materialized once
+        """Pages → chunks → canonical entities + deduped triples, via
+        the flagship dataflow (``pipelines/kg.py``); materialized once
         (small facade corpora)."""
         import ray.data as rd
-        from .pipelines.kg import entities_dataset, pages_to_chunks
+        from .pipelines.kg import (entities_dataset, pages_to_chunks,
+                                   triples_dataset)
         pages = rd.from_arrow(_pages_table(self._docs))
         self._chunks = pages_to_chunks(pages, self.config).materialize()
         pages2 = rd.from_arrow(_pages_table(self._docs))
         self._entities = entities_dataset(
             pages2, self.config).materialize()
+        pages3 = rd.from_arrow(_pages_table(self._docs))
+        self._triples = triples_dataset(
+            pages3, self.config).materialize()
+
+    def get_knowledge_graph(self) -> dict | None:
+        """Materialized graph view for the REST handlers
+        (``lib.rs::get_knowledge_graph`` shape); None before build."""
+        if not self.has_graph():
+            return None
+        entities = [{"id": r["entity_id"], "name": r["name"],
+                     "type": r["type"], "confidence": r["conf"]}
+                    for r in self._entities.take_all()]
+        relationships = [{"source": r["subj"], "target": r["obj"],
+                          "type": r["pred"], "confidence": r["conf"]}
+                         for r in self._triples.take_all()]
+        return {"entities": entities, "relationships": relationships,
+                "documents": list(self._docs)}
 
     # ----------------------------------------------------- query --
 
