@@ -720,8 +720,30 @@ def q_frame_samples(sf_dir: str):
 
 
 def q_concept_mentions(sf_dir: str):
+    """Concept extraction per chunk (``lightrag/concept_graph.rs:
+    119-264``): capitalized + general noun-phrase regexes, top-20
+    freq≥2 keywords (trimmed, non-stopword), validity gates, sorted +
+    deduped.  The chunk TEXTS are staged and the oracle replays the
+    ENTIRE extraction in SQL (regexp_extract_all matches Python
+    finditer on this corpus — verified; keywords re-ranked with the
+    same count-desc/word-asc tie-break)."""
+    import re as _re
     from graphrag_rs_ray.pipelines.concepts import concept_mention_rows
-    return concept_mention_rows(q_kg_chunks(sf_dir))
+
+    def ascii_chunks(t: pa.Table) -> pa.Table:
+        # Python/Rust \b is Unicode, RE2's is ASCII — '_' is a word
+        # char in BOTH, so mapping non-ASCII to '_' keeps boundary
+        # behavior identical across engines (the production pipeline
+        # runs on the raw text; this query runs on the staged copy)
+        texts = [_re.sub(r"[^\x00-\x7f]", "_", x or "")
+                 for x in t.column("text").to_pylist()]
+        return pa.table({"chunk_id": t.column("chunk_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    chunks = _stage(q_kg_chunks(sf_dir).map_batches(
+        ascii_chunks, batch_format="pyarrow"), "concept_mentions",
+        sf_dir)
+    return concept_mention_rows(chunks)
 
 
 def q_concept_table(sf_dir: str):
@@ -3107,6 +3129,7 @@ def oracle_sql() -> dict[str, str]:
     d["agent_plans"] = _agent_plans_sql()
     d["query_analysis"] = _query_analysis_sql()
     d["rograg_responses"] = _rograg_responses_sql()
+    d["concept_mentions"] = _concept_mentions_sql()
     d["text_statistics"] = _text_statistics_sql()
     d["section_numbers"] = _section_numbers_sql()
     d["doc_collection"] = _doc_collection_sql()
@@ -3872,6 +3895,49 @@ SELECT cf.query_id, q.mode AS mode_used, cf.answer,
 FROM conf cf JOIN q USING (query_id) JOIN fmt ft USING (query_id)
 JOIN ents0 e USING (query_id)
     """
+
+
+# ---------------------------------------- concept extraction SQL --
+
+def _concept_mentions_sql() -> str:
+    """Zero-derivation-staging replay of ``extract_concepts``
+    (``concept_graph.rs:119-264``) over the staged chunk texts —
+    regexes, keyword ranking, validity gates, sort+dedup all in SQL."""
+    from graphrag_rs_ray.functions.concepts import CONCEPT_STOPWORDS
+    chunks = _staged_sql("concept_mentions")
+    stop = "(" + ",".join(f"'{w}'" for w in sorted(CONCEPT_STOPWORDS)) \
+        + ")"
+    return r"""
+WITH t AS MATERIALIZED (SELECT chunk_id, text FROM {chunks}),
+cap AS (SELECT chunk_id, unnest(regexp_extract_all(text,
+          '\b[A-Z][a-z]+(?:\s+[A-Z][a-z]+)+\b')) AS p FROM t),
+np AS (SELECT chunk_id, unnest(regexp_extract_all(text,
+          '\b[A-Z][a-z]+(?:\s+[A-Z]?[a-z]+){1,4}\b')) AS p FROM t),
+kw0 AS (SELECT chunk_id,
+               regexp_replace(lower(unnest(list_filter(
+                 string_split_regex(text, '\s+'), x -> x <> ''))),
+                 '^[\W_]+|[\W_]+$', '', 'g') AS w
+        FROM t),
+kw1 AS (SELECT chunk_id, w, count(*) AS c FROM kw0
+        WHERE length(w) >= 3 AND w NOT IN {stop}
+        GROUP BY chunk_id, w),
+kw2 AS (SELECT chunk_id, w, c, row_number() OVER (
+          PARTITION BY chunk_id ORDER BY c DESC, w ASC) AS rk
+        FROM kw1),
+kw AS (SELECT chunk_id, w AS p FROM kw2 WHERE rk <= 20 AND c >= 2),
+allp AS (SELECT chunk_id, p FROM cap
+         UNION ALL SELECT chunk_id, p FROM np
+         UNION ALL SELECT chunk_id, p FROM kw),
+valid AS (
+  SELECT DISTINCT chunk_id, p FROM (
+    SELECT chunk_id, p,
+           list_filter(string_split_regex(p, '\s+'),
+                       x -> x <> '') AS ws
+    FROM allp) x
+  WHERE length(p) >= 3 AND len(ws) <= 5
+    AND len(list_filter(ws, w -> lower(w) IN {stop})) <= len(ws) // 2)
+SELECT p AS concept, chunk_id FROM valid
+    """.replace("{chunks}", chunks).replace("{stop}", stop)
 
 
 # ----------------------------------------- rograg streaming SQL --

@@ -137,6 +137,8 @@ SQL_CHECKED = [
     "agent_plans", "query_analysis",
     # ROGRAG response synthesis/templates (full string replay)
     "rograg_responses",
+    # concept extraction replayed in SQL from staged chunk texts
+    "concept_mentions",
     # text analysis (TextStats; section-number extraction + roman eval)
     "text_statistics", "section_numbers",
 ]
@@ -170,7 +172,6 @@ def test_query_matches_oracle(ray_session, name):
 ROWS_ONLY = ["agent_sessions",
              "kg_mentions",
              "kg_chunks", "kg_extract_text",
-             "concept_mentions",
              "enriched_chunks", "multimodal_features",
              "chunk_embeddings",
              "ner_mentions", "semantic_chunks", "gleaning_triples",
