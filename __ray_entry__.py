@@ -295,14 +295,34 @@ def q_gleaning_triples(sf_dir: str):
 
 
 def q_ner_mentions(sf_dir: str):
-    """Rule-engine NER (gazetteer/regex/contextual); rules built once per
-    worker process (cheap state → stateless tasks, see stages/memo.py)."""
+    """Rule-engine NER (gazetteer/regex/contextual,
+    ``nlp/custom_ner.rs``); rules built once per worker process (cheap
+    state → stateless tasks, see stages/memo.py).  Chunk texts are
+    staged (ASCII-sanitized, same device as ``concept_mentions``) and
+    the oracle replays the WHOLE engine in SQL: dictionary occurrences
+    via split-cumsum positions, regex matches via the
+    parts/matches zip, the contextual word-window rule with its
+    first-substring-position quirk, and the greedy
+    (start, −conf, emission-order) overlap resolution as a recursive
+    CTE."""
+    import re as _re
     from graphrag_rs_ray.stages.memo import memoized_stage
-    from graphrag_rs_ray.stages.ner import DEMO_ENTITY_TYPES, DEMO_RULES, NERStage
+    from graphrag_rs_ray.stages.ner import (DEMO_ENTITY_TYPES,
+                                            DEMO_RULES, NERStage)
+
+    def ascii_chunks(t: pa.Table) -> pa.Table:
+        texts = [_re.sub(r"[^\x00-\x7f]", "_", x or "")
+                 for x in t.column("text").to_pylist()]
+        return pa.table({"chunk_id": t.column("chunk_id"),
+                         "doc_id": t.column("doc_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    chunks = _stage(q_kg_chunks(sf_dir).map_batches(
+        ascii_chunks, batch_format="pyarrow"), "ner_mentions", sf_dir)
     fn = memoized_stage("demo-ner",
                         lambda: NERStage(DEMO_ENTITY_TYPES, DEMO_RULES))
-    return q_kg_chunks(sf_dir).map_batches(fn, batch_format="pyarrow",
-                                           batch_size=None)
+    return chunks.map_batches(fn, batch_format="pyarrow",
+                              batch_size=None)
 
 
 def q_incremental_update(sf_dir: str):
@@ -3130,6 +3150,7 @@ def oracle_sql() -> dict[str, str]:
     d["query_analysis"] = _query_analysis_sql()
     d["rograg_responses"] = _rograg_responses_sql()
     d["concept_mentions"] = _concept_mentions_sql()
+    d["ner_mentions"] = _ner_mentions_sql()
     d["text_statistics"] = _text_statistics_sql()
     d["section_numbers"] = _section_numbers_sql()
     d["doc_collection"] = _doc_collection_sql()
@@ -3938,6 +3959,130 @@ valid AS (
     AND len(list_filter(ws, w -> lower(w) IN {stop})) <= len(ws) // 2)
 SELECT p AS concept, chunk_id FROM valid
     """.replace("{chunks}", chunks).replace("{stop}", stop)
+
+
+# ----------------------------------------------- NER engine SQL --
+
+def _ner_mentions_sql() -> str:
+    """Replay of the demo NER config (``stages/ner.py::DEMO_RULES``)
+    over the staged sanitized chunk texts — see ``q_ner_mentions``."""
+    from graphrag_rs_ray.stages.ner import DEMO_ENTITY_TYPES
+    chunks = _staged_sql("ner_mentions")
+    entries = sorted(DEMO_ENTITY_TYPES[0]["dictionary"])
+    entries_sql = " UNION ALL ".join(
+        f"SELECT '{e}' AS entry, {i} AS eidx"
+        for i, e in enumerate(entries))
+    return r"""
+WITH RECURSIVE
+t AS MATERIALIZED (SELECT chunk_id, doc_id, text FROM {chunks}),
+entries AS ({entries_sql}),
+-- dictionary rule (conf 0.95, rule order 0): non-overlapping
+-- occurrences of each entry in lower(text); positions from the
+-- split-prefix-sum (next search starts at pos + len(entry))
+dparts AS (
+  SELECT chunk_id, entry, eidx,
+         string_split(lower(text), entry) AS parts
+  FROM t CROSS JOIN entries),
+dflat AS (SELECT chunk_id, entry, eidx, len(parts) AS np,
+                 unnest(parts) AS part,
+                 unnest(range(1, len(parts)+1)) AS k
+          FROM dparts),
+dcum AS (SELECT *, sum(length(part)) OVER (
+           PARTITION BY chunk_id, entry ORDER BY k) AS cum
+         FROM dflat),
+dmatch AS (
+  SELECT chunk_id, (cum + (k-1)*length(entry))::BIGINT AS start,
+         (cum + k*length(entry))::BIGINT AS fin,
+         length(entry)::BIGINT AS mlen,
+         'CITY' AS type, 0.95::REAL AS conf,
+         'city_gazetteer' AS rule,
+         0 AS rord, eidx AS s1, k AS s2
+  FROM dcum WHERE k < np),
+-- regex rules (conf 0.9): positions from zipping
+-- string_split_regex parts with regexp_extract_all matches
+rx AS (
+  SELECT chunk_id, rname, etype, rord,
+         string_split_regex(text, pat) AS parts,
+         regexp_extract_all(text, pat) AS ms
+  FROM t CROSS JOIN (
+    SELECT 'org_suffix' AS rname, 'ORG' AS etype, 1 AS rord,
+           '\b[A-Z][A-Za-z]+ (?:Inc|Corp|LLC|Ltd)\b' AS pat
+    UNION ALL
+    SELECT 'dr_person', 'TITLE_PERSON', 2, '\bDr\. [A-Z][a-z]+\b') r),
+rpcum AS (SELECT chunk_id, rname, etype, rord, k,
+                 sum(length(part)) OVER (
+                   PARTITION BY chunk_id, rname ORDER BY k) AS pcum
+          FROM (SELECT chunk_id, rname, etype, rord,
+                       unnest(parts) AS part,
+                       unnest(range(1, len(parts)+1)) AS k
+                FROM rx) x),
+rmcum AS (SELECT chunk_id, rname, k, m,
+                 coalesce(sum(length(m)) OVER (
+                   PARTITION BY chunk_id, rname ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS mprev
+          FROM (SELECT chunk_id, rname, unnest(ms) AS m,
+                       unnest(range(1, len(ms)+1)) AS k
+                FROM rx) x),
+rmatch AS (
+  SELECT q.chunk_id, (p.pcum + q.mprev)::BIGINT AS start,
+         (p.pcum + q.mprev + length(q.m))::BIGINT AS fin,
+         length(q.m)::BIGINT AS mlen,
+         p.etype AS type, 0.9::REAL AS conf, p.rname AS rule,
+         p.rord, 0 AS s1, q.k AS s2
+  FROM rmcum q
+  JOIN rpcum p ON p.chunk_id = q.chunk_id AND p.rname = q.rname
+              AND p.k = q.k),
+-- contextual rule (conf 0.85): word-triple window, match = middle
+-- word, position = FIRST substring occurrence (reference quirk)
+cwords AS (SELECT chunk_id, unnest(ws) AS w,
+                  unnest(range(1, len(ws)+1)) AS i
+           FROM (SELECT chunk_id,
+                        list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '') AS ws
+                 FROM t) x),
+cmatch AS (
+  SELECT a.chunk_id, (strpos(tt.text, b.w) - 1)::BIGINT AS start,
+         (strpos(tt.text, b.w) - 1 + length(b.w))::BIGINT AS fin,
+         length(b.w)::BIGINT AS mlen,
+         'TITLE_PERSON' AS type, 0.85::REAL AS conf,
+         'prof_contextual' AS rule, 3 AS rord, 0 AS s1, a.i AS s2
+  FROM cwords a
+  JOIN cwords b ON b.chunk_id = a.chunk_id AND b.i = a.i + 1
+  JOIN cwords c ON c.chunk_id = a.chunk_id AND c.i = a.i + 2
+  JOIN t tt ON tt.chunk_id = a.chunk_id
+  WHERE contains(lower(a.w), 'professor')
+    AND contains(lower(b.w), 'at')
+    AND contains(lower(c.w), 'university')
+    AND strpos(tt.text, b.w) > 0),
+allm AS (SELECT * FROM dmatch UNION ALL SELECT * FROM rmatch
+         UNION ALL SELECT * FROM cmatch),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk_id
+             ORDER BY start ASC, conf DESC, rord ASC, s1 ASC, s2 ASC)
+             AS rn,
+         count(*) OVER (PARTITION BY chunk_id) AS n
+  FROM allm),
+greedy AS (
+  SELECT chunk_id, 0::BIGINT AS rn, 0::BIGINT AS last_end,
+         FALSE AS keep, n
+  FROM (SELECT DISTINCT chunk_id, n FROM ordered) b
+  UNION ALL
+  SELECT o.chunk_id, o.rn,
+         CASE WHEN o.start >= g.last_end THEN o.fin
+              ELSE g.last_end END,
+         o.start >= g.last_end, g.n
+  FROM greedy g JOIN ordered o
+    ON o.chunk_id = g.chunk_id AND o.rn = g.rn + 1
+  WHERE g.rn < g.n)
+SELECT o.chunk_id, tt.doc_id,
+       substr(tt.text, (o.start + 1)::INT, o.mlen::INT) AS surface,
+       o.type, o.start, o.fin AS "end", o.conf, o.rule
+FROM greedy g
+JOIN ordered o USING (chunk_id, rn)
+JOIN t tt USING (chunk_id)
+WHERE g.keep
+    """.replace("{chunks}", chunks).replace("{entries_sql}", entries_sql)
 
 
 # ----------------------------------------- rograg streaming SQL --

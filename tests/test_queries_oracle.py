@@ -139,6 +139,9 @@ SQL_CHECKED = [
     "rograg_responses",
     # concept extraction replayed in SQL from staged chunk texts
     "concept_mentions",
+    # rule-engine NER replayed in SQL (dictionary/regex positions via
+    # split-cumsum, contextual windows, recursive-CTE greedy overlaps)
+    "ner_mentions",
     # text analysis (TextStats; section-number extraction + roman eval)
     "text_statistics", "section_numbers",
 ]
@@ -174,7 +177,7 @@ ROWS_ONLY = ["agent_sessions",
              "kg_chunks", "kg_extract_text",
              "enriched_chunks", "multimodal_features",
              "chunk_embeddings",
-             "ner_mentions", "semantic_chunks", "gleaning_triples",
+             "semantic_chunks", "gleaning_triples",
              "communities", "community_summaries", "doc_tree_summaries"]
 
 
