@@ -164,10 +164,12 @@ def generated_answers(results_ds, summaries_ds, queries_tbl: pa.Table):
     tagged, unioned, hash-bucketed by query_id; each bucket runs the
     full generator per contained query (query metadata broadcast via
     closure — the SMALL side)."""
-    qmeta = {qid: (question, mode) for qid, question, mode in zip(
+    import ray
+    qmeta_ref = ray.put({qid: (question, mode)
+                         for qid, question, mode in zip(
         queries_tbl.column("query_id").to_pylist(),
         queries_tbl.column("question").to_pylist(),
-        queries_tbl.column("mode").to_pylist())}
+        queries_tbl.column("mode").to_pylist())})
 
     def widen_results(t: pa.Table) -> pa.Table:
         return t.append_column("row_kind",
@@ -197,6 +199,8 @@ def generated_answers(results_ds, summaries_ds, queries_tbl: pa.Table):
                                                 batch_format="pyarrow")))
 
     def per_bucket(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        qmeta = _ray.get(qmeta_ref)   # query metadata broadcast once
         rows = t.to_pylist()
         by_q: dict[str, dict[str, list]] = {}
         for r in rows:

@@ -107,15 +107,18 @@ def synthesize_streaming_inputs(names: list[str], texts: list[str]):
 def responses_stage(results_ds, queries_tbl: pa.Table):
     """Hash-bucketed per-query response assembly; query metadata
     broadcast via closure (the SMALL side)."""
-    meta = {qid: (query, strategy, intent.lower(), iconf)
-            for qid, query, strategy, intent, iconf in zip(
-                queries_tbl.column("query_id").to_pylist(),
-                queries_tbl.column("query").to_pylist(),
-                queries_tbl.column("strategy").to_pylist(),
-                queries_tbl.column("primary_intent").to_pylist(),
-                queries_tbl.column("intent_confidence").to_pylist())}
+    import ray
+    meta_ref = ray.put({qid: (query, strategy, intent.lower(), iconf)
+                        for qid, query, strategy, intent, iconf in zip(
+        queries_tbl.column("query_id").to_pylist(),
+        queries_tbl.column("query").to_pylist(),
+        queries_tbl.column("strategy").to_pylist(),
+        queries_tbl.column("primary_intent").to_pylist(),
+        queries_tbl.column("intent_confidence").to_pylist())})
 
     def per_bucket(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        meta = _ray.get(meta_ref)     # query metadata broadcast once
         rows = t.to_pylist()
         by_q: dict[str, list] = {}
         for r in rows:
