@@ -1280,13 +1280,13 @@ def q_semantic_merge_groups(sf_dir: str):
 def _staged_doc_entities(query: str, sf_dir: str):
     """Distinct per-document entities (doc_id, local_entity_id, name)
     from the mention rows — the linker's flattened input
-    (``entity_linker.rs:121-134``), staged."""
+    (``entity_linker.rs:121-134``), staged.  Mention rows come from
+    the shared per-process KG cache (one extraction pass feeds the
+    whole tool/linking slice)."""
+    import ray.data as rd
     from graphrag_rs_ray.stages.hashagg import (
         grouped_arrow_agg, hash_grouped_aggregate)
-    cfg = KGConfig()
-    combined = chunks_to_combined(pages_to_chunks(_kg_pages(sf_dir), cfg),
-                                  cfg)
-    mentions = combined.map_batches(entities_only, batch_format="pyarrow")
+    mentions = rd.from_arrow(_rograg_inputs(sf_dir)["mentions"])
     flat = hash_grouped_aggregate(
         mentions.map_batches(
             lambda t: pa.table({"doc_id": t.column("doc_id"),
@@ -1941,7 +1941,8 @@ def _rograg_inputs(sf_dir: str) -> dict:
                 tris_df[["subj", "pred", "obj", "conf"]],
                 preserve_index=False),
             "mentions": pa.Table.from_pandas(
-                mentions_df[["chunk_id", "doc_id", "entity_id", "conf"]],
+                mentions_df[["chunk_id", "doc_id", "entity_id", "conf",
+                             "name"]],
                 preserve_index=False),
             "chunks": pa.Table.from_pandas(
                 chunks_df[["chunk_id", "doc_id", "text"]],
