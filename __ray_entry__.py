@@ -1597,6 +1597,37 @@ def _doc_texts(sf_dir: str) -> list[str]:
     return tbl.take(order).column("text").to_pylist()
 
 
+_DOC_TREE_QUERY = "report adventure discovery near the river crossing"
+
+
+def q_doc_tree_search(sf_dir: str):
+    """``DocumentTree::query`` across every document's summary tree
+    (``summarization/mod.rs:867-930``): +1 per query keyword contained
+    in the lowercased summary+keywords text, +2·query-word-overlap
+    ratio (duplicates counted), +0.5/(level+1); score > 0.1, per-doc
+    top-3 (the reference's tie order is HashMap-nondeterministic →
+    (score desc, node_id asc) pinned).  Tree nodes (procedural
+    summaries + keywords) and the extracted query keywords are staged;
+    the oracle replays the scoring + ranking."""
+    import ray.data as rd
+    from graphrag_rs_ray.functions.generation import extract_keywords
+    from graphrag_rs_ray.pipelines.doctree import (build_document_trees,
+                                                   tree_query_stage)
+    chunks = pages_to_chunks(_kg_pages(sf_dir),
+                             KGConfig(chunk_size=120, chunk_overlap=0,
+                                      min_chunk_size=20))
+    nodes = build_document_trees(chunks, with_summary=True,
+                                 with_keywords=True)
+    staged = _stage(nodes.map_batches(
+        lambda t: t.select(["doc_id", "node_id", "level", "summary",
+                            "keywords_csv"]), batch_format="pyarrow"),
+        "doc_tree_search", sf_dir)
+    _stage(rd.from_arrow(pa.table({
+        "kw": pa.array(extract_keywords(_DOC_TREE_QUERY, 5),
+                       pa.string())})), "doc_tree_search", sf_dir, "qk")
+    return tree_query_stage(staged, _DOC_TREE_QUERY, max_results=3)
+
+
 def q_text_statistics(sf_dir: str):
     """Per-document TextStats (``text/analysis.rs:238-280``): word /
     sentence / paragraph / char counts with the min-1 clamps and both
@@ -2991,6 +3022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consistency_report": q_consistency_report,
         "doc_tree": q_doc_tree,
         "doc_tree_summaries": q_doc_tree_summaries,
+        "doc_tree_search": q_doc_tree_search,
         "triangle_counts": q_triangle_counts,
         "shortest_paths": q_shortest_paths,
         "all_paths": q_all_paths,
@@ -3152,6 +3184,7 @@ def oracle_sql() -> dict[str, str]:
     d["rograg_responses"] = _rograg_responses_sql()
     d["concept_mentions"] = _concept_mentions_sql()
     d["ner_mentions"] = _ner_mentions_sql()
+    d["doc_tree_search"] = _doc_tree_search_sql()
     d["text_statistics"] = _text_statistics_sql()
     d["section_numbers"] = _section_numbers_sql()
     d["doc_collection"] = _doc_collection_sql()
@@ -3960,6 +3993,41 @@ valid AS (
     AND len(list_filter(ws, w -> lower(w) IN {stop})) <= len(ws) // 2)
 SELECT p AS concept, chunk_id FROM valid
     """.replace("{chunks}", chunks).replace("{stop}", stop)
+
+
+# ----------------------------------------------- doc-tree query SQL --
+
+def _doc_tree_search_sql() -> str:
+    nodes = _staged_sql("doc_tree_search")
+    qk = _staged_sql("doc_tree_search", "qk")
+    qwords = "[" + ",".join(f"'{w}'" for w in
+                            _DOC_TREE_QUERY.split()) + "]"
+    return f"""
+WITH n AS (
+  SELECT doc_id, node_id, level,
+         lower(summary || ' ' || replace(keywords_csv, ',', ' '))
+           AS nt
+  FROM {nodes}),
+nw AS (SELECT doc_id, node_id,
+              list_filter(string_split_regex(nt, '\\s+'),
+                          x -> x <> '') AS ws
+       FROM n),
+scored AS (
+  SELECT n.doc_id, n.node_id, n.level,
+    (SELECT coalesce(sum(1.0), 0.0) FROM {qk} q
+     WHERE contains(n.nt, lower(q.kw)))
+    + (len(list_filter({qwords},
+           w -> list_contains(nw.ws, lower(w))))::DOUBLE
+       / len({qwords})) * 2.0
+    + (1.0 / (n.level + 1)) * 0.5 AS score
+  FROM n JOIN nw USING (doc_id, node_id)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, node_id ASC) AS rn
+  FROM scored WHERE score > 0.1)
+SELECT doc_id, node_id, level, round(score, 12) AS score
+FROM ranked WHERE rn <= 3
+    """
 
 
 # ----------------------------------------------- NER engine SQL --

@@ -63,3 +63,55 @@ def test_multiple_docs_independent(ray_session):
     assert len(x) == 6 + 2 + 1                # 6 leaves -> [5,1] -> root
     assert len(y) == 2 + 1
     assert set(y[y["level"] == 1]["n_children"]) == {2}
+
+
+# ---------------------------------------------- tree query path --
+
+def test_node_keywords_leaf_and_merge():
+    # mod.rs:317 (leaf top-5) / :693-712 (merge: sort+dedup+trunc 10)
+    from graphrag_rs_ray.pipelines.doctree import node_keywords
+    leaf = node_keywords("alpha beta alpha gamma delta words appear "
+                         "alpha beta gamma words", True)
+    assert len(leaf) <= 5 and "alpha" in leaf
+    merged = node_keywords("", False,
+                           [["zeta", "alpha"], ["alpha", "beta"]])
+    assert merged == ["alpha", "beta", "zeta"]
+    many = node_keywords("", False, [[f"k{i:02d}" for i in range(8)],
+                                     [f"k{i:02d}" for i in range(4, 12)]])
+    assert len(many) == 10 and many[0] == "k00"
+
+
+def test_tree_relevance_score():
+    # mod.rs:893-930 — contains + overlap + level terms
+    from graphrag_rs_ray.pipelines.doctree import tree_relevance_score
+    s = tree_relevance_score("The river crossing was found",
+                             ["river", "crossing"], 0,
+                             "river crossing", ["river", "crossing"])
+    # 2 keyword hits + full word overlap (2/2)*2 + 0.5/(0+1)
+    assert s == 2.0 + 2.0 + 0.5
+    deeper = tree_relevance_score("The river crossing was found",
+                                  ["river"], 3, "river crossing",
+                                  ["river", "crossing"])
+    assert deeper < s                    # level damping
+
+
+def test_ancestors_descendants_statistics():
+    from graphrag_rs_ray.pipelines.doctree import (
+        get_ancestors, get_descendants, tree_statistics)
+    nodes = {
+        "leaf_a_0": {"level": 0, "parent_id": "level_1_0"},
+        "leaf_a_1": {"level": 0, "parent_id": "level_1_0"},
+        "leaf_a_2": {"level": 0, "parent_id": "level_1_1"},
+        "level_1_0": {"level": 1, "parent_id": "level_2_0"},
+        "level_1_1": {"level": 1, "parent_id": "level_2_0"},
+        "level_2_0": {"level": 2, "parent_id": None},
+    }
+    assert get_ancestors(nodes, "leaf_a_0") == [
+        "leaf_a_0", "level_1_0", "level_2_0"]
+    assert get_descendants(nodes, "level_2_0") == [
+        "level_1_0", "level_1_1", "leaf_a_0", "leaf_a_1", "leaf_a_2"]
+    stats = tree_statistics([{**n, "node_id": k}
+                             for k, n in nodes.items()])
+    assert stats == {"total_nodes": 6, "max_level": 2,
+                     "nodes_per_level": {0: 3, 1: 2, 2: 1},
+                     "root_count": 1}

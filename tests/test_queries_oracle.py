@@ -142,6 +142,8 @@ SQL_CHECKED = [
     # rule-engine NER replayed in SQL (dictionary/regex positions via
     # split-cumsum, contextual windows, recursive-CTE greedy overlaps)
     "ner_mentions",
+    # DocumentTree::query relevance scoring over staged tree nodes
+    "doc_tree_search",
     # text analysis (TextStats; section-number extraction + roman eval)
     "text_statistics", "section_numbers",
 ]
