@@ -127,12 +127,13 @@ def test_synthesis_invariants(results, strategy):
 @given(st.text(alphabet=string.ascii_letters + " {}\n\t",
                max_size=120))
 def test_clean_content_invariants(s):
+    import re
     c = clean_content(s)
-    assert "  " not in c
+    assert "  " not in c and c == c.strip()
     if c:
         assert c[-1] in ".!?"
-    assert "{" not in c or "}" not in c.split("{")[-1].split()[0] \
-        if "{" in c else True
+    # surviving braces are never intact {word} placeholders
+    assert not re.search(r"\{\w+\}", c)
 
 
 @settings(max_examples=60, deadline=None)
