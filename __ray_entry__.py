@@ -216,11 +216,70 @@ def q_kg_mentions(sf_dir: str):
 
 
 def q_kg_chunks(sf_dir: str):
-    return pages_to_chunks(_kg_pages(sf_dir), KGConfig())
+    """Hierarchical chunking (``text/chunking.rs:48-152``) of the
+    extracted page texts.  The extracted docs are staged ASCII/control-
+    sanitized (1:1 char map — offsets preserved) and DuckDB replays the
+    WHOLE chunker (``_kg_chunks_sql``: recursive CTE over start
+    positions, separator-priority rfinds, quarter gate, word-boundary
+    overlap back-off, min-size trim gate)."""
+    import re as _re
+    from graphrag_rs_ray.stages.chunk import ChunkStage
+
+    docs = _kg_pages(sf_dir).map_batches(extract_text_stage,
+                                         batch_format="pyarrow")
+
+    def san_docs(t: pa.Table) -> pa.Table:
+        texts = [_re.sub(r"[^\x09-\x0d\x20-\x7e]", "_", x or "")
+                 for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(texts, pa.string()),
+                         "lang": t.column("lang")})
+
+    staged = _stage(docs.map_batches(san_docs, batch_format="pyarrow"),
+                    "kg_chunks", sf_dir)
+    return staged.map_batches(ChunkStage(KGConfig()),
+                              batch_format="pyarrow")
 
 
 def q_extract_text(sf_dir: str):
-    return _kg_pages(sf_dir).map_batches(extract_text_stage, batch_format="pyarrow")
+    """HTML→text extraction (tag-strip automaton, ``html.rs:21-36``).
+    Pages are staged with html DECODED + control/non-ASCII chars mapped
+    1:1 to ``_`` (offsets preserved); DuckDB replays the automaton as
+    two regex passes — ``<[^>]*(>|$)`` run removal (the state machine
+    consumes from each ``<`` to the next ``>`` or EOF) + stray-``>``
+    drop + whitespace trim.  Equivalence vs the Python automaton is
+    property-gated in tests."""
+    import re as _re
+
+    def stage_pages(t: pa.Table) -> pa.Table:
+        def san(x):
+            return _re.sub(r"[^\x09-\x0d\x20-\x7e]", "_", x)
+        hs = [None if h is None else
+              san(h.decode("utf-8", errors="replace")
+                  if isinstance(h, (bytes, bytearray)) else h)
+              for h in t.column("html").to_pylist()]
+        ts = [None if x is None else san(x)
+              for x in t.column("text").to_pylist()]
+        return pa.table({"url": t.column("url"),
+                         "title": t.column("title"),
+                         "lang": t.column("lang"),
+                         "html_s": pa.array(hs, pa.string()),
+                         "text_s": pa.array(ts, pa.string())})
+
+    staged = _stage(_kg_pages(sf_dir).map_batches(
+        stage_pages, batch_format="pyarrow"), "kg_extract_text", sf_dir)
+
+    def extract(t: pa.Table) -> pa.Table:
+        from graphrag_rs_ray.functions.html import extract_page_text
+        out = [extract_page_text(h, x)
+               for h, x in zip(t.column("html_s").to_pylist(),
+                               t.column("text_s").to_pylist())]
+        return pa.table({"doc_id": t.column("url"),
+                         "title": t.column("title"),
+                         "text": pa.array(out, pa.string()),
+                         "lang": t.column("lang")})
+
+    return staged.map_batches(extract, batch_format="pyarrow")
 
 
 def _join_list_col(col: str):
@@ -657,7 +716,15 @@ def q_doc_tree_summaries(sf_dir: str):
     same chunk config as ``doc_tree`` so the trees are multi-level.
     Pages capped at 20k: the op is strictly per-document (zero cross-doc
     shuffle, cost exactly linear in documents), so a bounded slice is the
-    honest bench unit — at web scale you run it per partition."""
+    honest bench unit — at web scale you run it per partition.
+
+    Oracle: chunk texts are staged ASCII-sanitized (the
+    ``ner_mentions`` device) and DuckDB re-derives the tree structure
+    arithmetically, re-assembles every node's content as the ordered
+    ``\\n\\n``-join of its leaf texts, and replays the ENTIRE extractive
+    summarizer (``_summarizer_sql``: scoring + recursive-CTE greedy
+    selection)."""
+    import re as _re
     from graphrag_rs_ray.pipelines.doctree import build_document_trees
     pages = _kg_pages(sf_dir)
     if _n_pages(sf_dir) > 20_000:
@@ -665,7 +732,111 @@ def q_doc_tree_summaries(sf_dir: str):
     chunks = pages_to_chunks(pages,
                              KGConfig(chunk_size=120, chunk_overlap=0,
                                       min_chunk_size=20))
-    return build_document_trees(chunks, with_summary=True)
+
+    def ascii_chunks(t: pa.Table) -> pa.Table:
+        texts = [_re.sub(r"[^\x00-\x7f]", "_", x or "")
+                 for x in t.column("text").to_pylist()]
+        return pa.table({"chunk_id": t.column("chunk_id"),
+                         "doc_id": t.column("doc_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    staged = _stage(chunks.map_batches(ascii_chunks, batch_format="pyarrow"),
+                    "doc_tree_summaries", sf_dir)
+    return build_document_trees(staged, with_summary=True)
+
+
+def q_enriched_chunks(sf_dir: str):
+    """Chunk enrichment (``text/chunk_enricher.rs:48-142``) over
+    ASCII-sanitized documents.  Procedural inputs staged: the chunk rows,
+    per-doc lengths, and the parsed SECTION table (plaintext heading
+    detection is sequential, like the chunker); DuckDB re-derives
+    chapter/section/subsection via the last-containing-offset rule +
+    a recursive parent walk, keywords (empty-DF TF-IDF ⇒ all scores 0 ⇒
+    lexicographic top-5 — the documented deviation), the FULL extractive
+    summary via ``_summarizer_sql`` (only for chunks > 150 chars, else
+    NULL), and position_in_document.  Driver-facing transforms on the
+    faithful ENRICHED_SCHEMA: keywords list → CSV string,
+    structural_level NULL → -1 (numeric-sentinel rule)."""
+    import re as _re
+    import ray.data as rd
+    from graphrag_rs_ray.stages.enrich import EnrichedChunkStage
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def to_ascii(batch: pa.Table) -> pa.Table:
+        ids = [f"doc{i}" for i in batch.column("doc_id").to_pylist()]
+        texts = [_re.sub(r"[^\x00-\x7f]", "_", x or "")
+                 for x in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ds.map_batches(to_ascii, batch_format="pyarrow")
+
+    def doclens(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "doc_len": pa.array([max(len(x), 1)
+                                 for x in t.column("text").to_pylist()],
+                                pa.int64())})
+
+    _stage(docs.map_batches(doclens, batch_format="pyarrow"),
+           "enriched_chunks", sf_dir, sub="doclens")
+
+    def section_rows(t: pa.Table) -> pa.Table:
+        from graphrag_rs_ray.functions.layout import parse_layout
+        cols = {k: [] for k in ("doc_id", "sec_idx", "heading_text",
+                                "level", "start_offset", "content_end",
+                                "parent")}
+        # sentinel row so the staged dir is never empty (synthetic docs
+        # may contain zero plaintext headings); '__none__' matches no doc
+        cols["doc_id"].append("__none__")
+        cols["sec_idx"].append(0)
+        cols["heading_text"].append("")
+        cols["level"].append(0)
+        cols["start_offset"].append(0)
+        cols["content_end"].append(0)
+        cols["parent"].append(-1)
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            _, sections, _ = parse_layout(text or "", "plaintext")
+            for i, s in enumerate(sections):
+                cols["doc_id"].append(did)
+                cols["sec_idx"].append(i)
+                cols["heading_text"].append(s.heading.text)
+                cols["level"].append(s.heading.level)
+                cols["start_offset"].append(s.heading.start_offset)
+                cols["content_end"].append(s.content_end)
+                cols["parent"].append(-1 if s.parent_section is None
+                                      else s.parent_section)
+        return pa.table({
+            "doc_id": pa.array(cols["doc_id"], pa.string()),
+            "sec_idx": pa.array(cols["sec_idx"], pa.int64()),
+            "heading_text": pa.array(cols["heading_text"], pa.string()),
+            "level": pa.array(cols["level"], pa.int32()),
+            "start_offset": pa.array(cols["start_offset"], pa.int64()),
+            "content_end": pa.array(cols["content_end"], pa.int64()),
+            "parent": pa.array(cols["parent"], pa.int64())})
+
+    _stage(docs.map_batches(section_rows, batch_format="pyarrow"),
+           "enriched_chunks", sf_dir, sub="sections")
+
+    cfg = KGConfig(chunk_size=400, chunk_overlap=50)
+    enriched = docs.map_batches(EnrichedChunkStage(cfg),
+                                batch_format="pyarrow")
+    _stage(enriched.map_batches(
+        lambda t: t.select(["chunk_id", "doc_id", "text", "start", "end"]),
+        batch_format="pyarrow"), "enriched_chunks", sf_dir)
+
+    def for_driver(t: pa.Table) -> pa.Table:
+        kws = [",".join(x) for x in t.column("keywords").to_pylist()]
+        lvl = [(-1 if v is None else v)
+               for v in t.column("structural_level").to_pylist()]
+        t = t.drop_columns(["keywords", "structural_level"])
+        return (t.append_column("keywords_csv", pa.array(kws, pa.string()))
+                 .append_column("structural_level", pa.array(lvl, pa.int32())))
+
+    return enriched.map_batches(for_driver, batch_format="pyarrow")
 
 
 def q_consistency_report(sf_dir: str):
@@ -719,8 +890,52 @@ def q_chunk_embeddings(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
+    """Actor-pool fake-codec decode (``DeterministicFakeDecoder``):
+    features = BLAKE2b(payload) bytes / 255 as f32, width/height from the
+    digest tail.  The DIGESTS are staged (the ``simhash_signatures``
+    blake2b-vocab device — SQL can't hash, but every derived number is
+    re-computed in DuckDB: the /255 f32 cast and the 16 + d % 240 dims).
+    Driver-facing transform: the f32 feature list is exploded to
+    (dim, value) rows (list cells hash engine-dependently)."""
+    import hashlib
     from graphrag_rs_ray.stages.multimodal import decode_features, media_from_documents
-    return decode_features(media_from_documents(sf_dir))
+
+    def digests(t: pa.Table) -> pa.Table:
+        ds = [list(hashlib.blake2b(p or b"", digest_size=18).digest())
+              for p in t.column("payload").to_pylist()]
+        return pa.table({"media_id": t.column("media_id"),
+                         "media_type": t.column("media_type"),
+                         "n_bytes": pa.array(
+                             [len(p or b"") for p in t.column("payload").to_pylist()],
+                             pa.int64()),
+                         "digest": pa.array(ds, pa.list_(pa.int64()))})
+
+    _stage(media_from_documents(sf_dir).map_batches(
+        digests, batch_format="pyarrow"), "multimodal_features", sf_dir)
+
+    feats = decode_features(media_from_documents(sf_dir))
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, types, nb, w, h, dim, val = [], [], [], [], [], [], []
+        for i in range(t.num_rows):
+            f = t.column("feature")[i].as_py()
+            for d, v in enumerate(f):
+                ids.append(t.column("media_id")[i].as_py())
+                types.append(t.column("media_type")[i].as_py())
+                nb.append(t.column("n_bytes")[i].as_py())
+                w.append(t.column("width")[i].as_py())
+                h.append(t.column("height")[i].as_py())
+                dim.append(d)
+                val.append(v)
+        return pa.table({"media_id": pa.array(ids, pa.string()),
+                         "media_type": pa.array(types, pa.string()),
+                         "n_bytes": pa.array(nb, pa.int64()),
+                         "width": pa.array(w, pa.int32()),
+                         "height": pa.array(h, pa.int32()),
+                         "dim": pa.array(dim, pa.int64()),
+                         "value": pa.array(val, pa.float32())})
+
+    return feats.map_batches(explode, batch_format="pyarrow")
 
 
 def q_frame_samples(sf_dir: str):
@@ -866,13 +1081,27 @@ def q_hybrid_search(sf_dir: str):
 
 
 def q_community_summaries(sf_dir: str):
-    """Extractive per-community summaries (``leiden.rs:139-230``) over the
-    detected communities + canonical entity metadata."""
+    """Per-community summaries (``leiden.rs:139-230``
+    ``generate_community_summary``): header + entity count + one line per
+    type listing the top-5 members, 500-char truncation.  The community
+    ASSIGNMENT is procedural (Leiden local move), so the joined
+    (node, community, name, type, mention_count) rows are staged and
+    DuckDB re-assembles EVERY summary string (ordered string_agg,
+    overflow '' and N more'', truncation)."""
     from graphrag_rs_ray.pipelines.communities import (
-        community_summaries, detect_communities)
+        community_summaries_from_joined, detect_communities)
+    from graphrag_rs_ray.stages.hashagg import bucketed_join
     res = build_kg(_kg_pages(sf_dir), KGConfig())
     assign = detect_communities(res.triples)
-    return community_summaries(res.entities, assign)
+    ents = res.entities.map_batches(
+        lambda t: pa.table({"node": t.column("entity_id"),
+                            "name": t.column("name"),
+                            "type": t.column("type"),
+                            "mention_count": t.column("mention_count")}),
+        batch_format="pyarrow")
+    joined = _stage(bucketed_join(assign, ents, on=["node"]),
+                    "community_summaries", sf_dir)
+    return community_summaries_from_joined(joined)
 
 
 def q_rerank_topk(sf_dir: str):
@@ -3028,7 +3257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concept_mentions": q_concept_mentions,
         "concept_table": q_concept_table,
         "concept_edges": q_concept_edges,
-        "enriched_chunks": td.enriched_chunks,
+        "enriched_chunks": q_enriched_chunks,
         "semantic_chunks": td.semantic_chunks,
         # derived graph tables / similarity edges / multimodal plumbing
         "entity_to_chunks": q_entity_to_chunks,
@@ -3163,11 +3392,355 @@ from graphrag_rs_ray.functions.keywords import TFIDF_STOPWORDS  # noqa: E402
 _TFIDF_STOPLIST_SQL = "(" + ",".join(f"'{w}'" for w in sorted(TFIDF_STOPWORDS)) + ")"
 
 
+_SQL_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+
+def _summarizer_sql(keys: list[str], max_len: int) -> str:
+    """Generated-SQL replay of ``functions/keywords.summarize``
+    (``extractive_summarizer.rs:30-69,108-271``): sentence split on
+    ``[.!?]``, content-word frequency, the 5-term weighted score with the
+    exact Python f64 op shapes (sequential left-associated adds, same
+    divisions), ``(-score, position)`` ranking, and the greedy
+    length-budget selection (with its every-iteration 90% early-exit)
+    as a recursive CTE carrying ``(cur_len, selected)`` state.
+
+    Expects a CTE ``nodes({keys}, content)`` over ASCII-sanitized text
+    (the staging device neutralizes Unicode ``isalnum``/``\\s``
+    divergences) and emits a CTE chain ending in
+    ``summ({keys}, summary)``.  Returned fragment starts mid-``WITH``
+    (caller supplies ``WITH nodes AS (...), {fragment}``)."""
+    from graphrag_rs_ray.functions.keywords import TFIDF_STOPWORDS
+    K = ", ".join(keys)
+    KP = lambda a: ", ".join(f"{a}.{k}" for k in keys)
+    JOIN = lambda a, b: " AND ".join(f"{a}.{k} = {b}.{k}" for k in keys)
+    stop = "[" + ", ".join(f"'{w}'" for w in sorted(TFIDF_STOPWORDS)) + "]"
+    cut = max(max_len - 3, 0)
+    stop_len = max_len * 9 // 10
+    return f"""
+            s0 AS (
+              SELECT {K}, list_filter(
+                       list_transform(regexp_split_to_array(content, '[.!?]'),
+                                      x -> trim(x, {_SQL_WS})),
+                       x -> x <> '') AS sents
+              FROM nodes),
+            smeta AS MATERIALIZED (
+              SELECT {K}, sents, len(sents)::BIGINT AS n FROM s0),
+            sx AS (
+              SELECT {K}, n,
+                     unnest(range(0, n)) AS pos,
+                     unnest(sents) AS s
+              FROM smeta WHERE n >= 2),
+            sw AS (
+              SELECT {K}, n, pos, s,
+                     regexp_split_to_array(s, '\\s+') AS words,
+                     list_filter(
+                       list_transform(regexp_split_to_array(s, '\\s+'),
+                         w -> trim(regexp_replace(lower(w), '[^a-z0-9'']', '', 'g'),
+                                   chr(39))),
+                       w -> w <> '' AND NOT list_contains({stop}, w)) AS cw
+              FROM sx),
+            wcount AS (
+              SELECT {K}, w, count(*)::BIGINT AS c
+              FROM (SELECT {K}, unnest(cw) AS w FROM sw)
+              GROUP BY {K}, w),
+            freqs AS (
+              SELECT {K}, pos, count(*)::BIGINT AS n_sw, sum(c)::BIGINT AS sum_c
+              FROM (SELECT {K}, pos, unnest(cw) AS w FROM sw) t
+              JOIN wcount USING ({K}, w)
+              GROUP BY {K}, pos),
+            scored AS (
+              SELECT {KP('sw')}, sw.n, sw.pos, sw.s,
+                     ((CASE WHEN sw.pos = 0 THEN 2.0
+                            WHEN sw.pos = sw.n - 1 THEN 1.5
+                            ELSE 1.0 - (sw.pos::DOUBLE / sw.n::DOUBLE) * 0.5
+                       END) * 0.3
+                      + (CASE WHEN len(sw.words) < 5 THEN 0.3
+                              WHEN len(sw.words) > 40 THEN 0.5
+                              WHEN len(sw.words) BETWEEN 10 AND 25 THEN 1.0
+                              ELSE 0.7 END) * 0.2
+                      + CASE WHEN f.n_sw IS NOT NULL
+                             THEN least((f.sum_c::DOUBLE / f.n_sw::DOUBLE) / 3.0,
+                                        1.0) * 0.3
+                             ELSE 0.0 END
+                      + least(len(list_filter(sw.words,
+                                w -> regexp_matches(w, '^[A-Z]')
+                                     AND length(w) > 2
+                                     AND NOT list_contains({stop}, lower(w))
+                              ))::DOUBLE / len(sw.words)::DOUBLE, 1.0) * 0.1
+                      + CASE WHEN len(list_filter(sw.words,
+                                       w -> regexp_matches(w, '[0-9]'))) > 0
+                             THEN least(len(list_filter(sw.words,
+                                          w -> regexp_matches(w, '[0-9]')
+                                        ))::DOUBLE * 0.3, 1.0) * 0.1
+                             ELSE 0.0 END) AS score
+              FROM sw LEFT JOIN freqs f ON {JOIN('sw', 'f')} AND sw.pos = f.pos),
+            ranked AS MATERIALIZED (
+              SELECT {K}, pos, s, length(s)::BIGINT AS sl,
+                     row_number() OVER (PARTITION BY {K}
+                                        ORDER BY score DESC, pos ASC)::BIGINT AS rk
+              FROM scored),
+            rec AS (
+              SELECT {K}, 0::BIGINT AS rk, 0::BIGINT AS cur_len,
+                     CAST([] AS BIGINT[]) AS sel, FALSE AS stopped
+              FROM (SELECT DISTINCT {K} FROM ranked)
+              UNION ALL
+              SELECT {KP('r')}, k.rk,
+                     CASE WHEN r.cur_len + k.sl + 1 <= {max_len}
+                          THEN r.cur_len + k.sl + 1 ELSE r.cur_len END,
+                     CASE WHEN r.cur_len + k.sl + 1 <= {max_len}
+                          THEN list_append(r.sel, k.pos) ELSE r.sel END,
+                     (CASE WHEN r.cur_len + k.sl + 1 <= {max_len}
+                           THEN r.cur_len + k.sl + 1 ELSE r.cur_len END)
+                       >= {stop_len}
+              FROM rec r JOIN ranked k
+                ON {JOIN('k', 'r')} AND k.rk = r.rk + 1
+              WHERE NOT r.stopped),
+            fin AS (
+              SELECT {K}, max_by(sel, rk) AS sel FROM rec GROUP BY {K}),
+            fin2 AS (
+              SELECT {KP('f')},
+                     CASE WHEN len(f.sel) = 0 THEN [r1.pos] ELSE f.sel END AS sel
+              FROM fin f JOIN ranked r1 ON {JOIN('f', 'r1')} AND r1.rk = 1),
+            multi AS (
+              SELECT {K}, string_agg(s, ' ' ORDER BY pos) AS out
+              FROM (SELECT {KP('f')}, unnest(f.sel) AS pos FROM fin2 f) u
+              JOIN ranked USING ({K}, pos)
+              GROUP BY {K}),
+            summ AS (
+              SELECT {KP('m')},
+                     CASE WHEN m.n = 0 THEN ''
+                          WHEN m.n = 1 THEN
+                            CASE WHEN length(m.sents[1]) <= {max_len}
+                                 THEN m.sents[1]
+                                 ELSE rtrim(substr(m.sents[1], 1, {cut}),
+                                            {_SQL_WS}) || '...' END
+                          ELSE
+                            CASE WHEN length(mo.out) > {max_len}
+                                 THEN rtrim(substr(mo.out, 1, {cut}),
+                                            {_SQL_WS}) || '...'
+                                 ELSE mo.out END
+                     END AS summary
+              FROM smeta m LEFT JOIN multi mo ON {JOIN('m', 'mo')})"""
+
+
+def _kg_chunks_sql(chunk_size: int = 1000, overlap: int = 100,
+                   min_chunk: int = 50) -> str:
+    """Generated-SQL replay of the hierarchical chunker
+    (``functions/chunking.py`` port of ``text/chunking.rs:48-152``) over
+    staged sanitized docs: the while-loop is a recursive CTE over chunk
+    START positions; each step re-derives the separator-priority boundary
+    (8 reverse-strpos rfinds + the quarter-window gate, falling back to
+    the backward word-boundary scan), the overlap back-off with the
+    forced-progress guard, and the min-size trim gate.  All offsets are
+    codepoints on both sides (DuckDB substr/length are character-based)."""
+    s = _staged_sql("kg_chunks")
+    seps = ["\n\n", "\n", ". ", "! ", "? ", "; ", ": ", " "]
+
+    def lit(x: str) -> str:
+        # SQL literal for a separator (newlines via chr())
+        return " || ".join("chr(10)" if c == "\n" else f"'{c}'" for c in x) \
+            if "\n" in x else f"'{x}'"
+
+    def wb(p: str, t: str) -> str:
+        # _word_boundary_backward(t, p): p minus the trailing
+        # non-whitespace run length of t[:p]
+        return (f"({p} - length(regexp_extract(substr({t}, 1, {p}),"
+                f" '[^ \\t\\n\\x0B\\x0C\\r]*$')))")
+
+    cascade = ", ".join(
+        f"""CASE WHEN strpos(rw, {lit(sep[::-1])}) > 0
+                 AND s + length(w) - strpos(rw, {lit(sep[::-1])}) + 1 > q
+            THEN s + length(w) - strpos(rw, {lit(sep[::-1])}) + 1 END"""
+        for sep in seps)
+
+    # shared layering: starts × docs → (e0, w, rw, q) → opt → e
+    def layers(extra_where: str) -> str:
+        return f"""
+          SELECT doc_id, s, text, lang, n, e0, tail,
+                 CASE WHEN tail THEN n
+                      WHEN opt > s THEN opt ELSE e0 END AS e
+          FROM (
+            SELECT doc_id, s, text, lang, n, e0, tail,
+                   COALESCE({cascade}, {wb('e0', 'text')}) AS opt
+            FROM (
+              SELECT doc_id, s, text, lang, n, e0, tail, q, w, reverse(w) AS rw
+              FROM (
+                SELECT st.doc_id, st.s, d.text, d.lang, d.n,
+                       least(st.s + {chunk_size}, d.n) AS e0,
+                       (st.s + {chunk_size} >= d.n) AS tail,
+                       st.s + ((least(st.s + {chunk_size}, d.n) - st.s) // 4) AS q,
+                       substr(d.text, st.s + 1,
+                              least(st.s + {chunk_size}, d.n) - st.s) AS w
+                FROM starts st JOIN docs d USING (doc_id)
+                {extra_where}) z1) z2) z3"""
+
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    return f"""
+            WITH RECURSIVE docs AS MATERIALIZED (
+              SELECT doc_id, text, lang, length(text)::BIGINT AS n
+              FROM {s}
+              WHERE text IS NOT NULL AND text <> ''),
+            starts AS (
+              SELECT doc_id, 0::BIGINT AS s FROM docs
+              UNION ALL
+              SELECT doc_id,
+                     CASE WHEN {wb('greatest(e - ' + str(overlap) + ', 0)',
+                                   'text')} <= s
+                          THEN e
+                          ELSE {wb('greatest(e - ' + str(overlap) + ', 0)',
+                                   'text')} END AS s
+              FROM ({layers('WHERE st.s + ' + str(chunk_size) + ' < d.n')}) z4),
+            emitted AS (
+              SELECT doc_id, s, e, lang,
+                     substr(text, s + 1, e - s) AS chunk
+              FROM ({layers('')}) z5
+              WHERE length(trim(substr(text, s + 1, e - s), {ws}))
+                      >= {min_chunk})
+            SELECT doc_id || '_' ||
+                     (row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1)
+                     AS chunk_id,
+                   doc_id, chunk AS text, s AS start, e AS "end", lang
+            FROM emitted"""
+
+
+def _enriched_chunks_sql() -> str:
+    """Oracle for ``q_enriched_chunks``: section lookup = the
+    last-containing-offset rule (max sec_idx) + recursive parent walk to
+    the heading path; keywords = the empty-DF TF-IDF degenerate case
+    (all scores 0 → lexicographic top-5); summary = the full
+    ``_summarizer_sql`` replay gated at 150 chars; position = start /
+    doc_len re-cast to FLOAT4 with the same double-rounding."""
+    from graphrag_rs_ray.functions.keywords import TFIDF_STOPWORDS
+    stop = "[" + ", ".join(f"'{w}'" for w in sorted(TFIDF_STOPWORDS)) + "]"
+    s = _staged_sql("enriched_chunks")
+    sec = _staged_sql("enriched_chunks", "sections")
+    dl = _staged_sql("enriched_chunks", "doclens")
+    return f"""
+            WITH RECURSIVE chunks AS MATERIALIZED (
+              SELECT chunk_id, doc_id, text, start, "end" FROM {s}),
+            secs AS MATERIALIZED (SELECT * FROM {sec}),
+            nodes AS MATERIALIZED (
+              SELECT chunk_id, text AS content FROM chunks
+              WHERE length(text) > 150),
+            {_summarizer_sql(['chunk_id'], 150)},
+            found AS (
+              SELECT c.chunk_id, c.doc_id, max(se.sec_idx) AS sec_idx
+              FROM chunks c JOIN secs se
+                ON se.doc_id = c.doc_id
+               AND se.start_offset <= c.start AND c.start < se.content_end
+              GROUP BY c.chunk_id, c.doc_id),
+            walk AS (
+              SELECT f.chunk_id, f.doc_id, se.parent AS cur,
+                     [se.heading_text] AS path
+              FROM found f JOIN secs se
+                ON se.doc_id = f.doc_id AND se.sec_idx = f.sec_idx
+              UNION ALL
+              SELECT w.chunk_id, w.doc_id, se.parent,
+                     list_append(w.path, se.heading_text)
+              FROM walk w JOIN secs se
+                ON se.doc_id = w.doc_id AND se.sec_idx = w.cur
+              WHERE w.cur >= 0),
+            wfin AS (
+              SELECT chunk_id, list_reverse(max_by(path, len(path))) AS rpath
+              FROM walk GROUP BY chunk_id),
+            kw AS (
+              SELECT chunk_id,
+                     list_sort(list_distinct(list_filter(
+                       list_transform(regexp_split_to_array(text, '\\s+'),
+                         w -> lower(regexp_replace(w, '[^A-Za-z0-9_-]', '', 'g'))),
+                       w -> w <> '' AND length(w) > 2
+                            AND NOT list_contains({stop}, w)
+                            AND NOT regexp_matches(w, '^[0-9]+$')))) AS kws
+              FROM chunks)
+            SELECT c.chunk_id, c.doc_id, c.text, c.start, c."end",
+                   w.rpath[1] AS chapter,
+                   CASE WHEN len(w.rpath) > 1 THEN w.rpath[2] END AS section,
+                   CASE WHEN len(w.rpath) > 2 THEN w.rpath[3] END AS subsection,
+                   array_to_string(k.kws[1:5], ',') AS keywords_csv,
+                   CASE WHEN length(c.text) > 150 THEN s2.summary END AS summary,
+                   (c.start::DOUBLE / d.doc_len::DOUBLE)::FLOAT4
+                     AS position_in_document,
+                   COALESCE(sv.level, -1)::INTEGER AS structural_level
+            FROM chunks c
+            JOIN kw k USING (chunk_id)
+            JOIN {dl} d ON d.doc_id = c.doc_id
+            LEFT JOIN found f ON f.chunk_id = c.chunk_id
+            LEFT JOIN secs sv ON sv.doc_id = c.doc_id AND sv.sec_idx = f.sec_idx
+            LEFT JOIN wfin w ON w.chunk_id = c.chunk_id
+            LEFT JOIN summ s2 ON s2.chunk_id = c.chunk_id"""
+
+
+def _doc_tree_summaries_sql() -> str:
+    """Tree STRUCTURE re-derived arithmetically (same device as the
+    ``doc_tree`` oracle), node content re-assembled as the ordered
+    ``\\n\\n``-join of the node's leaf chunk texts (inner content is the
+    flat join by construction — ``pipelines/doctree.py`` joins child
+    contents, which flattens), then every node summary replayed via
+    ``_summarizer_sql`` (max_summary_length 200)."""
+    s = _staged_sql("doc_tree_summaries")
+    return f"""
+            WITH RECURSIVE leaves AS (
+              SELECT doc_id, chunk_id,
+                     regexp_extract(chunk_id, '_(\\d+)$', 1)::BIGINT AS pos,
+                     text
+              FROM {s}),
+            docs AS (SELECT doc_id, count(*) AS n FROM leaves GROUP BY doc_id),
+            leaf_rows AS (
+              SELECT l.doc_id, 'leaf_' || l.chunk_id AS node_id,
+                     0::BIGINT AS level,
+                     CASE WHEN d.n > 1
+                          THEN 'level_1_' || (l.pos // 5)
+                          ELSE NULL END AS parent_id,
+                     0::BIGINT AS n_children, 1::BIGINT AS n_leaves,
+                     l.text AS content
+              FROM leaves l JOIN docs d USING (doc_id)),
+            lv AS (SELECT unnest(range(1, 10)) AS L),
+            ks AS (SELECT unnest(range(0, greatest(
+                     (SELECT max(n)::BIGINT FROM docs), 1))) AS k),
+            lk AS (
+              SELECT d.doc_id, d.n, l.L, k.k,
+                     power(5, l.L)::BIGINT AS p,
+                     power(5, l.L - 1)::BIGINT AS pp
+              FROM docs d CROSS JOIN lv l CROSS JOIN ks k),
+            inner_base AS (
+              SELECT doc_id, n, L, k, p, pp FROM lk
+              WHERE ((n + pp - 1) // pp) > 1
+                AND k < ((n + p - 1) // p)),
+            inner_rows AS (
+              SELECT b.doc_id, 'level_' || b.L || '_' || b.k AS node_id,
+                     b.L::BIGINT AS level,
+                     CASE WHEN ((b.n + b.p - 1) // b.p) > 1
+                          THEN 'level_' || (b.L + 1) || '_' || (b.k // 5)
+                          ELSE NULL END AS parent_id,
+                     least(5, ((b.n + b.pp - 1) // b.pp) - 5 * b.k)::BIGINT
+                       AS n_children,
+                     least(b.p, b.n - b.p * b.k)::BIGINT AS n_leaves,
+                     string_agg(l.text, chr(10) || chr(10) ORDER BY l.pos)
+                       AS content
+              FROM inner_base b JOIN leaves l
+                ON l.doc_id = b.doc_id
+               AND l.pos >= b.p * b.k AND l.pos < b.p * (b.k + 1)
+              GROUP BY b.doc_id, b.n, b.L, b.k, b.p, b.pp),
+            nodes AS (
+              SELECT doc_id, node_id, level, parent_id, n_children,
+                     n_leaves, content
+              FROM leaf_rows
+              UNION ALL
+              SELECT * FROM inner_rows),
+            {_summarizer_sql(['doc_id', 'node_id'], 200)}
+            SELECT n.doc_id, n.node_id, n.level, n.parent_id,
+                   n.n_children, n.n_leaves, s2.summary
+            FROM nodes n JOIN summ s2 USING (doc_id, node_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d["bm25_topk"] = ("SELECT * FROM (" + d["bm25_scores"] +
                       ") ORDER BY score DESC, doc_id ASC LIMIT 10")
     d["pagerank"] = _pagerank_sql(n_iter=8, damping=0.85, round_digits=8)
+    d["doc_tree_summaries"] = _doc_tree_summaries_sql()
+    d["enriched_chunks"] = _enriched_chunks_sql()
+    d["kg_chunks"] = _kg_chunks_sql()
     d["shortest_paths"] = _sssp_sql(n_rounds=64)
     d["rerank_topk"] = _rerank_sql(d["bm25_scores"])
     d["hipporag_retrieval"] = _hipporag_sql(n_iter=8, damping=0.5)
@@ -6538,6 +7111,61 @@ def _oracle_sql_base() -> dict[str, str]:
                 AND k < ((n + p - 1) // p))
             SELECT * FROM leaf_rows UNION ALL SELECT * FROM inner_rows
         """.replace("{s}", _staged_sql("doc_tree")),
+        "multimodal_features": """
+            WITH m AS (SELECT * FROM {s}),
+            dims AS (
+              SELECT media_id, media_type, n_bytes,
+                     (16 + digest[17] % 240)::INTEGER AS width,
+                     (16 + digest[18] % 240)::INTEGER AS height,
+                     unnest(range(0, 16)) AS dim,
+                     unnest(digest[1:16]) AS b
+              FROM m)
+            SELECT media_id, media_type, n_bytes, width, height, dim,
+                   (b::DOUBLE / 255.0)::FLOAT4 AS value
+            FROM dims
+        """.replace("{s}", _staged_sql("multimodal_features")),
+        "kg_extract_text": """
+            SELECT url AS doc_id, title,
+                   CASE WHEN html_s IS NOT NULL AND length(html_s) > 0
+                        THEN trim(replace(regexp_replace(
+                               html_s, '<[^>]*(>|$)', '', 'g'), '>', ''),
+                             {ws})
+                        ELSE coalesce(text_s, '') END AS text,
+                   lang
+            FROM {s}
+        """.replace("{s}", _staged_sql("kg_extract_text"))
+          .replace("{ws}", "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"),
+        "community_summaries": """
+            WITH m AS (SELECT community, name, type, mention_count FROM {s}),
+            counts AS (SELECT community, count(*)::BIGINT AS n_entities
+                       FROM m GROUP BY community),
+            ranked AS (
+              SELECT community, type, name,
+                     row_number() OVER (PARTITION BY community, type
+                                        ORDER BY mention_count DESC, name ASC) AS rk,
+                     count(*) OVER (PARTITION BY community, type) AS type_n
+              FROM m),
+            type_lines AS (
+              SELECT community, type,
+                     '- ' || type || ': ' ||
+                     string_agg(name, ', ' ORDER BY rk) ||
+                     CASE WHEN max(type_n) > 5
+                          THEN ' and ' || (max(type_n) - 5)::VARCHAR || ' more'
+                          ELSE '' END AS line
+              FROM ranked WHERE rk <= 5 GROUP BY community, type),
+            body AS (SELECT community, string_agg(line, chr(10) ORDER BY type) AS lines
+                     FROM type_lines GROUP BY community),
+            assembled AS (
+              SELECT c.community, c.n_entities,
+                     'Community ' || c.community || ' (Level 0)' || chr(10) ||
+                     'Contains ' || c.n_entities::VARCHAR || ' entities:' || chr(10) ||
+                     b.lines AS s
+              FROM counts c JOIN body b USING (community))
+            SELECT community, n_entities,
+                   CASE WHEN length(s) > 500 THEN substr(s, 1, 497) || '...'
+                        ELSE s END AS summary
+            FROM assembled
+        """.replace("{s}", _staged_sql("community_summaries")),
         "consistency_report": """
             WITH e AS (SELECT * FROM {e}),
             t AS (SELECT * FROM {t}),

@@ -260,6 +260,14 @@ def community_summaries(entities_ds, assignment_ds, max_length: int = 500,
         batch_format="pyarrow")
     joined = bucketed_join(assignment_ds, ents, on=["node"],
                            num_buckets=num_buckets)
+    return community_summaries_from_joined(joined, max_length, num_buckets)
+
+
+def community_summaries_from_joined(joined, max_length: int = 500,
+                                    num_buckets: int = 64):
+    """Summary assembly over pre-joined (node, community, name, type,
+    mention_count) rows — split out so the oracle query can stage the
+    joined rows and DuckDB can re-assemble every summary string."""
 
     def summarize(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

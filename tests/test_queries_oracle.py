@@ -146,6 +146,25 @@ SQL_CHECKED = [
     "doc_tree_search",
     # text analysis (TextStats; section-number extraction + roman eval)
     "text_statistics", "section_numbers",
+    # community summary strings re-assembled from staged (node, community,
+    # entity-metadata) rows
+    "community_summaries",
+    # RAPTOR trees incl. summaries: structure arithmetic + node content
+    # re-joined from staged leaf texts + the FULL extractive-summarizer
+    # replay (_summarizer_sql: scoring + recursive-CTE greedy selection)
+    "doc_tree_summaries",
+    # chunk enrichment: section walk + degenerate TF-IDF keywords +
+    # summarizer replay + position arithmetic
+    "enriched_chunks",
+    # HTML tag-strip automaton as two regex passes over staged sanitized
+    # pages
+    "kg_extract_text",
+    # the FULL hierarchical chunker as a recursive CTE over start
+    # positions (separator-priority rfinds, quarter gate, overlap
+    # back-off, min-size trim gate)
+    "kg_chunks",
+    # fake-codec decode arithmetic re-derived from staged blake2b digests
+    "multimodal_features",
 ]
 
 
@@ -176,11 +195,9 @@ def test_query_matches_oracle(ray_session, name):
 
 ROWS_ONLY = ["agent_sessions",
              "kg_mentions",
-             "kg_chunks", "kg_extract_text",
-             "enriched_chunks", "multimodal_features",
              "chunk_embeddings",
              "semantic_chunks", "gleaning_triples",
-             "communities", "community_summaries", "doc_tree_summaries"]
+             "communities"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
