@@ -337,14 +337,82 @@ def q_semantic_edges(sf_dir: str):
 
 
 def q_gleaning_triples(sf_dir: str):
-    """Gleaning extraction (mock-LLM actor pool with response cache) over
-    a small slice of the synthetic pages — exercises the LLM-path plumbing
-    deterministically."""
+    """Gleaning extraction (mock-LLM actor pool with response cache,
+    ``entity/gleaning_extractor.rs:112-273``) over a small slice of the
+    synthetic pages — exercises the LLM-path plumbing deterministically.
+
+    Oracle: the raw PER-ROUND parse stream (what the LLM returned, before
+    any merging) is staged, and DuckDB replays the sequential
+    entity-merge fold (round-1 last-wins seed, then replace-iff-strictly-
+    longer-description — equivalent to first-candidate-at-max), the
+    first-wins relationship dedup on (source, target, relation_type), and
+    the name→id endpoint resolution (``entity_id_for`` =
+    ``type_<normalize_name>``).  Chunk texts are sanitized first so
+    ``normalize_name``'s Unicode ``isalnum`` matches the ASCII regex."""
+    import re as _re
     from graphrag_rs_ray.stages.gleaning import GleaningExtractStage
     from graphrag_rs_ray.stages.memo import memoized_stage
     import pyarrow.compute as _pc
     n = max(_n_pages(sf_dir) // 10, 50)
     chunks = pages_to_chunks(pages_dataset(n, seed=42), KGConfig())
+
+    def san(t: pa.Table) -> pa.Table:
+        texts = [_re.sub(r"[^\x09-\x0d\x20-\x7e]", "_", x or "")
+                 for x in t.column("text").to_pylist()]
+        return pa.table({"chunk_id": t.column("chunk_id"),
+                         "doc_id": t.column("doc_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    chunks = chunks.map_batches(san, batch_format="pyarrow")
+
+    def trace_rows(t: pa.Table) -> pa.Table:
+        stage = GleaningExtractStage(max_rounds=3)
+        cols = {k: [] for k in ("chunk_id", "seq", "round", "kind", "name",
+                                "type", "description", "source", "target",
+                                "relation_type")}
+
+        def put(cid, seq, rnd, kind, **kw):
+            cols["chunk_id"].append(cid)
+            cols["seq"].append(seq)
+            cols["round"].append(rnd)
+            cols["kind"].append(kind)
+            for f in ("name", "type", "description", "source", "target",
+                      "relation_type"):
+                cols[f].append(kw.get(f))
+
+        for cid, text in zip(t.column("chunk_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            _e, _r, _rounds, trace = stage._glean_chunk(text or "")
+            seq = 0
+            for rnd, ents, rels in trace:
+                for e in ents:
+                    put(cid, seq, rnd, "e",
+                        name=str(e.get("name", "")),
+                        type=str(e.get("type", "UNKNOWN")),
+                        description=str(e.get("description", "")))
+                    seq += 1
+                for r in rels:
+                    put(cid, seq, rnd, "t",
+                        source=str(r.get("source", "")),
+                        target=str(r.get("target", "")),
+                        relation_type=str(r.get("relation_type",
+                                                "RELATED_TO")))
+                    seq += 1
+        return pa.table({
+            "chunk_id": pa.array(cols["chunk_id"], pa.string()),
+            "seq": pa.array(cols["seq"], pa.int64()),
+            "round": pa.array(cols["round"], pa.int64()),
+            "kind": pa.array(cols["kind"], pa.string()),
+            "name": pa.array(cols["name"], pa.string()),
+            "type": pa.array(cols["type"], pa.string()),
+            "description": pa.array(cols["description"], pa.string()),
+            "source": pa.array(cols["source"], pa.string()),
+            "target": pa.array(cols["target"], pa.string()),
+            "relation_type": pa.array(cols["relation_type"], pa.string())})
+
+    _stage(chunks.map_batches(trace_rows, batch_format="pyarrow"),
+           "gleaning_triples", sf_dir)
+
     fn = memoized_stage("gleaning-3", lambda: GleaningExtractStage(max_rounds=3))
     combined = chunks.map_batches(fn, batch_format="pyarrow", batch_size=None)
     return combined.map_batches(
@@ -837,6 +905,45 @@ def q_enriched_chunks(sf_dir: str):
                  .append_column("structural_level", pa.array(lvl, pa.int32())))
 
     return enriched.map_batches(for_driver, batch_format="pyarrow")
+
+
+def q_semantic_chunks(sf_dir: str):
+    """Semantic chunking (``text/semantic_chunking.rs``): percentile-80
+    breakpoints over hash-embedding cosine distances.  The SENTENCES and
+    per-adjacent-pair DISTANCES are staged (embeddings are procedural);
+    DuckDB replays the percentile threshold (sort-index with the
+    ``int(n*p/100)`` clamp), the ``d > thr`` breakpoint flags, and the
+    segment assembly (cumsum window + ordered string_agg).  At this
+    config (min_chunk_size=1, max_chunk_size=0) the merge/split arms are
+    provably no-ops, so assembly is exact."""
+    from graphrag_rs_ray.functions.semantic_chunking import (
+        SemanticChunker, SemanticChunkerConfig, split_sentences)
+    from graphrag_rs_ray.pipelines.training_data import _docs
+
+    def sent_diffs(t: pa.Table) -> pa.Table:
+        ch = SemanticChunker(SemanticChunkerConfig(
+            breakpoint_strategy="percentile", threshold_amount=80.0))
+        dids, idxs, sents, diffs = [], [], [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            ss = split_sentences(text or "")
+            if not ss:
+                continue
+            ds = (ch._distances(ch.embedder.embed_many(ss))
+                  if len(ss) > 1 else [])
+            for i, s in enumerate(ss):
+                dids.append(did)
+                idxs.append(i)
+                sents.append(s)
+                diffs.append(float(ds[i]) if i < len(ds) else None)
+        return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                         "sent_idx": pa.array(idxs, pa.int64()),
+                         "sentence": pa.array(sents, pa.string()),
+                         "diff": pa.array(diffs, pa.float64())})
+
+    _stage(_docs(sf_dir).map_batches(sent_diffs, batch_format="pyarrow"),
+           "semantic_chunks", sf_dir)
+    return td.semantic_chunks(sf_dir)
 
 
 def q_consistency_report(sf_dir: str):
@@ -3258,7 +3365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concept_table": q_concept_table,
         "concept_edges": q_concept_edges,
         "enriched_chunks": q_enriched_chunks,
-        "semantic_chunks": td.semantic_chunks,
+        "semantic_chunks": q_semantic_chunks,
         # derived graph tables / similarity edges / multimodal plumbing
         "entity_to_chunks": q_entity_to_chunks,
         "chunk_to_entities": q_chunk_to_entities,
@@ -7111,6 +7218,97 @@ def _oracle_sql_base() -> dict[str, str]:
                 AND k < ((n + p - 1) // p))
             SELECT * FROM leaf_rows UNION ALL SELECT * FROM inner_rows
         """.replace("{s}", _staged_sql("doc_tree")),
+        "gleaning_triples": """
+            WITH tr AS (SELECT * FROM {s}),
+            er AS (SELECT chunk_id, seq, round, name, lower(name) AS key,
+                          type, length(description)::BIGINT AS dl
+                   FROM tr WHERE kind = 'e'),
+            seed0 AS (
+              SELECT chunk_id, key,
+                     CASE WHEN count(*) FILTER (WHERE round = 1) > 0
+                          THEN max(seq) FILTER (WHERE round = 1)
+                          ELSE min(seq) END AS seed_seq
+              FROM er GROUP BY chunk_id, key),
+            seedrow AS (
+              SELECT e.chunk_id, e.key, e.seq AS seed_seq, e.dl AS seed_dl
+              FROM er e JOIN seed0 s
+                ON e.chunk_id = s.chunk_id AND e.key = s.key
+               AND e.seq = s.seed_seq),
+            cand AS (
+              SELECT e.chunk_id, e.key, e.seq, e.dl
+              FROM er e JOIN seedrow s
+                ON e.chunk_id = s.chunk_id AND e.key = s.key
+              WHERE e.round > 1 AND e.seq > s.seed_seq),
+            candwin AS (
+              SELECT c.chunk_id, c.key, a.mx, min(c.seq) AS first_mx_seq
+              FROM cand c
+              JOIN (SELECT chunk_id, key, max(dl) AS mx
+                    FROM cand GROUP BY chunk_id, key) a
+                ON c.chunk_id = a.chunk_id AND c.key = a.key AND c.dl = a.mx
+              GROUP BY c.chunk_id, c.key, a.mx),
+            win AS (
+              SELECT s.chunk_id, s.key,
+                     CASE WHEN cw.mx IS NOT NULL AND cw.mx > s.seed_dl
+                          THEN cw.first_mx_seq ELSE s.seed_seq END AS win_seq
+              FROM seedrow s LEFT JOIN candwin cw
+                ON s.chunk_id = cw.chunk_id AND s.key = cw.key),
+            idmap AS (
+              SELECT e.chunk_id, e.key,
+                     e.type || '_' ||
+                     regexp_replace(lower(e.name), '[^a-z0-9_]', '', 'g')
+                       AS eid
+              FROM er e JOIN win w
+                ON e.chunk_id = w.chunk_id AND e.key = w.key
+               AND e.seq = w.win_seq
+              WHERE e.name <> ''),
+            rd0 AS (
+              SELECT chunk_id, source, target, relation_type, min(seq) AS seq
+              FROM tr WHERE kind = 't'
+              GROUP BY chunk_id, source, target, relation_type)
+            SELECT r.chunk_id, ms.eid AS subj, r.relation_type AS pred,
+                   mt.eid AS obj
+            FROM rd0 r
+            JOIN idmap ms ON ms.chunk_id = r.chunk_id
+                         AND ms.key = lower(r.source)
+            JOIN idmap mt ON mt.chunk_id = r.chunk_id
+                         AND mt.key = lower(r.target)
+        """.replace("{s}", _staged_sql("gleaning_triples")),
+        "semantic_chunks": """
+            WITH sents AS (SELECT * FROM {s}),
+            d AS (SELECT doc_id, sent_idx, diff FROM sents
+                  WHERE diff IS NOT NULL),
+            thr AS (
+              SELECT doc_id, diff AS thr FROM (
+                SELECT doc_id, diff,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY diff ASC) AS rk,
+                       count(*) OVER (PARTITION BY doc_id) AS n
+                FROM d) z
+              WHERE rk - 1 = least((floor(n * 80.0 / 100.0))::BIGINT, n - 1)),
+            flags AS (
+              SELECT s.doc_id, s.sent_idx, s.sentence,
+                     CASE WHEN dd.diff > t.thr THEN 1 ELSE 0 END AS brk
+              FROM sents s
+              LEFT JOIN d dd ON dd.doc_id = s.doc_id
+                            AND dd.sent_idx = s.sent_idx - 1
+              LEFT JOIN thr t ON t.doc_id = s.doc_id),
+            segs AS (
+              SELECT doc_id, sent_idx, sentence,
+                     sum(brk) OVER (PARTITION BY doc_id
+                                    ORDER BY sent_idx) AS seg
+              FROM flags),
+            chunks AS (
+              SELECT doc_id, seg,
+                     string_agg(sentence, ' ' ORDER BY sent_idx) AS text,
+                     count(*)::BIGINT AS sentence_count,
+                     min(sent_idx) AS s0
+              FROM segs GROUP BY doc_id, seg)
+            SELECT doc_id,
+                   (row_number() OVER (PARTITION BY doc_id ORDER BY s0) - 1)
+                     ::BIGINT AS chunk_idx,
+                   text, sentence_count
+            FROM chunks
+        """.replace("{s}", _staged_sql("semantic_chunks")),
         "multimodal_features": """
             WITH m AS (SELECT * FROM {s}),
             dims AS (

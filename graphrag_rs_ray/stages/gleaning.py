@@ -69,10 +69,16 @@ class GleaningExtractStage:
             return [], []
         return list(obj.get("entities") or []), list(obj.get("relationships") or [])
 
-    def _glean_chunk(self, chunk_text: str) -> tuple[list[dict], list[dict], int]:
+    def _glean_chunk(self, chunk_text: str
+                     ) -> tuple[list[dict], list[dict], int, list[tuple]]:
+        """Returns (entities, relationships, rounds, trace) where trace is
+        the raw per-round parse stream ``(round, ents, rels)`` BEFORE any
+        merging — the staging surface that lets the oracle replay the
+        merge/dedup arithmetic in SQL."""
         # .replace, not .format — the templates contain literal JSON braces
         ents, rels = self._parse(self._complete(
             EXTRACT_PROMPT.replace("{chunk}", chunk_text)))
+        trace: list[tuple] = [(1, ents, rels)]
         merged: dict[str, dict] = {}
         for e in ents:
             merged[str(e.get("name", "")).lower()] = e
@@ -92,6 +98,7 @@ class GleaningExtractStage:
                                .replace("{chunk}", chunk_text)))
             if not extra_e and not extra_r:
                 break
+            trace.append((_round, extra_e, extra_r))
             for e in extra_e:                       # merge: longer description wins
                 key = str(e.get("name", "")).lower()
                 old = merged.get(key)
@@ -107,7 +114,7 @@ class GleaningExtractStage:
             if k not in seen:
                 seen.add(k)
                 deduped.append(r)
-        return list(merged.values()), deduped, rounds
+        return list(merged.values()), deduped, rounds, trace
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = {n: [] for n in GLEANED_SCHEMA.names}
@@ -125,7 +132,7 @@ class GleaningExtractStage:
                    else batch.column("chunk_id").to_pylist())
         for cid, did, text in zip(batch.column("chunk_id").to_pylist(),
                                   doc_ids, batch.column("text").to_pylist()):
-            ents, rels, rounds = self._glean_chunk(text or "")
+            ents, rels, rounds, _trace = self._glean_chunk(text or "")
             name_to_id = {}
             for e in ents:
                 name, etype = str(e.get("name", "")), str(e.get("type", "UNKNOWN"))

@@ -165,6 +165,12 @@ SQL_CHECKED = [
     "kg_chunks",
     # fake-codec decode arithmetic re-derived from staged blake2b digests
     "multimodal_features",
+    # semantic chunker: staged sentences+distances; percentile threshold,
+    # breakpoint flags and segment assembly replayed in SQL
+    "semantic_chunks",
+    # gleaning: staged per-round parse stream; sequential entity-merge
+    # fold, first-wins rel dedup, name->id resolution replayed in SQL
+    "gleaning_triples",
 ]
 
 
@@ -196,7 +202,6 @@ def test_query_matches_oracle(ray_session, name):
 ROWS_ONLY = ["agent_sessions",
              "kg_mentions",
              "chunk_embeddings",
-             "semantic_chunks", "gleaning_triples",
              "communities"]
 
 
