@@ -210,8 +210,17 @@ def q_kg_entities_fuzzy(sf_dir: str):
 
 
 def q_kg_mentions(sf_dir: str):
+    """Per-chunk entity mentions from the 4-phase pattern extractor
+    (``entity/mod.rs:97-788``).  Chunks are the sanitized staged rows
+    (same device as ``kg_chunks``) and DuckDB replays the ENTIRE
+    default-path extractor (``_kg_mentions_sql``: greedy person phases
+    as recursive CTEs, org/location scans, dedup + mention counts)."""
     cfg = KGConfig()
-    combined = chunks_to_combined(pages_to_chunks(_kg_pages(sf_dir), cfg), cfg)
+    chunks = q_kg_chunks(sf_dir)
+    staged = _stage(chunks.map_batches(
+        lambda t: t.select(["chunk_id", "doc_id", "text"]),
+        batch_format="pyarrow"), "kg_mentions", sf_dir)
+    combined = chunks_to_combined(staged, cfg)
     return combined.map_batches(entities_only, batch_format="pyarrow")
 
 
@@ -3710,6 +3719,234 @@ def _kg_chunks_sql(chunk_size: int = 1000, overlap: int = 100,
             FROM emitted"""
 
 
+def _kg_mentions_sql() -> str:
+    """Generated-SQL replay of the ENTIRE default-path pattern extractor
+    (``functions/entities.py`` port of ``entity/mod.rs:97-788``) over
+    staged sanitized chunks:
+
+    - word table with clean/cap/likely-person/title/non-person flags,
+    - phase 1 known-name gazetteer: left-to-right greedy pair tiling as a
+      recursive CTE carrying the consumed flag,
+    - phase 2 title-based (2-or-3-word spans): recursive CTE carrying the
+      two pending-consumption flags (d0, d1),
+    - phase 3 two-word Cap-Cap pairs over the phases-1+2 processed set,
+    - phase 4 single-word is conf 0.6 < min_confidence 0.7 at the default
+      config — provably filtered, so omitted (documented),
+    - organization suffix/prefix scans (first-occurrence, rfind-space
+      word start → the bare-suffix-token quirk; prefix-to-dot slice) with
+      the confidence formula in exact f64 op shapes,
+    - location gazetteer contains-scan (confs computed at generation time
+      by the ACTUAL Python ``calculate_confidence`` — parity by
+      construction),
+    - (name, type) dedup with max-conf merge, mention_count =
+      n_emissions × non-overlapping occurrence count
+      ((len - len(replace))//len — replace() is the same left-to-right
+      scan as ``find_mentions``), and the post-dedup min-confidence gate.
+    """
+    from graphrag_rs_ray.functions import entities as E
+    s = _staged_sql("kg_mentions")
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+    def inlist(vals) -> str:
+        return "(" + ", ".join("'" + v.replace("'", "''") + "'"
+                               for v in sorted(vals)) + ")"
+
+    ends = " OR ".join(f"cl LIKE '%{e}'" for e in E.NAME_ENDINGS)
+    pres = " OR ".join("cl LIKE '" + p.replace("'", "''") + "%'"
+                       for p in E.NAME_PREFIXES)
+    likely = f"""(length(clean) >= 2
+        AND NOT (length(clean) <= 2 AND cl IN {inlist(E.SHORT_NON_NAMES)})
+        AND regexp_matches(clean, '^[A-Z][A-Za-z'']*$')
+        AND (length(clean) >= 3 OR {ends} OR {pres}))"""
+    kp_vals = ", ".join(
+        f"('{n.split()[0].lower()}', '{n.split()[1].lower()}', '{n}')"
+        for n in E.KNOWN_PERSON_NAMES)
+
+    # org confidence formula — same sequential f64 op shape as
+    # calculate_confidence (base 0.5, +0.3 Inc/Corp/LLC, +0.2
+    # University/Institute, +0.1 capitalized, min 1.0)
+    org_conf = """least((((0.5
+        + CASE WHEN name LIKE '%Inc%' OR name LIKE '%Corp%'
+                 OR name LIKE '%LLC%' THEN 0.3 ELSE 0.0 END)
+        + CASE WHEN name LIKE '%University%' OR name LIKE '%Institute%'
+               THEN 0.2 ELSE 0.0 END)
+        + CASE WHEN regexp_matches(name, '^[A-Z]') THEN 0.1 ELSE 0.0 END),
+        1.0)"""
+    org_likely = "(" + " OR ".join(f"name LIKE '%{ind}%'"
+                                   for ind in E.ORG_INDICATORS) + ")"
+
+    # per-suffix first-occurrence scan; start = rfind(' ') + 1
+    suf_sql = "\nUNION ALL\n".join(f"""
+        SELECT chunk_id, name FROM (
+          SELECT chunk_id,
+                 trim(substr(text, pos0 - t + 1, t + {len(suf)}), {ws}) AS name
+          FROM (
+            SELECT chunk_id, text, strpos(text, '{suf}') - 1 AS pos0,
+                   length(regexp_extract(
+                     substr(text, 1, strpos(text, '{suf}') - 1),
+                     '[^ ]*$')) AS t
+            FROM CHS WHERE strpos(text, '{suf}') > 0) z1) z2
+        WHERE name <> ''""" for suf in E.ORG_SUFFIXES)
+
+    pre_sql = "\nUNION ALL\n".join(f"""
+        SELECT chunk_id, name FROM (
+          SELECT chunk_id,
+                 trim(substr(text, pos0 + 1,
+                   CASE WHEN dotrel > 0 THEN pos0 + dotrel - 1
+                        ELSE least(length(text), pos0 + 50) END - pos0),
+                   {ws}) AS name
+          FROM (
+            SELECT chunk_id, text, strpos(text, '{pre}') - 1 AS pos0,
+                   strpos(substr(text, strpos(text, '{pre}')), '.') AS dotrel
+            FROM CHS WHERE strpos(text, '{pre}') > 0) z1) z2
+        WHERE name <> '' AND length(name) > {len(pre)}"""
+        for pre in E.ORG_PREFIXES)
+
+    loc_sql = "\nUNION ALL\n".join(
+        f"""SELECT chunk_id, '{loc}' AS name,
+                   {E.calculate_confidence(loc, 'LOCATION')!r} AS conf
+            FROM CHS WHERE strpos(text, '{loc}') > 0"""
+        for loc in E.KNOWN_LOCATIONS)
+
+    # shared flag joins for the phase-2 / phase-3 step+emission selects
+    p2_can = """(NOT (pa.i IS NOT NULL OR r.d0)) AND cw.title
+        AND nw.i IS NOT NULL AND NOT (pb.i IS NOT NULL OR r.d1)
+        AND COALESCE(nw.cap, FALSE) AND COALESCE(nw.likely, FALSE)"""
+    p2_third = """(tw.i IS NOT NULL AND pc2.i IS NULL
+        AND COALESCE(tw.cap, FALSE) AND COALESCE(tw.likely, FALSE))"""
+    p2_body = f"""
+        SELECT r.chunk_id, r.i, r.d0, r.d1,
+               ({p2_can}) AND {p2_third} AS tk3,
+               ({p2_can}) AND NOT {p2_third} AS tk2,
+               nw.clean AS nclean, tw.clean AS tclean
+        FROM R2 r
+        JOIN CH c ON c.chunk_id = r.chunk_id
+        JOIN W cw ON cw.chunk_id = r.chunk_id AND cw.i = r.i
+        LEFT JOIN W nw ON nw.chunk_id = r.chunk_id AND nw.i = r.i + 1
+        LEFT JOIN W tw ON tw.chunk_id = r.chunk_id AND tw.i = r.i + 2
+        LEFT JOIN P1 pa ON pa.chunk_id = r.chunk_id AND pa.i = r.i
+        LEFT JOIN P1 pb ON pb.chunk_id = r.chunk_id AND pb.i = r.i + 1
+        LEFT JOIN P1 pc2 ON pc2.chunk_id = r.chunk_id AND pc2.i = r.i + 2"""
+
+    p3_cand = """(nw.i IS NOT NULL AND pxa.i IS NULL AND pxb.i IS NULL
+        AND cw.cap AND COALESCE(nw.cap, FALSE)
+        AND cw.likely AND COALESCE(nw.likely, FALSE)
+        AND NOT cw.np AND NOT COALESCE(nw.np, TRUE))"""
+    p3_body = f"""
+        SELECT r.chunk_id, r.i, r.consumed,
+               {p3_cand} AND NOT r.consumed AS tk,
+               cw.clean AS aclean, nw.clean AS bclean
+        FROM R3 r
+        JOIN CH c ON c.chunk_id = r.chunk_id
+        JOIN W cw ON cw.chunk_id = r.chunk_id AND cw.i = r.i
+        LEFT JOIN W nw ON nw.chunk_id = r.chunk_id AND nw.i = r.i + 1
+        LEFT JOIN PX pxa ON pxa.chunk_id = r.chunk_id AND pxa.i = r.i
+        LEFT JOIN PX pxb ON pxb.chunk_id = r.chunk_id AND pxb.i = r.i + 1"""
+
+    return f"""
+        WITH RECURSIVE CHS AS MATERIALIZED (
+          SELECT chunk_id, doc_id, text FROM {s}),
+        WL AS (
+          SELECT chunk_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS wl
+          FROM CHS),
+        W AS MATERIALIZED (
+          SELECT chunk_id, i, w, clean, lower(clean) AS cl,
+                 regexp_matches(w, '^[A-Z]') AS cap,
+                 {likely.replace('cl ', 'lower(clean) ')} AS likely,
+                 lower(clean) IN {inlist(E.PERSON_TITLES)} AS title,
+                 lower(clean) IN {inlist(E.NON_PERSON_WORDS)} AS np
+          FROM (
+            SELECT chunk_id, i, w,
+                   rtrim(regexp_replace(w, '[^A-Za-z'']', '', 'g'),
+                         chr(39)) AS clean
+            FROM (SELECT chunk_id, unnest(range(0, len(wl))) AS i,
+                         unnest(wl) AS w
+                  FROM WL WHERE len(wl) > 0) z0) z),
+        CH AS MATERIALIZED (
+          SELECT chunk_id, len(wl)::BIGINT AS n FROM WL WHERE len(wl) > 0),
+        KN AS MATERIALIZED (
+          SELECT a.chunk_id, a.i, kp.nm
+          FROM W a JOIN W b ON b.chunk_id = a.chunk_id AND b.i = a.i + 1
+          JOIN (VALUES {kp_vals}) kp(f, sx, nm)
+            ON a.cl = kp.f AND b.cl = kp.sx),
+        R1 AS (
+          SELECT chunk_id, 0::BIGINT AS i, FALSE AS consumed FROM CH
+          UNION ALL
+          SELECT r.chunk_id, r.i + 1,
+                 (kn.i IS NOT NULL AND NOT r.consumed) AS consumed
+          FROM R1 r
+          JOIN CH c ON c.chunk_id = r.chunk_id
+          LEFT JOIN KN kn ON kn.chunk_id = r.chunk_id AND kn.i = r.i
+          WHERE r.i + 1 < c.n),
+        T1 AS (
+          SELECT r.chunk_id, r.i, kn.nm
+          FROM R1 r JOIN KN kn
+            ON kn.chunk_id = r.chunk_id AND kn.i = r.i
+          WHERE NOT r.consumed),
+        P1 AS MATERIALIZED (
+          SELECT chunk_id, i FROM T1
+          UNION ALL SELECT chunk_id, i + 1 FROM T1),
+        R2 AS (
+          SELECT chunk_id, 0::BIGINT AS i, FALSE AS d0, FALSE AS d1 FROM CH
+          UNION ALL
+          SELECT z.chunk_id, z.i + 1, (z.d1 OR z.tk2 OR z.tk3), z.tk3
+          FROM ({p2_body}
+                WHERE r.i + 1 < c.n) z),
+        E2S AS MATERIALIZED (
+          SELECT * FROM ({p2_body}) z WHERE z.tk2 OR z.tk3),
+        P2 AS MATERIALIZED (
+          SELECT chunk_id, i FROM E2S
+          UNION ALL SELECT chunk_id, i + 1 FROM E2S
+          UNION ALL SELECT chunk_id, i + 2 FROM E2S WHERE tk3),
+        PX AS MATERIALIZED (
+          SELECT chunk_id, i FROM P1 UNION ALL SELECT chunk_id, i FROM P2),
+        R3 AS (
+          SELECT chunk_id, 0::BIGINT AS i, FALSE AS consumed FROM CH
+          UNION ALL
+          SELECT z.chunk_id, z.i + 1, z.tk
+          FROM ({p3_body}
+                WHERE r.i + 1 < c.n) z),
+        E3S AS MATERIALIZED (
+          SELECT * FROM ({p3_body}) z WHERE z.tk),
+        EM AS (
+          SELECT chunk_id, nm AS name, 'PERSON' AS type, {0.95!r} AS conf
+          FROM T1
+          UNION ALL
+          SELECT chunk_id,
+                 CASE WHEN tk3 THEN nclean || ' ' || tclean
+                      ELSE nclean END AS name,
+                 'PERSON', {0.9!r} FROM E2S
+          UNION ALL
+          SELECT chunk_id, aclean || ' ' || bclean, 'PERSON', {0.8!r}
+          FROM E3S
+          UNION ALL
+          SELECT chunk_id, name, 'ORGANIZATION', {org_conf}
+          FROM (SELECT chunk_id, name FROM ({suf_sql}) so
+                WHERE {org_likely}
+                UNION ALL
+                SELECT chunk_id, name FROM ({pre_sql}) po) orgs
+          WHERE {org_conf} >= 0.7
+          UNION ALL
+          SELECT chunk_id, name, 'LOCATION', conf
+          FROM ({loc_sql}) locs WHERE conf >= 0.7),
+        DD AS (
+          SELECT chunk_id, name, type, max(conf) AS conf,
+                 count(*)::BIGINT AS n_emit
+          FROM EM GROUP BY chunk_id, name, type)
+        SELECT d.chunk_id, c.doc_id,
+               d.type || '_' ||
+                 regexp_replace(lower(d.name), '[^a-z0-9_]', '', 'g')
+                 AS entity_id,
+               d.name, d.type, d.conf::FLOAT4 AS conf,
+               (d.n_emit * ((length(c.text)
+                             - length(replace(c.text, d.name, '')))
+                            // length(d.name)))::BIGINT AS mention_count
+        FROM DD d JOIN CHS c USING (chunk_id)
+        WHERE d.conf >= 0.7"""
+
+
 def _enriched_chunks_sql() -> str:
     """Oracle for ``q_enriched_chunks``: section lookup = the
     last-containing-offset rule (max sec_idx) + recursive parent walk to
@@ -3848,6 +4085,7 @@ def oracle_sql() -> dict[str, str]:
     d["doc_tree_summaries"] = _doc_tree_summaries_sql()
     d["enriched_chunks"] = _enriched_chunks_sql()
     d["kg_chunks"] = _kg_chunks_sql()
+    d["kg_mentions"] = _kg_mentions_sql()
     d["shortest_paths"] = _sssp_sql(n_rounds=64)
     d["rerank_topk"] = _rerank_sql(d["bm25_scores"])
     d["hipporag_retrieval"] = _hipporag_sql(n_iter=8, damping=0.5)
