@@ -114,6 +114,7 @@ def test_cluster_wide_actor():
     assert ray.get(actor.get_available_llm_permits.remote()) == 0
     st = ray.get(actor.health_check.remote())
     assert st[0] == "warning"
-    actor.release_llm.remote()
-    actor.release_llm.remote()
+    # the actor runs with max_concurrency > 1, so method order is NOT
+    # submission order — block on the releases before checking permits
+    ray.get([actor.release_llm.remote(), actor.release_llm.remote()])
     assert ray.get(actor.get_available_llm_permits.remote()) == 2
