@@ -2588,7 +2588,12 @@ def q_tool_infer(sf_dir: str):
     ``inference.rs:83-402``): co-occurrence evidence scoring (base 0.2 +
     proximity + friendship/negative pattern weights ±context bonus,
     family damper), normalized by the target's chunk count, threshold
-    0.3, top-10.  Procedural text scanning → rows-only, unit-tested."""
+    0.3, top-10.  Oracle: the pinned-order tool-graph views (entities,
+    chunk texts, chunk-membership rows) are staged and DuckDB replays
+    the WHOLE tool (``_tool_infer_sql``: 3-phase resolution incl. the
+    fuzzy quirks, word-distance proximity, the 44 pattern weights with
+    context windows, family damper, normalization + threshold +
+    top-10); both sides round(8) the confidence."""
     import ray.data as rd
     from graphrag_rs_ray.pipelines.tools import infer_stage
     g = _tool_graph(sf_dir)
@@ -2598,6 +2603,22 @@ def q_tool_infer(sf_dir: str):
         "entity_name": pa.array(names, pa.string()),
         "relation_type": pa.array(["FRIEND"] * len(names), pa.string()),
     })), "tool_infer", sf_dir)
+    _stage(rd.from_arrow(pa.table({
+        "ord": pa.array(range(len(g["entities"])), pa.int64()),
+        "entity_id": pa.array([e["entity_id"] for e in g["entities"]],
+                              pa.string()),
+        "name": pa.array([e["name"] for e in g["entities"]], pa.string()),
+    })), "tool_infer", sf_dir, "entities")
+    _stage(rd.from_arrow(pa.table({
+        "chunk_idx": pa.array(range(len(g["chunks"])), pa.int64()),
+        "text": pa.array([c["text"] for c in g["chunks"]], pa.string()),
+    })), "tool_infer", sf_dir, "chunks")
+    mrows = [(i, e) for i, c in enumerate(g["chunks"])
+             for e in c["entity_ids"]]
+    _stage(rd.from_arrow(pa.table({
+        "chunk_idx": pa.array([r[0] for r in mrows], pa.int64()),
+        "entity_id": pa.array([r[1] for r in mrows], pa.string()),
+    })), "tool_infer", sf_dir, "members")
     return infer_stage(calls, g)
 
 
@@ -3719,6 +3740,211 @@ def _kg_chunks_sql(chunk_size: int = 1000, overlap: int = 100,
             FROM emitted"""
 
 
+def _tool_infer_sql() -> str:
+    """Generated-SQL replay of the batch ``infer_relationships`` tool
+    (``inference.rs:83-402`` via ``functions/toolcalls.py``) over the
+    staged calls + pinned-order tool-graph views (entities, chunk texts,
+    chunk-membership rows):
+
+    - 3-phase name resolution (exact → contains → fuzzy with the
+      single-word-early-return / last-word / byte-maxlen-char-distance
+      levenshtein quirks), first hit in pinned entity order,
+    - proximity = min word-distance between word-CONTAINS-name positions
+      (multi-word names therefore rarely hit — the faithful quirk falls
+      out naturally: a word never contains a space),
+    - the 25 friendship / 19 negative pattern weights with the ±100-char
+      first-occurrence context bonus, the family ×0.8 damper, [0,1]
+      clamp, chunk-count normalization, threshold 0.3, top-10 by
+      (confidence desc, target asc).
+
+    f64 note: Python adds pattern terms in list order; the SQL SUMs are
+    unordered — both sides emit round(norm, 8) (the pagerank device), so
+    last-bit regrouping differences are absorbed."""
+    c = _staged_sql("tool_infer")
+    e = _staged_sql("tool_infer", "entities")
+    ch = _staged_sql("tool_infer", "chunks")
+    m = _staged_sql("tool_infer", "members")
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    from graphrag_rs_ray.functions.toolcalls import (FAMILY_PATTERNS,
+                                                     FRIENDSHIP_PATTERNS,
+                                                     NEGATIVE_PATTERNS)
+    pats = ", ".join(
+        [f"({i}, 'f', '{p}', {w!r})"
+         for i, (p, w) in enumerate(FRIENDSHIP_PATTERNS)] +
+        [f"({i + 100}, 'n', '{p}', {w!r})"
+         for i, (p, w) in enumerate(NEGATIVE_PATTERNS)])
+    fam = " OR ".join(f"strpos(cl, '{p}') > 0" for p in FAMILY_PATTERNS)
+    splitw = ("list_filter(regexp_split_to_array({x}, '\\s+'), "
+              "y -> y <> '')")
+    fuzzy = f"""(
+        CASE WHEN len({splitw.format(x='lower(c.entity_name)')}) = 1
+                  AND len({splitw.format(x='lower(e.name)')}) > 0
+             THEN starts_with({splitw.format(x='lower(e.name)')}[1],
+                              {splitw.format(x='lower(c.entity_name)')}[1])
+               OR starts_with({splitw.format(x='lower(c.entity_name)')}[1],
+                              {splitw.format(x='lower(e.name)')}[1])
+             WHEN len({splitw.format(x='lower(e.name)')}) > 0
+                  AND len({splitw.format(x='lower(c.entity_name)')}) > 0
+                  AND {splitw.format(x='lower(e.name)')}[
+                        len({splitw.format(x='lower(e.name)')})]
+                    = {splitw.format(x='lower(c.entity_name)')}[
+                        len({splitw.format(x='lower(c.entity_name)')})]
+             THEN TRUE
+             ELSE levenshtein(lower(e.name), lower(c.entity_name))
+                  <= greatest(least(strlen(lower(c.entity_name)),
+                                    strlen(lower(e.name))) // 4, 1)
+        END)"""
+    return f"""
+        WITH calls AS (SELECT * FROM {c}),
+        ents AS (SELECT * FROM {e}),
+        chunksrc AS (SELECT chunk_idx, lower(text) AS cl FROM {ch}),
+        mem AS (SELECT * FROM {m}),
+        res0 AS (
+          SELECT c.call_id, c.entity_name, c.relation_type,
+            (SELECT min(ord) FROM ents e
+              WHERE trim(lower(e.name), {ws})
+                    = trim(lower(c.entity_name), {ws})) AS ex,
+            (SELECT min(ord) FROM ents e
+              WHERE contains(lower(e.name),
+                             trim(lower(c.entity_name), {ws}))
+                 OR contains(trim(lower(c.entity_name), {ws}),
+                             lower(e.name))) AS co,
+            (SELECT min(ord) FROM ents e WHERE {fuzzy}) AS fz
+          FROM calls c),
+        resolved AS (
+          SELECT r.call_id, r.relation_type, e.entity_id AS target_id
+          FROM res0 r JOIN ents e ON e.ord = COALESCE(r.ex, r.co, r.fz)),
+        tc AS (
+          SELECT r.call_id, r.target_id, m2.chunk_idx
+          FROM resolved r
+          JOIN (SELECT DISTINCT chunk_idx, entity_id FROM mem) m2
+            ON m2.entity_id = r.target_id),
+        tcn AS (SELECT call_id, count(*)::BIGINT AS n_tc
+                FROM tc GROUP BY call_id),
+        pairs AS (
+          SELECT t.call_id, t.target_id, t.chunk_idx,
+                 m.entity_id AS other,
+                 row_number() OVER () AS prid
+          FROM tc t JOIN mem m ON m.chunk_idx = t.chunk_idx
+          WHERE m.entity_id <> t.target_id),
+        idn AS (
+          SELECT DISTINCT entity_id,
+                 CASE WHEN strpos(entity_id, '_') > 0
+                      THEN lower(replace(
+                             substr(entity_id, strpos(entity_id, '_') + 1),
+                             '_', ' '))
+                      ELSE lower(entity_id) END AS nm
+          FROM (SELECT entity_id FROM mem
+                UNION SELECT target_id FROM resolved) u),
+        cn AS (
+          SELECT DISTINCT m.chunk_idx, i.nm
+          FROM mem m JOIN idn i USING (entity_id)),
+        wp AS (
+          SELECT chunk_idx, unnest(range(0, len(wl))) AS widx,
+                 unnest(wl) AS w
+          FROM (SELECT chunk_idx,
+                       {splitw.format(x='cl')} AS wl
+                FROM chunksrc) z),
+        np AS MATERIALIZED (
+          SELECT c2.chunk_idx, c2.nm, p.widx
+          FROM cn c2 JOIN wp p
+            ON p.chunk_idx = c2.chunk_idx AND contains(p.w, c2.nm)),
+        prox AS (
+          SELECT pr.prid, min(abs(a.widx - b.widx)) AS d
+          FROM pairs pr
+          JOIN idn ia ON ia.entity_id = pr.target_id
+          JOIN idn ib ON ib.entity_id = pr.other
+          LEFT JOIN np a ON a.chunk_idx = pr.chunk_idx AND a.nm = ia.nm
+          LEFT JOIN np b ON b.chunk_idx = pr.chunk_idx AND b.nm = ib.nm
+          GROUP BY pr.prid),
+        pp AS MATERIALIZED (
+          SELECT c2.chunk_idx, p.pid, p.kind, p.weight,
+                 substr(c2.cl,
+                        greatest(strpos(c2.cl, p.pattern) - 1 - 100, 0) + 1,
+                        least(strpos(c2.cl, p.pattern) - 1
+                              + length(p.pattern) + 100, length(c2.cl))
+                        - greatest(strpos(c2.cl, p.pattern) - 1 - 100, 0))
+                   AS ctx
+          FROM chunksrc c2
+          JOIN (VALUES {pats}) p(pid, kind, pattern, weight)
+            ON strpos(c2.cl, p.pattern) > 0),
+        near AS MATERIALIZED (
+          SELECT pp.chunk_idx, pp.pid, c2.nm
+          FROM pp JOIN cn c2 USING (chunk_idx)
+          WHERE contains(pp.ctx, c2.nm)),
+        famc AS (SELECT chunk_idx FROM chunksrc WHERE {fam}),
+        pc AS (
+          SELECT pr.prid,
+                 SUM(CASE WHEN pp.kind = 'f'
+                          THEN pp.weight *
+                               (CASE WHEN na.nm IS NOT NULL
+                                      AND nb.nm IS NOT NULL
+                                     THEN 0.5 ELSE 0.3 END)
+                          ELSE pp.weight *
+                               (CASE WHEN na.nm IS NOT NULL
+                                      AND nb.nm IS NOT NULL
+                                     THEN 1.2 ELSE 0.8 END)
+                     END) AS psum
+          FROM pairs pr
+          JOIN pp ON pp.chunk_idx = pr.chunk_idx
+          JOIN idn ia ON ia.entity_id = pr.target_id
+          JOIN idn ib ON ib.entity_id = pr.other
+          LEFT JOIN near na ON na.chunk_idx = pr.chunk_idx
+                           AND na.pid = pp.pid AND na.nm = ia.nm
+          LEFT JOIN near nb ON nb.chunk_idx = pr.chunk_idx
+                           AND nb.pid = pp.pid AND nb.nm = ib.nm
+          GROUP BY pr.prid),
+        ev AS (
+          SELECT pr.call_id, pr.other,
+                 least(greatest(
+                   CASE WHEN f.chunk_idx IS NOT NULL
+                        THEN ((0.2 +
+                          CASE WHEN px.d IS NULL THEN 0.0
+                               WHEN px.d <= 2 THEN 0.4
+                               WHEN px.d <= 5 THEN 0.3
+                               WHEN px.d <= 10 THEN 0.2
+                               WHEN px.d <= 20 THEN 0.1
+                               ELSE 0.05 END)
+                          + COALESCE(pc.psum, 0.0)) * 0.8
+                        ELSE (0.2 +
+                          CASE WHEN px.d IS NULL THEN 0.0
+                               WHEN px.d <= 2 THEN 0.4
+                               WHEN px.d <= 5 THEN 0.3
+                               WHEN px.d <= 10 THEN 0.2
+                               WHEN px.d <= 20 THEN 0.1
+                               ELSE 0.05 END)
+                          + COALESCE(pc.psum, 0.0)
+                   END, 0.0), 1.0) AS score
+          FROM pairs pr
+          LEFT JOIN prox px ON px.prid = pr.prid
+          LEFT JOIN pc ON pc.prid = pr.prid
+          LEFT JOIN famc f ON f.chunk_idx = pr.chunk_idx),
+        agg AS (
+          SELECT e2.call_id, e2.other, SUM(e2.score) AS s
+          FROM ev e2 GROUP BY e2.call_id, e2.other),
+        normed AS (
+          SELECT a.call_id, a.other,
+                 round(least(a.s / t.n_tc, 1.0), 8) AS confidence,
+                 t.n_tc,
+                 least(a.s / t.n_tc, 1.0) AS raw_norm
+          FROM agg a JOIN tcn t USING (call_id)),
+        ranked AS (
+          SELECT call_id, other, confidence, n_tc,
+                 row_number() OVER (PARTITION BY call_id
+                                    ORDER BY confidence DESC, other ASC)
+                   AS rank
+          FROM normed WHERE raw_norm >= 0.3)
+        SELECT r.call_id, r.rank::BIGINT AS rank, r.other AS target,
+               en.name AS target_name, r.confidence,
+               r.n_tc AS evidence_count, '' AS error
+        FROM ranked r JOIN ents en ON en.entity_id = r.other
+        WHERE r.rank <= 10
+        UNION ALL
+        SELECT call_id, -1::BIGINT, '', '', 0.0,
+               0::BIGINT, 'Entity ''' || entity_name || ''' not found'
+        FROM res0 WHERE COALESCE(ex, co, fz) IS NULL"""
+
+
 def _kg_mentions_sql() -> str:
     """Generated-SQL replay of the ENTIRE default-path pattern extractor
     (``functions/entities.py`` port of ``entity/mod.rs:97-788``) over
@@ -4086,6 +4312,7 @@ def oracle_sql() -> dict[str, str]:
     d["enriched_chunks"] = _enriched_chunks_sql()
     d["kg_chunks"] = _kg_chunks_sql()
     d["kg_mentions"] = _kg_mentions_sql()
+    d["tool_infer"] = _tool_infer_sql()
     d["shortest_paths"] = _sssp_sql(n_rounds=64)
     d["rerank_topk"] = _rerank_sql(d["bm25_scores"])
     d["hipporag_retrieval"] = _hipporag_sql(n_iter=8, damping=0.5)

@@ -175,6 +175,11 @@ SQL_CHECKED = [
     # recursive CTEs over word indices, org/location scans, dedup +
     # mention counts
     "kg_mentions",
+    # the WHOLE infer_relationships tool: 3-phase resolution (fuzzy
+    # quirks incl. byte-maxlen levenshtein), word-distance proximity,
+    # 44 pattern weights with context windows, family damper,
+    # normalization + threshold + top-10 (round-8 confidence device)
+    "tool_infer",
 ]
 
 
