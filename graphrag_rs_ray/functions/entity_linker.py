@@ -65,6 +65,75 @@ def string_similarity(s1: str, s2: str) -> float:
     return 1.0 - levenshtein_chars(s1, s2) / max_len
 
 
+def similar_at_least(s1: str, s2: str, t: float) -> bool:
+    """EXACT decision ``string_similarity(s1, s2) >= t`` without the full
+    O(n·m) DP on clear rejects: the linking passes only consume the
+    boolean, and ``dist >= |len(s1) - len(s2)|`` always, so pairs whose
+    length difference alone already pushes similarity below ``t`` are
+    rejected in O(1); otherwise a banded DP (Ukkonen cutoff) computes the
+    exact distance up to the cap and the ORIGINAL float expression
+    decides — bit-identical to the unpruned path (equivalence
+    property-gated in tests)."""
+    if s1 == s2:
+        return True
+    max_len = max(len(s1.encode()), len(s2.encode()))
+    if max_len == 0:
+        return True
+    # any dist with 1 - dist/max_len >= t satisfies dist <= (1-t)*max_len;
+    # cap is a safe integer over-bound of that float boundary
+    cap = int((1.0 - t) * max_len) + 2
+    if abs(len(s1) - len(s2)) > cap:
+        return False
+    dist = _levenshtein_banded(s1, s2, cap)
+    if dist > cap:
+        return False
+    return 1.0 - dist / max_len >= t
+
+
+def similar_strictly_above(s1: str, s2: str, t: float) -> bool:
+    """EXACT decision ``string_similarity(s1, s2) > t`` (strict twin of
+    ``similar_at_least``, same banded pruning)."""
+    if s1 == s2:
+        return 1.0 > t
+    max_len = max(len(s1.encode()), len(s2.encode()))
+    if max_len == 0:
+        return 1.0 > t
+    cap = int((1.0 - t) * max_len) + 2
+    if abs(len(s1) - len(s2)) > cap:
+        return False
+    dist = _levenshtein_banded(s1, s2, cap)
+    if dist > cap:
+        return False
+    return 1.0 - dist / max_len > t
+
+
+def _levenshtein_banded(s1: str, s2: str, k: int) -> int:
+    """Exact char Levenshtein when the distance is <= k; any value > k
+    otherwise (band of width 2k+1 around the diagonal)."""
+    n, m = len(s1), len(s2)
+    if abs(n - m) > k:
+        return k + 1
+    big = k + 1
+    prev = [j if j <= k else big for j in range(m + 1)]
+    for i in range(1, n + 1):
+        lo = max(1, i - k)
+        hi = min(m, i + k)
+        cur = [big] * (m + 1)
+        if i - k <= 0:
+            cur[0] = i
+        a = s1[i - 1]
+        for j in range(lo, hi + 1):
+            cost = 0 if a == s2[j - 1] else 1
+            v = prev[j - 1] + cost
+            if prev[j] + 1 < v:
+                v = prev[j] + 1
+            if cur[j - 1] + 1 < v:
+                v = cur[j - 1] + 1
+            cur[j] = v
+        prev = cur
+    return prev[m]
+
+
 def infer_entity_type(name: str) -> str:
     low = name.lower()
     if "company" in low or "corp" in low or "inc" in low:
@@ -117,7 +186,7 @@ def fuzzy_match_linking(entities: list[dict], threshold: float,
         members = [seed]
         rest = []
         for e in unprocessed:
-            if string_similarity(seed["name"], e["name"]) >= threshold:
+            if similar_at_least(seed["name"], e["name"], threshold):
                 members.append(e)
                 matches += 1
             else:
@@ -139,7 +208,7 @@ def lmcd_clustering(entities: list[dict], confidence_threshold: float):
         if e["name"] in exact:
             exact[e["name"]].append(e)
             continue
-        similar = any(string_similarity(k, e["name"]) > 0.9
+        similar = any(similar_strictly_above(k, e["name"], 0.9)
                       for k in key_order)
         if not similar:
             exact[e["name"]] = [e]

@@ -74,3 +74,21 @@ def _closed_form(seed_dl: int, cand_dls: list[int]) -> int:
        st.lists(st.integers(min_value=0, max_value=30), max_size=12))
 def test_gleaning_merge_fold_closed_form(seed_dl, cand_dls):
     assert _fold_merge(seed_dl, cand_dls) == _closed_form(seed_dl, cand_dls)
+
+
+# ---- banded-similarity pruning (entity_linker perf path) ---------------
+
+from graphrag_rs_ray.functions.entity_linker import (  # noqa: E402
+    similar_at_least,
+    similar_strictly_above,
+    string_similarity,
+)
+
+NAMES = st.text(alphabet=string.ascii_letters + " .'-é", max_size=25)
+
+
+@settings(max_examples=800, deadline=None)
+@given(NAMES, NAMES, st.sampled_from([0.85, 0.68, 0.9, 0.5]))
+def test_banded_similarity_decisions_exact(a, b, t):
+    assert similar_at_least(a, b, t) == (string_similarity(a, b) >= t)
+    assert similar_strictly_above(a, b, t) == (string_similarity(a, b) > t)
