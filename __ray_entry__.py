@@ -988,12 +988,25 @@ def q_consistency_report(sf_dir: str):
 
 def q_communities(sf_dir: str):
     """Leiden level-0 communities (``graph/leiden.rs`` via the
-    per-connected-component distribution in pipelines/communities.py);
-    procedural (iterative local move) → rows-only driver check, gated by
-    the ported reference unit tests + modularity assertions."""
-    from graphrag_rs_ray.pipelines.communities import detect_communities
+    per-connected-component distribution in pipelines/communities.py).
+    Oracle device: only the genuinely sequential local-move pass is staged
+    (node → ``lm`` key); DuckDB re-derives the Leiden refinement split
+    (per-``lm`` connected components via recursive-CTE reachability over
+    the staged edges, ``leiden.rs:594-668``) and the min-member community
+    labeling independently."""
+    from graphrag_rs_ray.pipelines.communities import (
+        _und_edges,
+        detect_communities_from_edges,
+    )
     cfg = KGConfig()
-    return detect_communities(triples_dataset(_kg_pages(sf_dir), cfg))
+    edges = _stage(
+        _und_edges(triples_dataset(_kg_pages(sf_dir), cfg)).materialize(),
+        "communities", sf_dir, sub="edges")
+    assign = _stage(
+        detect_communities_from_edges(edges, emit_local_move=True),
+        "communities", sf_dir, sub="assign")
+    return assign.map_batches(lambda t: t.select(["node", "community"]),
+                              batch_format="pyarrow")
 
 
 def q_chunk_embeddings(sf_dir: str):
@@ -7970,6 +7983,36 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT u.dst, r.lab FROM r JOIN und u ON u.src = r.node)
             SELECT node, min(lab) AS component FROM r GROUP BY node
         """.replace("{t}", _staged_sql("connected_components")),
+        # Leiden refinement + labeling re-derived from the staged
+        # local-move assignment: per-lm connected components (recursive
+        # reachability closure, leiden.rs:594-668 split semantics) then
+        # community = smallest member name.  MATERIALIZED is mandatory on
+        # CTEs referenced from the recursive arm (DuckDB re-inlines them
+        # per iteration otherwise).
+        "communities": """
+            WITH RECURSIVE lm AS MATERIALIZED (
+              SELECT node, lm FROM {a}),
+            ed AS (SELECT a, b FROM {e} WHERE a <> b),
+            eds AS MATERIALIZED (
+              SELECT e.a, e.b, la.lm FROM (
+                 SELECT a, b FROM ed UNION SELECT b, a FROM ed) e
+              JOIN lm la ON la.node = e.a
+              JOIN lm lb ON lb.node = e.b
+              WHERE la.lm = lb.lm),
+            r(node, dst, lm) AS (
+              SELECT node, node, lm FROM lm
+              UNION
+              SELECT r.node, e.b, r.lm
+              FROM r JOIN eds e ON e.a = r.dst AND e.lm = r.lm),
+            comp AS (SELECT node, lm, min(dst) AS comp_label
+                     FROM r GROUP BY node, lm),
+            grp AS (SELECT lm, comp_label, min(node) AS community
+                    FROM comp GROUP BY lm, comp_label)
+            SELECT c.node AS node, g.community AS community
+            FROM comp c
+            JOIN grp g ON g.lm = c.lm AND g.comp_label = c.comp_label
+        """.replace("{a}", _staged_sql("communities", "assign"))
+           .replace("{e}", _staged_sql("communities", "edges")),
         "degree_stats": """
             WITH ep AS (
               SELECT subj AS node, 1 AS out_d, 0 AS in_d FROM {t}

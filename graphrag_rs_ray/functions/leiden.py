@@ -48,6 +48,21 @@ def _build_adjacency(nodes: list[str], edges: list[tuple[str, str]]):
     return adj
 
 
+def leiden_local_move(nodes: list[str], edges: list[tuple[str, str]],
+                      config: LeidenConfig | None = None) -> list[int]:
+    """The sequential Louvain local-move pass alone (``leiden.rs:520-539``)
+    — node-index → community id, BEFORE the refinement split.  Split out so
+    the ``communities`` oracle can stage exactly the non-SQL-expressible
+    state and re-derive the refinement + labeling in DuckDB."""
+    config = config or LeidenConfig()
+    n = len(nodes)
+    if n == 0:
+        return []
+    adj = _build_adjacency(nodes, edges)
+    communities = _local_move(adj, config)
+    return communities
+
+
 def leiden_communities(nodes: list[str], edges: list[tuple[str, str]],
                        config: LeidenConfig | None = None) -> dict[str, int]:
     """node → community id (level-0 partition).  ``edges`` are undirected
@@ -59,6 +74,13 @@ def leiden_communities(nodes: list[str], edges: list[tuple[str, str]],
     if n == 0:
         return {}
     adj = _build_adjacency(nodes, edges)
+    communities = _local_move(adj, config)
+    communities = _refine_split(adj, communities)
+    return {nodes[v]: communities[v] for v in range(n)}
+
+
+def _local_move(adj: list[list[int]], config: LeidenConfig) -> list[int]:
+    n = len(adj)
     degree = [len(a) for a in adj]
     total_edges = float(sum(degree))          # = 2 × edge count (leiden.rs:712)
     communities = list(range(n))              # each node its own community
@@ -95,7 +117,13 @@ def leiden_communities(nodes: list[str], edges: list[tuple[str, str]],
                     communities[v] = best
                     improved = True
             iteration += 1
+    return communities
 
+
+def _refine_split(adj: list[list[int]], communities: list[int]) -> list[int]:
+    """Leiden refinement (``leiden.rs:594-668``): split any community whose
+    induced subgraph is disconnected into its connected components."""
+    communities = communities[:]
     # refinement: split disconnected communities into components
     members: dict[int, list[int]] = {}
     for v, c in enumerate(communities):
@@ -127,7 +155,7 @@ def leiden_communities(nodes: list[str], edges: list[tuple[str, str]],
                     communities[v] = next_id
                 next_id += 1
 
-    return {nodes[v]: communities[v] for v in range(n)}
+    return communities
 
 
 def modularity(nodes: list[str], edges: list[tuple[str, str]],

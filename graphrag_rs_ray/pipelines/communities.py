@@ -32,7 +32,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.leiden import LeidenConfig, leiden_communities
+from ..functions.leiden import (
+    LeidenConfig,
+    _build_adjacency,
+    _refine_split,
+    leiden_local_move,
+)
 from ..stages.hashagg import (
     bucketed_join,
     grouped_arrow_agg,
@@ -199,10 +204,29 @@ def _connected_components_local(edges_ds):
 
 def detect_communities(triples_ds, config: LeidenConfig | None = None,
                        num_buckets: int = 64,
-                       max_component_edges: int = 5_000_000):
+                       max_component_edges: int = 5_000_000,
+                       emit_local_move: bool = False):
     """Triples → (node, community) rows; community = min member name."""
-    config = config or LeidenConfig()
     edges = _und_edges(triples_ds).materialize()
+    return detect_communities_from_edges(
+        edges, config, num_buckets=num_buckets,
+        max_component_edges=max_component_edges,
+        emit_local_move=emit_local_move)
+
+
+def detect_communities_from_edges(edges, config: LeidenConfig | None = None,
+                                  num_buckets: int = 64,
+                                  max_component_edges: int = 5_000_000,
+                                  emit_local_move: bool = False):
+    """Same, from pre-built undirected (a, b) edge rows.  With
+    ``emit_local_move`` the output carries a third column ``lm`` — the
+    sequential local-move community key (``<component>#<local id>``,
+    unique across components) BEFORE the refinement split.  The
+    ``communities`` oracle stages (node, lm) + the edges and re-derives
+    the refinement (per-``lm`` connected components via recursive-CTE
+    reachability) and the min-member labeling in DuckDB, so only the
+    genuinely sequential local move is taken from the staged rows."""
+    config = config or LeidenConfig()
     comp = connected_components(edges, num_buckets=num_buckets)
     comp_a = comp.map_batches(
         lambda t: pa.table({"a": t.column("node"),
@@ -218,20 +242,26 @@ def detect_communities(triples_ds, config: LeidenConfig | None = None,
                 f"component exceeds max_component_edges={max_component_edges}; "
                 "pre-partition the graph (confidence filter / per-shard run)")
         df = t.to_pandas()
-        out_node, out_comm = [], []
-        for _, g in df.groupby("component", sort=True):
+        out_node, out_comm, out_lm = [], [], []
+        for comp_key, g in df.groupby("component", sort=True):
             pairs = list(zip(g["a"], g["b"]))
             nodes = sorted({v for e in pairs for v in e})
-            assign = leiden_communities(nodes, pairs, config)
+            lm = leiden_local_move(nodes, pairs, config)
+            adj = _build_adjacency(nodes, pairs)
+            final = _refine_split(adj, lm)
             # label each community by its smallest member
             comm_min: dict[int, str] = {}
-            for v in nodes:                      # sorted ⇒ first hit is min
-                comm_min.setdefault(assign[v], v)
-            for v in nodes:
+            for i, v in enumerate(nodes):        # sorted ⇒ first hit is min
+                comm_min.setdefault(final[i], v)
+            for i, v in enumerate(nodes):
                 out_node.append(v)
-                out_comm.append(comm_min[assign[v]])
-        return pa.table({"node": pa.array(out_node, pa.string()),
-                         "community": pa.array(out_comm, pa.string())})
+                out_comm.append(comm_min[final[i]])
+                out_lm.append(f"{comp_key}#{lm[i]}")
+        cols = {"node": pa.array(out_node, pa.string()),
+                "community": pa.array(out_comm, pa.string())}
+        if emit_local_move:
+            cols["lm"] = pa.array(out_lm, pa.string())
+        return pa.table(cols)
 
     return hash_grouped_aggregate(tagged, ["component"], run_component,
                                   num_buckets=num_buckets)
