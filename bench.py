@@ -79,10 +79,25 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn):
+        # adaptive min-of-2: host tenancy noise reaches 2-4x on this box
+        # (BASELINE.md); any entry slow enough to matter (>4 s) is re-run
+        # once and the min reported — the same least-interference
+        # estimator the headline and --scaling already use.  Query fns
+        # are re-runnable (stage dirs are cleared per _stage) and shared
+        # inputs are warmed untimed, so the re-run times the operator.
         t0 = time.perf_counter()
         out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        t1 = time.perf_counter() - t0
+        if t1 > 4.0 and os.environ.get("GRAFT_SINGLE_RUN") != "1":
+            t0 = time.perf_counter()
+            fn()
+            t2 = time.perf_counter() - t0
+            timings[name] = round(min(t1, t2), 3)
+            print(f"# {name}: {timings[name]}s (runs: {t1:.2f}, {t2:.2f})",
+                  file=sys.stderr, flush=True)
+        else:
+            timings[name] = round(t1, 3)
+            print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return out
 
     # headline: Parquet pages table (staged once, untimed) → deduped
