@@ -187,6 +187,11 @@ def run_bench() -> dict:
     timed("ner_mentions", ner_unstaged)
     timed("exact_dedup", lambda: q["exact_dedup"](sf_dir).count())
     timed("minhash_lsh_candidates", lambda: q["minhash_lsh_candidates"](sf_dir).count())
+    # bucketed dedup-verify paths (no corpus broadcast) + sharded ANN
+    timed("ngram_dedup_pairs", lambda: q["ngram_dedup_pairs"](sf_dir).count())
+    timed("cosine_dup_pairs_bucketed",
+          lambda: q["cosine_dup_pairs_bucketed"](sf_dir).count())
+    timed("hnsw_topk", lambda: q["hnsw_topk"](sf_dir).count())
     timed("bm25_df", lambda: q["bm25_df"](sf_dir).count())
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())
