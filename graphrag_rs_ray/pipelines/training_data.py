@@ -62,18 +62,16 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             texts = batch.column("text").to_pylist()
-            ids = batch.column("doc_id").to_pylist()
+            ids = np.asarray(batch.column("doc_id").to_pylist(),
+                             dtype=np.int64)
             sigs = self.mh.signatures_batch(texts)   # vectorized, one hash pass
-            doc_ids, bands, band_hashes = [], [], []
-            for did, sig in zip(ids, sigs):
-                for b, h in enumerate(self.mh.bands(sig, num_bands=16)):
-                    doc_ids.append(did)
-                    bands.append(b)
-                    band_hashes.append(h)
+            bh = self.mh.bands_batch(sigs, num_bands=16)   # (n, 16)
+            n_bands = bh.shape[1]
             return pa.table({
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32),
+                                         len(ids)), pa.int32()),
+                "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
             })
 
     from ..stages.memo import memoized_stage

@@ -1,0 +1,145 @@
+"""At-scale datapoints for the near-dedup family (exact / MinHash-LSH /
+verify) with PLANTED duplicates, so recall is measurable.
+
+The sf documents table tops out at ~60k rows, so the dedup pipelines are
+never stressed by the driver bench.  This script synthesizes N docs into
+a documents-shaped Parquet dir (schema ``doc_id:int64, text:string``) and
+runs the exact pipelines from ``pipelines/training_data`` against it:
+
+* every doc's text is a pure function of its doc_id (per-doc PCG64
+  stream), so generation is an embarrassingly parallel map and the
+  planted-pair set is enumerable by arithmetic with no cross-task state:
+  - ``id % 33 == 31`` → EXACT copy of doc ``id-1``;
+  - ``id % 33 == 32`` → NEAR-dup of doc ``id-2`` (3% token mutation →
+    word-3-shingle Jaccard ≈ 0.9, char-trigram Jaccard ≈ 0.9);
+  both source ids land on the base branch, so no dup-of-dup chains.
+
+Prints one JSON line per op (wall seconds, counts, recall of planted
+pairs) for BASELINE.md.
+
+Run:  python scripts/scale_dedup_datapoints.py [n_docs]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB = 50_000
+SEED = 1234
+
+
+def _doc_text(doc_id: int) -> str:
+    """Deterministic text for a BASE doc id."""
+    rng = np.random.Generator(np.random.PCG64(SEED + doc_id))
+    n = int(rng.integers(80, 200))
+    idx = rng.integers(0, VOCAB, size=n)
+    return " ".join(f"w{j}" for j in idx)
+
+
+def _mutate(text: str, doc_id: int, p: float = 0.03) -> str:
+    rng = np.random.Generator(np.random.PCG64(SEED * 7 + doc_id))
+    words = text.split()
+    flips = rng.random(len(words)) < p
+    repl = rng.integers(0, VOCAB, size=len(words))
+    return " ".join(f"w{repl[i]}" if flips[i] else w
+                    for i, w in enumerate(words))
+
+
+def gen_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("id").to_pylist()
+    texts = []
+    for i in ids:
+        r = i % 33
+        if r == 31:
+            texts.append(_doc_text(i - 1))            # exact dup
+        elif r == 32:
+            texts.append(_mutate(_doc_text(i - 2), i))  # near dup
+        else:
+            texts.append(_doc_text(i))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def main():
+    import ray
+    import ray.data as rd
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_enabled = False
+
+    sf_dir = f"/tmp/graft_scale_dedup_{n_docs}"
+    docs_dir = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(os.path.join(sf_dir, "_DONE")):
+        import shutil
+        if os.path.exists(docs_dir):
+            shutil.rmtree(docs_dir)
+        os.makedirs(docs_dir, exist_ok=True)
+        (rd.range(n_docs).repartition(128)
+         .map_batches(gen_batch, batch_format="pyarrow")
+         .write_parquet(docs_dir))
+        open(os.path.join(sf_dir, "_DONE"), "w").write("1")
+
+    from graphrag_rs_ray.pipelines import training_data as td
+
+    td._docs(sf_dir).count()   # warm page cache + worker pool untimed
+
+    t0 = time.perf_counter()
+    groups = td.exact_dedup(sf_dir)
+    n_groups = groups.count()
+    n_dup_groups = groups.filter(lambda r: r["n_dups"] > 1).count()
+    t_exact = time.perf_counter() - t0
+    planted_exact = sum(1 for i in range(n_docs) if i % 33 == 31)
+    print(json.dumps({"op": "exact_dedup", "n_docs": n_docs,
+                      "sec": round(t_exact, 1), "n_groups": n_groups,
+                      "dup_groups": n_dup_groups,
+                      "planted_exact": planted_exact}), flush=True)
+
+    t0 = time.perf_counter()
+    cand = td.minhash_lsh_candidates(sf_dir).materialize()
+    n_cand = cand.count()
+    t_cand = time.perf_counter() - t0
+    print(json.dumps({"op": "minhash_lsh_candidates", "n_docs": n_docs,
+                      "sec": round(t_cand, 1), "n_candidates": n_cand}),
+          flush=True)
+
+    t0 = time.perf_counter()
+    verified = td.ngram_dedup_pairs(sf_dir, cand_ds=cand).to_pandas()
+    t_ver = time.perf_counter() - t0
+
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(verified["doc_a"], verified["doc_b"])}
+    planted_near = {(i - 2, i) for i in range(n_docs) if i % 33 == 32}
+    planted_ex_pairs = {(i - 1, i) for i in range(n_docs) if i % 33 == 31}
+    # the copy (id-1) and the mutation (id) of the SAME base doc are a
+    # genuine near-dup pair too — count them as planted
+    planted_sib = {(i - 1, i) for i in range(n_docs) if i % 33 == 32}
+    rec_near = (len(got & planted_near) / len(planted_near)
+                if planted_near else 1.0)
+    rec_exact = (len(got & planted_ex_pairs) / len(planted_ex_pairs)
+                 if planted_ex_pairs else 1.0)
+    extras = len(got - planted_near - planted_ex_pairs - planted_sib)
+    print(json.dumps({"op": "ngram_dedup_verify", "n_docs": n_docs,
+                      "sec": round(t_ver, 1), "verified_pairs": len(got),
+                      "recall_planted_near": round(rec_near, 4),
+                      "recall_planted_exact": round(rec_exact, 4),
+                      "non_planted_pairs": extras}), flush=True)
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
