@@ -181,20 +181,45 @@ def estimate_jaccard(sig1: np.ndarray, sig2: np.ndarray) -> float:
     return float(np.mean(sig1 == sig2))
 
 
+def stable_word_hashes(words: list[str]) -> np.ndarray:
+    """Vectorized stable 64-bit word hashes (pandas' C string hasher —
+    fixed hash_key, so stable across processes/machines).  The shared
+    word-hash for SimHash voting AND its staged oracle vocab — both
+    sides must agree on the function, not on any particular one."""
+    import pandas as pd
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(
+        np.asarray(words, dtype=object)).astype(np.uint64)
+
+
 class SimHasher:
     """64-bit SimHash over word unigrams (stable per-word hashes),
-    vectorized via unpackbits over the word-hash bytes."""
+    vectorized: ONE word-hash pass per batch, per-doc unpackbits votes."""
 
     def signature(self, text: str) -> int:
-        words = text.lower().split()
-        if not words:
-            return 0
-        hs = np.fromiter((_stable_hash64(w.encode()) for w in words),
-                         dtype=np.uint64, count=len(words))
-        bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-        votes = bits.astype(np.int32).sum(axis=0) * 2 - len(words)  # (64,)
-        sig_bits = (votes > 0).astype(np.uint8)
-        return int.from_bytes(np.packbits(sig_bits, bitorder="little").tobytes(), "little")
+        return int(self.signatures_batch([text])[0])
+
+    def signatures_batch(self, texts: list[str]) -> np.ndarray:
+        word_lists = [t.lower().split() for t in texts]
+        flat = [w for ws in word_lists for w in ws]
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if not flat:
+            return out
+        hs = stable_word_hashes(flat)
+        bits_all = np.unpackbits(hs.view(np.uint8).reshape(-1, 8),
+                                 axis=1, bitorder="little")     # (W, 64)
+        pos = 0
+        for i, ws in enumerate(word_lists):
+            n = len(ws)
+            if not n:
+                continue
+            votes = bits_all[pos:pos + n].sum(axis=0, dtype=np.int64) * 2 - n
+            pos += n
+            sig_bits = (votes > 0).astype(np.uint8)
+            out[i] = int.from_bytes(
+                np.packbits(sig_bits, bitorder="little").tobytes(), "little")
+        return out
 
 
 def hamming_distance(a: int, b: int) -> int:

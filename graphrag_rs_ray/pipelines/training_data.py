@@ -141,10 +141,10 @@ def simhash_signatures(sf_dir: str):
             self.sh = SimHasher()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            sigs = [self.sh.signature(t) for t in batch.column("text").to_pylist()]
+            sigs = self.sh.signatures_batch(batch.column("text").to_pylist())
             return pa.table({
                 "doc_id": batch.column("doc_id"),
-                "simhash": pa.array(np.array(sigs, dtype=np.uint64)),
+                "simhash": pa.array(sigs, pa.uint64()),
             })
 
     from ..stages.memo import memoized_stage
@@ -155,9 +155,10 @@ def simhash_signatures(sf_dir: str):
 def simhash_vocab(sf_dir: str):
     """Distinct (word, h) rows over the corpus's lowercased whitespace
     tokens, h = the stable 64-bit word hash SimHash votes on.  Staged for
-    the simhash oracle: blake2b is not available in SQL, so the hashes are
-    an input table and DuckDB re-derives the tokenize→vote→pack pipeline."""
-    from ..functions.dedup import _stable_hash64
+    the simhash oracle: the word hash is not available in SQL, so the
+    hashes are an input table and DuckDB re-derives the
+    tokenize→vote→pack pipeline."""
+    from ..functions.dedup import stable_word_hashes
     from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
 
     def words(batch: pa.Table) -> pa.Table:
@@ -173,9 +174,7 @@ def simhash_vocab(sf_dir: str):
                                     rename=["word", "n"]))
 
     def hashed(batch: pa.Table) -> pa.Table:
-        ws = batch.column("word").to_pylist()
-        hs = np.fromiter((_stable_hash64(w.encode()) for w in ws),
-                         dtype=np.uint64, count=len(ws))
+        hs = stable_word_hashes(batch.column("word").to_pylist())
         return pa.table({"word": batch.column("word"),
                          "h": pa.array(hs, pa.uint64())})
 
