@@ -1218,6 +1218,21 @@ def q_ngram_dedup_pairs(sf_dir: str):
     return td.ngram_dedup_pairs(sf_dir, cand_ds=cand)
 
 
+def q_corpus_curation(sf_dir: str):
+    """End-to-end webtext curation (language/quality gates → exact dedup
+    → MinHash-LSH near-dedup).  Only the MinHash band rows over the
+    exact-dedup survivors are staged (the signature hashing is not
+    SQL-expressible); DuckDB independently re-derives the annotate +
+    filter + exact-dedup stages straight from ``documents``, the
+    band→candidate self-join, the char-trigram Jaccard verify and the
+    drop-larger-id rule."""
+    surv = td.curation_survivors(sf_dir).materialize()
+    bands = _stage(td.minhash_signatures(sf_dir, docs_ds=surv.map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")),
+        "corpus_curation", sf_dir)
+    return td.corpus_curation(sf_dir, survivors_ds=surv, bands_ds=bands)
+
+
 def q_simhash_signatures(sf_dir: str):
     """SimHash signatures; the per-word 64-bit hashes (blake2b — not
     available in SQL) are staged as a vocab table and DuckDB re-derives
@@ -3411,6 +3426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_signatures": q_simhash_signatures,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
+        "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
         # oracle-exact at these settings (recall ≈ 1 - 1.5e-10)
@@ -7932,6 +7948,86 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM jac
             WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i * 1.0 / u END) >= 0.8
         """.replace("{c}", _staged_sql("ngram_dedup_pairs")),
+        "corpus_curation": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+              FROM documents),
+            q AS (
+              SELECT doc_id, text,
+                     CASE WHEN regexp_matches(text, '[ñóéíáú]') THEN 'es'
+                          WHEN regexp_matches(text, '[çãõ]') THEN 'pt'
+                          WHEN regexp_matches(text, '[àèùò]') THEN 'fr'
+                          ELSE 'en' END AS lang_pred,
+                     len(words)::BIGINT AS n_tokens,
+                     length(text)::BIGINT AS n_chars,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE length(regexp_replace(text, '[\\p{L}\\p{N}\\p{Z}\\s]', '', 'g')) * 1.0
+                               / length(text) END AS punct_ratio,
+                     CASE WHEN len(words) = 0 THEN 0.0
+                          ELSE len(list_filter(words, x -> lower(x) IN {stop})) * 1.0
+                               / len(words) END AS stopword_ratio
+              FROM w),
+            filt AS (
+              SELECT * FROM q
+              WHERE lang_pred = 'en' AND n_tokens >= 20
+                AND punct_ratio <= 0.2 AND stopword_ratio >= 0.01),
+            ex AS (
+              SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+                     count(*)::BIGINT AS n_exact_dups
+              FROM filt GROUP BY md5(text)),
+            surv AS (
+              SELECT f.doc_id, f.text, f.lang_pred, f.n_tokens, f.n_chars,
+                     f.punct_ratio, f.stopword_ratio, e.n_exact_dups
+              FROM filt f JOIN ex e ON f.doc_id = e.keep_id),
+            cand AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM {b} x JOIN {b} y
+                ON x.band = y.band AND x.band_hash = y.band_hash
+               AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+            cd AS (SELECT DISTINCT doc_id FROM
+                   (SELECT doc_a AS doc_id FROM cand
+                    UNION SELECT doc_b FROM cand)),
+            docs AS (SELECT sv.doc_id,
+                            lower(CASE WHEN length(trim(sv.text)) = 0 THEN ''
+                                  ELSE array_to_string(
+                                    regexp_split_to_array(trim(sv.text), '\\s+'), ' ')
+                                  END) AS s
+                     FROM surv sv JOIN cd USING (doc_id)),
+            gs AS (SELECT unnest(range(1, 1 + coalesce(
+                     (SELECT max(length(s))::INT FROM docs), 1))) AS i),
+            ngrams AS (
+              SELECT doc_id, substr(s, g.i::INT, 3) AS ng
+              FROM docs CROSS JOIN gs g
+              WHERE length(s) >= 3 AND g.i <= length(s) - 2
+              UNION
+              SELECT doc_id, s FROM docs WHERE length(s) BETWEEN 1 AND 2),
+            sizes AS (SELECT doc_id, count(*) AS nn FROM ngrams GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c JOIN ngrams na ON na.doc_id = c.doc_a
+                          JOIN ngrams nb ON nb.doc_id = c.doc_b
+                                        AND nb.ng = na.ng
+              GROUP BY c.doc_a, c.doc_b),
+            jac AS (
+              SELECT c.doc_a, c.doc_b, coalesce(i.i, 0) AS i,
+                     coalesce(sa.nn, 0) + coalesce(sb.nn, 0)
+                       - coalesce(i.i, 0) AS u
+              FROM cand c
+              LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+              LEFT JOIN sizes sa ON sa.doc_id = c.doc_a
+              LEFT JOIN sizes sb ON sb.doc_id = c.doc_b),
+            dropped AS (
+              SELECT DISTINCT doc_b AS doc_id FROM jac
+              WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i * 1.0 / u END) >= 0.8)
+            SELECT sv.doc_id, sv.lang_pred, sv.n_tokens, sv.n_chars,
+                   sv.punct_ratio, sv.stopword_ratio, sv.n_exact_dups
+            FROM surv sv LEFT JOIN dropped d ON sv.doc_id = d.doc_id
+            WHERE d.doc_id IS NULL
+        """.replace("{b}", _staged_sql("corpus_curation"))
+           .replace("{stop}", _STOPLIST_SQL),
         "simhash_signatures": """
             WITH vocab AS (SELECT word, h FROM {v}),
             words AS (

@@ -192,6 +192,13 @@ def run_bench() -> dict:
     timed("cosine_dup_pairs_bucketed",
           lambda: q["cosine_dup_pairs_bucketed"](sf_dir).count())
     timed("hnsw_topk", lambda: q["hnsw_topk"](sf_dir).count())
+    # end-to-end webtext curation, un-staged production path (quality
+    # gates → exact dedup → LSH near-dedup drop)
+    def curation_unstaged():
+        from graphrag_rs_ray.pipelines import training_data as td
+        return td.corpus_curation(sf_dir).count()
+
+    timed("corpus_curation", curation_unstaged)
     timed("bm25_df", lambda: q["bm25_df"](sf_dir).count())
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())

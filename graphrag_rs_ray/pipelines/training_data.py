@@ -53,9 +53,14 @@ def exact_dedup(sf_dir: str):
                           rename=["fp", "doc_id", "n_dups"]))
 
 
-def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
+def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_k: int = 3,
+                       docs_ds=None):
     """Per-doc MinHash signature + LSH band hashes (flat band rows).
-    Scale path for near-dedup: equal (band, band_hash) ⇒ candidate pair."""
+    Scale path for near-dedup: equal (band, band_hash) ⇒ candidate pair.
+
+    ``docs_ds`` (optional) supplies the (doc_id, text) stream — the
+    curation pipeline feeds its quality-filtered exact-dedup survivors
+    here instead of the raw corpus."""
     class MinHashStage:
         def __init__(self):
             self.mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
@@ -76,7 +81,8 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
 
     from ..stages.memo import memoized_stage
     fn = memoized_stage(("minhash", num_perm, shingle_k), MinHashStage)
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, shingle_k: int = 3,
@@ -104,7 +110,9 @@ def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, shingle_k: int = 3,
         grouped_arrow_agg(["band", "band_hash"], [("doc_id", "count")],
                           rename=["band", "band_hash", "n"]))
     hot = counts.filter(expr="n > 1").to_pandas()
-    hot_keys = set(zip(hot["band"].astype(int), hot["band_hash"].astype("uint64")))
+    hot_keys = (set() if hot.empty else    # empty blocks carry no columns
+                set(zip(hot["band"].astype(int),
+                        hot["band_hash"].astype("uint64"))))
     hot_ref = ray.put(hot_keys)
 
     def only_hot(batch: pa.Table) -> pa.Table:
@@ -182,7 +190,7 @@ def simhash_vocab(sf_dir: str):
 
 
 def ngram_dedup_pairs(sf_dir: str, threshold: float = 0.8, n: int = 3,
-                      cand_ds=None):
+                      cand_ds=None, small_cand_limit: int = 10_000):
     """LSH candidates verified by character n-gram Jaccard ≥ threshold.
 
     Round-2 rework (VERDICT r01 task 5): the candidate pairs are joined
@@ -224,6 +232,34 @@ def ngram_dedup_pairs(sf_dir: str, threshold: float = 0.8, n: int = 3,
     pruned = _docs(sf_dir).map_batches(prune,
                                        batch_format="pyarrow").materialize()
 
+    if n_cand <= small_cand_limit:
+        # small fast path (two-path discipline, equality-tested): below
+        # the limit the candidate TEXTS (≤ 2×n_cand docs — never the
+        # corpus) are broadcast once and verified in one stateless pass;
+        # the two bucketed joins below are pure exchange overhead at
+        # this size (measured ~8 s of fixed shuffle cost at sf0.1 for a
+        # few hundred pairs)
+        texts: dict[int, str] = {}
+        for b in pruned.iter_batches(batch_format="pyarrow"):
+            texts.update(zip(b.column("doc_id").to_pylist(),
+                             b.column("text").to_pylist()))
+        tref = ray.put(texts)
+
+        def verify_small(batch: pa.Table) -> pa.Table:
+            from ..functions.dedup import ngram_jaccard
+            tx = ray.get(tref)
+            keep_a, keep_b, sims = [], [], []
+            for x, y in zip(batch.column("doc_a").to_pylist(),
+                            batch.column("doc_b").to_pylist()):
+                s = ngram_jaccard(tx[x], tx[y], n)
+                if s >= threshold:
+                    keep_a.append(x); keep_b.append(y); sims.append(round(s, 4))
+            return pa.table({"doc_a": pa.array(keep_a, pa.int64()),
+                             "doc_b": pa.array(keep_b, pa.int64()),
+                             "jaccard": pa.array(sims, pa.float64())})
+
+        return cand.map_batches(verify_small, batch_format="pyarrow")
+
     def docs_as(key: str):
         return pruned.map_batches(
             lambda t, k=key: t.rename_columns([k, f"text_{k[-1]}"]),
@@ -249,6 +285,111 @@ def ngram_dedup_pairs(sf_dir: str, threshold: float = 0.8, n: int = 3,
                          "jaccard": pa.array(sims, pa.float64())})
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- corpus curation --
+
+def curation_survivors(sf_dir: str, min_tokens: int = 20,
+                       max_punct: float = 0.2, min_stopword: float = 0.01):
+    """Annotate → quality-filter → exact-dedup: the first half of the
+    webtext curation pipeline.  One vectorized-per-batch annotate pass
+    computes language, token/char counts, punct/stopword ratios and the
+    md5 fingerprint; quality gates filter inline (no shuffle); exact
+    dedup keeps the min-doc_id row per fingerprint via the hash-bucketed
+    aggregate (the repo's only-shuffle-when-grouping discipline).
+
+    Returns survivor rows carrying ``text`` (the near-dedup stage still
+    needs it) + ``n_exact_dups`` (exact-duplicate group size)."""
+    import pandas as pd
+
+    from ..stages.hashagg import hash_grouped_aggregate
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        rows = [quality_stats(t) for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": batch.column("text"),
+            "lang_pred": pa.array([detect_language(t) for t in texts],
+                                  pa.string()),
+            "n_tokens": pa.array([r["n_words"] for r in rows], pa.int64()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+            # raw IEEE f64 divisions — bit-identical to DuckDB's k*1.0/n
+            "punct_ratio": pa.array([r["punct_ratio"] for r in rows],
+                                    pa.float64()),
+            "stopword_ratio": pa.array([r["stopword_ratio"] for r in rows],
+                                       pa.float64()),
+            "fp": pa.array([fingerprint(t) for t in texts], pa.string()),
+        })
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.equal(batch.column("lang_pred"), "en"),
+                    pc.greater_equal(batch.column("n_tokens"),
+                                     pa.scalar(min_tokens, pa.int64()))),
+            pc.and_(pc.less_equal(batch.column("punct_ratio"), max_punct),
+                    pc.greater_equal(batch.column("stopword_ratio"),
+                                     min_stopword)))
+        return batch.filter(mask)
+
+    def dedup_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["fp", "doc_id"])
+        first = df.drop_duplicates("fp", keep="first").set_index("fp")
+        first["n_exact_dups"] = df.groupby("fp").size().astype("int64")
+        return pa.Table.from_pandas(first.reset_index(drop=True),
+                                    preserve_index=False)
+
+    annotated = (_docs(sf_dir)
+                 .map_batches(annotate, batch_format="pyarrow")
+                 .map_batches(keep, batch_format="pyarrow"))
+    return hash_grouped_aggregate(annotated, ["fp"], dedup_bucket)
+
+
+def corpus_curation(sf_dir: str, min_tokens: int = 20,
+                    max_punct: float = 0.2, min_stopword: float = 0.01,
+                    jaccard_threshold: float = 0.8,
+                    survivors_ds=None, bands_ds=None):
+    """End-to-end webtext curation over ``documents``: language-ID +
+    quality gates → exact dedup (md5 groups, keep min doc_id) →
+    MinHash-LSH near-dedup (banded candidates → char-trigram Jaccard
+    verify ≥ threshold → drop the LARGER doc_id of every verified pair —
+    the deterministic keep-first policy; no transitive clustering, so the
+    decision is per-pair and SQL-replayable).
+
+    Composition of the individually-oracle-checked pieces into the
+    pipeline a 100-TB pre-training corpus actually runs: every stage
+    streams; the only shuffles are the fp-group and the LSH band group;
+    the verified-pair drop set is broadcast (near-dup pairs are tiny next
+    to the corpus by construction).
+
+    ``survivors_ds`` / ``bands_ds`` let the query layer stage the band
+    rows so the whole composition is DuckDB-oracle-checked."""
+    import ray
+
+    surv = (survivors_ds if survivors_ds is not None
+            else curation_survivors(sf_dir, min_tokens, max_punct,
+                                    min_stopword).materialize())
+    bands = bands_ds if bands_ds is not None else minhash_signatures(
+        sf_dir, docs_ds=surv.map_batches(
+            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"))
+    cand = minhash_lsh_candidates(sf_dir, bands_ds=bands).materialize()
+
+    drop: set[int] = set()
+    if cand.count() > 0:
+        verified = ngram_dedup_pairs(sf_dir, threshold=jaccard_threshold,
+                                     cand_ds=cand)
+        for b in verified.iter_batches(batch_format="pyarrow"):
+            drop.update(b.column("doc_b").to_pylist())
+    drop_ref = ray.put(pa.array(sorted(drop), pa.int64()))
+
+    def final(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(batch.column("doc_id"),
+                                  value_set=ray.get(drop_ref)))
+        return batch.filter(keep).select(
+            ["doc_id", "lang_pred", "n_tokens", "n_chars", "punct_ratio",
+             "stopword_ratio", "n_exact_dups"])
+
+    return surv.map_batches(final, batch_format="pyarrow")
 
 
 # ---------------------------------------------------- similarity search --

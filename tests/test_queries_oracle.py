@@ -72,6 +72,9 @@ SQL_CHECKED = [
     # vocab hashes → vote/pack, candidate pairs → trigram Jaccard,
     # inverted lists + probes → within-lists cosine top-k
     "lsh_buckets", "simhash_signatures", "ngram_dedup_pairs", "ivf_topk",
+    # end-to-end webtext curation (quality gates → exact dedup →
+    # LSH near-dedup with the drop-larger-id rule); bands staged
+    "corpus_curation",
     # per-shard HNSW pools → exact within-candidates rerank
     "hnsw_topk",
     # ConsistencyReport counts over staged (corrupted) entities + triples
