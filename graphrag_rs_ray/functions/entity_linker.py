@@ -176,9 +176,11 @@ def exact_match_linking(entities: list[dict]):
     return clusters, exact_matches
 
 
-def fuzzy_match_linking(entities: list[dict], threshold: float,
-                        kind: str = "fuzzy", counter_start: int = 0):
-    """``entity_linker.rs:194-249`` greedy star pass in input order."""
+def _fuzzy_match_linking_naive(entities: list[dict], threshold: float,
+                               kind: str = "fuzzy", counter_start: int = 0):
+    """``entity_linker.rs:194-249`` greedy star pass in input order —
+    the direct port, kept as the equality gate for the vectorized
+    production pass below."""
     unprocessed = list(entities)
     clusters, matches, counter = [], 0, counter_start
     while unprocessed:
@@ -192,6 +194,116 @@ def fuzzy_match_linking(entities: list[dict], threshold: float,
             else:
                 rest.append(e)
         unprocessed = rest
+        canonical = select_canonical_name([m["name"] for m in members])
+        clusters.append(_cluster(f"{kind}_{counter}", kind, canonical,
+                                 members, threshold, 1, []))
+        counter += 1
+    return clusters, matches
+
+
+_BAG_BUCKETS = 16
+
+
+def _batched_levenshtein(seed_codes, n_seed: int, cand_codes, cand_lens):
+    """Exact char Levenshtein of one seed against a (c, M) padded
+    char-code matrix, vectorized across candidates.  The in-row
+    dependency ``cur[j] = min(base[j], cur[j-1]+1)`` is solved closed
+    form as a prefix-min over ``base[j]-j`` (insertions propagate +1
+    per column), so each DP row is one numpy pass.  Padding codes are
+    negative (never match); garbage beyond each candidate's length
+    never flows left, and the result is gathered at column
+    ``cand_lens``."""
+    import numpy as np
+    c, M = cand_codes.shape
+    ar = np.arange(M + 1, dtype=np.int32)
+    prev = np.tile(ar, (c, 1))
+    for i in range(1, n_seed + 1):
+        sub = prev[:, :-1] + (cand_codes != seed_codes[i - 1])
+        dele = prev[:, 1:] + 1
+        base = np.minimum(sub, dele)
+        full = np.concatenate(
+            [np.full((c, 1), i, np.int32), base], axis=1)
+        adj = full - ar
+        np.minimum.accumulate(adj, axis=1, out=adj)
+        prev = adj + ar
+    return prev[np.arange(c), cand_lens]
+
+
+def fuzzy_match_linking(entities: list[dict], threshold: float,
+                        kind: str = "fuzzy", counter_start: int = 0):
+    """``entity_linker.rs:194-249`` greedy star pass in input order.
+
+    IDENTICAL decisions to ``_fuzzy_match_linking_naive`` (equality
+    property-gated), but the O(k²) per-pair Python loop is replaced by
+    two vectorized EXACT lower-bound prefilters per seed, so the banded
+    DP runs only on plausible pairs:
+
+    * char-length band — ``dist >= |len(a) - len(b)|`` always, the same
+      O(1) reject ``similar_at_least`` does, batched in numpy;
+    * bucketed character-bag L1 — each edit changes the char multiset by
+      at most 2, so ``dist >= L1/2``; projecting chars into
+      ``_BAG_BUCKETS`` buckets only shrinks L1 (bucket-merging is a
+      contraction), so ``L1_proj > 2·cap ⇒ dist > cap ⇒ reject`` is
+      exact for any unicode input.
+
+    Survivors get their EXACT char Levenshtein from the batched DP and
+    the ORIGINAL decision expression ``1.0 - dist/max_byte_len >= t``
+    (IEEE f64, identical in numpy and CPython) decides — the same value
+    ``string_similarity`` computes."""
+    n = len(entities)
+    if n <= 1:
+        return _fuzzy_match_linking_naive(entities, threshold, kind,
+                                          counter_start)
+    import numpy as np
+
+    names = [e["name"] for e in entities]
+    clen = np.array([len(s) for s in names], np.int64)
+    blen = np.array([len(s.encode()) for s in names], np.int64)
+    bag = np.zeros((n, _BAG_BUCKETS), np.int16)
+    for i, s in enumerate(names):
+        for ch in s:
+            bag[i, ord(ch) % _BAG_BUCKETS] += 1
+    lmax = max(1, int(clen.max()))
+    codes = np.full((n, lmax), -1, np.int32)
+    for i, s in enumerate(names):
+        if s:
+            codes[i, :len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), np.uint32).astype(np.int32)
+
+    alive = np.ones(n, bool)
+    clusters, matches, counter = [], 0, counter_start
+    for i in range(n):
+        if not alive[i]:
+            continue
+        alive[i] = False
+        members = [entities[i]]
+        idx = np.nonzero(alive)[0]          # all still-unprocessed follow i
+        if idx.size:
+            # per-pair cap: int((1-t)*max(blen)) + 2, bit-exact
+            cap = (np.trunc((1.0 - threshold)
+                            * np.maximum(blen[idx], blen[i]))
+                   .astype(np.int64) + 2)
+            feas = np.abs(clen[idx] - clen[i]) <= cap
+            if feas.any():
+                sub = idx[feas]
+                l1 = np.abs(bag[sub].astype(np.int32)
+                            - bag[i].astype(np.int32)).sum(axis=1)
+                sub = sub[l1 <= 2 * cap[feas]]
+                if sub.size:
+                    cl = clen[sub]
+                    m_w = max(1, int(cl.max()))
+                    dist = _batched_levenshtein(
+                        codes[i], int(clen[i]), codes[sub, :m_w],
+                        cl.astype(np.int64))
+                    maxb = np.maximum(blen[sub], blen[i])
+                    ok = np.where(
+                        maxb > 0,
+                        1.0 - dist / np.maximum(maxb, 1) >= threshold,
+                        True)
+                    for j in sub[ok]:
+                        members.append(entities[j])
+                        alive[j] = False
+                        matches += 1
         canonical = select_canonical_name([m["name"] for m in members])
         clusters.append(_cluster(f"{kind}_{counter}", kind, canonical,
                                  members, threshold, 1, []))

@@ -348,7 +348,8 @@ def curation_survivors(sf_dir: str, min_tokens: int = 20,
 def corpus_curation(sf_dir: str, min_tokens: int = 20,
                     max_punct: float = 0.2, min_stopword: float = 0.01,
                     jaccard_threshold: float = 0.8,
-                    survivors_ds=None, bands_ds=None):
+                    survivors_ds=None, bands_ds=None,
+                    keep_text: bool = False):
     """End-to-end webtext curation over ``documents``: language-ID +
     quality gates → exact dedup (md5 groups, keep min doc_id) →
     MinHash-LSH near-dedup (banded candidates → char-trigram Jaccard
@@ -382,14 +383,64 @@ def corpus_curation(sf_dir: str, min_tokens: int = 20,
             drop.update(b.column("doc_b").to_pylist())
     drop_ref = ray.put(pa.array(sorted(drop), pa.int64()))
 
+    cols = ["doc_id", "lang_pred", "n_tokens", "n_chars", "punct_ratio",
+            "stopword_ratio", "n_exact_dups"] + (["text"] if keep_text
+                                                 else [])
+
     def final(batch: pa.Table) -> pa.Table:
         keep = pc.invert(pc.is_in(batch.column("doc_id"),
                                   value_set=ray.get(drop_ref)))
-        return batch.filter(keep).select(
-            ["doc_id", "lang_pred", "n_tokens", "n_chars", "punct_ratio",
-             "stopword_ratio", "n_exact_dups"])
+        return batch.filter(keep).select(cols)
 
     return surv.map_batches(final, batch_format="pyarrow")
+
+
+def write_curated_corpus(curated_ds, out_dir: str, num_shards: int = 16,
+                         fingerprint_parts: tuple = ()):
+    """Resumable curated-corpus sink: ``docs/shard=K/`` partitioned by
+    ``hash(doc_id) % num_shards``, one manifest per shard + a top-level
+    rollup (same partition-granularity resume discipline as
+    ``pipelines/kg.write_graph``).  A rerun with an unchanged fingerprint
+    returns the existing manifest without rewriting — never one giant
+    file, and a failed run skips finished output."""
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from ..state.manifests import (fingerprint_config, read_manifest,
+                                   stage_complete, write_manifest)
+
+    fp = fingerprint_config("curated_corpus", num_shards, *fingerprint_parts)
+    if stage_complete(out_dir, fp):
+        return read_manifest(out_dir)
+
+    docs_dir = os.path.join(out_dir, "docs")
+    if os.path.exists(docs_dir):        # write_parquet APPENDS
+        shutil.rmtree(docs_dir)
+    os.makedirs(docs_dir, exist_ok=True)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array((ids % num_shards).astype("int32")))
+
+    (curated_ds.map_batches(add_shard, batch_format="pyarrow")
+     .write_parquet(docs_dir, partition_cols=["shard"]))
+
+    shard_counts = {}
+    for name in sorted(os.listdir(docs_dir)):
+        shard_dir = os.path.join(docs_dir, name)
+        if os.path.isdir(shard_dir) and name.startswith("shard="):
+            n = pads.dataset(shard_dir).count_rows()
+            shard_counts[name] = n
+            write_manifest(shard_dir, "curated_shard",
+                           fingerprint_config("curated_corpus", num_shards,
+                                              name, *fingerprint_parts),
+                           rows=n)
+    total = sum(shard_counts.values())
+    return write_manifest(out_dir, "curated_corpus", fp, rows=total,
+                          extra={"n_docs": total, "num_shards": num_shards,
+                                 "shard_rows": shard_counts})
 
 
 # ---------------------------------------------------- similarity search --

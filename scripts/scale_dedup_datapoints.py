@@ -138,6 +138,21 @@ def main():
                       "recall_planted_exact": round(rec_exact, 4),
                       "non_planted_pairs": extras}), flush=True)
 
+    # end-to-end curation (annotate → gates → exact dedup → LSH
+    # near-dedup drop), recomputing signatures/candidates/verify inside —
+    # the honest single-pipeline cost.  The synthetic vocab has no
+    # stopwords, so the stopword gate is disabled; every other gate runs.
+    t0 = time.perf_counter()
+    n_kept = td.corpus_curation(sf_dir, min_stopword=0.0).count()
+    t_cur = time.perf_counter() - t0
+    # planted structure: ~1/33 exact copies (deduped) + ~1/33 near dups
+    # (dropped as the larger id of a verified pair) → ~94% survive
+    frac = n_kept / n_docs
+    print(json.dumps({"op": "corpus_curation", "n_docs": n_docs,
+                      "sec": round(t_cur, 1), "survivors": n_kept,
+                      "survivor_frac": round(frac, 4),
+                      "sane": bool(0.90 <= frac <= 0.97)}), flush=True)
+
     ray.shutdown()
 
 

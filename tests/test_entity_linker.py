@@ -109,3 +109,25 @@ def test_hybrid_linking_and_stats():
     # semantic = fuzzy at 0.8·thr, counted as semantic_matches
     _, s2 = link_entities(ENTS, "semantic", threshold=1.0)
     assert s2["semantic_matches"] == 2 and s2["fuzzy_matches"] == 0
+
+
+def test_fuzzy_vectorized_equals_naive_property():
+    """The vectorized prefilter pass must make IDENTICAL decisions to
+    the direct port, for any input (exact-lower-bound guarantee)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from graphrag_rs_ray.functions.entity_linker import (
+        _fuzzy_match_linking_naive, fuzzy_match_linking)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(st.text(alphabet="abAB12 çñ中", min_size=0,
+                            max_size=14), min_size=0, max_size=40),
+           st.sampled_from([0.6, 0.85, 0.95]))
+    def check(names, t):
+        ents = [{"doc_id": f"d{i % 3}", "local_entity_id": f"e{i}",
+                 "name": n} for i, n in enumerate(names)]
+        assert (fuzzy_match_linking(ents, t)
+                == _fuzzy_match_linking_naive(ents, t))
+
+    check()
