@@ -170,6 +170,32 @@ def is_likely_person_word(word: str) -> bool:
     return proper and (len(word) >= 3 or has_ending or has_prefix)
 
 
+# Per-token feature memo for the person phases.  Every phase needs the same
+# handful of per-token predicates (cleaned form, capitalization, person-word
+# likelihood, stop-list membership); computing them once per DISTINCT raw
+# token (corpus vocabulary ≪ token occurrences) collapses the 4-phase
+# per-word work to one dict lookup per token.  Pure function of the token —
+# memoization cannot change extraction output.
+_TOKEN_MEMO: dict[str, tuple] = {}
+_TOKEN_MEMO_MAX = 500_000
+
+
+def _token_features(word: str) -> tuple:
+    """(clean, clean_lower, raw_is_capitalized, clean_is_person_word,
+    clean_lower_in_NON_PERSON_WORDS) for one raw whitespace token."""
+    f = _TOKEN_MEMO.get(word)
+    if f is None:
+        clean = clean_word(word)
+        cl = clean.lower()
+        f = (clean, cl,
+             bool(word) and word[0].isupper(),
+             is_likely_person_word(clean),
+             cl in NON_PERSON_WORDS)
+        if len(_TOKEN_MEMO) < _TOKEN_MEMO_MAX:
+            _TOKEN_MEMO[word] = f
+    return f
+
+
 def is_likely_person_name(name: str) -> bool:
     parts = name.split()
     return len(parts) == 2 and all(is_capitalized(p) for p in parts)
@@ -187,19 +213,37 @@ def is_common_word(word: str) -> bool:
     return word.lower() in COMMON_WORDS
 
 
+_NORM_MEMO: dict[str, str] = {}
+_NORM_MEMO_MAX = 500_000
+
+
 def normalize_name(name: str) -> str:
     """Port of ``entity/mod.rs:758-764``: lowercase then keep only
     alphanumerics and underscores — note this REMOVES spaces, so
-    "John Smith" → "johnsmith" (exactly as the reference does)."""
-    return "".join(c for c in name.lower() if c.isalnum() or c == "_")
+    "John Smith" → "johnsmith" (exactly as the reference does).
+    Memoized per worker process (pure; name vocabulary is small)."""
+    cached = _NORM_MEMO.get(name)
+    if cached is None:
+        cached = "".join(c for c in name.lower() if c.isalnum() or c == "_")
+        if len(_NORM_MEMO) < _NORM_MEMO_MAX:
+            _NORM_MEMO[name] = cached
+    return cached
 
 
 def entity_id_for(name: str, entity_type: str) -> str:
     return f"{entity_type}_{normalize_name(name)}"
 
 
+_CONF_MEMO: dict[tuple[str, str], float] = {}
+_CONF_MEMO_MAX = 500_000
+
+
 def calculate_confidence(name: str, entity_type: str) -> float:
-    """Port of ``entity/mod.rs:700-738``."""
+    """Port of ``entity/mod.rs:700-738``.  Memoized (pure in its args)."""
+    key = (name, entity_type)
+    cached = _CONF_MEMO.get(key)
+    if cached is not None:
+        return cached
     confidence = 0.5
     if entity_type == "PERSON":
         if "Dr." in name or "Prof." in name:
@@ -218,7 +262,10 @@ def calculate_confidence(name: str, entity_type: str) -> float:
             confidence += 0.3
     if name and name[0].isupper():
         confidence += 0.1
-    return min(confidence, 1.0)
+    confidence = min(confidence, 1.0)
+    if len(_CONF_MEMO) < _CONF_MEMO_MAX:
+        _CONF_MEMO[key] = confidence
+    return confidence
 
 
 def find_mentions(name: str, text: str, confidence: float) -> list[Mention]:
@@ -273,19 +320,21 @@ class PatternEntityExtractor:
                         processed.add(i + j)
                     break
 
-    def _extract_title_based(self, words, processed, entities, text):
-        for i in range(len(words)):
+    def _extract_title_based(self, feats, processed, entities, text):
+        n = len(feats)
+        for i in range(n):
             if i in processed:
                 continue
-            if clean_word(words[i]).lower() in PERSON_TITLES and i + 1 < len(words) \
+            if feats[i][1] in PERSON_TITLES and i + 1 < n \
                     and (i + 1) not in processed:
-                next_word = clean_word(words[i + 1])
-                if is_capitalized(words[i + 1]) and is_likely_person_word(next_word):
-                    if i + 2 < len(words) and (i + 2) not in processed:
-                        third = clean_word(words[i + 2])
-                        if is_capitalized(words[i + 2]) and is_likely_person_word(third):
+                f1 = feats[i + 1]
+                if f1[2] and f1[3]:
+                    next_word = f1[0]
+                    if i + 2 < n and (i + 2) not in processed:
+                        f2 = feats[i + 2]
+                        if f2[2] and f2[3]:
                             processed.add(i + 2)
-                            name = f"{next_word} {third}"
+                            name = f"{next_word} {f2[0]}"
                         else:
                             name = next_word
                     else:
@@ -295,16 +344,13 @@ class PatternEntityExtractor:
                     processed.add(i)
                     processed.add(i + 1)
 
-    def _extract_two_word(self, words, processed, entities, text):
-        for i in range(len(words) - 1):
+    def _extract_two_word(self, feats, processed, entities, text):
+        for i in range(len(feats) - 1):
             if i in processed or (i + 1) in processed:
                 continue
-            first, second = clean_word(words[i]), clean_word(words[i + 1])
-            if (is_capitalized(words[i]) and is_capitalized(words[i + 1])
-                    and is_likely_person_word(first) and is_likely_person_word(second)
-                    and first.lower() not in NON_PERSON_WORDS
-                    and second.lower() not in NON_PERSON_WORDS):
-                name = f"{first} {second}"
+            f0, f1 = feats[i], feats[i + 1]
+            if f0[2] and f1[2] and f0[3] and f1[3] and not f0[4] and not f1[4]:
+                name = f"{f0[0]} {f1[0]}"
                 if is_likely_person_name(name):
                     conf = calculate_confidence(name, "PERSON")
                     if conf >= self.min_confidence:
@@ -312,27 +358,28 @@ class PatternEntityExtractor:
                     processed.add(i)
                     processed.add(i + 1)
 
-    def _extract_single_word(self, words, processed, entities, text):
-        for i, raw in enumerate(words):
+    def _extract_single_word(self, feats, processed, entities, text):
+        for i, f in enumerate(feats):
             if i in processed:
                 continue
-            word = clean_word(raw)
-            if len(word) < 2 or word.lower() in NON_PERSON_WORDS:
+            word = f[0]
+            if len(word) < 2 or f[4]:
                 continue
-            if is_capitalized(raw) and is_likely_person_word(word):
+            if f[2] and f[3]:
                 conf = calculate_confidence(word, "PERSON")
                 if conf >= self.min_confidence:
                     entities.append(self._mk(word, "PERSON", conf, text))
 
     def extract_persons(self, text: str) -> list[ExtractedEntity]:
         words = text.split()
-        clean_lower = [clean_word(w).lower() for w in words]
+        feats = [_token_features(w) for w in words]
+        clean_lower = [f[1] for f in feats]
         processed: set[int] = set()
         entities: list[ExtractedEntity] = []
         self._extract_known_names(words, clean_lower, processed, entities, text)
-        self._extract_title_based(words, processed, entities, text)
-        self._extract_two_word(words, processed, entities, text)
-        self._extract_single_word(words, processed, entities, text)
+        self._extract_title_based(feats, processed, entities, text)
+        self._extract_two_word(feats, processed, entities, text)
+        self._extract_single_word(feats, processed, entities, text)
         return entities
 
     # ---- other types ---------------------------------------------------
@@ -373,12 +420,12 @@ class PatternEntityExtractor:
     def extract_concepts(self, text: str, entity_type: str) -> list[ExtractedEntity]:
         entities = []
         for raw in text.split():
-            cw = clean_word(raw)
+            f = _token_features(raw)
+            cw = f[0]
             if any(ind in cw for ind in CONCEPT_INDICATORS):
                 if 0.75 >= self.min_confidence:
                     entities.append(self._mk(cw, entity_type, 0.75, text))
-            if is_capitalized(raw) and len(raw) > 4:
-                cw = clean_word(raw)
+            if f[2] and len(raw) > 4:
                 if not is_common_word(cw):
                     if 0.6 >= self.min_confidence:
                         entities.append(self._mk(cw, entity_type, 0.6, text))
@@ -405,11 +452,11 @@ class PatternEntityExtractor:
     def extract_generic(self, text: str, entity_type: str) -> list[ExtractedEntity]:
         entities = []
         for raw in text.split():
-            if is_capitalized(raw) and len(raw) > 3:
-                cw = clean_word(raw)
-                if not is_common_word(cw):
+            if len(raw) > 3:
+                f = _token_features(raw)
+                if f[2] and not is_common_word(f[0]):
                     if 0.5 >= self.min_confidence:
-                        entities.append(self._mk(cw, entity_type, 0.5, text))
+                        entities.append(self._mk(f[0], entity_type, 0.5, text))
         return entities
 
     # ---- assembly ------------------------------------------------------
@@ -512,9 +559,21 @@ def extract_relationships(entities: list[ExtractedEntity], chunk_text: str) -> l
     (source, target, type) tuples; we normalize to subject-predicate-object
     order everywhere downstream)."""
     out = []
-    for i in range(len(entities)):
-        for j in range(i + 1, len(entities)):
-            e1, e2 = entities[i], entities[j]
-            pred = infer_relationship_type(e1.entity_type, e2.entity_type, chunk_text)
-            out.append((e1.entity_id, pred, e2.entity_id))
+    n = len(entities)
+    # Per-chunk predicate memo: the inferred type depends only on the
+    # (type1, type2) pair and the chunk text, but the naive loop re-scans
+    # the text for every one of the O(k²) pairs.  Distinct type pairs per
+    # chunk ≤ |types|², so memoizing per call is output-identical.
+    memo: dict[tuple[str, str], str] = {}
+    for i in range(n):
+        e1 = entities[i]
+        t1, id1 = e1.entity_type, e1.entity_id
+        for j in range(i + 1, n):
+            e2 = entities[j]
+            key = (t1, e2.entity_type)
+            pred = memo.get(key)
+            if pred is None:
+                pred = infer_relationship_type(t1, e2.entity_type, chunk_text)
+                memo[key] = pred
+            out.append((id1, pred, e2.entity_id))
     return out

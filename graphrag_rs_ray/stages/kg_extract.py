@@ -62,6 +62,7 @@ class ExtractKG:
         eid, name, etype, conf, mcount = [], [], [], [], []
         subj, pred, obj = [], [], []
 
+        rel_conf = cfg.relationship_confidence
         for chunk_id, doc_id, text in zip(chunk_ids, doc_ids, texts):
             try:
                 entities = self.extractor.extract(text or "")
@@ -74,16 +75,28 @@ class ExtractKG:
                 conf.append(0.0); mcount.append(0)
                 subj.append(None); pred.append(None); obj.append(None)
                 continue
-            for e in entities:
-                kind.append("e"); c_cid.append(chunk_id); c_did.append(doc_id)
-                eid.append(e.entity_id); name.append(e.name); etype.append(e.entity_type)
-                conf.append(e.confidence); mcount.append(len(e.mentions))
-                subj.append(None); pred.append(None); obj.append(None)
-            for s, p, o in rels:
-                kind.append("t"); c_cid.append(chunk_id); c_did.append(doc_id)
-                eid.append(None); name.append(None); etype.append(None)
-                conf.append(cfg.relationship_confidence); mcount.append(0)
-                subj.append(s); pred.append(p); obj.append(o)
+            # bulk C-level extends: a chunk emits k entity rows + O(k²)
+            # triple rows; per-row .append() across 11 columns dominated
+            # this stage's assembly time at ~75 rows/chunk
+            ne, nr = len(entities), len(rels)
+            if ne:
+                kind.extend("e" * ne)
+                c_cid.extend([chunk_id] * ne); c_did.extend([doc_id] * ne)
+                eid.extend(e.entity_id for e in entities)
+                name.extend(e.name for e in entities)
+                etype.extend(e.entity_type for e in entities)
+                conf.extend(e.confidence for e in entities)
+                mcount.extend(len(e.mentions) for e in entities)
+                subj.extend([None] * ne); pred.extend([None] * ne)
+                obj.extend([None] * ne)
+            if nr:
+                kind.extend("t" * nr)
+                c_cid.extend([chunk_id] * nr); c_did.extend([doc_id] * nr)
+                eid.extend([None] * nr); name.extend([None] * nr)
+                etype.extend([None] * nr)
+                conf.extend([rel_conf] * nr); mcount.extend([0] * nr)
+                s_l, p_l, o_l = zip(*rels)
+                subj.extend(s_l); pred.extend(p_l); obj.extend(o_l)
 
         return pa.table({
             "kind": pa.array(kind, pa.string()),
