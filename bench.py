@@ -31,14 +31,24 @@ def _staged_pages_dir(n_pages: int) -> str:
     the north star's actual input — instead of inline generation."""
     out = f"{PAGES_CACHE}_{n_pages}"
     marker = os.path.join(out, "_STAGED")
-    if not os.path.exists(marker):
+    # ~10k pages (~8 MB) per file, whole multiples of 32: the reader's
+    # byte-proportional block sizing (sources/pages.read_pages_parquet)
+    # can only split reads at file/row-group granularity, so a dir staged
+    # as a few 50 MB files silently caps the read at file count and
+    # recreates the big-block pathology documented there.  v2 marker
+    # restages dirs written by the old layout.
+    import math
+    n_files = max(32, math.ceil(n_pages / 10000 / 32) * 32)
+    stamp = f"v2:{n_pages}:{n_files}"
+    if not (os.path.exists(marker) and open(marker).read() == stamp):
         import shutil
         from graphrag_rs_ray.sources.pages import pages_dataset
         if os.path.exists(out):
             shutil.rmtree(out)
         os.makedirs(out, exist_ok=True)
-        pages_dataset(n_pages, seed=42).write_parquet(out)
-        open(marker, "w").write(str(n_pages))
+        pages_dataset(n_pages, seed=42,
+                      override_num_blocks=n_files).write_parquet(out)
+        open(marker, "w").write(stamp)
     return out
 
 
@@ -112,13 +122,27 @@ def run_bench() -> dict:
     pages_dir = _staged_pages_dir(n_pages)
     # untimed pre-read of the staged pages: the timed headline measures
     # compute + shuffle, not whether the OS page cache happens to be warm
-    # for THIS file set (the generic warmup above touches other files)
-    rd.read_parquet(pages_dir).count()
+    # for THIS file set (the generic warmup above touches other files).
+    # Raw byte reads, not Dataset.count() — count() on a plain
+    # read_parquet answers from Parquet metadata without touching the
+    # data pages.
+    for _root, _dirs, _files in os.walk(pages_dir):
+        for _f in _files:
+            if _f.endswith(".parquet"):
+                with open(os.path.join(_root, _f), "rb") as _fh:
+                    while _fh.read(1 << 22):
+                        pass
     # min-of-2 (same protocol as --scaling): ±25% run-to-run host noise
     # is documented in BASELINE.md; the min is the honest compute number
+    # data-sized read blocks: block count proportional to BYTES (≥1/CPU,
+    # whole multiples of the CPU count), not Ray's 2-blocks/CPU default —
+    # every all-to-all downstream pays per-block coordination cost
+    # (measured: 4.6 s → 2.5 s on the 100k-page headline)
+    from graphrag_rs_ray.sources.pages import read_pages_parquet
+
     def _headline():
         t0 = time.perf_counter()
-        n = _triples(rd.read_parquet(pages_dir), KGConfig()).count()
+        n = _triples(read_pages_parquet(pages_dir), KGConfig()).count()
         return n, time.perf_counter() - t0
     n_triples, t_a = _headline()
     if os.environ.get("GRAFT_SINGLE_RUN") == "1":
@@ -156,7 +180,7 @@ def run_bench() -> dict:
         out = "/tmp/graft_bench_graph"
         if os.path.exists(out):
             shutil.rmtree(out)
-        res = build_kg(rd.read_parquet(pages_dir), KGConfig())
+        res = build_kg(read_pages_parquet(pages_dir), KGConfig())
         return write_graph(res, out, num_shards=16)["n_triples"]
 
     timed("kg_build_write_shards", full_write)
@@ -178,7 +202,7 @@ def run_bench() -> dict:
         from graphrag_rs_ray.stages.memo import memoized_stage
         from graphrag_rs_ray.stages.ner import (DEMO_ENTITY_TYPES,
                                                 DEMO_RULES, NERStage)
-        chunks = pages_to_chunks(rd.read_parquet(pages_dir), KGConfig())
+        chunks = pages_to_chunks(read_pages_parquet(pages_dir), KGConfig())
         fn = memoized_stage("demo-ner",
                             lambda: NERStage(DEMO_ENTITY_TYPES, DEMO_RULES))
         return chunks.map_batches(fn, batch_format="pyarrow",
@@ -331,14 +355,16 @@ print(time.perf_counter() - t0)
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        # 1M pages: compute-dominated regime (same input at both levels);
-        # at the default 100k the 32-cpu run is bounded by ~2s of fixed
-        # scheduling cost and the ratio measures overhead, not scaling
+        # 4M pages: compute-dominated regime (same input at both levels);
+        # at 100k the 32-cpu run is bounded by ~2s of fixed scheduling
+        # cost, and after the round-2 kernel optimizations the same
+        # became true of 1M (T32 ~12s fixed overhead of a ~22s run) —
+        # the ratio then measures overhead amortization, not scaling
         # GRAFT_SINGLE_RUN: run_scaling already takes min-of-N across
         # invocations — the in-process min-of-2 would double the cost
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1",
                    GRAFT_SINGLE_RUN="1",
-                   GRAFT_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "1000000"))
+                   GRAFT_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "4000000"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))

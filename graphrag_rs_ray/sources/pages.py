@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -145,6 +146,63 @@ def pages_table(n: int, seed: int = 42, start: int = 0,
     """Materialize pages [start, start+n) as one Arrow table (small n only)."""
     rows = [page_record(i, seed, hub_fraction) for i in range(start, start + n)]
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def read_pages_parquet(path: str, *, target_task_bytes: int = 8 << 20,
+                       columns: list[str] | None = None):
+    """Read a Parquet pages table with DATA-SIZED blocks.
+
+    Ray's default parallelism heuristic picks block count from CPU count,
+    not input size.  Sizing blocks by BYTES — ~``target_task_bytes`` of
+    input per task, at least one per CPU, rounded up to a whole multiple
+    of the CPU count so every wave is balanced — keeps task count
+    proportional to data, the property that still holds at 100 TB.
+
+    The default (8 MB of page bytes per task) was measured, not guessed,
+    on the fused extract→chunk→extract→combine chain at 32 CPUs:
+
+    - 100 k pages (82 MB): 32 blocks → 2.5 s vs 4.6 s at the default 128 —
+      every downstream all-to-all exchange pays a per-block coordination
+      cost, so at small inputs FEWER blocks win.
+    - 1 M pages (820 MB): 128 × 6.4 MB blocks → 40 s stable, while
+      32 × 26 MB blocks thrash (50–185 s, high variance): the fused
+      chain's per-task transient heap is ~15× its input bytes (chunk
+      rows + entity/triple emission + the whole-block combine buffer),
+      so 32 concurrent ~0.4 GB heaps contend in the allocator/VM layer.
+      Input-block bytes bound per-task memory; keep them single-digit MB
+      for text-expansion stages.
+
+    On a bigger cluster raise ``target_task_bytes`` only to bound total
+    task count (100 TB / 8 MB = 12.5 M tasks); the per-task heap bound is
+    the constraint that matters per node.
+
+    Falls back to Ray's default when the size probe fails (e.g. remote
+    filesystems without cheap stat).
+    """
+    import math
+
+    import ray
+    import ray.data as rd
+
+    try:
+        total = 0
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(root, f))
+        elif os.path.isfile(path):
+            total = os.path.getsize(path)
+        ncpu = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() \
+            else (os.cpu_count() or 8)
+        ncpu = max(1, ncpu)
+        if total <= 0:
+            return rd.read_parquet(path, columns=columns)
+        raw = max(ncpu, math.ceil(total / target_task_bytes))
+        blocks = math.ceil(raw / ncpu) * ncpu
+        return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+    except (OSError, ValueError):
+        return rd.read_parquet(path, columns=columns)
 
 
 def pages_dataset(n: int, seed: int = 42, hub_fraction: float = 0.2,

@@ -65,8 +65,8 @@ def main() -> int:
                    num_shards=args.num_shards)
 
     if args.pages_parquet:
-        import ray.data as rd
-        pages = rd.read_parquet(args.pages_parquet)
+        from graphrag_rs_ray.sources.pages import read_pages_parquet
+        pages = read_pages_parquet(args.pages_parquet)
     else:
         pages = pages_dataset(args.synthetic, seed=args.seed)
 
