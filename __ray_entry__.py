@@ -1713,29 +1713,32 @@ def _staged_doc_entities(query: str, sf_dir: str):
 
 
 def _linked_clusters(query: str, sf_dir: str):
+    """Returns ``(cluster_cols, stats)`` from the columnar hybrid-linking
+    twin.  The flat table was just staged to local Parquet — read it back
+    with pyarrow on the driver (the linker is the reference's sequential
+    driver-side pass anyway); the previous ``Dataset.take_all()`` + 1.2M
+    per-row dicts cost 8s of an 11s query, and only the (small) singleton
+    set that reaches the greedy fuzzy pass actually needs row objects."""
     import ray.data as rd
-    from graphrag_rs_ray.functions.entity_linker import link_entities
-    flat = _staged_doc_entities(query, sf_dir)
-    rows = sorted(flat.take_all(),
-                  key=lambda e: (e["doc_id"], e["local_entity_id"]))
-    clusters, stats = link_entities(rows, "hybrid")
-    a = {"doc_id": [], "local_entity_id": [], "cluster_id": [],
-         "kind": [], "member_idx": []}
-    for c in clusters:
-        for idx, m in enumerate(c["members"]):
-            a["doc_id"].append(m["doc_id"])
-            a["local_entity_id"].append(m["local_entity_id"])
-            a["cluster_id"].append(c["cluster_id"])
-            a["kind"].append(c["kind"])
-            a["member_idx"].append(idx)
+    from graphrag_rs_ray.functions.entity_linker import (
+        hybrid_linking_columnar)
+    _staged_doc_entities(query, sf_dir)
+    import pyarrow.dataset as pads
+    tbl = (pads.dataset(_stage_path(query, sf_dir, "flat")).to_table()
+           .sort_by([("doc_id", "ascending"),
+                     ("local_entity_id", "ascending")]))
+    cluster_cols, asg_cols, stats = hybrid_linking_columnar(
+        tbl.column("doc_id").to_pylist(),
+        tbl.column("local_entity_id").to_pylist(),
+        tbl.column("name").to_pylist())
     _stage(rd.from_arrow(pa.table({
-        "doc_id": pa.array(a["doc_id"], pa.string()),
-        "local_entity_id": pa.array(a["local_entity_id"], pa.string()),
-        "cluster_id": pa.array(a["cluster_id"], pa.string()),
-        "kind": pa.array(a["kind"], pa.string()),
-        "member_idx": pa.array(a["member_idx"], pa.int64())})),
+        "doc_id": pa.array(asg_cols["doc_id"], pa.string()),
+        "local_entity_id": pa.array(asg_cols["local_entity_id"], pa.string()),
+        "cluster_id": pa.array(asg_cols["cluster_id"], pa.string()),
+        "kind": pa.array(asg_cols["kind"], pa.string()),
+        "member_idx": pa.array(asg_cols["member_idx"], pa.int64())})),
         query, sf_dir, "asg")
-    return clusters, stats
+    return cluster_cols, stats
 
 
 def q_entity_clusters(sf_dir: str):
@@ -1749,23 +1752,16 @@ def q_entity_clusters(sf_dir: str):
     (order-sequential, unit-gated).  Deterministic ids replace the
     reference's uuid4 (documented)."""
     import ray.data as rd
-    clusters, _ = _linked_clusters("entity_clusters", sf_dir)
+    cc, _ = _linked_clusters("entity_clusters", sf_dir)
     return rd.from_arrow(pa.table({
-        "cluster_id": pa.array([c["cluster_id"] for c in clusters],
-                               pa.string()),
-        "kind": pa.array([c["kind"] for c in clusters], pa.string()),
-        "canonical_name": pa.array([c["canonical_name"] for c in clusters],
-                                   pa.string()),
-        "entity_type": pa.array([c["entity_type"] for c in clusters],
-                                pa.string()),
-        "n_members": pa.array([len(c["members"]) for c in clusters],
-                              pa.int64()),
-        "confidence_score": pa.array(
-            [c["confidence_score"] for c in clusters], pa.float64()),
-        "document_frequency": pa.array(
-            [c["document_frequency"] for c in clusters], pa.int64()),
-        "aliases": pa.array([",".join(c["aliases"]) for c in clusters],
-                            pa.string())}))
+        "cluster_id": pa.array(cc["cluster_id"], pa.string()),
+        "kind": pa.array(cc["kind"], pa.string()),
+        "canonical_name": pa.array(cc["canonical_name"], pa.string()),
+        "entity_type": pa.array(cc["entity_type"], pa.string()),
+        "n_members": pa.array(cc["n_members"], pa.int64()),
+        "confidence_score": pa.array(cc["confidence_score"], pa.float64()),
+        "document_frequency": pa.array(cc["document_frequency"], pa.int64()),
+        "aliases": pa.array(cc["aliases"], pa.string())}))
 
 
 def q_entity_linking_stats(sf_dir: str):

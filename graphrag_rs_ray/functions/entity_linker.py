@@ -392,3 +392,94 @@ def link_entities(entities: list[dict], strategy: str = "hybrid",
                   + stats["semantic_matches"])
         stats["linking_accuracy"] = linked / stats["entities_processed"]
     return clusters, stats
+
+
+def hybrid_linking_columnar(doc_ids: list, local_ids: list, names: list):
+    """Columnar twin of ``link_entities(..., "hybrid")`` over parallel
+    column lists (rows pre-sorted by the caller), for corpus-scale
+    inputs: only ``name`` drives the hybrid logic, so the exact tier is
+    computed with vectorized pandas group-bys and per-row dicts are
+    built ONLY for the (small) singleton set that reaches the greedy
+    fuzzy pass.  Decisions are identical to ``hybrid_linking`` —
+    equality-gated in tests/test_entity_linker.py.
+
+    Returns ``(cluster_cols, asg_cols, stats)``:
+
+    - ``cluster_cols``: dict of parallel lists — cluster_id, kind,
+      canonical_name, entity_type, n_members, confidence_score,
+      document_frequency, aliases (comma-joined) — exact clusters in
+      first-seen-name order then fuzzy clusters, the same order
+      ``hybrid_linking`` emits.
+    - ``asg_cols``: dict of parallel lists — doc_id, local_entity_id,
+      cluster_id, kind, member_idx (member order = input order within
+      each cluster, as the sequential pass produces).
+    - ``stats``: the ``link_entities`` stats dict.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = len(names)
+    s = pd.Series(names, dtype=object)
+    grp = s.groupby(s, sort=False)
+    sizes = grp.transform("size").to_numpy()
+    member_idx = grp.cumcount().to_numpy()
+    multi = sizes > 1
+
+    # exact tier: every name with >1 occurrences, first-seen order
+    # (all occurrences of a multi name are multi rows, so first
+    # appearance among multi rows == first appearance overall)
+    multi_names = pd.unique(s[multi])
+    name_to_size = dict(zip(s[multi].to_numpy(), sizes[multi]))
+    cluster_cols = {
+        "cluster_id": [f"exact:{m}" for m in multi_names],
+        "kind": ["exact"] * len(multi_names),
+        "canonical_name": list(multi_names),
+        "entity_type": [infer_entity_type(m) for m in multi_names],
+        "n_members": [int(name_to_size[m]) for m in multi_names],
+        "confidence_score": [1.0] * len(multi_names),
+        "document_frequency": [int(name_to_size[m]) for m in multi_names],
+        "aliases": list(multi_names),       # aliases == [name], joined
+    }
+    exact_matches = int(multi.sum()) - len(multi_names)
+
+    doc_arr = np.asarray(doc_ids, dtype=object)
+    loc_arr = np.asarray(local_ids, dtype=object)
+    asg_cols = {
+        "doc_id": doc_arr[multi].tolist(),
+        "local_entity_id": loc_arr[multi].tolist(),
+        "cluster_id": ("exact:" + s[multi]).tolist(),
+        "kind": ["exact"] * int(multi.sum()),
+        "member_idx": member_idx[multi].astype("int64").tolist(),
+    }
+
+    # singleton fall-through: the greedy star pass is order-sequential —
+    # dicts built only for this (small) set, in input order
+    single_idx = np.flatnonzero(~multi)
+    singles = [{"doc_id": doc_arr[i], "local_entity_id": loc_arr[i],
+                "name": names[i]} for i in single_idx]
+    fuzzy, fuzzy_matches = fuzzy_match_linking(singles, 0.85)
+    for c in fuzzy:
+        cluster_cols["cluster_id"].append(c["cluster_id"])
+        cluster_cols["kind"].append(c["kind"])
+        cluster_cols["canonical_name"].append(c["canonical_name"])
+        cluster_cols["entity_type"].append(c["entity_type"])
+        cluster_cols["n_members"].append(len(c["members"]))
+        cluster_cols["confidence_score"].append(c["confidence_score"])
+        cluster_cols["document_frequency"].append(c["document_frequency"])
+        cluster_cols["aliases"].append(",".join(c["aliases"]))
+        members = c["members"]
+        asg_cols["doc_id"].extend([m["doc_id"] for m in members])
+        asg_cols["local_entity_id"].extend(
+            [m["local_entity_id"] for m in members])
+        asg_cols["cluster_id"].extend([c["cluster_id"]] * len(members))
+        asg_cols["kind"].extend([c["kind"]] * len(members))
+        asg_cols["member_idx"].extend(range(len(members)))
+
+    n_clusters = len(cluster_cols["cluster_id"])
+    stats = {"entities_processed": n, "clusters_created": n_clusters,
+             "exact_matches": exact_matches, "fuzzy_matches": fuzzy_matches,
+             "semantic_matches": 0, "lmcd_clusters": 0,
+             "disambiguation_conflicts": 0,
+             "linking_accuracy": ((exact_matches + fuzzy_matches) / n
+                                  if n else 0.0)}
+    return cluster_cols, asg_cols, stats

@@ -131,3 +131,51 @@ def test_fuzzy_vectorized_equals_naive_property():
                 == _fuzzy_match_linking_naive(ents, t))
 
     check()
+
+
+def test_hybrid_columnar_equals_dict_path_property():
+    """The columnar twin (vectorized exact tier + fuzzy over singletons)
+    must produce IDENTICAL clusters, member assignments, and stats to
+    the sequential ``link_entities(..., "hybrid")`` path, for any
+    input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from graphrag_rs_ray.functions.entity_linker import (
+        hybrid_linking_columnar, link_entities)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.text(alphabet="abAB12 çñ中", min_size=0,
+                            max_size=12), min_size=0, max_size=50))
+    def check(names):
+        ents = [{"doc_id": f"d{i % 4}", "local_entity_id": f"e{i:03d}",
+                 "name": n} for i, n in enumerate(names)]
+        clusters, stats = link_entities(ents, "hybrid")
+        cc, asg, cstats = hybrid_linking_columnar(
+            [e["doc_id"] for e in ents],
+            [e["local_entity_id"] for e in ents],
+            [e["name"] for e in ents])
+        assert cstats == stats
+        assert cc["cluster_id"] == [c["cluster_id"] for c in clusters]
+        assert cc["kind"] == [c["kind"] for c in clusters]
+        assert cc["canonical_name"] == [c["canonical_name"]
+                                        for c in clusters]
+        assert cc["entity_type"] == [c["entity_type"] for c in clusters]
+        assert cc["n_members"] == [len(c["members"]) for c in clusters]
+        assert cc["confidence_score"] == [c["confidence_score"]
+                                          for c in clusters]
+        assert cc["document_frequency"] == [c["document_frequency"]
+                                            for c in clusters]
+        assert cc["aliases"] == [",".join(c["aliases"]) for c in clusters]
+        # assignments: same (row → cluster_id, kind, member_idx) mapping
+        want = {}
+        for c in clusters:
+            for idx, m in enumerate(c["members"]):
+                want[(m["doc_id"], m["local_entity_id"])] = (
+                    c["cluster_id"], c["kind"], idx)
+        got = {(d, l): (cid, k, mi) for d, l, cid, k, mi in zip(
+            asg["doc_id"], asg["local_entity_id"], asg["cluster_id"],
+            asg["kind"], asg["member_idx"])}
+        assert got == want
+
+    check()
