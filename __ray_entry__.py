@@ -1728,16 +1728,9 @@ def _linked_clusters(query: str, sf_dir: str):
            .sort_by([("doc_id", "ascending"),
                      ("local_entity_id", "ascending")]))
     cluster_cols, asg_cols, stats = hybrid_linking_columnar(
-        tbl.column("doc_id").to_pylist(),
-        tbl.column("local_entity_id").to_pylist(),
-        tbl.column("name").to_pylist())
-    _stage(rd.from_arrow(pa.table({
-        "doc_id": pa.array(asg_cols["doc_id"], pa.string()),
-        "local_entity_id": pa.array(asg_cols["local_entity_id"], pa.string()),
-        "cluster_id": pa.array(asg_cols["cluster_id"], pa.string()),
-        "kind": pa.array(asg_cols["kind"], pa.string()),
-        "member_idx": pa.array(asg_cols["member_idx"], pa.int64())})),
-        query, sf_dir, "asg")
+        tbl.column("doc_id"), tbl.column("local_entity_id"),
+        tbl.column("name"))
+    _stage(rd.from_arrow(pa.table(asg_cols)), query, sf_dir, "asg")
     return cluster_cols, stats
 
 

@@ -394,70 +394,116 @@ def link_entities(entities: list[dict], strategy: str = "hybrid",
     return clusters, stats
 
 
-def hybrid_linking_columnar(doc_ids: list, local_ids: list, names: list):
+def _as_string_array(col) -> "object":
+    """Python list / numpy array / pyarrow (Chunked)Array → one
+    contiguous ``pyarrow.StringArray`` (the linker's internal currency —
+    per-row Python objects are never materialized for the exact tier)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    if isinstance(col, pa.Array):
+        return col
+    return pa.array(list(col), pa.string())
+
+
+def hybrid_linking_columnar(doc_ids, local_ids, names):
     """Columnar twin of ``link_entities(..., "hybrid")`` over parallel
-    column lists (rows pre-sorted by the caller), for corpus-scale
-    inputs: only ``name`` drives the hybrid logic, so the exact tier is
-    computed with vectorized pandas group-bys and per-row dicts are
+    columns (rows pre-sorted by the caller; each column a Python list
+    OR a pyarrow array), for corpus-scale inputs: only ``name`` drives
+    the hybrid logic, so the exact tier runs entirely on Arrow
+    dictionary codes + numpy (no per-row Python objects), and dicts are
     built ONLY for the (small) singleton set that reaches the greedy
     fuzzy pass.  Decisions are identical to ``hybrid_linking`` —
     equality-gated in tests/test_entity_linker.py.
 
     Returns ``(cluster_cols, asg_cols, stats)``:
 
-    - ``cluster_cols``: dict of parallel lists — cluster_id, kind,
-      canonical_name, entity_type, n_members, confidence_score,
+    - ``cluster_cols``: dict of parallel Python lists — cluster_id,
+      kind, canonical_name, entity_type, n_members, confidence_score,
       document_frequency, aliases (comma-joined) — exact clusters in
       first-seen-name order then fuzzy clusters, the same order
       ``hybrid_linking`` emits.
-    - ``asg_cols``: dict of parallel lists — doc_id, local_entity_id,
-      cluster_id, kind, member_idx (member order = input order within
-      each cluster, as the sequential pass produces).
+    - ``asg_cols``: dict of parallel **pyarrow ChunkedArrays** —
+      doc_id, local_entity_id, cluster_id, kind (string), member_idx
+      (int64); member order = input order within each cluster, as the
+      sequential pass produces.  Feed them straight into ``pa.table``.
     - ``stats``: the ``link_entities`` stats dict.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    n = len(names)
-    s = pd.Series(names, dtype=object)
-    grp = s.groupby(s, sort=False)
-    sizes = grp.transform("size").to_numpy()
-    member_idx = grp.cumcount().to_numpy()
-    multi = sizes > 1
+    names_a = _as_string_array(names)
+    doc_a = _as_string_array(doc_ids)
+    loc_a = _as_string_array(local_ids)
+    n = len(names_a)
 
-    # exact tier: every name with >1 occurrences, first-seen order
-    # (all occurrences of a multi name are multi rows, so first
-    # appearance among multi rows == first appearance overall)
-    multi_names = pd.unique(s[multi])
-    name_to_size = dict(zip(s[multi].to_numpy(), sizes[multi]))
+    # dictionary_encode's dictionary is in first-occurrence order — the
+    # same order the sequential exact tier emits clusters in
+    enc = pc.dictionary_encode(names_a)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary
+    counts = np.bincount(codes, minlength=len(uniq))
+    multi = counts[codes] > 1 if n else np.zeros(0, dtype=bool)
+
+    # member_idx = cumcount within each name, vectorized: stable-sort
+    # the codes, number positions within each run, scatter back
+    order = np.argsort(codes, kind="stable")
+    sc = codes[order]
+    run_starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]]) if n else \
+        np.zeros(0, dtype=np.int64)
+    run_lens = np.diff(np.r_[run_starts, n])
+    member_idx = np.empty(n, dtype=np.int64)
+    member_idx[order] = np.arange(n, dtype=np.int64) - np.repeat(
+        run_starts, run_lens)
+
+    # exact tier: every name with >1 occurrences, dictionary order ==
+    # first-seen order; Python strings materialize only per UNIQUE name
+    multi_codes = np.flatnonzero(counts > 1)
+    multi_names = uniq.take(pa.array(multi_codes, pa.int64())).to_pylist()
+    msizes = [int(c) for c in counts[multi_codes]]
     cluster_cols = {
         "cluster_id": [f"exact:{m}" for m in multi_names],
         "kind": ["exact"] * len(multi_names),
         "canonical_name": list(multi_names),
         "entity_type": [infer_entity_type(m) for m in multi_names],
-        "n_members": [int(name_to_size[m]) for m in multi_names],
+        "n_members": msizes,
         "confidence_score": [1.0] * len(multi_names),
-        "document_frequency": [int(name_to_size[m]) for m in multi_names],
+        "document_frequency": list(msizes),
         "aliases": list(multi_names),       # aliases == [name], joined
     }
-    exact_matches = int(multi.sum()) - len(multi_names)
+    n_multi = int(multi.sum())
+    exact_matches = n_multi - len(multi_names)
 
-    doc_arr = np.asarray(doc_ids, dtype=object)
-    loc_arr = np.asarray(local_ids, dtype=object)
-    asg_cols = {
-        "doc_id": doc_arr[multi].tolist(),
-        "local_entity_id": loc_arr[multi].tolist(),
-        "cluster_id": ("exact:" + s[multi]).tolist(),
-        "kind": ["exact"] * int(multi.sum()),
-        "member_idx": member_idx[multi].astype("int64").tolist(),
+    # exact-tier assignments, Arrow all the way: cluster_id per row =
+    # take from the per-unique-name id table by dictionary code
+    cid_pos = np.full(len(uniq), -1, dtype=np.int64)
+    cid_pos[multi_codes] = np.arange(len(multi_codes))
+    cid_by_cluster = pa.array(cluster_cols["cluster_id"], pa.string())
+    multi_pa = pa.array(multi)
+    exact_asg = {
+        "doc_id": doc_a.filter(multi_pa),
+        "local_entity_id": loc_a.filter(multi_pa),
+        "cluster_id": cid_by_cluster.take(
+            pa.array(cid_pos[codes[multi]], pa.int64())),
+        "kind": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(n_multi, dtype=np.int32)),
+            pa.array(["exact"], pa.string())).cast(pa.string()),
+        "member_idx": pa.array(member_idx[multi], pa.int64()),
     }
 
     # singleton fall-through: the greedy star pass is order-sequential —
     # dicts built only for this (small) set, in input order
-    single_idx = np.flatnonzero(~multi)
-    singles = [{"doc_id": doc_arr[i], "local_entity_id": loc_arr[i],
-                "name": names[i]} for i in single_idx]
+    single_pa = pa.array(~multi)
+    s_doc = doc_a.filter(single_pa).to_pylist()
+    s_loc = loc_a.filter(single_pa).to_pylist()
+    s_name = names_a.filter(single_pa).to_pylist()
+    singles = [{"doc_id": d, "local_entity_id": l, "name": m}
+               for d, l, m in zip(s_doc, s_loc, s_name)]
     fuzzy, fuzzy_matches = fuzzy_match_linking(singles, 0.85)
+    f_asg = {"doc_id": [], "local_entity_id": [], "cluster_id": [],
+             "kind": [], "member_idx": []}
     for c in fuzzy:
         cluster_cols["cluster_id"].append(c["cluster_id"])
         cluster_cols["kind"].append(c["kind"])
@@ -468,12 +514,18 @@ def hybrid_linking_columnar(doc_ids: list, local_ids: list, names: list):
         cluster_cols["document_frequency"].append(c["document_frequency"])
         cluster_cols["aliases"].append(",".join(c["aliases"]))
         members = c["members"]
-        asg_cols["doc_id"].extend([m["doc_id"] for m in members])
-        asg_cols["local_entity_id"].extend(
+        f_asg["doc_id"].extend([m["doc_id"] for m in members])
+        f_asg["local_entity_id"].extend(
             [m["local_entity_id"] for m in members])
-        asg_cols["cluster_id"].extend([c["cluster_id"]] * len(members))
-        asg_cols["kind"].extend([c["kind"]] * len(members))
-        asg_cols["member_idx"].extend(range(len(members)))
+        f_asg["cluster_id"].extend([c["cluster_id"]] * len(members))
+        f_asg["kind"].extend([c["kind"]] * len(members))
+        f_asg["member_idx"].extend(range(len(members)))
+
+    asg_cols = {
+        k: pa.chunked_array([exact_asg[k], pa.array(
+            f_asg[k], pa.int64() if k == "member_idx" else pa.string())])
+        for k in exact_asg
+    }
 
     n_clusters = len(cluster_cols["cluster_id"])
     stats = {"entities_processed": n, "clusters_created": n_clusters,

@@ -174,8 +174,9 @@ def test_hybrid_columnar_equals_dict_path_property():
                 want[(m["doc_id"], m["local_entity_id"])] = (
                     c["cluster_id"], c["kind"], idx)
         got = {(d, l): (cid, k, mi) for d, l, cid, k, mi in zip(
-            asg["doc_id"], asg["local_entity_id"], asg["cluster_id"],
-            asg["kind"], asg["member_idx"])}
+            asg["doc_id"].to_pylist(), asg["local_entity_id"].to_pylist(),
+            asg["cluster_id"].to_pylist(), asg["kind"].to_pylist(),
+            asg["member_idx"].to_pylist())}
         assert got == want
 
     check()
