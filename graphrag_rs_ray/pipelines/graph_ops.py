@@ -689,8 +689,115 @@ def triangle_counts(triples_ds, num_buckets: int = 64,
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _centrality_kernel(t: pa.Table, n_global: int,
+                       max_component_nodes: int) -> pa.Table:
+    """Per-component all-pairs-BFS centrality over (a, b, component)
+    rows — shared by the distributed (per-bucket) and driver-local
+    paths, so both emit bit-identical scores."""
+    from collections import deque
+
+    df = t.to_pandas()
+    out_node, out_deg, out_bet, out_clo = [], [], [], []
+    for _, g in df.groupby("component", sort=True):
+        adj: dict[str, set] = {}
+        for a, b in zip(g["a"], g["b"]):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nodes = sorted(adj)
+        nc = len(nodes)
+        if nc > max_component_nodes:
+            raise ValueError(
+                f"component has {nc} nodes > max_component_nodes="
+                f"{max_component_nodes}; run on a k-hop subgraph")
+        idx = {v: i for i, v in enumerate(nodes)}
+        D = np.full((nc, nc), np.inf)
+        for s in nodes:
+            si = idx[s]
+            D[si, si] = 0.0
+            q, seen = deque([(s, 0)]), {s}
+            while q:
+                u, d = q.popleft()
+                for w in adj[u]:
+                    if w not in seen:
+                        seen.add(w)
+                        D[si, idx[w]] = d + 1
+                        q.append((w, d + 1))
+        denom = ((n_global - 1.0) * (n_global - 2.0) / 2.0) \
+            if n_global > 2 else 0.0
+        for v in nodes:
+            vi = idx[v]
+            row, col = D[vi, :], D[:, vi]
+            eq = (col[:, None] + row[None, :]) == D
+            eq &= np.isfinite(D)
+            eq[vi, :] = False
+            eq[:, vi] = False
+            cnt = int(eq.sum())
+            reach_mask = np.isfinite(row)
+            reach = int(reach_mask.sum()) - 1
+            total = float(row[reach_mask].sum())
+            out_node.append(v)
+            out_deg.append(len(adj[v]) / (n_global - 1.0)
+                           if n_global > 1 else 0.0)
+            out_bet.append(cnt / denom if denom > 0 else 0.0)
+            out_clo.append(reach / total
+                           if reach > 0 and total > 0 else 0.0)
+    return pa.table({
+        "node": pa.array(out_node, pa.string()),
+        "degree_centrality": pa.array(out_deg, pa.float64()),
+        "betweenness": pa.array(out_bet, pa.float64()),
+        "closeness": pa.array(out_clo, pa.float64()),
+    })
+
+
+def _centrality_scores_local(triples_ds, max_component_nodes: int):
+    """Small-graph fast path: canonical edges, union-find components and
+    the kernel all on the driver — the distributed twin spends ~3s of
+    fixed Ray overhead (edge shuffle + degree agg + CC + tag join) on a
+    graph the kernel solves in milliseconds."""
+    import ray.data as rd
+
+    pairs: set[tuple[str, str]] = set()
+    for t in triples_ds.iter_batches(batch_format="pyarrow"):
+        s, o = t.column("subj"), t.column("obj")
+        keep = pc.invert(pc.equal(s, o))
+        a = pc.min_element_wise(s.filter(keep), o.filter(keep))
+        b = pc.max_element_wise(s.filter(keep), o.filter(keep))
+        pairs.update(zip(a.to_pylist(), b.to_pylist()))
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    label: dict[str, str] = {}
+    for v in parent:
+        r = find(v)
+        if r not in label or v < label[r]:
+            label[r] = v
+    n_global = len(parent)
+    a_col, b_col = zip(*sorted(pairs)) if pairs else ((), ())
+    tagged = pa.table({
+        "a": pa.array(list(a_col), pa.string()),
+        "b": pa.array(list(b_col), pa.string()),
+        "component": pa.array([label[find(a)] for a in a_col], pa.string())})
+    return rd.from_arrow(_centrality_kernel(tagged, n_global,
+                                            max_component_nodes))
+
+
 def centrality_scores(triples_ds, num_buckets: int = 64,
-                      max_component_nodes: int = 20_000):
+                      max_component_nodes: int = 20_000,
+                      small_graph_limit: int = 500_000):
     """Per-node centrality (degree / betweenness / closeness),
     ``graph/analytics.rs:182-278``.  Documented deviations from the
     reference, both in the direction of determinism:
@@ -705,16 +812,20 @@ def centrality_scores(triples_ds, num_buckets: int = 64,
       weight-1 edges throughout); degree = distinct undirected
       neighbours, normalised by (n-1).
 
-    Distribution: shortest paths never cross components, so the kernel
-    (all-pairs BFS, vectorised betweenness via the D-matrix decomposition
-    test) runs per connected component inside ``hash_grouped_aggregate``
-    — the same pattern as Leiden.  Components above
-    ``max_component_nodes`` raise (all-pairs centrality is O(n·m); for
-    web-scale graphs run it on a k-hop subgraph, as query `centrality`
-    does)."""
-    from collections import deque
-
+    Two paths, identical scores (the CC/pagerank discipline): inputs
+    with ≤ ``small_graph_limit`` triple rows run entirely on the driver
+    (``small_graph_limit=0`` forces the distributed path — the equality
+    test does); larger inputs distribute.  Shortest paths never cross
+    components, so the kernel (all-pairs BFS, vectorised betweenness via
+    the D-matrix decomposition test) runs per connected component inside
+    ``hash_grouped_aggregate`` — the same pattern as Leiden.  Components
+    above ``max_component_nodes`` raise (all-pairs centrality is O(n·m);
+    for web-scale graphs run it on a k-hop subgraph, as query
+    `centrality` does)."""
     from .communities import connected_components
+
+    if triples_ds.count() <= small_graph_limit:
+        return _centrality_scores_local(triples_ds, max_component_nodes)
 
     edges = canonical_und_edges(triples_ds, num_buckets).materialize()
     deg_tbl = hash_grouped_aggregate(
@@ -736,57 +847,7 @@ def centrality_scores(triples_ds, num_buckets: int = 64,
     tagged = bucketed_join(edges, comp_a, on=["a"], num_buckets=num_buckets)
 
     def kernel(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        out_node, out_deg, out_bet, out_clo = [], [], [], []
-        for _, g in df.groupby("component", sort=True):
-            adj: dict[str, set] = {}
-            for a, b in zip(g["a"], g["b"]):
-                adj.setdefault(a, set()).add(b)
-                adj.setdefault(b, set()).add(a)
-            nodes = sorted(adj)
-            nc = len(nodes)
-            if nc > max_component_nodes:
-                raise ValueError(
-                    f"component has {nc} nodes > max_component_nodes="
-                    f"{max_component_nodes}; run on a k-hop subgraph")
-            idx = {v: i for i, v in enumerate(nodes)}
-            D = np.full((nc, nc), np.inf)
-            for s in nodes:
-                si = idx[s]
-                D[si, si] = 0.0
-                q, seen = deque([(s, 0)]), {s}
-                while q:
-                    u, d = q.popleft()
-                    for w in adj[u]:
-                        if w not in seen:
-                            seen.add(w)
-                            D[si, idx[w]] = d + 1
-                            q.append((w, d + 1))
-            denom = ((n_global - 1.0) * (n_global - 2.0) / 2.0) \
-                if n_global > 2 else 0.0
-            for v in nodes:
-                vi = idx[v]
-                row, col = D[vi, :], D[:, vi]
-                eq = (col[:, None] + row[None, :]) == D
-                eq &= np.isfinite(D)
-                eq[vi, :] = False
-                eq[:, vi] = False
-                cnt = int(eq.sum())
-                reach_mask = np.isfinite(row)
-                reach = int(reach_mask.sum()) - 1
-                total = float(row[reach_mask].sum())
-                out_node.append(v)
-                out_deg.append(len(adj[v]) / (n_global - 1.0)
-                               if n_global > 1 else 0.0)
-                out_bet.append(cnt / denom if denom > 0 else 0.0)
-                out_clo.append(reach / total
-                               if reach > 0 and total > 0 else 0.0)
-        return pa.table({
-            "node": pa.array(out_node, pa.string()),
-            "degree_centrality": pa.array(out_deg, pa.float64()),
-            "betweenness": pa.array(out_bet, pa.float64()),
-            "closeness": pa.array(out_clo, pa.float64()),
-        })
+        return _centrality_kernel(t, n_global, max_component_nodes)
 
     return hash_grouped_aggregate(tagged, ["component"], kernel,
                                   num_buckets=num_buckets)

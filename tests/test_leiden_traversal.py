@@ -263,3 +263,32 @@ def test_graph_ops_empty_and_singleton(ray_session):
     assert r["node_count"] == 4 and r["edge_count"] == 2
     assert r["connected_components"] == 2
     assert r["clustering_coefficient"] == 0.0
+
+
+def test_centrality_paths_agree(ray_session):
+    """Driver-local centrality fast path == distributed per-component
+    kernel (forced with small_graph_limit=0) on a multi-component graph
+    with duplicate and reversed triples."""
+    import pyarrow as pa
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.graph_ops import centrality_scores
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),  # tri + tail
+             ("b", "a"), ("a", "b"),                          # dup/reversed
+             ("x", "y"), ("y", "z"),                          # path comp
+             ("q", "q")]                                      # self-loop
+    tds = rd.from_arrow(pa.table({
+        "subj": pa.array([p[0] for p in pairs], pa.string()),
+        "pred": pa.array(["r"] * len(pairs), pa.string()),
+        "obj": pa.array([p[1] for p in pairs], pa.string())}))
+    fast = centrality_scores(tds).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    dist = centrality_scores(tds, num_buckets=4, small_graph_limit=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert fast.equals(dist)
+    m = fast.set_index("node")
+    # n_global = 7; b sits on a-c's alternate shortest path? a-b-c and
+    # a-c both exist → d(a,c)=1, b not between; d is pendant off c
+    assert abs(m.loc["c", "degree_centrality"] - 3 / 6) < 1e-12
+    assert m.loc["d", "betweenness"] == 0.0
+    assert m.loc["y", "betweenness"] > 0.0
