@@ -217,7 +217,8 @@ def detect_communities(triples_ds, config: LeidenConfig | None = None,
 def detect_communities_from_edges(edges, config: LeidenConfig | None = None,
                                   num_buckets: int = 64,
                                   max_component_edges: int = 5_000_000,
-                                  emit_local_move: bool = False):
+                                  emit_local_move: bool = False,
+                                  small_graph_limit: int = 2_000_000):
     """Same, from pre-built undirected (a, b) edge rows.  With
     ``emit_local_move`` the output carries a third column ``lm`` — the
     sequential local-move community key (``<component>#<local id>``,
@@ -225,14 +226,16 @@ def detect_communities_from_edges(edges, config: LeidenConfig | None = None,
     ``communities`` oracle stages (node, lm) + the edges and re-derives
     the refinement (per-``lm`` connected components via recursive-CTE
     reachability) and the min-member labeling in DuckDB, so only the
-    genuinely sequential local move is taken from the staged rows."""
+    genuinely sequential local move is taken from the staged rows.
+
+    Two paths, identical rows (the CC discipline; the per-component
+    Leiden kernel is the same sequential pass either way — only WHERE it
+    runs differs): ≤ ``small_graph_limit`` edge rows tag components with
+    a driver union-find and run the kernel once on the driver, skipping
+    ~2s of fixed overhead (distributed CC + tag join + grouped agg) that
+    dwarfs the kernel on small graphs; ``small_graph_limit=0`` forces
+    the distributed path (the equality test does)."""
     config = config or LeidenConfig()
-    comp = connected_components(edges, num_buckets=num_buckets)
-    comp_a = comp.map_batches(
-        lambda t: pa.table({"a": t.column("node"),
-                            "component": t.column("component")}),
-        batch_format="pyarrow")
-    tagged = bucketed_join(edges, comp_a, on=["a"], num_buckets=num_buckets)
 
     def run_component(t: pa.Table) -> pa.Table:
         # t = every edge of one (or a few) components, keyed by component
@@ -263,6 +266,52 @@ def detect_communities_from_edges(edges, config: LeidenConfig | None = None,
             cols["lm"] = pa.array(out_lm, pa.string())
         return pa.table(cols)
 
+    if edges.count() <= small_graph_limit:
+        import ray.data as rd
+
+        # driver-local twin: union-find component labels (min member,
+        # same rule as the distributed propagation), then the identical
+        # kernel over ALL edge rows at once (multiset preserved — the
+        # local move depends on edge multiplicity, never row order)
+        a_all: list[str] = []
+        b_all: list[str] = []
+        for t in edges.iter_batches(batch_format="pyarrow"):
+            a_all.extend(t.column("a").to_pylist())
+            b_all.extend(t.column("b").to_pylist())
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(a_all, b_all):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        label: dict[str, str] = {}
+        for v in parent:
+            r = find(v)
+            if r not in label or v < label[r]:
+                label[r] = v
+        tagged_tbl = pa.table({
+            "a": pa.array(a_all, pa.string()),
+            "b": pa.array(b_all, pa.string()),
+            "component": pa.array([label[find(a)] for a in a_all],
+                                  pa.string())})
+        return rd.from_arrow(run_component(tagged_tbl))
+
+    comp = connected_components(edges, num_buckets=num_buckets)
+    comp_a = comp.map_batches(
+        lambda t: pa.table({"a": t.column("node"),
+                            "component": t.column("component")}),
+        batch_format="pyarrow")
+    tagged = bucketed_join(edges, comp_a, on=["a"], num_buckets=num_buckets)
     return hash_grouped_aggregate(tagged, ["component"], run_component,
                                   num_buckets=num_buckets)
 

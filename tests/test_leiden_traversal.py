@@ -292,3 +292,30 @@ def test_centrality_paths_agree(ray_session):
     assert abs(m.loc["c", "degree_centrality"] - 3 / 6) < 1e-12
     assert m.loc["d", "betweenness"] == 0.0
     assert m.loc["y", "betweenness"] > 0.0
+
+
+def test_communities_paths_agree(ray_session):
+    """Driver-local Leiden fast path (union-find tag + one kernel call)
+    == distributed per-component path (forced with small_graph_limit=0),
+    including the staged ``lm`` column the oracle consumes."""
+    import pyarrow as pa
+    import ray.data as rd
+    from graphrag_rs_ray.pipelines.communities import (
+        detect_communities_from_edges)
+
+    # two K3s joined by a bridge + a separate path component + dup edges
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d"),
+             ("a", "b"),                                   # duplicate
+             ("p", "q"), ("q", "r")]
+    eds = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.string()),
+        "b": pa.array([p[1] for p in pairs], pa.string())}))
+    for emit in (False, True):
+        fast = detect_communities_from_edges(eds, emit_local_move=emit) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        dist = detect_communities_from_edges(
+            eds, num_buckets=4, emit_local_move=emit, small_graph_limit=0) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        assert fast.equals(dist)
+    assert set(fast.columns) == {"node", "community", "lm"}
