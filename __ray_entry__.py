@@ -1757,6 +1757,22 @@ def q_entity_clusters(sf_dir: str):
         "aliases": pa.array(cc["aliases"], pa.string())}))
 
 
+def q_entity_clusters_grouped(sf_dir: str):
+    """Same clusters as ``q_entity_clusters``, via the DISTRIBUTED twin
+    (``pipelines/entity_linking.hybrid_linking_grouped``): the exact
+    tier runs hash-partitioned by surface form with no driver state —
+    the corpus-scale path — and only the singleton fall-through reaches
+    the driver's sequential fuzzy pass.  Stages its own flat + asg; the
+    oracle re-derives the exact tier from flat independently (same SQL
+    as ``entity_clusters``, different staged dir)."""
+    from graphrag_rs_ray.pipelines.entity_linking import (
+        hybrid_linking_grouped)
+    flat = _staged_doc_entities("entity_clusters_grouped", sf_dir)
+    clusters_ds, asg_ds, _ = hybrid_linking_grouped(flat)
+    _stage(asg_ds, "entity_clusters_grouped", sf_dir, "asg")
+    return clusters_ds
+
+
 def q_entity_linking_stats(sf_dir: str):
     """LinkingStats for the hybrid run (``entity_linker.rs:45-87,
     476-487``): processed / clusters / exact / fuzzy match counts and
@@ -3458,6 +3474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_merge_pairs": q_semantic_merge_pairs,
         "semantic_merge_groups": q_semantic_merge_groups,
         "entity_clusters": q_entity_clusters,
+        "entity_clusters_grouped": q_entity_clusters_grouped,
         "entity_linking_stats": q_entity_linking_stats,
         # string-similarity linker (entity/string_similarity_linker.rs)
         "string_sim_pairs": q_string_sim_pairs,
@@ -4376,6 +4393,8 @@ def oracle_sql() -> dict[str, str]:
     d["semantic_merge_pairs"] = _semantic_merge_pairs_sql()
     d["semantic_merge_groups"] = _semantic_merge_groups_sql()
     d["entity_clusters"] = _entity_clusters_sql()
+    d["entity_clusters_grouped"] = _entity_clusters_sql(
+        "entity_clusters_grouped")
     d["entity_linking_stats"] = _entity_linking_stats_sql()
     d["string_sim_pairs"] = _string_sim_pairs_sql()
     d["string_links"] = _string_links_sql()
@@ -4653,14 +4672,16 @@ _ETYPE_SQL = """CASE
     ELSE 'other' END"""
 
 
-def _entity_clusters_sql() -> str:
+def _entity_clusters_sql(query: str = "entity_clusters") -> str:
     """Hybrid-linking cluster oracle (``entity_linker.rs:330-473``):
     exact clusters derived INDEPENDENTLY from the flat entities
     (same-name groups > 1), fuzzy clusters from the staged assignments
     with canonical name (count → length → name ties), type heuristics,
-    and the hardcoded confidence/doc-frequency/alias quirks."""
-    flat = _staged_sql("entity_clusters", "flat")
-    asg = _staged_sql("entity_clusters", "asg")
+    and the hardcoded confidence/doc-frequency/alias quirks.  The same
+    SQL serves ``entity_clusters_grouped`` (the distributed twin) via
+    its own staged dir."""
+    flat = _staged_sql(query, "flat")
+    asg = _staged_sql(query, "asg")
     et = _ETYPE_SQL.replace("{cn}", "cn")
     return f"""
         WITH flat AS MATERIALIZED (

@@ -186,7 +186,13 @@ def run_bench() -> dict:
     timed("kg_build_write_shards", full_write)
 
     timed("kg_entities", lambda: q["kg_entities"](sf_dir).count())
-    timed("concept_edges", lambda: q["concept_edges"](sf_dir).count())
+    def concept_edges_unstaged():
+        from graphrag_rs_ray.pipelines.concepts import (
+            concept_chunk_lists, concept_edges_from_lists)
+        lists = concept_chunk_lists(e.q_kg_chunks(sf_dir)).materialize()
+        return concept_edges_from_lists(lists).count()
+
+    timed("concept_edges", concept_edges_unstaged)
     timed("semantic_edges", lambda: q["semantic_edges"](sf_dir).count())
     timed("degree_stats", lambda: q["degree_stats"](sf_dir).count())
     # un-staged production path (the query fn stages its oracle inputs —

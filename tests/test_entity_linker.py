@@ -180,3 +180,88 @@ def test_hybrid_columnar_equals_dict_path_property():
         assert got == want
 
     check()
+
+
+def test_hybrid_grouped_equals_columnar(ray_session):
+    """The distributed exact tier (hash_grouped_aggregate by name) +
+    driver fuzzy fall-through must produce the same cluster set,
+    assignment mapping, and stats as the driver-columnar twin, on a
+    seeded random corpus with hub names, typo singletons and unicode."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphrag_rs_ray.functions.entity_linker import (
+        hybrid_linking_columnar)
+    from graphrag_rs_ray.pipelines.entity_linking import (
+        hybrid_linking_grouped)
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    hub_names = [f"Org {i} Aç中" for i in range(40)]     # multi names
+    names = [hub_names[int(rng.integers(0, 40))] for _ in range(1500)]
+    names += [f"Solo Entity {i}x" for i in range(30)]    # singletons
+    names += [f"Solo Entity {i}y" for i in range(30)]    # fuzzy-near
+    rng.shuffle(names)
+    rows = sorted((f"d{i % 97:03d}", f"e{i:05d}", nm)
+                  for i, nm in enumerate(names))
+    flat = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.string()),
+        "local_entity_id": pa.array([r[1] for r in rows], pa.string()),
+        "name": pa.array([r[2] for r in rows], pa.string())})
+
+    cc, asg, stats = hybrid_linking_columnar(
+        flat.column("doc_id"), flat.column("local_entity_id"),
+        flat.column("name"))
+    g_clusters, g_asg, g_stats = hybrid_linking_grouped(
+        rd.from_arrow(flat).repartition(7), num_buckets=5)
+
+    assert g_stats == stats
+
+    want_clusters = set(zip(cc["cluster_id"], cc["kind"],
+                            cc["canonical_name"], cc["entity_type"],
+                            cc["n_members"], cc["confidence_score"],
+                            cc["document_frequency"], cc["aliases"]))
+    gt = g_clusters.to_pandas()
+    got_clusters = set(zip(gt["cluster_id"], gt["kind"],
+                           gt["canonical_name"], gt["entity_type"],
+                           gt["n_members"], gt["confidence_score"],
+                           gt["document_frequency"], gt["aliases"]))
+    assert got_clusters == want_clusters
+
+    want_asg = {(d, l): (cid, k, mi) for d, l, cid, k, mi in zip(
+        asg["doc_id"].to_pylist(), asg["local_entity_id"].to_pylist(),
+        asg["cluster_id"].to_pylist(), asg["kind"].to_pylist(),
+        asg["member_idx"].to_pylist())}
+    ga = g_asg.to_pandas()
+    got_asg = {(d, l): (cid, k, mi) for d, l, cid, k, mi in zip(
+        ga["doc_id"], ga["local_entity_id"], ga["cluster_id"],
+        ga["kind"], ga["member_idx"])}
+    assert got_asg == want_asg
+
+
+def test_hybrid_grouped_empty_and_all_single(ray_session):
+    """Degenerate inputs through the distributed path: empty corpus and
+    an all-singleton corpus (exact tier emits nothing)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.entity_linking import (
+        hybrid_linking_grouped)
+
+    def flat(names):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([f"d{i}" for i in range(len(names))],
+                               pa.string()),
+            "local_entity_id": pa.array([f"e{i}" for i in range(len(names))],
+                                        pa.string()),
+            "name": pa.array(names, pa.string())}))
+
+    c0, a0, s0 = hybrid_linking_grouped(flat([]), num_buckets=3)
+    assert c0.count() == 0 and a0.count() == 0
+    assert s0["entities_processed"] == 0
+    assert s0["linking_accuracy"] == 0.0
+
+    c1, a1, s1 = hybrid_linking_grouped(
+        flat(["Alpha Corp X", "Beta LLC Y", "Gamma Inc Z"]), num_buckets=3)
+    assert s1["exact_matches"] == 0
+    assert c1.count() == s1["clusters_created"]
