@@ -105,8 +105,24 @@ def concept_edges_from_lists(lists_ds, co_occurrence_threshold: int = 2):
     import pandas as pd
     import ray
 
-    counts_df = concept_table_from_mentions(
-        mentions_from_lists(lists_ds)).to_pandas()
+    # vocabulary counts via per-batch partials + driver combine: lists
+    # are deduped per chunk, so value_counts over mention rows == chunks
+    # per concept; only (concept, partial) rows ship — no bucket
+    # exchange for a driver-collected table (was 1.75 s of 3.8 s)
+    def _partial_counts(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("concept").combine_chunks())
+        return pa.table({"concept": vc.field("values"),
+                         "n_chunks": vc.field("counts")})
+
+    parts = [b for b in mentions_from_lists(lists_ds)
+             .map_batches(_partial_counts, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    if parts:
+        counts_df = (pa.concat_tables(parts).to_pandas()
+                     .groupby("concept", as_index=False)["n_chunks"].sum())
+    else:
+        counts_df = pd.DataFrame({"concept": pd.Series([], dtype=object),
+                                  "n_chunks": pd.Series([], dtype=np.int64)})
     counts_df = counts_df.sort_values("concept").reset_index(drop=True)
     vocab = counts_df["concept"].tolist()
     n_chunks = counts_df["n_chunks"].astype(np.int64).to_numpy()
