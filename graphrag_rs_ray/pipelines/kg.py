@@ -38,7 +38,12 @@ from ..stages.chunk import ChunkStage
 from ..stages.extract_text import extract_text_stage
 from ..stages.kg_extract import ExtractKG, entities_only, make_extract_fn, triples_only
 from ..stages.linking import compute_links, make_remap_entities, make_remap_triples
-from ..state.manifests import fingerprint_config, stage_complete, write_manifest
+from ..state.manifests import (
+    fingerprint_config,
+    read_manifest,
+    stage_complete,
+    write_manifest,
+)
 
 
 def pages_to_chunks(pages_ds, cfg: KGConfig):
@@ -204,52 +209,102 @@ def partial_entity_agg_from_final(batch: pa.Table) -> pa.Table:
     })
 
 
-def write_graph(result: KGResult, out_dir: str, num_shards: int = 16) -> dict:
+def write_graph(result: KGResult, out_dir: str, num_shards: int = 16,
+                input_token: str = "") -> dict:
     """Materialize the graph: ``entities/`` + ``triples/shard=K/`` adjacency
     shards partitioned by hash(subj) % P, each with a manifest (lineage +
-    counts) for resume and metrics."""
-    import pyarrow.compute as pc
+    counts) for resume and metrics.
 
+    Resume is PARTITION-granular: a rerun with the same ``(num_shards,
+    input_token)`` returns immediately if the top-level manifest matches,
+    and otherwise rewrites ONLY the shards (and the entity table) whose
+    per-partition manifest is missing or stale — data always lands before
+    its manifest, so a crashed write never looks complete.  A failed
+    16-shard job with 13 finished shards redoes 3, not 16.
+    ``input_token`` identifies the input build (pass the upstream stage
+    fingerprint); with the default ``""`` resume assumes the same input —
+    the standard same-job-rerun-after-failure contract.  A changed token
+    or shard count invalidates every partition (full rewrite)."""
+    import glob
     import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    top_fp = fingerprint_config("graph", num_shards, input_token)
+    if stage_complete(out_dir, top_fp):
+        return read_manifest(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _count(d: str) -> int:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        return pads.dataset(files).count_rows() if files else 0
+
     ent_dir = os.path.join(out_dir, "entities")
     tri_dir = os.path.join(out_dir, "triples")
-    for d in (ent_dir, tri_dir):               # write_parquet APPENDS —
-        if os.path.exists(d):                  # a rerun must not duplicate
-            shutil.rmtree(d)
-        os.makedirs(d)
+    ent_fp = fingerprint_config("graph-entities", num_shards, input_token)
+    if not stage_complete(ent_dir, ent_fp):
+        if os.path.exists(ent_dir):           # write_parquet APPENDS —
+            shutil.rmtree(ent_dir)            # a rerun must not duplicate
+        os.makedirs(ent_dir)
+        result.entities.write_parquet(ent_dir)
+        write_manifest(ent_dir, "graph_entities", ent_fp,
+                       rows=_count(ent_dir))
+    n_entities = read_manifest(ent_dir)["rows"]
 
-    result.entities.write_parquet(ent_dir)
-    n_entities = None  # counts recorded from shard manifests below
+    def shard_fp(k: int) -> str:
+        return fingerprint_config("graph", num_shards, input_token,
+                                  f"shard={k}")
 
-    def add_shard(batch: pa.Table) -> pa.Table:
-        h = pc.cast(pa.array(
-            [hash_subj(s, num_shards) for s in batch.column("subj").to_pylist()],
-            pa.int32()), pa.int32())
-        return batch.append_column("shard", h)
+    os.makedirs(tri_dir, exist_ok=True)
+    done = {k for k in range(num_shards)
+            if stage_complete(os.path.join(tri_dir, f"shard={k}"),
+                              shard_fp(k))}
+    if not done and os.path.exists(tri_dir):
+        shutil.rmtree(tri_dir)                # config change / first run:
+        os.makedirs(tri_dir)                  # drop stale layouts whole
+    missing = [k for k in range(num_shards) if k not in done]
 
-    sharded = result.triples.map_batches(add_shard, batch_format="pyarrow")
-    sharded.write_parquet(tri_dir, partition_cols=["shard"])
+    if missing:
+        for k in missing:                     # partial data without a
+            d = os.path.join(tri_dir, f"shard={k}")
+            if os.path.exists(d):             # manifest = crashed write
+                shutil.rmtree(d)
 
-    import pyarrow.dataset as pads
-    n_triples = pads.dataset(tri_dir, partitioning="hive").count_rows()
-    n_entities = pads.dataset(ent_dir).count_rows()
+        def add_shard(batch: pa.Table) -> pa.Table:
+            h = pc.cast(pa.array(
+                [hash_subj(s, num_shards)
+                 for s in batch.column("subj").to_pylist()],
+                pa.int32()), pa.int32())
+            return batch.append_column("shard", h)
 
-    # per-partition lineage: one manifest per adjacency shard (SURVEY §4 —
-    # resume/metrics at partition granularity) + the top-level rollup
-    shard_counts = {}
-    for name in sorted(os.listdir(tri_dir)):
-        shard_dir = os.path.join(tri_dir, name)
-        if os.path.isdir(shard_dir) and name.startswith("shard="):
-            n = pads.dataset(shard_dir).count_rows()
-            shard_counts[name] = n
-            write_manifest(shard_dir, "triples_shard",
-                           fingerprint_config("graph", num_shards, name),
-                           rows=n)
-    manifest = write_manifest(out_dir, "graph", fingerprint_config("graph", num_shards),
+        sharded = result.triples.map_batches(add_shard,
+                                             batch_format="pyarrow")
+        if done:
+            todo = pa.array(missing, pa.int32())
+
+            def keep_missing(t: pa.Table) -> pa.Table:
+                return t.filter(pc.is_in(t.column("shard"),
+                                         value_set=todo))
+            sharded = sharded.map_batches(keep_missing,
+                                          batch_format="pyarrow")
+        sharded.write_parquet(tri_dir, partition_cols=["shard"])
+        for k in missing:
+            d = os.path.join(tri_dir, f"shard={k}")
+            os.makedirs(d, exist_ok=True)     # empty shards get a dir too
+            write_manifest(d, "triples_shard", shard_fp(k), rows=_count(d))
+
+    # per-partition lineage rollup from the shard manifests
+    shard_counts = {f"shard={k}":
+                    read_manifest(os.path.join(tri_dir, f"shard={k}"))["rows"]
+                    for k in range(num_shards)}
+    n_triples = sum(shard_counts.values())
+    manifest = write_manifest(out_dir, "graph", top_fp,
                               rows=n_triples,
                               extra={"n_entities": n_entities, "n_triples": n_triples,
                                      "num_shards": num_shards,
                                      "shard_rows": shard_counts,
+                                     "resumed_shards": sorted(done),
                                      "n_fuzzy_links": len(result.links)})
     return manifest
 

@@ -193,3 +193,48 @@ def test_resize_and_frame_sample_stages(ray_session):
                                 concurrency=2).to_pandas()
     assert set(resized["width"]) == {64} and set(resized["height"]) == {48}
     assert all(len(p) == 32 for p in resized["payload"])
+
+
+def test_write_graph_shard_resume(ray_session, tmp_path):
+    """write_graph resume is partition-granular: a matching rerun is a
+    no-op, a crashed shard (data without manifest / manifest deleted) is
+    the ONLY thing rewritten, and a changed config invalidates all."""
+    import shutil
+
+    from graphrag_rs_ray.config import KGConfig
+    from graphrag_rs_ray.pipelines.kg import build_kg, write_graph
+    from graphrag_rs_ray.sources.pages import pages_dataset
+    from graphrag_rs_ray.state.manifests import read_manifest
+
+    out = str(tmp_path / "graph")
+    res = build_kg(pages_dataset(40, seed=3), KGConfig())
+    m1 = write_graph(res, out, num_shards=4)
+    assert m1["n_triples"] > 0
+    assert sorted(m1["shard_rows"]) == [f"shard={k}" for k in range(4)]
+    assert m1["resumed_shards"] == []
+
+    # full rerun with the same fingerprint: nothing rewritten
+    m_top1 = read_manifest(out)
+    m2 = write_graph(res, out, num_shards=4)
+    assert m2["completed_at"] == m_top1["completed_at"]
+
+    # simulate a crashed shard: drop one shard's manifest (partial data)
+    victim = os.path.join(out, "triples", "shard=2")
+    os.remove(os.path.join(victim, "_MANIFEST.json"))
+    os.remove(os.path.join(out, "_MANIFEST.json"))
+    keep_m = {k: read_manifest(os.path.join(out, "triples", f"shard={k}"))
+              for k in (0, 1, 3)}
+    m3 = write_graph(res, out, num_shards=4)
+    assert m3["resumed_shards"] == [0, 1, 3]
+    assert m3["n_triples"] == m1["n_triples"]
+    assert m3["shard_rows"] == m1["shard_rows"]
+    for k in (0, 1, 3):   # untouched survivors: same manifest timestamps
+        now = read_manifest(os.path.join(out, "triples", f"shard={k}"))
+        assert now["completed_at"] == keep_m[k]["completed_at"]
+
+    # changed shard count → every partition invalid → full rewrite
+    m4 = write_graph(res, out, num_shards=2)
+    assert m4["resumed_shards"] == []
+    assert m4["n_triples"] == m1["n_triples"]
+    assert sorted(m4["shard_rows"]) == ["shard=0", "shard=1"]
+    shutil.rmtree(out)
