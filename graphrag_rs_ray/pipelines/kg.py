@@ -137,6 +137,7 @@ class KGResult:
     entities: "object"            # ray.data.Dataset — entities table
     triples: "object"             # ray.data.Dataset — deduped triples
     links: dict[str, str]         # fuzzy-tier canonicalization map
+    fingerprint: str = ""         # build-config fingerprint (resume token)
 
 
 def build_kg(pages_ds, cfg: KGConfig | None = None, work_dir: str | None = None) -> KGResult:
@@ -192,7 +193,8 @@ def build_kg(pages_ds, cfg: KGConfig | None = None, work_dir: str | None = None)
         t_rows = t_rows.map_batches(make_remap_triples(links_ref2), batch_format="pyarrow")
     triples = dedup_triples(t_rows, cfg)
 
-    return KGResult(entities=entities, triples=triples, links=links)
+    return KGResult(entities=entities, triples=triples, links=links,
+                    fingerprint=fingerprint_config("combined", cfg))
 
 
 def partial_entity_agg_from_final(batch: pa.Table) -> pa.Table:
@@ -221,16 +223,18 @@ def write_graph(result: KGResult, out_dir: str, num_shards: int = 16,
     per-partition manifest is missing or stale — data always lands before
     its manifest, so a crashed write never looks complete.  A failed
     16-shard job with 13 finished shards redoes 3, not 16.
-    ``input_token`` identifies the input build (pass the upstream stage
-    fingerprint); with the default ``""`` resume assumes the same input —
-    the standard same-job-rerun-after-failure contract.  A changed token
-    or shard count invalidates every partition (full rewrite)."""
+    ``input_token`` identifies the input build; it defaults to the
+    KGResult's build-config fingerprint, so a config change upstream
+    invalidates the sink even at equal shard count.  Same token = same
+    input assumed (the standard same-job-rerun-after-failure contract);
+    a changed token or shard count invalidates every partition."""
     import glob
     import shutil
 
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
+    input_token = input_token or getattr(result, "fingerprint", "")
     top_fp = fingerprint_config("graph", num_shards, input_token)
     if stage_complete(out_dir, top_fp):
         return read_manifest(out_dir)
