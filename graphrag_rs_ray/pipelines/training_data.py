@@ -881,8 +881,16 @@ def bm25_scores(sf_dir: str, query: str = "fast hash join", k1: float = 1.2, b: 
     import ray
 
     q_terms = sorted(set(bm25_tokenize(query)))
-    df_tbl = bm25_df(sf_dir).to_pandas()
-    df_map = {t: int(v) for t, v in zip(df_tbl["term"], df_tbl["df"]) if t in q_terms}
+    # prune the DF table to the query terms BEFORE it reaches the driver
+    # (the vocabulary is corpus-sized; only |q_terms| rows are needed)
+    qt = pa.array(q_terms, pa.string())
+
+    def _keep_q(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("term"), value_set=qt))
+
+    df_tbl = (bm25_df(sf_dir).map_batches(_keep_q, batch_format="pyarrow")
+              .to_pandas())
+    df_map = {t: int(v) for t, v in zip(df_tbl["term"], df_tbl["df"])}
     import pyarrow.parquet as _pq
     n_docs = _pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
 
@@ -1224,9 +1232,27 @@ def hybrid_rankings(sf_dir: str, query: str = "fast hash join",
     import numpy as np
     from ..functions.embedding import HashEmbedder
 
-    bm25 = bm25_scores(sf_dir, query=query).to_pandas()
-    bm25_rank = (bm25.sort_values(["score", "doc_id"], ascending=[False, True])
-                 ["doc_id"].head(depth).tolist())
+    def _topk_ranking(scores_ds) -> list:
+        # distributed top-k: per-batch partial top-`depth` (global top-k
+        # is contained in the union of per-batch top-ks), driver merges
+        # blocks×depth rows — never the full N-doc score table
+        def part(t: pa.Table) -> pa.Table:
+            df = (t.select(["doc_id", "score"]).to_pandas()
+                  .sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(depth))
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        parts = [b for b in scores_ds
+                 .map_batches(part, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")]
+        if not parts:
+            return []
+        merged = pa.concat_tables(parts).to_pandas()
+        return (merged.sort_values(["score", "doc_id"],
+                                   ascending=[False, True])
+                ["doc_id"].head(depth).tolist())
+
+    bm25_rank = _topk_ranking(bm25_scores(sf_dir, query=query))
 
     embedder = HashEmbedder(dim=64)
     qv = embedder.embed(query)
@@ -1240,9 +1266,8 @@ def hybrid_rankings(sf_dir: str, query: str = "fast hash join",
         return pa.table({"doc_id": batch.column("doc_id"),
                          "score": pa.array(sims, pa.float64())})
 
-    vec = _docs(sf_dir).map_batches(cos, batch_format="pyarrow").to_pandas()
-    vec_rank = (vec.sort_values(["score", "doc_id"], ascending=[False, True])
-                ["doc_id"].head(depth).tolist())
+    vec_rank = _topk_ranking(
+        _docs(sf_dir).map_batches(cos, batch_format="pyarrow"))
 
     rows = [("bm25", r, d) for r, d in enumerate(bm25_rank, 1)] + \
            [("dense", r, d) for r, d in enumerate(vec_rank, 1)]
