@@ -238,3 +238,34 @@ def test_write_graph_shard_resume(ray_session, tmp_path):
     assert m4["n_triples"] == m1["n_triples"]
     assert sorted(m4["shard_rows"]) == ["shard=0", "shard=1"]
     shutil.rmtree(out)
+
+
+def test_write_graph_empty_result(ray_session, tmp_path):
+    """A build with zero triples still writes a complete, resumable
+    graph layout: every shard dir exists with a rows=0 manifest and the
+    rollup counts are zero."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.kg import KGResult, write_graph
+    from graphrag_rs_ray.state.manifests import read_manifest
+
+    empty_tri = rd.from_arrow(pa.table({
+        "subj": pa.array([], pa.string()),
+        "pred": pa.array([], pa.string()),
+        "obj": pa.array([], pa.string())}))
+    empty_ent = rd.from_arrow(pa.table({
+        "entity_id": pa.array([], pa.string()),
+        "name": pa.array([], pa.string())}))
+    out = str(tmp_path / "empty_graph")
+    m = write_graph(KGResult(entities=empty_ent, triples=empty_tri,
+                             links={}), out, num_shards=3)
+    assert m["n_triples"] == 0 and m["n_entities"] == 0
+    assert m["shard_rows"] == {f"shard={k}": 0 for k in range(3)}
+    for k in range(3):
+        sm = read_manifest(os.path.join(out, "triples", f"shard={k}"))
+        assert sm["rows"] == 0
+    # rerun: full fingerprint skip
+    m2 = write_graph(KGResult(entities=empty_ent, triples=empty_tri,
+                              links={}), out, num_shards=3)
+    assert m2["completed_at"] == m["completed_at"]
