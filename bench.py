@@ -193,7 +193,21 @@ def run_bench() -> dict:
         return concept_edges_from_lists(lists).count()
 
     timed("concept_edges", concept_edges_unstaged)
-    timed("semantic_edges", lambda: q["semantic_edges"](sf_dir).count())
+    def semantic_edges_unstaged():
+        # production operator: embed + per-entity top-k cosine over the
+        # shared canonical-entities checkpoint (canonicalization itself
+        # is the kg_entities entry; the query fn additionally re-derives
+        # entities and stages two oracle tables — harness I/O)
+        from graphrag_rs_ray.pipelines.graph_ops import semantic_edges
+        from graphrag_rs_ray.stages.embed import EmbedStage
+        from graphrag_rs_ray.stages.memo import memoized_stage
+        fn = memoized_stage(("embed", "name", 64),
+                            lambda: EmbedStage("name", 64))
+        ents = e._kg_ds(sf_dir, "entities").map_batches(
+            fn, batch_format="pyarrow", batch_size=None)
+        return semantic_edges(ents, similarity_threshold=0.8).count()
+
+    timed("semantic_edges", semantic_edges_unstaged)
     timed("degree_stats", lambda: q["degree_stats"](sf_dir).count())
     # un-staged production path (the query fn stages its oracle inputs —
     # harness I/O, not operator cost; same precedent as kg_triples)
