@@ -174,32 +174,17 @@ def _connected_components_local(edges_ds):
     distributed propagation)."""
     import ray.data as rd
 
-    parent: dict[str, str] = {}
+    from ..functions.unionfind import union_find_labels
 
-    def find(x: str) -> str:
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
-
-    for b in edges_ds.iter_batches(batch_format="pyarrow"):
-        for a, c in zip(b.column("a").to_pylist(), b.column("b").to_pylist()):
-            parent.setdefault(a, a)
-            parent.setdefault(c, c)
-            ra, rc = find(a), find(c)
-            if ra != rc:
-                parent[ra] = rc
-    label: dict[str, str] = {}
-    for v in parent:
-        r = find(v)
-        if r not in label or v < label[r]:
-            label[r] = v
-    nodes = sorted(parent)
+    labels = union_find_labels(
+        (a, c)
+        for b in edges_ds.iter_batches(batch_format="pyarrow")
+        for a, c in zip(b.column("a").to_pylist(),
+                        b.column("b").to_pylist()))
+    nodes = sorted(labels)
     return rd.from_arrow(pa.table({
         "node": pa.array(nodes, pa.string()),
-        "component": pa.array([label[find(v)] for v in nodes], pa.string())}))
+        "component": pa.array([labels[v] for v in nodes], pa.string())}))
 
 
 def detect_communities(triples_ds, config: LeidenConfig | None = None,
@@ -273,36 +258,18 @@ def detect_communities_from_edges(edges, config: LeidenConfig | None = None,
         # same rule as the distributed propagation), then the identical
         # kernel over ALL edge rows at once (multiset preserved — the
         # local move depends on edge multiplicity, never row order)
+        from ..functions.unionfind import union_find_labels
+
         a_all: list[str] = []
         b_all: list[str] = []
         for t in edges.iter_batches(batch_format="pyarrow"):
             a_all.extend(t.column("a").to_pylist())
             b_all.extend(t.column("b").to_pylist())
-        parent: dict[str, str] = {}
-
-        def find(x: str) -> str:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(a_all, b_all):
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[ra] = rb
-        label: dict[str, str] = {}
-        for v in parent:
-            r = find(v)
-            if r not in label or v < label[r]:
-                label[r] = v
+        labels = union_find_labels(zip(a_all, b_all))
         tagged_tbl = pa.table({
             "a": pa.array(a_all, pa.string()),
             "b": pa.array(b_all, pa.string()),
-            "component": pa.array([label[find(a)] for a in a_all],
+            "component": pa.array([labels[a] for a in a_all],
                                   pa.string())})
         return rd.from_arrow(run_component(tagged_tbl))
 

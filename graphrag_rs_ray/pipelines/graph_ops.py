@@ -756,6 +756,8 @@ def _centrality_scores_local(triples_ds, max_component_nodes: int):
     graph the kernel solves in milliseconds."""
     import ray.data as rd
 
+    from ..functions.unionfind import union_find_labels
+
     pairs: set[tuple[str, str]] = set()
     for t in triples_ds.iter_batches(batch_format="pyarrow"):
         s, o = t.column("subj"), t.column("obj")
@@ -764,33 +766,13 @@ def _centrality_scores_local(triples_ds, max_component_nodes: int):
         b = pc.max_element_wise(s.filter(keep), o.filter(keep))
         pairs.update(zip(a.to_pylist(), b.to_pylist()))
 
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in pairs:
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-    label: dict[str, str] = {}
-    for v in parent:
-        r = find(v)
-        if r not in label or v < label[r]:
-            label[r] = v
-    n_global = len(parent)
+    labels = union_find_labels(pairs)
+    n_global = len(labels)
     a_col, b_col = zip(*sorted(pairs)) if pairs else ((), ())
     tagged = pa.table({
         "a": pa.array(list(a_col), pa.string()),
         "b": pa.array(list(b_col), pa.string()),
-        "component": pa.array([label[find(a)] for a in a_col], pa.string())})
+        "component": pa.array([labels[a] for a in a_col], pa.string())})
     return rd.from_arrow(_centrality_kernel(tagged, n_global,
                                             max_component_nodes))
 
