@@ -319,3 +319,38 @@ def test_communities_paths_agree(ray_session):
             .to_pandas().sort_values("node").reset_index(drop=True)
         assert fast.equals(dist)
     assert set(fast.columns) == {"node", "community", "lm"}
+
+
+def test_union_find_labels_property():
+    """The shared union-find kernel must label every node with the
+    smallest member of its reachability class, for any edge multiset."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from graphrag_rs_ray.functions.unionfind import union_find_labels
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                    max_size=40))
+    def check(int_pairs):
+        pairs = [(f"n{a}", f"n{b}") for a, b in int_pairs]
+        got = union_find_labels(pairs)
+        # naive closure: repeated relabel-to-min until fixpoint
+        want = {v: v for e in pairs for v in e}
+        changed = True
+        while changed:
+            changed = False
+            for a, b in pairs:
+                m = min(want[a], want[b])
+                for x in (a, b):
+                    if want[x] != m:
+                        want[x] = m
+                        changed = True
+            # propagate through labels (label of my label)
+            for v in want:
+                if want[want[v]] < want[v]:
+                    want[v] = want[want[v]]
+                    changed = True
+        assert got == want
+
+    check()
