@@ -133,6 +133,54 @@ def test_distributed_walks_match_local(edges_ds):
     assert [list(r["walk"]) for r in rows] == generate_walks(g, cfg)
 
 
+@pytest.fixture
+def indexed_edges_ds():
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in EDGES], pa.string()),
+        "dst": pa.array([e[1] for e in EDGES], pa.string()),
+        "w": pa.array([e[2] for e in EDGES], pa.float64()),
+        "eidx": pa.array(range(len(EDGES)), pa.int64())}))
+
+
+def test_sharded_walks_bit_equal_broadcast(indexed_edges_ds):
+    from graphrag_rs_ray.pipelines.graph_embeddings import (
+        node2vec_walks_sharded)
+    cfg = EmbeddingConfig(walk_length=6, walks_per_node=2, seed=11)
+    got = {(r["start"], r["walk_idx"]): list(r["walk"])
+           for r in node2vec_walks_sharded(
+               indexed_edges_ds, cfg, num_buckets=4).take_all()}
+    g = graph()
+    from graphrag_rs_ray.functions.graph_embeddings import random_walk
+    want = {(n, w): random_walk(g, n, node_rng(cfg.seed, n, w), cfg)
+            for n in g.nodes for w in range(cfg.walks_per_node)}
+    assert got == want
+
+
+def test_sharded_graphsage_bit_equal_broadcast(indexed_edges_ds):
+    from graphrag_rs_ray.pipelines.graph_embeddings import (
+        graphsage_embeddings)
+    scfg = GraphSAGEConfig(dimension=8, num_layers=2,
+                           samples_per_layer=[3, 2], seed=11)
+    # small_graph_limit=0 forces the sharded twin
+    tbl = graphsage_embeddings(indexed_edges_ds, scfg,
+                               small_graph_limit=0,
+                               num_buckets=4).to_pandas()
+    local = graphsage_fit(graph(), scfg)
+    assert sorted(tbl["node"]) == sorted(local)
+    for _, row in tbl.iterrows():
+        assert np.array_equal(np.asarray(row["embedding"]),
+                              local[row["node"]])
+
+
+def test_sharded_requires_eidx(edges_ds):
+    from graphrag_rs_ray.pipelines.graph_embeddings import (
+        graphsage_embeddings)
+    with pytest.raises(ValueError, match="eidx"):
+        graphsage_embeddings(edges_ds, GraphSAGEConfig(dimension=4),
+                             small_graph_limit=0)
+
+
 def test_distributed_node2vec_and_graphsage(edges_ds):
     from graphrag_rs_ray.pipelines.graph_embeddings import (
         graphsage_embeddings, node2vec_embeddings)
