@@ -133,6 +133,35 @@ def test_distributed_walks_match_local(edges_ds):
     assert [list(r["walk"]) for r in rows] == generate_walks(g, cfg)
 
 
+def test_rng_state_roundtrip_property():
+    """Serialized PCG64 state resumes the stream bit-identically at any
+    cut point, including mid-integers() with a cached uint32."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from graphrag_rs_ray.pipelines.graph_embeddings import (
+        _rng_from_bytes, _rng_state_bytes)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.text(min_size=1, max_size=8),
+           st.lists(st.sampled_from(["f", "i"]), min_size=0, max_size=6),
+           st.lists(st.sampled_from(["f", "i"]), min_size=1, max_size=6))
+    def check(node, pre_ops, post_ops):
+        a = node_rng(3, node, 1)
+        b = node_rng(3, node, 1)
+        for op in pre_ops:          # advance both identically
+            (a.random(), b.random()) if op == "f" else (
+                a.integers(0, 7), b.integers(0, 7))
+        b = _rng_from_bytes(_rng_state_bytes(b))   # cut + resume one
+        for op in post_ops:
+            if op == "f":
+                assert a.random() == b.random()
+            else:
+                assert a.integers(0, 1000) == b.integers(0, 1000)
+
+    check()
+
+
 @pytest.fixture
 def indexed_edges_ds():
     import ray.data as rd
