@@ -3396,6 +3396,136 @@ def q_vector_store_stats(sf_dir: str):
         "avg_norm": pa.array([round(st["avg_norm"], 8)], pa.float64())}))
 
 
+def _import_union(entities_ds, rels_ds):
+    """Pad entity/relationship datasets to one shared all-string schema
+    (kind 'e'/'r'; '' fills — never NULL, per the oracle-parity rule)."""
+    import ray.data as rd
+
+    def pad_e(t: pa.Table) -> pa.Table:
+        fill = pa.array([""] * t.num_rows, pa.string())
+        return pa.table({"kind": pa.array(["e"] * t.num_rows, pa.string()),
+                         "id": t.column("id"), "name": t.column("name"),
+                         "entity_type": t.column("entity_type"),
+                         "attributes": t.column("attributes"),
+                         "source": fill, "target": fill, "relation_type": fill})
+
+    def pad_r(t: pa.Table) -> pa.Table:
+        fill = pa.array([""] * t.num_rows, pa.string())
+        return pa.table({"kind": pa.array(["r"] * t.num_rows, pa.string()),
+                         "id": fill, "name": fill, "entity_type": fill,
+                         "attributes": t.column("attributes"),
+                         "source": t.column("source"),
+                         "target": t.column("target"),
+                         "relation_type": t.column("relation_type")})
+
+    return (entities_ds.map_batches(pad_e, batch_format="pyarrow")
+            .union(rels_ds.map_batches(pad_r, batch_format="pyarrow")))
+
+
+def _stage_lines(lines: list[str], query: str, sf_dir: str):
+    """Write synthesized import-source lines once as the raw file (the
+    importer's input) and once as a `line` Parquet column (the oracle's
+    input); returns the raw-file path."""
+    import shutil
+    import pyarrow.parquet as _pq
+    src_dir = _stage_path(query, sf_dir, "src")
+    lines_dir = _stage_path(query, sf_dir, "lines")
+    for d in (src_dir, lines_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.makedirs(d, exist_ok=True)
+    raw = os.path.join(src_dir, "input.txt")
+    with open(raw, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    _pq.write_table(pa.table({"line": pa.array(lines, pa.string())}),
+                    os.path.join(lines_dir, "part-0.parquet"))
+    return raw
+
+
+def _rdf_ntriples_lines(sf_dir: str) -> list[str]:
+    """Deterministic N-Triples corpus derived from `documents` (doc_id,
+    lang): even ids get an rdfs:label, ids %3==0 get an rdf:type, every
+    doc links to doc[(idx*7+1) % N] and carries a `lang` literal."""
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "lang"])
+    ids = t.column("doc_id").to_pylist()
+    langs = t.column("lang").to_pylist()
+    order = sorted(range(len(ids)), key=lambda j: ids[j])
+    n = len(ids)
+    base = "http://ex.org/doc/"
+    lines = ["# synthesized N-Triples import corpus"]
+    for idx, j in enumerate(order):
+        i, lang = ids[j], langs[j]
+        s = f"<{base}{i}>"
+        if i % 2 == 0:
+            lines.append(f'{s} <http://www.w3.org/2000/01/rdf-schema#label> "Doc {i}" .')
+        if i % 3 == 0:
+            lines.append(f"{s} <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+                         f"<http://ex.org/ns#Document> .")
+        tgt = ids[order[(idx * 7 + 1) % n]]
+        lines.append(f"{s} <http://ex.org/ns/links> <{base}{tgt}> .")
+        lines.append(f'{s} <http://ex.org/ns/lang> "{lang}" .')
+    return lines
+
+
+def q_rdf_import(sf_dir: str):
+    """REAL N-Triples import (the reference's importer is a TODO stub,
+    ``data_import.rs:533-543``): parse lines → relationships + per-subject
+    entity merge (label/type/attribute folds).  Oracle re-parses the SAME
+    staged lines with RE2 and re-derives both tables in SQL."""
+    from graphrag_rs_ray.sources.rdf_graphml import import_rdf
+    raw = _stage_lines(_rdf_ntriples_lines(sf_dir), "rdf_import", sf_dir)
+    ents, rels, _errors = import_rdf(raw)
+    return _import_union(ents, rels)
+
+
+def _graphml_lines(sf_dir: str) -> list[str]:
+    """Deterministic one-element-per-line GraphML derived from
+    `documents`: d0=name (even ids), d1=type (ids %3==0), d2=lang,
+    edge d3=type (even ids; others default RELATED_TO)."""
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "lang"])
+    ids = t.column("doc_id").to_pylist()
+    langs = t.column("lang").to_pylist()
+    order = sorted(range(len(ids)), key=lambda j: ids[j])
+    n = len(ids)
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>',
+             '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+             '<key id="d0" for="node" attr.name="name"/>',
+             '<key id="d1" for="node" attr.name="type"/>',
+             '<key id="d2" for="node" attr.name="lang"/>',
+             '<key id="d3" for="edge" attr.name="type"/>',
+             '<graph edgedefault="directed">']
+    for idx, j in enumerate(order):
+        i, lang = ids[j], langs[j]
+        data = []
+        if i % 2 == 0:
+            data.append(f'<data key="d0">Doc {i}</data>')
+        if i % 3 == 0:
+            data.append('<data key="d1">Report</data>')
+        data.append(f'<data key="d2">{lang}</data>')
+        lines.append(f'<node id="n{i}">{"".join(data)}</node>')
+        tgt = ids[order[(idx * 7 + 1) % n]]
+        edata = '<data key="d3">links_to</data>' if i % 2 == 0 else ""
+        lines.append(f'<edge source="n{i}" target="n{tgt}">{edata}</edge>')
+    lines += ["</graph>", "</graphml>"]
+    return lines
+
+
+def q_graphml_import(sf_dir: str):
+    """REAL GraphML import (the reference's importer is a TODO stub,
+    ``data_import.rs:545-556``): ElementTree parse per file → key-mapped
+    node/edge attributes.  Oracle re-parses the SAME staged lines with
+    RE2 (the generator emits one element per line) and re-derives both
+    tables in SQL — two independent parsers over identical raw text."""
+    from graphrag_rs_ray.sources.rdf_graphml import import_graphml
+    raw = _stage_lines(_graphml_lines(sf_dir), "graphml_import", sf_dir)
+    ents, rels, _errors = import_graphml(raw)
+    return _import_union(ents, rels)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction (non-SQL-expressible → rows-only checks)
@@ -3510,6 +3640,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_size": td.top_parts_by_size,
         # incremental delta ingest (rows-only)
         "incremental_update": q_incremental_update,
+        # real RDF/GraphML import (TODO stubs in the reference) — oracle
+        # re-parses the same staged raw lines in SQL
+        "rdf_import": q_rdf_import,
+        "graphml_import": q_graphml_import,
         # rule-engine NER on actor pool (rows-only)
         "ner_mentions": q_ner_mentions,
         # mock-LLM gleaning path (rows-only)
@@ -7513,6 +7647,113 @@ def _oracle_sql_base() -> dict[str, str]:
            .replace("{de}", _staged_sql("incremental_update", "delta_entities"))
            .replace("{bt}", _staged_sql("incremental_update", "base_triples"))
            .replace("{dt}", _staged_sql("incremental_update", "delta_triples")),
+        # RDF N-Triples import: RE2 re-parse of the staged raw lines +
+        # SQL re-derivation of the per-subject entity merge
+        "rdf_import": """
+            WITH raw AS (SELECT line FROM {lines}),
+            res AS (
+              SELECT regexp_extract(line, '^<([^>]*)> <([^>]*)> <([^>]*)> \\.$', 1) AS subj,
+                     regexp_extract(line, '^<([^>]*)> <([^>]*)> <([^>]*)> \\.$', 2) AS pred,
+                     regexp_extract(line, '^<([^>]*)> <([^>]*)> <([^>]*)> \\.$', 3) AS obj
+              FROM raw
+              WHERE regexp_matches(line, '^<[^>]*> <[^>]*> <[^>]*> \\.$')),
+            lit AS (
+              SELECT regexp_extract(line, '^<([^>]*)> <([^>]*)> "([^"]*)"(?:\\^\\^<[^>]*>|@[A-Za-z0-9-]+)? \\.$', 1) AS subj,
+                     regexp_extract(line, '^<([^>]*)> <([^>]*)> "([^"]*)"(?:\\^\\^<[^>]*>|@[A-Za-z0-9-]+)? \\.$', 2) AS pred,
+                     regexp_extract(line, '^<([^>]*)> <([^>]*)> "([^"]*)"(?:\\^\\^<[^>]*>|@[A-Za-z0-9-]+)? \\.$', 3) AS v
+              FROM raw
+              WHERE regexp_matches(line, '^<[^>]*> <[^>]*> "[^"]*"(\\^\\^<[^>]*>|@[A-Za-z0-9-]+)? \\.$')),
+            lits AS (SELECT subj,
+                            coalesce(nullif(regexp_extract(pred, '([^/#]+)$', 1), ''), pred) AS k,
+                            v
+                     FROM lit),
+            typ AS (SELECT subj,
+                           min(coalesce(nullif(regexp_extract(obj, '([^/#]+)$', 1), ''), obj)) AS t
+                    FROM res
+                    WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                    GROUP BY subj),
+            lab AS (SELECT subj, min(v) AS name FROM lits WHERE k = 'label' GROUP BY subj),
+            att AS (SELECT subj, k, min(v) AS v FROM lits WHERE k <> 'label' GROUP BY subj, k),
+            attj AS (SELECT subj,
+                            '{' || string_agg('"' || k || '": "' || v || '"', ', ' ORDER BY k) || '}' AS attributes
+                     FROM att GROUP BY subj),
+            subs AS (SELECT DISTINCT subj FROM
+                       (SELECT subj FROM res UNION ALL SELECT subj FROM lit)),
+            ents AS (
+              SELECT 'e' AS kind, s.subj AS id,
+                     coalesce(lab.name,
+                              coalesce(nullif(regexp_extract(s.subj, '([^/#]+)$', 1), ''), s.subj)) AS name,
+                     coalesce(typ.t, 'Entity') AS entity_type,
+                     coalesce(attj.attributes, '{}') AS attributes,
+                     '' AS source, '' AS target, '' AS relation_type
+              FROM subs s
+              LEFT JOIN lab USING (subj) LEFT JOIN typ USING (subj)
+              LEFT JOIN attj USING (subj)),
+            rels AS (
+              SELECT 'r' AS kind, '' AS id, '' AS name, '' AS entity_type,
+                     '{}' AS attributes, subj AS source, obj AS target,
+                     coalesce(nullif(regexp_extract(pred, '([^/#]+)$', 1), ''), pred) AS relation_type
+              FROM res
+              WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
+            SELECT * FROM ents UNION ALL SELECT * FROM rels
+        """.replace("{lines}", _staged_sql("rdf_import", "lines")),
+        # GraphML import: RE2 line parse (generator emits one element per
+        # line) + key-declaration join + SQL attribute folds
+        "graphml_import": """
+            WITH raw AS (SELECT line FROM {lines}),
+            keys AS (
+              SELECT regexp_extract(line, '<key id="([^"]*)"', 1) AS kid,
+                     regexp_extract(line, 'for="([^"]*)"', 1) AS kfor,
+                     regexp_extract(line, 'attr\\.name="([^"]*)"', 1) AS kname
+              FROM raw WHERE regexp_matches(line, '<key ')),
+            nodes AS (
+              SELECT regexp_extract(line, '<node id="([^"]*)"', 1) AS id,
+                     regexp_extract_all(line, '<data key="([^"]*)">', 1) AS dk,
+                     regexp_extract_all(line, '<data key="[^"]*">([^<]*)</data>', 1) AS dv
+              FROM raw WHERE regexp_matches(line, '<node ')),
+            ndata AS (SELECT id, unnest(dk) AS kid, unnest(dv) AS v FROM nodes),
+            nmap AS (SELECT n.id, k.kname AS k, n.v
+                     FROM ndata n JOIN keys k ON k.kid = n.kid AND k.kfor = 'node'),
+            nn AS (SELECT id, min(v) AS name FROM nmap WHERE k = 'name' GROUP BY id),
+            ntp AS (SELECT id, min(v) AS t FROM nmap WHERE k = 'type' GROUP BY id),
+            natt AS (SELECT id, k, min(v) AS v FROM nmap
+                     WHERE k NOT IN ('name', 'type') GROUP BY id, k),
+            nattj AS (SELECT id,
+                             '{' || string_agg('"' || k || '": "' || v || '"', ', ' ORDER BY k) || '}' AS attributes
+                      FROM natt GROUP BY id),
+            ents AS (
+              SELECT 'e' AS kind, nodes.id,
+                     coalesce(nn.name, nodes.id) AS name,
+                     coalesce(ntp.t, 'Entity') AS entity_type,
+                     coalesce(nattj.attributes, '{}') AS attributes,
+                     '' AS source, '' AS target, '' AS relation_type
+              FROM nodes
+              LEFT JOIN nn USING (id) LEFT JOIN ntp USING (id)
+              LEFT JOIN nattj USING (id)),
+            edges AS (
+              SELECT row_number() OVER () AS eid,
+                     regexp_extract(line, 'source="([^"]*)"', 1) AS source,
+                     regexp_extract(line, 'target="([^"]*)"', 1) AS target,
+                     regexp_extract_all(line, '<data key="([^"]*)">', 1) AS dk,
+                     regexp_extract_all(line, '<data key="[^"]*">([^<]*)</data>', 1) AS dv
+              FROM raw WHERE regexp_matches(line, '<edge ')),
+            edata AS (SELECT eid, unnest(dk) AS kid, unnest(dv) AS v FROM edges),
+            emap AS (SELECT e.eid, k.kname AS k, e.v
+                     FROM edata e JOIN keys k ON k.kid = e.kid AND k.kfor = 'edge'),
+            ert AS (SELECT eid, min(v) AS t FROM emap WHERE k = 'type' GROUP BY eid),
+            eatt AS (SELECT eid, k, min(v) AS v FROM emap WHERE k <> 'type' GROUP BY eid, k),
+            eattj AS (SELECT eid,
+                             '{' || string_agg('"' || k || '": "' || v || '"', ', ' ORDER BY k) || '}' AS attributes
+                      FROM eatt GROUP BY eid),
+            rels AS (
+              SELECT 'r' AS kind, '' AS id, '' AS name, '' AS entity_type,
+                     coalesce(eattj.attributes, '{}') AS attributes,
+                     edges.source, edges.target,
+                     coalesce(ert.t, 'RELATED_TO') AS relation_type
+              FROM edges
+              LEFT JOIN ert USING (eid) LEFT JOIN eattj USING (eid))
+            SELECT * FROM ents UNION ALL SELECT * FROM rels
+        """.replace("{lines}", _staged_sql("graphml_import", "lines")),
         "kg_entities_fuzzy": """
             WITH e AS (SELECT * FROM {ents}),
             l AS (SELECT * FROM {links}),

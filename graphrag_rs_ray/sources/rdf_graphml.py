@@ -1,0 +1,300 @@
+"""RDF (N-Triples) and GraphML graph import — REAL implementations.
+
+The reference declares both importers but ships them as TODO stubs that
+silently import nothing (``pipeline/data_import.rs:533-556``: "TODO:
+Implement RDF parsing", "TODO: Implement GraphML parsing").  This module
+implements them for real, mapping both formats onto the reference's
+import model (``ImportedEntity``/``ImportedRelationship``,
+``data_import.rs:60-100``) with the same validation + max-errors abort
+contract as the CSV/JSON/JSONL importers in ``readers.py``.
+
+N-Triples semantics (documented extension — the reference fixes none):
+- ``<s> <p> <o> .`` with an IRI/blank object → one relationship row
+  (source = subject term, target = object term, relation_type = the
+  predicate's local name).  ``rdf:type`` triples are routed to the
+  subject entity's ``entity_type`` instead (local name of the class
+  IRI; lexicographic min when several).
+- ``<s> <p> "literal" .`` (optional ``^^<dtype>`` / ``@lang`` suffix)
+  → a fact about the subject entity: predicate local name ``label``
+  (rdfs:label and friends) sets the entity name; any other literal
+  predicate becomes an ``attributes`` entry.  Min-per-key keeps the
+  merge deterministic under any partitioning.
+- One entity row per distinct SUBJECT: ``id`` = the subject term,
+  ``name`` = min label literal (default: the subject's local name),
+  ``entity_type`` = min rdf:type local name (default ``"Entity"``).
+- Blank lines and ``#`` comments are skipped; any other unparseable
+  line is an error row and counts toward ``max_errors``.
+
+GraphML semantics: ``<key id=.. for=node|edge attr.name=..>``
+declarations map data keys to attribute names; ``<node id=..>`` →
+entity (name = its ``name`` data value, default the node id;
+entity_type = its ``type`` data value, default ``"Entity"``; remaining
+data values → attributes); ``<edge source=.. target=..>`` →
+relationship (relation_type = its ``type`` data value, default
+``"RELATED_TO"``; remaining data values → attributes).  Nodes missing
+``id`` and edges missing ``source``/``target`` are error rows.
+
+Ray design: N-Triples lines stream through ``read_text`` → a stateless
+vectorized parse (compiled regexes) → the per-subject entity merge runs
+as ``hash_grouped_aggregate`` over the subject key (high-cardinality —
+never a native groupby, per the repo rule).  GraphML parallelises per
+FILE (``read_binary_files`` → one ElementTree parse per file inside
+``map_batches``): XML nesting makes sub-file splits unsound, and
+GraphML is an interchange format whose natural shard unit is the file —
+documented scale bound.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .readers import (ENTITY_IMPORT_SCHEMA, REL_IMPORT_SCHEMA,
+                      ImportAborted, ImportConfig)
+
+RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# <s> <p> <o> .   (object = IRI or blank node)
+_NT_RESOURCE = re.compile(
+    r'^\s*(?:<([^>]*)>|(_:\S+))\s+<([^>]*)>\s+(?:<([^>]*)>|(_:\S+))\s*\.\s*$')
+# <s> <p> "literal"(^^<dtype> | @lang)? .
+_NT_LITERAL = re.compile(
+    r'^\s*(?:<([^>]*)>|(_:\S+))\s+<([^>]*)>\s+"((?:[^"\\]|\\.)*)"'
+    r'(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?\s*\.\s*$')
+
+_PARSED_SCHEMA = pa.schema([
+    ("kind", pa.string()),       # "r"=resource triple, "l"=literal, "x"=error
+    ("subj", pa.string()), ("pred_local", pa.string()),
+    ("obj", pa.string()),        # resource object term / literal value
+    ("obj_local", pa.string()),  # local name of a resource object ("" for literals)
+    ("is_type", pa.int32()),     # 1 iff predicate is rdf:type
+    ("error", pa.string()),
+])
+
+
+def _local_name(term: str) -> str:
+    """Substring after the last '#' or '/', the whole term otherwise."""
+    for sep in ("#", "/"):
+        idx = term.rfind(sep)
+        if idx >= 0 and idx + 1 < len(term):
+            return term[idx + 1:]
+    return term
+
+
+def _unescape_nt(lit: str) -> str:
+    """N-Triples string-literal escapes (subset: the JSON-compatible ones)."""
+    if "\\" not in lit:
+        return lit
+    return (lit.replace("\\t", "\t").replace("\\n", "\n").replace("\\r", "\r")
+            .replace('\\"', '"').replace("\\\\", "\\"))
+
+
+def parse_ntriples_batch(batch) -> pa.Table:
+    """Stateless line→parsed-triple kernel (one compiled-regex match per
+    line; comments/blank lines dropped, malformed lines become error
+    rows)."""
+    out = {name: [] for name in _PARSED_SCHEMA.names}
+
+    def emit(kind, subj="", pred="", obj="", obj_local="", is_type=0, err=""):
+        out["kind"].append(kind); out["subj"].append(subj)
+        out["pred_local"].append(pred); out["obj"].append(obj)
+        out["obj_local"].append(obj_local); out["is_type"].append(is_type)
+        out["error"].append(err)
+
+    for line in batch["text"]:
+        s = line.strip()
+        if not s or s.startswith("#"):
+            continue
+        m = _NT_RESOURCE.match(s)
+        if m:
+            subj = m.group(1) if m.group(1) is not None else m.group(2)
+            pred = m.group(3)
+            obj = m.group(4) if m.group(4) is not None else m.group(5)
+            emit("r", subj, _local_name(pred), obj, _local_name(obj),
+                 1 if pred == RDF_TYPE_IRI else 0)
+            continue
+        m = _NT_LITERAL.match(s)
+        if m:
+            subj = m.group(1) if m.group(1) is not None else m.group(2)
+            emit("l", subj, _local_name(m.group(3)), _unescape_nt(m.group(4)))
+            continue
+        emit("x", err=f"unparseable N-Triples line: {s[:120]}")
+    arrays = {n: pa.array(out[n], _PARSED_SCHEMA.field(n).type)
+              for n in _PARSED_SCHEMA.names}
+    return pa.table(arrays)
+
+
+def _entities_from_facts(group: pa.Table) -> pa.Table:
+    """Per-bucket subject merge: min label → name, min rdf:type local →
+    entity_type, min-per-key literals → sorted-JSON attributes."""
+    import pandas as pd
+    df = group.to_pandas()
+    rows = {"id": [], "name": [], "entity_type": [], "attributes": []}
+    for subj, g in df.groupby("subj", sort=False):
+        lits = g[g["kind"] == "l"]
+        labels = lits.loc[lits["pred_local"] == "label", "obj"]
+        types = g.loc[(g["kind"] == "r") & (g["is_type"] == 1), "obj_local"]
+        attrs_src = lits[lits["pred_local"] != "label"]
+        attrs = (attrs_src.groupby("pred_local", sort=False)["obj"].min().to_dict()
+                 if len(attrs_src) else {})
+        rows["id"].append(subj)
+        rows["name"].append(labels.min() if len(labels) else _local_name(subj))
+        rows["entity_type"].append(types.min() if len(types) else "Entity")
+        rows["attributes"].append(json.dumps(attrs, sort_keys=True))
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+
+
+def import_rdf(path: str, cfg: ImportConfig | None = None,
+               num_buckets: int = 64):
+    """N-Triples file(s) → (entities_ds, relationships_ds, errors_ds).
+    Raises ``ImportAborted`` when parse-error count reaches
+    ``max_errors`` (same distributed-abort contract as ``import_jsonl``:
+    abort iff TOTAL errors ≥ max)."""
+    import ray.data as rd
+    from ..stages.hashagg import hash_grouped_aggregate
+
+    cfg = cfg or ImportConfig()
+    parsed = (rd.read_text(path)
+              .map_batches(parse_ntriples_batch, batch_format="numpy")
+              .materialize())
+
+    n_errors = parsed.map_batches(
+        lambda t: pa.table({"n": [t.filter(pc.equal(t.column("kind"), "x")).num_rows]}),
+        batch_format="pyarrow").sum("n") or 0
+    if not cfg.skip_validation and n_errors >= cfg.max_errors:
+        raise ImportAborted(f"{n_errors} errors (max {cfg.max_errors})")
+
+    def rels(t: pa.Table) -> pa.Table:
+        r = t.filter(pc.and_(pc.equal(t.column("kind"), "r"),
+                             pc.equal(t.column("is_type"), 0)))
+        return pa.table({
+            "source": r.column("subj"),
+            "target": r.column("obj"),
+            "relation_type": r.column("pred_local"),
+            "attributes": pa.array(["{}"] * r.num_rows, pa.string()),
+        })
+
+    relationships = parsed.map_batches(rels, batch_format="pyarrow")
+    facts = parsed.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("kind"), "x")),
+        batch_format="pyarrow")
+    entities = hash_grouped_aggregate(facts, ["subj"], _entities_from_facts,
+                                      num_buckets=num_buckets)
+    errors = parsed.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "x")).select(["error"]),
+        batch_format="pyarrow")
+    return entities, relationships, errors
+
+
+# ---------------------------------------------------------------- GraphML
+
+def _strip_ns(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_graphml_bytes(xml_bytes: bytes):
+    """One-file GraphML parse → (entity rows, relationship rows, errors).
+    Namespace-tolerant; ``<key>`` declarations map data keys to
+    attribute names per element kind."""
+    import xml.etree.ElementTree as ET
+    ents, rels, errors = [], [], []
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError as ex:
+        return [], [], [f"invalid GraphML XML: {ex}"]
+
+    key_names: dict[tuple[str, str], str] = {}
+    for el in root.iter():
+        if _strip_ns(el.tag) == "key":
+            kid, kfor = el.get("id"), el.get("for", "node")
+            if kid:
+                key_names[(kfor, kid)] = el.get("attr.name", kid)
+
+    def data_map(el, kind):
+        vals = {}
+        for d in el:
+            if _strip_ns(d.tag) == "data" and d.get("key"):
+                name = key_names.get((kind, d.get("key")), d.get("key"))
+                vals[name] = d.text or ""
+        return vals
+
+    for el in root.iter():
+        tag = _strip_ns(el.tag)
+        if tag == "node":
+            nid = el.get("id")
+            if not nid:
+                errors.append("node missing id")
+                continue
+            vals = data_map(el, "node")
+            name = vals.pop("name", nid)
+            etype = vals.pop("type", "Entity")
+            ents.append({"id": nid, "name": name, "entity_type": etype,
+                         "attributes": json.dumps(vals, sort_keys=True)})
+        elif tag == "edge":
+            src, tgt = el.get("source"), el.get("target")
+            if not src or not tgt:
+                errors.append("edge missing source/target")
+                continue
+            vals = data_map(el, "edge")
+            rtype = vals.pop("type", "RELATED_TO")
+            rels.append({"source": src, "target": tgt, "relation_type": rtype,
+                         "attributes": json.dumps(vals, sort_keys=True)})
+    return ents, rels, errors
+
+
+def import_graphml(path: str, cfg: ImportConfig | None = None):
+    """GraphML file(s)/dir → (entities_ds, relationships_ds, errors_ds);
+    parallel per file (see module docstring for the scale bound)."""
+    import ray.data as rd
+
+    cfg = cfg or ImportConfig()
+
+    def parse(batch) -> pa.Table:
+        out = {"kind": [], "id": [], "name": [], "entity_type": [],
+               "source": [], "target": [], "relation_type": [],
+               "attributes": [], "error": []}
+
+        def emit(kind, **kw):
+            row = dict.fromkeys(out, None)
+            row.update(kind=kind, **kw)
+            for k, v in row.items():
+                out[k].append(v)
+
+        for blob in batch["bytes"]:
+            ents, rels, errs = parse_graphml_bytes(bytes(blob))
+            for e in ents:
+                emit("e", id=e["id"], name=e["name"],
+                     entity_type=e["entity_type"], attributes=e["attributes"])
+            for r in rels:
+                emit("r", source=r["source"], target=r["target"],
+                     relation_type=r["relation_type"], attributes=r["attributes"])
+            for msg in errs:
+                emit("x", error=msg[:200])
+        return pa.table({k: pa.array(v, pa.string()) for k, v in out.items()})
+
+    parsed = (rd.read_binary_files(path)
+              .map_batches(parse, batch_format="numpy")
+              .materialize())
+
+    n_errors = parsed.map_batches(
+        lambda t: pa.table({"n": [t.filter(pc.equal(t.column("kind"), "x")).num_rows]}),
+        batch_format="pyarrow").sum("n") or 0
+    if not cfg.skip_validation and n_errors >= cfg.max_errors:
+        raise ImportAborted(f"{n_errors} errors (max {cfg.max_errors})")
+
+    def select(kind, cols):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("kind"), kind)).select(cols)
+        return fn
+
+    entities = parsed.map_batches(
+        select("e", ["id", "name", "entity_type", "attributes"]),
+        batch_format="pyarrow")
+    rels = parsed.map_batches(
+        select("r", ["source", "target", "relation_type", "attributes"]),
+        batch_format="pyarrow")
+    errors = parsed.map_batches(select("x", ["error"]), batch_format="pyarrow")
+    return entities, rels, errors

@@ -14,9 +14,10 @@ Port of ``pipeline/data_import.rs``:
 - Validation (``:560+``): non-empty id/name/type (entities), non-empty
   source/target/relation_type (relationships).  Errors accumulate up to
   ``max_errors`` then abort the import (``ImportAborted``).
-- RDF / GraphML remain declared-but-unimplemented, as in the reference
-  (``:533-556``) — they raise ``NotImplementedError`` here instead of
-  silently importing nothing.
+- RDF / GraphML are TODO stubs in the reference (``:533-556``) that
+  silently import nothing; here they are REAL importers (see
+  ``rdf_graphml.py`` — N-Triples regex parse + per-subject merge,
+  per-file ElementTree GraphML parse), both DuckDB-oracle-checked.
 
 Ray design: files stream through ``ray.data.read_csv`` /
 ``read_json(lines)``; validation is a vectorized map_batches that routes
@@ -245,10 +246,14 @@ def import_jsonl(path: str, cfg: ImportConfig | None = None):
 
 
 def import_rdf(path: str, cfg: ImportConfig | None = None):
-    """Declared but unimplemented in the reference (``data_import.rs:533-543``)."""
-    raise NotImplementedError("RDF import is a stub in the reference; kept explicit here")
+    """REAL N-Triples import (the reference's is a TODO stub,
+    ``data_import.rs:533-543``) — see ``rdf_graphml.py`` for semantics."""
+    from .rdf_graphml import import_rdf as _impl
+    return _impl(path, cfg)
 
 
 def import_graphml(path: str, cfg: ImportConfig | None = None):
-    """Declared but unimplemented in the reference (``data_import.rs:545-556``)."""
-    raise NotImplementedError("GraphML import is a stub in the reference; kept explicit here")
+    """REAL GraphML import (the reference's is a TODO stub,
+    ``data_import.rs:545-556``) — see ``rdf_graphml.py`` for semantics."""
+    from .rdf_graphml import import_graphml as _impl
+    return _impl(path, cfg)

@@ -78,12 +78,81 @@ def test_jsonl_import_and_abort(ray_session, tmpdir_mod):
         import_jsonl(str(p), ImportConfig(max_errors=2))
 
 
-def test_rdf_graphml_stubs():
-    from graphrag_rs_ray.sources.readers import import_graphml, import_rdf
-    with pytest.raises(NotImplementedError):
-        import_rdf("/tmp/x.rdf")
-    with pytest.raises(NotImplementedError):
-        import_graphml("/tmp/x.graphml")
+NT_FIXTURE = """\
+# a comment line
+<http://ex.org/a> <http://www.w3.org/2000/01/rdf-schema#label> "Alpha" .
+<http://ex.org/a> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/ns#Person> .
+<http://ex.org/a> <http://ex.org/ns/knows> <http://ex.org/b> .
+<http://ex.org/a> <http://ex.org/ns/age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex.org/b> <http://ex.org/ns/greeting> "hi"@en .
+_:blank1 <http://ex.org/ns/knows> _:blank2 .
+
+not a triple at all
+"""
+
+
+def test_rdf_import(tmp_path):
+    from graphrag_rs_ray.sources.readers import (ImportAborted, ImportConfig,
+                                                 import_rdf)
+    p = tmp_path / "g.nt"
+    p.write_text(NT_FIXTURE)
+    ents, rels, errors = import_rdf(str(p))
+    edf = ents.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(edf["id"]) == ["_:blank1", "http://ex.org/a", "http://ex.org/b"]
+    a = edf[edf["id"] == "http://ex.org/a"].iloc[0]
+    assert a["name"] == "Alpha" and a["entity_type"] == "Person"
+    assert a["attributes"] == '{"age": "42"}'
+    b = edf[edf["id"] == "http://ex.org/b"].iloc[0]
+    assert b["name"] == "b" and b["entity_type"] == "Entity"
+    assert b["attributes"] == '{"greeting": "hi"}'
+    rdf = rels.to_pandas()
+    # rdf:type routed to entity_type, NOT a relationship
+    assert sorted(zip(rdf["source"], rdf["target"], rdf["relation_type"])) == [
+        ("_:blank1", "_:blank2", "knows"),
+        ("http://ex.org/a", "http://ex.org/b", "knows"),
+    ]
+    assert errors.count() == 1
+    with pytest.raises(ImportAborted):
+        import_rdf(str(p), ImportConfig(max_errors=1))
+
+
+GRAPHML_FIXTURE = """\
+<?xml version="1.0" encoding="UTF-8"?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <key id="d0" for="node" attr.name="name"/>
+  <key id="d1" for="node" attr.name="type"/>
+  <key id="d2" for="node" attr.name="note"/>
+  <key id="d3" for="edge" attr.name="type"/>
+  <graph edgedefault="directed">
+    <node id="n0"><data key="d0">Ada</data><data key="d1">Person</data><data key="d2">x</data></node>
+    <node id="n1"><data key="d0">Org Inc</data></node>
+    <node id="n2"/>
+    <edge source="n0" target="n1"><data key="d3">works_at</data></edge>
+    <edge source="n1" target="n2"/>
+    <edge source="n0"/>
+  </graph>
+</graphml>
+"""
+
+
+def test_graphml_import(tmp_path):
+    from graphrag_rs_ray.sources.readers import (ImportAborted, ImportConfig,
+                                                 import_graphml)
+    p = tmp_path / "g.graphml"
+    p.write_text(GRAPHML_FIXTURE)
+    ents, rels, errors = import_graphml(str(p))
+    edf = ents.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(edf["id"]) == ["n0", "n1", "n2"]
+    assert list(edf["name"]) == ["Ada", "Org Inc", "n2"]
+    assert list(edf["entity_type"]) == ["Person", "Entity", "Entity"]
+    assert list(edf["attributes"]) == ['{"note": "x"}', "{}", "{}"]
+    rdf = rels.to_pandas()
+    assert sorted(zip(rdf["source"], rdf["target"], rdf["relation_type"])) == [
+        ("n0", "n1", "works_at"), ("n1", "n2", "RELATED_TO"),
+    ]
+    assert errors.count() == 1          # the source-only edge
+    with pytest.raises(ImportAborted):
+        import_graphml(str(p), ImportConfig(max_errors=1))
 
 
 def _ents_ds(rows):
