@@ -102,8 +102,19 @@ def run_bench() -> dict:
             t0 = time.perf_counter()
             fn()
             t2 = time.perf_counter() - t0
-            timings[name] = round(min(t1, t2), 3)
-            print(f"# {name}: {timings[name]}s (runs: {t1:.2f}, {t2:.2f})",
+            runs = [t1, t2]
+            # noise storms last many seconds, so BOTH samples of a
+            # min-of-2 can land inside one (measured 2026-08-19:
+            # concept_edges 26.7/13.8 dirty vs 1.7 clean).  High
+            # disagreement between the two runs is the storm signature —
+            # buy one more sample only then.
+            if min(runs) > 4.0 and max(runs) / min(runs) > 1.4:
+                t0 = time.perf_counter()
+                fn()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
+            print(f"# {name}: {timings[name]}s (runs: "
+                  + ", ".join(f"{r:.2f}" for r in runs) + ")",
                   file=sys.stderr, flush=True)
         else:
             timings[name] = round(t1, 3)

@@ -129,22 +129,47 @@ def parse_ntriples_batch(batch) -> pa.Table:
 
 def _entities_from_facts(group: pa.Table) -> pa.Table:
     """Per-bucket subject merge: min label → name, min rdf:type local →
-    entity_type, min-per-key literals → sorted-JSON attributes."""
+    entity_type, min-per-key literals → sorted-JSON attributes.
+
+    Fully vectorized (columnar groupby-mins + one fragment-join pass for
+    the JSON) — the first version looped Python over subjects and cost
+    ~0.08 ms/subject, 160 s at 2M subjects."""
     import pandas as pd
     df = group.to_pandas()
-    rows = {"id": [], "name": [], "entity_type": [], "attributes": []}
-    for subj, g in df.groupby("subj", sort=False):
-        lits = g[g["kind"] == "l"]
-        labels = lits.loc[lits["pred_local"] == "label", "obj"]
-        types = g.loc[(g["kind"] == "r") & (g["is_type"] == 1), "obj_local"]
-        attrs_src = lits[lits["pred_local"] != "label"]
-        attrs = (attrs_src.groupby("pred_local", sort=False)["obj"].min().to_dict()
-                 if len(attrs_src) else {})
-        rows["id"].append(subj)
-        rows["name"].append(labels.min() if len(labels) else _local_name(subj))
-        rows["entity_type"].append(types.min() if len(types) else "Entity")
-        rows["attributes"].append(json.dumps(attrs, sort_keys=True))
-    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+    subjects = pd.Index(df["subj"].unique(), name="subj")
+    out = pd.DataFrame(index=subjects)
+
+    lit = df[df["kind"] == "l"]
+    labels = lit[lit["pred_local"] == "label"].groupby("subj")["obj"].min()
+    types = (df[(df["kind"] == "r") & (df["is_type"] == 1)]
+             .groupby("subj")["obj_local"].min())
+
+    attrs = lit[lit["pred_local"] != "label"]
+    if len(attrs):
+        kv = attrs.groupby(["subj", "pred_local"])["obj"].min().reset_index()
+        # json.dumps(..., sort_keys=True) equivalence: escape each piece,
+        # join fragments in key order within the subject
+        frag = (kv["pred_local"].map(json.dumps) + ": "
+                + kv["obj"].map(json.dumps))
+        kv = kv.assign(frag=frag).sort_values(["subj", "pred_local"])
+        attr_json = "{" + kv.groupby("subj")["frag"].agg(", ".join) + "}"
+    else:
+        attr_json = pd.Series(dtype=object)
+
+    # default name = the subject's local name (same '([^/#]+)$' rule as
+    # _local_name for well-formed terms; whole term when no match)
+    default_name = (out.index.to_series().str.extract(r"([^/#]+)$",
+                                                      expand=False)
+                    .fillna(out.index.to_series()))
+    out["name"] = labels.reindex(subjects).fillna(default_name)
+    out["entity_type"] = types.reindex(subjects).fillna("Entity")
+    out["attributes"] = attr_json.reindex(subjects).fillna("{}")
+    return pa.table({
+        "id": pa.array(subjects.to_numpy(), pa.string()),
+        "name": pa.array(out["name"].to_numpy(), pa.string()),
+        "entity_type": pa.array(out["entity_type"].to_numpy(), pa.string()),
+        "attributes": pa.array(out["attributes"].to_numpy(), pa.string()),
+    })
 
 
 def import_rdf(path: str, cfg: ImportConfig | None = None,
