@@ -388,6 +388,32 @@ def run_bench() -> dict:
         return total
 
     timed("rograg_query_stack", query_stack)
+
+    # RDF import (real importer where the reference has a TODO stub):
+    # times the production parse → relationships + bucketed entity merge
+    # over a pre-generated .nt corpus (generation untimed, cached —
+    # same precedent as the staged pages)
+    from scripts.scale_import_datapoints import _nt_lines
+    n_subj = 200_000
+    nt_dir = f"/tmp/graft_bench_nt_{n_subj}"
+    if not os.path.exists(nt_dir + ".done"):
+        import shutil
+        if os.path.exists(nt_dir):
+            shutil.rmtree(nt_dir)
+        os.makedirs(nt_dir, exist_ok=True)
+        step = n_subj // 32
+        for sid in range(32):
+            lo, hi = sid * step, (n_subj if sid == 31 else (sid + 1) * step)
+            with open(os.path.join(nt_dir, f"part-{sid:03d}.nt"), "w") as f:
+                f.write("\n".join(_nt_lines(lo, hi, n_subj)) + "\n")
+        open(nt_dir + ".done", "w").write("1")
+
+    def rdf_run():
+        from graphrag_rs_ray.sources.rdf_graphml import import_rdf
+        ents, rels, _ = import_rdf(nt_dir)
+        return ents.count() + rels.count()
+
+    timed("rdf_import", rdf_run)
     result_queries_per_sec = round(
         5 * n_q / timings["rograg_query_stack"], 1)
     print(f"# rograg_query_stack: {n_q} queries x5 stages, "
