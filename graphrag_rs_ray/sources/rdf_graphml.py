@@ -214,6 +214,159 @@ def import_rdf(path: str, cfg: ImportConfig | None = None,
     return entities, relationships, errors
 
 
+# ------------------------------------------------------------ export side
+#
+# The reference's persistence docs list GraphML as "Export format for
+# visualization tools (already implemented in core)"
+# (``persistence/mod.rs:11``) but no export code exists anywhere in the
+# workspace — like the importers, the export side ships aspirationally.
+# Here both directions are real and ROUND-TRIP property-tested: importing
+# an exported graph reproduces names / types / attributes / edges exactly
+# (entity ids come back IRI-wrapped for N-Triples — documented below).
+
+ENT_NS = "http://graft.local/entity/"
+ATTR_NS = "http://graft.local/attr/"
+REL_NS = "http://graft.local/rel/"
+TYPE_NS = "http://graft.local/type/"
+LABEL_IRI = "http://www.w3.org/2000/01/rdf-schema#label"
+
+
+def _iri(ns: str, s: str) -> str:
+    from urllib.parse import quote
+    return ns + quote(s, safe="")
+
+
+def _escape_nt(lit: str) -> str:
+    return (lit.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+
+
+def export_ntriples(entities_ds, rels_ds, out_dir: str) -> dict:
+    """Distributed N-Triples sink: one ``part-<sha1>.nt`` shard per batch
+    (content-hashed names — re-exporting identical data is idempotent).
+
+    Entity ids / attribute keys / relation types are IRI-wrapped under
+    ``http://graft.local/...`` with percent-encoding; ``import_rdf`` of
+    the output reproduces name / entity_type / attributes / edges exactly
+    for percent-safe ids (round-trip gate in ``tests``).  Bounds, both
+    documented: relationship attributes are dropped (no edge attributes
+    in plain N-Triples short of reification), and an entity ATTRIBUTE
+    literally keyed ``label`` would re-import as the name fold.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_entities(t: pa.Table) -> pa.Table:
+        lines = []
+        for row in t.to_pylist():
+            s = f"<{_iri(ENT_NS, row['id'])}>"
+            lines.append(f'{s} <{LABEL_IRI}> "{_escape_nt(row["name"])}" .')
+            if row["entity_type"]:
+                lines.append(f"{s} <{RDF_TYPE_IRI}> "
+                             f"<{_iri(TYPE_NS, row['entity_type'])}> .")
+            for k, v in sorted(json.loads(row["attributes"] or "{}").items()):
+                lines.append(f'{s} <{_iri(ATTR_NS, k)}> "{_escape_nt(str(v))}" .')
+        return _write_nt_shard(lines, out_dir, "e")
+
+    def write_rels(t: pa.Table) -> pa.Table:
+        lines = [f"<{_iri(ENT_NS, r['source'])}> "
+                 f"<{_iri(REL_NS, r['relation_type'])}> "
+                 f"<{_iri(ENT_NS, r['target'])}> ."
+                 for r in t.to_pylist()]
+        return _write_nt_shard(lines, out_dir, "r")
+
+    def _write_nt_shard(lines, d, tag):
+        if lines:
+            content = "\n".join(lines) + "\n"
+            h = hashlib.sha1(content.encode()).hexdigest()[:12]
+            with open(os.path.join(d, f"part-{tag}-{h}.nt"), "w") as f:
+                f.write(content)
+        return pa.table({"n": pa.array([len(lines)], pa.int64())})
+
+    n_e = entities_ds.map_batches(write_entities, batch_format="pyarrow").sum("n") or 0
+    n_r = rels_ds.map_batches(write_rels, batch_format="pyarrow").sum("n") or 0
+    return {"entity_triples": n_e, "relationship_triples": n_r,
+            "out_dir": out_dir}
+
+
+def export_graphml(entities_ds, rels_ds, out_dir: str) -> dict:
+    """Distributed GraphML sink: each batch becomes one self-contained
+    ``part-<sha1>.graphml`` document (its own key declarations for the
+    attribute names it uses).  ``import_graphml`` of the directory
+    reproduces ids / names / types / attributes / edges exactly
+    (round-trip gate).  Bound, documented: a shard is a valid XML doc
+    but not a self-contained subgraph — edges may reference nodes in
+    other shards, so single-file visualization tools need a merge pass
+    (the importer unions shards natively)."""
+    import hashlib
+    import os
+    import shutil
+    from xml.sax.saxutils import escape, quoteattr
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _doc(body_lines, key_lines):
+        return "\n".join(
+            ['<?xml version="1.0" encoding="UTF-8"?>',
+             '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">']
+            + key_lines + ['<graph edgedefault="directed">'] + body_lines
+            + ["</graph>", "</graphml>"]) + "\n"
+
+    def _write(doc: str, tag: str):
+        h = hashlib.sha1(doc.encode()).hexdigest()[:12]
+        with open(os.path.join(out_dir, f"part-{tag}-{h}.graphml"), "w") as f:
+            f.write(doc)
+
+    def write_entities(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        attr_names = sorted({k for r in rows
+                             for k in json.loads(r["attributes"] or "{}")})
+        key_ids = {"name": "d0", "type": "d1"}
+        key_ids.update({k: f"a{i}" for i, k in enumerate(attr_names)})
+        key_lines = [f'<key id="{kid}" for="node" attr.name={quoteattr(k)}/>'
+                     for k, kid in key_ids.items()]
+        body = []
+        for r in rows:
+            data = [f'<data key="d0">{escape(r["name"])}</data>',
+                    f'<data key="d1">{escape(r["entity_type"])}</data>']
+            for k, v in sorted(json.loads(r["attributes"] or "{}").items()):
+                data.append(f'<data key="{key_ids[k]}">{escape(str(v))}</data>')
+            body.append(f'<node id={quoteattr(r["id"])}>{"".join(data)}</node>')
+        if body:
+            _write(_doc(body, key_lines), "e")
+        return pa.table({"n": pa.array([len(rows)], pa.int64())})
+
+    def write_rels(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        attr_names = sorted({k for r in rows
+                             for k in json.loads(r["attributes"] or "{}")})
+        key_ids = {"type": "d3"}
+        key_ids.update({k: f"b{i}" for i, k in enumerate(attr_names)})
+        key_lines = [f'<key id="{kid}" for="edge" attr.name={quoteattr(k)}/>'
+                     for k, kid in key_ids.items()]
+        body = []
+        for r in rows:
+            data = [f'<data key="d3">{escape(r["relation_type"])}</data>']
+            for k, v in sorted(json.loads(r["attributes"] or "{}").items()):
+                data.append(f'<data key="{key_ids[k]}">{escape(str(v))}</data>')
+            body.append(f'<edge source={quoteattr(r["source"])} '
+                        f'target={quoteattr(r["target"])}>{"".join(data)}</edge>')
+        if body:
+            _write(_doc(body, key_lines), "r")
+        return pa.table({"n": pa.array([len(rows)], pa.int64())})
+
+    n_e = entities_ds.map_batches(write_entities, batch_format="pyarrow").sum("n") or 0
+    n_r = rels_ds.map_batches(write_rels, batch_format="pyarrow").sum("n") or 0
+    return {"nodes": n_e, "edges": n_r, "out_dir": out_dir}
+
+
 # ---------------------------------------------------------------- GraphML
 
 def _strip_ns(tag: str) -> str:

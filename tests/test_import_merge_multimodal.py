@@ -155,6 +155,74 @@ def test_graphml_import(tmp_path):
         import_graphml(str(p), ImportConfig(max_errors=1))
 
 
+def _graph_tables():
+    import ray.data as rd
+    ents = pa.table({
+        "id": pa.array(["PERSON_ada lovelace", "ORG_acme", "n#3"], pa.string()),
+        "name": pa.array(['Ada "the first" Lovelace', "Acme & Söhne", ""], pa.string()),
+        "entity_type": pa.array(["Person", "Organization", "Entity"], pa.string()),
+        "attributes": pa.array([json.dumps({"born": "1815", "note": "line1\nline2"}),
+                                json.dumps({"country": "DE<>&"}), "{}"], pa.string()),
+    })
+    rels = pa.table({
+        "source": pa.array(["PERSON_ada lovelace", "ORG_acme"], pa.string()),
+        "target": pa.array(["ORG_acme", "n#3"], pa.string()),
+        "relation_type": pa.array(["WORKS_AT", "RELATED_TO"], pa.string()),
+        "attributes": pa.array([json.dumps({"since": "1840"}), "{}"], pa.string()),
+    })
+    return rd.from_arrow(ents), rd.from_arrow(rels), ents, rels
+
+
+def test_ntriples_export_roundtrip(tmp_path):
+    from urllib.parse import quote
+    from graphrag_rs_ray.sources.rdf_graphml import (ENT_NS, export_ntriples,
+                                                     import_rdf)
+    ents_ds, rels_ds, ents, rels = _graph_tables()
+    out = str(tmp_path / "nt")
+    stats = export_ntriples(ents_ds, rels_ds, out)
+    assert stats["relationship_triples"] == 2
+    back_e, back_r, errors = import_rdf(out)
+    assert errors.count() == 0
+    bdf = back_e.to_pandas().set_index("id")
+    for row in ents.to_pylist():
+        b = bdf.loc[ENT_NS + quote(row["id"], safe="")]
+        assert b["name"] == row["name"]
+        assert b["entity_type"] == row["entity_type"]
+        assert b["attributes"] == json.dumps(
+            json.loads(row["attributes"]), sort_keys=True)
+    got = sorted(zip(*[back_r.to_pandas()[c] for c in
+                       ("source", "target", "relation_type")]))
+    want = sorted((ENT_NS + quote(r["source"], safe=""),
+                   ENT_NS + quote(r["target"], safe=""),
+                   quote(r["relation_type"], safe=""))
+                  for r in rels.to_pylist())
+    assert got == want   # edge attributes drop by documented N-Triples bound
+
+
+def test_graphml_export_roundtrip(tmp_path):
+    from graphrag_rs_ray.sources.rdf_graphml import (export_graphml,
+                                                     import_graphml)
+    ents_ds, rels_ds, ents, rels = _graph_tables()
+    out = str(tmp_path / "gm")
+    stats = export_graphml(ents_ds, rels_ds, out)
+    assert stats["nodes"] == 3 and stats["edges"] == 2
+    back_e, back_r, errors = import_graphml(out)
+    assert errors.count() == 0
+    bdf = back_e.to_pandas().set_index("id")
+    for row in ents.to_pylist():
+        b = bdf.loc[row["id"]]
+        assert b["name"] == row["name"]
+        assert b["entity_type"] == row["entity_type"]
+        assert b["attributes"] == json.dumps(
+            json.loads(row["attributes"]), sort_keys=True)
+    cols = ("source", "target", "relation_type", "attributes")
+    got = sorted(zip(*[back_r.to_pandas()[c] for c in cols]))
+    want = sorted((r["source"], r["target"], r["relation_type"],
+                   json.dumps(json.loads(r["attributes"]), sort_keys=True))
+                  for r in rels.to_pylist())
+    assert got == want   # GraphML round-trips edge attributes too
+
+
 def _ents_ds(rows):
     import ray.data as rd
     return rd.from_arrow(pa.table({
