@@ -306,7 +306,13 @@ def export_graphml(entities_ds, rels_ds, out_dir: str) -> dict:
     import hashlib
     import os
     import shutil
-    from xml.sax.saxutils import escape, quoteattr
+    from xml.sax.saxutils import escape as _xml_escape, quoteattr
+
+    def escape(s):
+        # XML 1.0 line-end normalization folds a literal \r in TEXT
+        # content to \n on parse — only a character reference survives
+        # (attribute values are covered: quoteattr emits &#13; itself)
+        return _xml_escape(s).replace("\r", "&#13;")
 
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)

@@ -223,6 +223,66 @@ def test_graphml_export_roundtrip(tmp_path):
     assert got == want   # GraphML round-trips edge attributes too
 
 
+NASTY = ['back\\slash', 'quo"te', "apos'trophe", "tab\there", "nl\nline2",
+         "cr\rline2", "xml<&>meta", "uni-héß中文", "  leading spaces",
+         "trailing. dot .", "a]]>cdata", "per%2Fcent", "=equals=",
+         'attr="inject"', "mixed\\\"\n<&>'" ]
+
+
+def test_export_roundtrip_adversarial_strings(tmp_path):
+    """Escaping gauntlet: every nasty string rides through id-safe slots
+    (name/attr values for N-Triples; all slots for GraphML, which can
+    carry any XML-1.0-legal chars)."""
+    import ray.data as rd
+    from urllib.parse import quote
+    from graphrag_rs_ray.sources.rdf_graphml import (
+        ENT_NS, export_graphml, export_ntriples, import_graphml, import_rdf)
+
+    n = len(NASTY)
+    ents = pa.table({
+        "id": pa.array([f"id {i}/{s[:4]}" for i, s in enumerate(NASTY)], pa.string()),
+        "name": pa.array(NASTY, pa.string()),
+        "entity_type": pa.array(["Entity"] * n, pa.string()),
+        "attributes": pa.array([json.dumps({"v": s}, sort_keys=True) for s in NASTY],
+                               pa.string()),
+    })
+    rels = pa.table({
+        "source": pa.array([f"id {i}/{s[:4]}" for i, s in enumerate(NASTY)], pa.string()),
+        "target": pa.array([f"id {(i+1) % n}/{NASTY[(i+1) % n][:4]}"
+                            for i in range(n)], pa.string()),
+        "relation_type": pa.array(["REL_A"] * n, pa.string()),
+        "attributes": pa.array(["{}"] * n, pa.string()),
+    })
+    e_ds, r_ds = rd.from_arrow(ents), rd.from_arrow(rels)
+
+    # N-Triples: control-char-free subset is exact on every slot
+    out = str(tmp_path / "nt")
+    export_ntriples(e_ds, r_ds, out)
+    back_e, back_r, errors = import_rdf(out)
+    assert errors.count() == 0
+    bdf = back_e.to_pandas().set_index("id")
+    for row in ents.to_pylist():
+        b = bdf.loc[ENT_NS + quote(row["id"], safe="")]
+        assert b["name"] == row["name"], repr(row["name"])
+        assert b["attributes"] == row["attributes"]
+    assert back_r.count() == n
+
+    # GraphML: ids/names/attrs exact through XML escaping
+    out = str(tmp_path / "gm")
+    export_graphml(e_ds, r_ds, out)
+    back_e, back_r, errors = import_graphml(out)
+    assert errors.count() == 0
+    bdf = back_e.to_pandas().set_index("id")
+    for row in ents.to_pylist():
+        b = bdf.loc[row["id"]]
+        assert b["name"] == row["name"], repr(row["name"])
+        assert b["attributes"] == row["attributes"]
+    got = sorted(zip(back_r.to_pandas()["source"], back_r.to_pandas()["target"]))
+    want = sorted(zip(rels.column("source").to_pylist(),
+                      rels.column("target").to_pylist()))
+    assert got == want
+
+
 def _ents_ds(rows):
     import ray.data as rd
     return rd.from_arrow(pa.table({
