@@ -283,6 +283,35 @@ def test_export_roundtrip_adversarial_strings(tmp_path):
     assert got == want
 
 
+def test_graphml_stream_equals_whole_file(tmp_path):
+    """The constant-memory iterparse path and the per-file path produce
+    identical tables on a multi-file dir (incl. error rows)."""
+    from graphrag_rs_ray.sources.readers import ImportConfig
+    from graphrag_rs_ray.sources.rdf_graphml import (import_graphml,
+                                                     import_graphml_stream)
+    d = tmp_path / "gm"
+    d.mkdir()
+    (d / "a.graphml").write_text(GRAPHML_FIXTURE)
+    big = ['<?xml version="1.0"?>',
+           '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+           '<key id="d0" for="node" attr.name="name"/>',
+           '<graph edgedefault="directed">']
+    for i in range(5000):
+        big.append(f'<node id="m{i}"><data key="d0">N {i}</data></node>')
+        big.append(f'<edge source="m{i}" target="m{(i + 1) % 5000}"/>')
+    big += ["</graph>", "</graphml>"]
+    (d / "b.graphml").write_text("\n".join(big))
+
+    cfg = ImportConfig(max_errors=10)
+    a = import_graphml(str(d), cfg)
+    b = import_graphml_stream(str(d), cfg, batch_rows=777)
+    for x, y in zip(a, b):
+        xdf = x.to_pandas().sort_values(list(x.to_pandas().columns)).reset_index(drop=True)
+        ydf = y.to_pandas().sort_values(list(y.to_pandas().columns)).reset_index(drop=True)
+        assert xdf.equals(ydf)
+    assert a[0].count() == 5003 and a[1].count() == 5002
+
+
 def _ents_ds(rows):
     import ray.data as rd
     return rd.from_arrow(pa.table({
