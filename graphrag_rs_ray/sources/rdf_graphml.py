@@ -172,19 +172,10 @@ def _entities_from_facts(group: pa.Table) -> pa.Table:
     })
 
 
-def import_rdf(path: str, cfg: ImportConfig | None = None,
-               num_buckets: int = 64):
-    """N-Triples file(s) → (entities_ds, relationships_ds, errors_ds).
-    Raises ``ImportAborted`` when parse-error count reaches
-    ``max_errors`` (same distributed-abort contract as ``import_jsonl``:
-    abort iff TOTAL errors ≥ max)."""
-    import ray.data as rd
+def _nt_split(parsed, cfg: ImportConfig, num_buckets: int):
+    """Shared abort check + routing for the N-Triples-shaped parse
+    stream (import_rdf and import_turtle)."""
     from ..stages.hashagg import hash_grouped_aggregate
-
-    cfg = cfg or ImportConfig()
-    parsed = (rd.read_text(path)
-              .map_batches(parse_ntriples_batch, batch_format="numpy")
-              .materialize())
 
     n_errors = parsed.map_batches(
         lambda t: pa.table({"n": [t.filter(pc.equal(t.column("kind"), "x")).num_rows]}),
@@ -212,6 +203,142 @@ def import_rdf(path: str, cfg: ImportConfig | None = None,
         lambda t: t.filter(pc.equal(t.column("kind"), "x")).select(["error"]),
         batch_format="pyarrow")
     return entities, relationships, errors
+
+
+def import_rdf(path: str, cfg: ImportConfig | None = None,
+               num_buckets: int = 64):
+    """N-Triples file(s) → (entities_ds, relationships_ds, errors_ds).
+    Raises ``ImportAborted`` when parse-error count reaches
+    ``max_errors`` (same distributed-abort contract as ``import_jsonl``:
+    abort iff TOTAL errors ≥ max)."""
+    import ray.data as rd
+
+    cfg = cfg or ImportConfig()
+    parsed = (rd.read_text(path)
+              .map_batches(parse_ntriples_batch, batch_format="numpy")
+              .materialize())
+    return _nt_split(parsed, cfg, num_buckets)
+
+
+# ------------------------------------------------- Turtle-lite front end
+
+_TTL_PREFIX = re.compile(
+    r'^\s*@prefix\s+([A-Za-z_][\w.-]*)?:\s*<([^>]*)>\s*\.\s*$')
+_TTL_PNAME = re.compile(r'^([A-Za-z_][\w.-]*)?:([^\s<>"]*)$')
+
+
+def read_turtle_prefixes(path: str) -> dict[str, str]:
+    """Collect ``@prefix`` declarations from the header of each ``.ttl``
+    file (prefixes are file-scoped state, so this is the one driver-side
+    pass — it reads only the leading declaration block of each file,
+    never the body).  Files sharing a directory must agree on any prefix
+    they both declare (the common one-exporter case); a conflict aborts."""
+    import os as _os
+    paths = ([path] if _os.path.isfile(path) else
+             sorted(_os.path.join(path, f) for f in _os.listdir(path)
+                    if f.endswith((".ttl", ".turtle"))))
+    prefixes: dict[str, str] = {}
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                s = line.strip()
+                if not s or s.startswith("#"):
+                    continue
+                m = _TTL_PREFIX.match(s)
+                if not m:
+                    break              # header over — body starts
+                name, iri = m.group(1) or "", m.group(2)
+                if name in prefixes and prefixes[name] != iri:
+                    raise ImportAborted(
+                        f"conflicting @prefix {name}: across files")
+                prefixes[name] = iri
+    return prefixes
+
+
+def turtle_lines_to_ntriples(batch, prefixes: dict[str, str]):
+    """Vectorized Turtle-lite → N-Triples line rewrite: expands prefixed
+    names and the ``a`` keyword on ONE-TRIPLE-PER-LINE statements.
+    Documented subset (the reference fixes no semantics — its RDF import
+    is a stub): ``;`` / ``,`` continuation lines are routed to error rows
+    rather than silently misparsed; ``@prefix`` lines pass through as
+    comments (already collected by the driver pass)."""
+    out = []
+
+    def term(tok: str, pos: int):
+        if tok.startswith("<") or tok.startswith("_:") or tok.startswith('"'):
+            return tok
+        if tok == "a" and pos == 1:
+            return f"<{RDF_TYPE_IRI}>"
+        m = _TTL_PNAME.match(tok)
+        if m and (m.group(1) or "") in prefixes:
+            return f"<{prefixes[m.group(1) or '']}{m.group(2)}>"
+        return None
+
+    for line in batch["text"]:
+        s = line.strip()
+        if not s or s.startswith("#") or _TTL_PREFIX.match(s):
+            continue
+        if s.endswith((";", ",")):
+            out.append("\x00turtle-lite: statement continuation "
+                       "(';'/',') unsupported: " + s[:100])
+            continue
+        if not s.endswith("."):
+            out.append("\x00turtle-lite: unterminated statement: " + s[:100])
+            continue
+        body = s[:-1].rstrip()
+        # split into 3 terms: quoted literal (with optional suffix) keeps
+        # internal spaces — reuse the N-Triples literal tail if present
+        mlit = re.match(r'^(\S+)\s+(\S+)\s+("(?:[^"\\]|\\.)*"'
+                        r'(?:\^\^\S+|@[A-Za-z0-9-]+)?)$', body)
+        if mlit:
+            toks = [mlit.group(1), mlit.group(2), mlit.group(3)]
+        else:
+            toks = body.split()
+        if len(toks) != 3:
+            out.append("\x00turtle-lite: not a single-triple line: " + s[:100])
+            continue
+        expanded = [term(t, i) for i, t in enumerate(toks)]
+        if any(e is None for e in expanded):
+            out.append("\x00turtle-lite: unknown prefix in: " + s[:100])
+            continue
+        out.append(f"{expanded[0]} {expanded[1]} {expanded[2]} .")
+    return {"text": out}
+
+
+def import_turtle(path: str, cfg: ImportConfig | None = None,
+                  num_buckets: int = 64):
+    """Turtle-lite import: driver collects the ``@prefix`` headers, a
+    stateless rewrite stage expands each line to N-Triples, and the
+    N-Triples machinery does the rest (same outputs/abort contract as
+    ``import_rdf``).  Lines outside the subset become error rows."""
+    import numpy as np
+    import ray.data as rd
+
+    cfg = cfg or ImportConfig()
+    prefixes = read_turtle_prefixes(path)
+
+    def rewrite_and_parse(batch):
+        rewritten = turtle_lines_to_ntriples(batch, prefixes)["text"]
+        good = [l for l in rewritten if not l.startswith("\x00")]
+        parsed = parse_ntriples_batch({"text": np.array(good, dtype=object)})
+        ttl_errs = [l[1:] for l in rewritten if l.startswith("\x00")]
+        if ttl_errs:
+            err_tbl = pa.table({
+                "kind": pa.array(["x"] * len(ttl_errs), pa.string()),
+                "subj": pa.array([""] * len(ttl_errs), pa.string()),
+                "pred_local": pa.array([""] * len(ttl_errs), pa.string()),
+                "obj": pa.array([""] * len(ttl_errs), pa.string()),
+                "obj_local": pa.array([""] * len(ttl_errs), pa.string()),
+                "is_type": pa.array([0] * len(ttl_errs), pa.int32()),
+                "error": pa.array([e[:200] for e in ttl_errs], pa.string()),
+            })
+            parsed = pa.concat_tables([parsed, err_tbl])
+        return parsed
+
+    parsed = (rd.read_text(path)
+              .map_batches(rewrite_and_parse, batch_format="numpy")
+              .materialize())
+    return _nt_split(parsed, cfg, num_buckets)
 
 
 # ------------------------------------------------------------ export side

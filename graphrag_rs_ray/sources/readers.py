@@ -257,3 +257,10 @@ def import_graphml(path: str, cfg: ImportConfig | None = None):
     ``data_import.rs:545-556``) — see ``rdf_graphml.py`` for semantics."""
     from .rdf_graphml import import_graphml as _impl
     return _impl(path, cfg)
+
+
+def import_turtle(path: str, cfg: ImportConfig | None = None):
+    """Turtle-lite import (the reference's DataFormat names RDF/Turtle;
+    its importer is a stub) — see ``rdf_graphml.py`` for the subset."""
+    from .rdf_graphml import import_turtle as _impl
+    return _impl(path, cfg)

@@ -116,6 +116,59 @@ def test_rdf_import(tmp_path):
         import_rdf(str(p), ImportConfig(max_errors=1))
 
 
+TTL_FIXTURE = """\
+# Turtle-lite fixture
+@prefix ex: <http://ex.org/ns/> .
+@prefix doc: <http://ex.org/doc/> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+
+doc:a rdfs:label "Alpha" .
+doc:a a ex:Person .
+doc:a ex:knows doc:b .
+doc:a ex:age "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex.org/doc/b> ex:greeting "hi"@en .
+doc:c ex:knows doc:a ;
+unknownprefix:x ex:y doc:z .
+"""
+
+
+def test_turtle_import(tmp_path):
+    from graphrag_rs_ray.sources.readers import ImportAborted, ImportConfig
+    from graphrag_rs_ray.sources.rdf_graphml import import_turtle
+    p = tmp_path / "g.ttl"
+    p.write_text(TTL_FIXTURE)
+    ents, rels, errors = import_turtle(str(p))
+    edf = ents.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(edf["id"]) == ["http://ex.org/doc/a", "http://ex.org/doc/b"]
+    a = edf.iloc[0]
+    assert a["name"] == "Alpha" and a["entity_type"] == "Person"
+    assert a["attributes"] == '{"age": "42"}'
+    b = edf.iloc[1]
+    assert b["name"] == "b" and b["attributes"] == '{"greeting": "hi"}'
+    rdf = rels.to_pandas()
+    assert sorted(zip(rdf["source"], rdf["target"], rdf["relation_type"])) == [
+        ("http://ex.org/doc/a", "http://ex.org/doc/b", "knows"),
+    ]
+    # the ';' continuation and the unknown prefix each route to an error
+    errs = sorted(errors.to_pandas()["error"])
+    assert len(errs) == 2
+    assert any("continuation" in e for e in errs)
+    assert any("unknown prefix" in e for e in errs)
+    with pytest.raises(ImportAborted):
+        import_turtle(str(p), ImportConfig(max_errors=2))
+
+
+def test_turtle_prefix_conflict(tmp_path):
+    from graphrag_rs_ray.sources.readers import ImportAborted
+    from graphrag_rs_ray.sources.rdf_graphml import read_turtle_prefixes
+    d = tmp_path / "ttl"
+    d.mkdir()
+    (d / "a.ttl").write_text("@prefix ex: <http://a/> .\n")
+    (d / "b.ttl").write_text("@prefix ex: <http://b/> .\n")
+    with pytest.raises(ImportAborted):
+        read_turtle_prefixes(str(d))
+
+
 GRAPHML_FIXTURE = """\
 <?xml version="1.0" encoding="UTF-8"?>
 <graphml xmlns="http://graphml.graphdrawing.org/xmlns">
