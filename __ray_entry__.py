@@ -3480,6 +3480,44 @@ def q_rdf_import(sf_dir: str):
     return _import_union(ents, rels)
 
 
+def _turtle_lines(sf_dir: str) -> list[str]:
+    """Deterministic Turtle-lite corpus — the same shapes as
+    ``_rdf_ntriples_lines`` but via @prefix'd names and the `a` keyword,
+    so the SQL oracle re-derives the expansion too."""
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "lang"])
+    ids = t.column("doc_id").to_pylist()
+    langs = t.column("lang").to_pylist()
+    order = sorted(range(len(ids)), key=lambda j: ids[j])
+    n = len(ids)
+    lines = ["# synthesized Turtle-lite import corpus",
+             "@prefix doc: <http://ex.org/doc/> .",
+             "@prefix ex: <http://ex.org/ns/> .",
+             "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> ."]
+    for idx, j in enumerate(order):
+        i, lang = ids[j], langs[j]
+        if i % 2 == 0:
+            lines.append(f'doc:{i} rdfs:label "Doc {i}" .')
+        if i % 3 == 0:
+            lines.append(f"doc:{i} a ex:Document .")
+        tgt = ids[order[(idx * 7 + 1) % n]]
+        lines.append(f"doc:{i} ex:links doc:{tgt} .")
+        lines.append(f'doc:{i} ex:lang "{lang}" .')
+    return lines
+
+
+def q_turtle_import(sf_dir: str):
+    """Turtle-lite import (prefix expansion front end over the N-Triples
+    machinery).  The oracle re-derives BOTH halves from the same staged
+    raw lines: the prefix/`a` expansion via regexp_replace, then the
+    same parse + per-subject merge SQL as `rdf_import`."""
+    from graphrag_rs_ray.sources.rdf_graphml import import_turtle
+    raw = _stage_lines(_turtle_lines(sf_dir), "turtle_import", sf_dir)
+    ents, rels, _errors = import_turtle(raw)
+    return _import_union(ents, rels)
+
+
 def _graphml_lines(sf_dir: str) -> list[str]:
     """Deterministic one-element-per-line GraphML derived from
     `documents`: d0=name (even ids), d1=type (ids %3==0), d2=lang,
@@ -3643,6 +3681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real RDF/GraphML import (TODO stubs in the reference) — oracle
         # re-parses the same staged raw lines in SQL
         "rdf_import": q_rdf_import,
+        "turtle_import": q_turtle_import,
         "graphml_import": q_graphml_import,
         # rule-engine NER on actor pool (rows-only)
         "ner_mentions": q_ner_mentions,
@@ -4487,6 +4526,55 @@ def _doc_tree_summaries_sql() -> str:
             SELECT n.doc_id, n.node_id, n.level, n.parent_id,
                    n.n_children, n.n_leaves, s2.summary
             FROM nodes n JOIN summ s2 USING (doc_id, node_id)"""
+
+
+_NT_PARSE_SQL_BODY = """
+            res AS (
+              SELECT regexp_extract(line, '^<([^>]*)> <([^>]*)> <([^>]*)> \\.$', 1) AS subj,
+                     regexp_extract(line, '^<([^>]*)> <([^>]*)> <([^>]*)> \\.$', 2) AS pred,
+                     regexp_extract(line, '^<([^>]*)> <([^>]*)> <([^>]*)> \\.$', 3) AS obj
+              FROM raw
+              WHERE regexp_matches(line, '^<[^>]*> <[^>]*> <[^>]*> \\.$')),
+            lit AS (
+              SELECT regexp_extract(line, '^<([^>]*)> <([^>]*)> "([^"]*)"(?:\\^\\^<[^>]*>|@[A-Za-z0-9-]+)? \\.$', 1) AS subj,
+                     regexp_extract(line, '^<([^>]*)> <([^>]*)> "([^"]*)"(?:\\^\\^<[^>]*>|@[A-Za-z0-9-]+)? \\.$', 2) AS pred,
+                     regexp_extract(line, '^<([^>]*)> <([^>]*)> "([^"]*)"(?:\\^\\^<[^>]*>|@[A-Za-z0-9-]+)? \\.$', 3) AS v
+              FROM raw
+              WHERE regexp_matches(line, '^<[^>]*> <[^>]*> "[^"]*"(\\^\\^<[^>]*>|@[A-Za-z0-9-]+)? \\.$')),
+            lits AS (SELECT subj,
+                            coalesce(nullif(regexp_extract(pred, '([^/#]+)$', 1), ''), pred) AS k,
+                            v
+                     FROM lit),
+            typ AS (SELECT subj,
+                           min(coalesce(nullif(regexp_extract(obj, '([^/#]+)$', 1), ''), obj)) AS t
+                    FROM res
+                    WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                    GROUP BY subj),
+            lab AS (SELECT subj, min(v) AS name FROM lits WHERE k = 'label' GROUP BY subj),
+            att AS (SELECT subj, k, min(v) AS v FROM lits WHERE k <> 'label' GROUP BY subj, k),
+            attj AS (SELECT subj,
+                            '{' || string_agg('"' || k || '": "' || v || '"', ', ' ORDER BY k) || '}' AS attributes
+                     FROM att GROUP BY subj),
+            subs AS (SELECT DISTINCT subj FROM
+                       (SELECT subj FROM res UNION ALL SELECT subj FROM lit)),
+            ents AS (
+              SELECT 'e' AS kind, s.subj AS id,
+                     coalesce(lab.name,
+                              coalesce(nullif(regexp_extract(s.subj, '([^/#]+)$', 1), ''), s.subj)) AS name,
+                     coalesce(typ.t, 'Entity') AS entity_type,
+                     coalesce(attj.attributes, '{}') AS attributes,
+                     '' AS source, '' AS target, '' AS relation_type
+              FROM subs s
+              LEFT JOIN lab USING (subj) LEFT JOIN typ USING (subj)
+              LEFT JOIN attj USING (subj)),
+            rels AS (
+              SELECT 'r' AS kind, '' AS id, '' AS name, '' AS entity_type,
+                     '{}' AS attributes, subj AS source, obj AS target,
+                     coalesce(nullif(regexp_extract(pred, '([^/#]+)$', 1), ''), pred) AS relation_type
+              FROM res
+              WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
+            SELECT * FROM ents UNION ALL SELECT * FROM rels
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7649,54 +7737,28 @@ def _oracle_sql_base() -> dict[str, str]:
            .replace("{dt}", _staged_sql("incremental_update", "delta_triples")),
         # RDF N-Triples import: RE2 re-parse of the staged raw lines +
         # SQL re-derivation of the per-subject entity merge
-        "rdf_import": """
+        "rdf_import": ("""
             WITH raw AS (SELECT line FROM {lines}),
-            res AS (
-              SELECT regexp_extract(line, '^<([^>]*)> <([^>]*)> <([^>]*)> \\.$', 1) AS subj,
-                     regexp_extract(line, '^<([^>]*)> <([^>]*)> <([^>]*)> \\.$', 2) AS pred,
-                     regexp_extract(line, '^<([^>]*)> <([^>]*)> <([^>]*)> \\.$', 3) AS obj
-              FROM raw
-              WHERE regexp_matches(line, '^<[^>]*> <[^>]*> <[^>]*> \\.$')),
-            lit AS (
-              SELECT regexp_extract(line, '^<([^>]*)> <([^>]*)> "([^"]*)"(?:\\^\\^<[^>]*>|@[A-Za-z0-9-]+)? \\.$', 1) AS subj,
-                     regexp_extract(line, '^<([^>]*)> <([^>]*)> "([^"]*)"(?:\\^\\^<[^>]*>|@[A-Za-z0-9-]+)? \\.$', 2) AS pred,
-                     regexp_extract(line, '^<([^>]*)> <([^>]*)> "([^"]*)"(?:\\^\\^<[^>]*>|@[A-Za-z0-9-]+)? \\.$', 3) AS v
-              FROM raw
-              WHERE regexp_matches(line, '^<[^>]*> <[^>]*> "[^"]*"(\\^\\^<[^>]*>|@[A-Za-z0-9-]+)? \\.$')),
-            lits AS (SELECT subj,
-                            coalesce(nullif(regexp_extract(pred, '([^/#]+)$', 1), ''), pred) AS k,
-                            v
-                     FROM lit),
-            typ AS (SELECT subj,
-                           min(coalesce(nullif(regexp_extract(obj, '([^/#]+)$', 1), ''), obj)) AS t
-                    FROM res
-                    WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
-                    GROUP BY subj),
-            lab AS (SELECT subj, min(v) AS name FROM lits WHERE k = 'label' GROUP BY subj),
-            att AS (SELECT subj, k, min(v) AS v FROM lits WHERE k <> 'label' GROUP BY subj, k),
-            attj AS (SELECT subj,
-                            '{' || string_agg('"' || k || '": "' || v || '"', ', ' ORDER BY k) || '}' AS attributes
-                     FROM att GROUP BY subj),
-            subs AS (SELECT DISTINCT subj FROM
-                       (SELECT subj FROM res UNION ALL SELECT subj FROM lit)),
-            ents AS (
-              SELECT 'e' AS kind, s.subj AS id,
-                     coalesce(lab.name,
-                              coalesce(nullif(regexp_extract(s.subj, '([^/#]+)$', 1), ''), s.subj)) AS name,
-                     coalesce(typ.t, 'Entity') AS entity_type,
-                     coalesce(attj.attributes, '{}') AS attributes,
-                     '' AS source, '' AS target, '' AS relation_type
-              FROM subs s
-              LEFT JOIN lab USING (subj) LEFT JOIN typ USING (subj)
-              LEFT JOIN attj USING (subj)),
-            rels AS (
-              SELECT 'r' AS kind, '' AS id, '' AS name, '' AS entity_type,
-                     '{}' AS attributes, subj AS source, obj AS target,
-                     coalesce(nullif(regexp_extract(pred, '([^/#]+)$', 1), ''), pred) AS relation_type
-              FROM res
-              WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
-            SELECT * FROM ents UNION ALL SELECT * FROM rels
-        """.replace("{lines}", _staged_sql("rdf_import", "lines")),
+        """ + _NT_PARSE_SQL_BODY).replace(
+            "{lines}", _staged_sql("rdf_import", "lines")),
+        # Turtle-lite import: the oracle ALSO re-derives the prefix
+        # expansion (regexp_replace per prefix + the 'a' keyword) before
+        # running the same N-Triples parse body
+        "turtle_import": ("""
+            WITH raw0 AS (SELECT line FROM {lines}),
+            raw AS (
+              SELECT regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(line,
+                         '(^|\\s)doc:([^\\s]+)', '\\1<http://ex.org/doc/\\2>', 'g'),
+                         '(^|\\s)ex:([^\\s]+)', '\\1<http://ex.org/ns/\\2>', 'g'),
+                         '(^|\\s)rdfs:([^\\s]+)', '\\1<http://www.w3.org/2000/01/rdf-schema#\\2>', 'g'),
+                         '(^|\\s)a(\\s)', '\\1<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>\\2', 'g') AS line
+              FROM raw0
+              WHERE trim(line) <> '' AND line NOT LIKE '@prefix%'
+                AND line NOT LIKE '#%'),
+        """ + _NT_PARSE_SQL_BODY).replace(
+            "{lines}", _staged_sql("turtle_import", "lines")),
+
         # GraphML import: RE2 line parse (generator emits one element per
         # line) + key-declaration join + SQL attribute folds
         "graphml_import": """

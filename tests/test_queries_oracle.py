@@ -114,8 +114,9 @@ SQL_CHECKED = [
     "logic_bindings",
     # traversal slice (ego / multi-source BFS / query-focused subgraph)
     "ego_network", "multi_source_bfs", "query_focused_subgraph",
-    # real RDF/GraphML import (SQL re-parses the same staged raw lines)
-    "rdf_import", "graphml_import",
+    # real RDF/Turtle/GraphML import (SQL re-parses the same staged raw
+    # lines; the turtle oracle re-derives the prefix expansion too)
+    "rdf_import", "turtle_import", "graphml_import",
     # fast-GraphRAG PageRank retrieval (vector sim → PPR → expansion)
     "pagerank_retrieval",
     # rule-based query optimizer (cost model + join reordering)
