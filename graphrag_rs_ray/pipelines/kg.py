@@ -211,6 +211,49 @@ def partial_entity_agg_from_final(batch: pa.Table) -> pa.Table:
     })
 
 
+def export_graph(result: KGResult, out_dir: str, fmt: str = "graphml") -> dict:
+    """Export a built KG for external/visualization tools via the
+    interchange sinks (``sources/rdf_graphml.py``): ``graphml`` or
+    ``ntriples``.  Adapts the KG schemas to the import model — entity
+    ``conf``/``mention_count`` and triple ``conf``/``n_contexts`` travel
+    as attributes (stringified; N-Triples drops edge attributes by that
+    sink's documented bound).  Round-trip: ``import_graphml(out)``
+    reproduces ids/names/types/attributes exactly."""
+    import json as _json
+
+    from ..sources.rdf_graphml import export_graphml, export_ntriples
+
+    def ents_adapter(t: pa.Table) -> pa.Table:
+        attrs = [
+            _json.dumps({"conf": f"{c:.6f}", "mention_count": str(m)},
+                        sort_keys=True)
+            for c, m in zip(t.column("conf").to_pylist(),
+                            t.column("mention_count").to_pylist())]
+        return pa.table({"id": t.column("entity_id"),
+                         "name": t.column("name"),
+                         "entity_type": t.column("type"),
+                         "attributes": pa.array(attrs, pa.string())})
+
+    def rels_adapter(t: pa.Table) -> pa.Table:
+        attrs = [
+            _json.dumps({"conf": f"{c:.6f}", "n_contexts": str(n)},
+                        sort_keys=True)
+            for c, n in zip(t.column("conf").to_pylist(),
+                            t.column("n_contexts").to_pylist())]
+        return pa.table({"source": t.column("subj"),
+                         "target": t.column("obj"),
+                         "relation_type": t.column("pred"),
+                         "attributes": pa.array(attrs, pa.string())})
+
+    ents = result.entities.map_batches(ents_adapter, batch_format="pyarrow")
+    rels = result.triples.map_batches(rels_adapter, batch_format="pyarrow")
+    if fmt == "graphml":
+        return export_graphml(ents, rels, out_dir)
+    if fmt == "ntriples":
+        return export_ntriples(ents, rels, out_dir)
+    raise ValueError(f"unknown export format: {fmt!r}")
+
+
 def write_graph(result: KGResult, out_dir: str, num_shards: int = 16,
                 input_token: str = "") -> dict:
     """Materialize the graph: ``entities/`` + ``triples/shard=K/`` adjacency

@@ -365,6 +365,38 @@ def test_graphml_stream_equals_whole_file(tmp_path):
     assert a[0].count() == 5003 and a[1].count() == 5002
 
 
+def test_export_built_kg_roundtrip(tmp_path):
+    """export_graph(built KG) → import_graphml reproduces the graph."""
+    from graphrag_rs_ray.config import KGConfig
+    from graphrag_rs_ray.pipelines.kg import build_kg, export_graph
+    from graphrag_rs_ray.sources.pages import pages_dataset
+    from graphrag_rs_ray.sources.rdf_graphml import import_graphml, import_rdf
+
+    kg = build_kg(pages_dataset(100, seed=3), KGConfig())
+    n_ents, n_tris = kg.entities.count(), kg.triples.count()
+
+    out = str(tmp_path / "gm")
+    stats = export_graph(kg, out, fmt="graphml")
+    assert stats["nodes"] == n_ents and stats["edges"] == n_tris
+    back_e, back_r, errors = import_graphml(out)
+    assert errors.count() == 0
+    assert back_e.count() == n_ents and back_r.count() == n_tris
+    edf = back_e.to_pandas()
+    kdf = kg.entities.to_pandas()
+    assert sorted(zip(edf["id"], edf["name"], edf["entity_type"])) == \
+        sorted(zip(kdf["entity_id"], kdf["name"], kdf["type"]))
+    assert edf["attributes"].str.contains('"conf"').all()
+
+    out2 = str(tmp_path / "nt")
+    stats2 = export_graph(kg, out2, fmt="ntriples")
+    assert stats2["relationship_triples"] == n_tris
+    e2, r2, err2 = import_rdf(out2)
+    assert err2.count() == 0 and e2.count() == n_ents and r2.count() == n_tris
+
+    with pytest.raises(ValueError):
+        export_graph(kg, str(tmp_path / "x"), fmt="dot")
+
+
 def _ents_ds(rows):
     import ray.data as rd
     return rd.from_arrow(pa.table({
