@@ -45,6 +45,9 @@ def main() -> int:
     ap.add_argument("--chunk-overlap", type=int, default=100)
     ap.add_argument("--min-confidence", type=float, default=0.7)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--export", default=None, choices=["graphml", "ntriples"],
+                    help="also export the built graph for external tools "
+                         "(written to <out>_export.<fmt>/)")
     args = ap.parse_args()
 
     import ray
@@ -73,10 +76,17 @@ def main() -> int:
     t0 = time.perf_counter()
     result = build_kg(pages, cfg, work_dir=args.work_dir)
     manifest = write_graph(result, args.out, num_shards=args.num_shards)
+    export_stats = None
+    if args.export:
+        from graphrag_rs_ray.pipelines.kg import export_graph
+        export_stats = export_graph(
+            result, f"{args.out.rstrip('/')}_export.{args.export}",
+            fmt=args.export)
     elapsed = time.perf_counter() - t0
 
     print(json.dumps({
         "out": args.out,
+        "export": export_stats,
         "seconds": round(elapsed, 2),
         "n_entities": manifest["n_entities"],
         "n_triples": manifest["n_triples"],
