@@ -77,6 +77,43 @@ def test_nt_garbage_never_parses_as_triple(lines):
     assert kinds <= {"x"}           # blanks/comments skipped, rest errors
 
 
+pname_local = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                           whitelist_characters="._-"),
+    min_size=1, max_size=20)
+
+
+@settings(max_examples=300, deadline=None)
+@given(pname_local, pname_local, pname_local,
+       st.sampled_from(["l", "r", "t"]), literal)
+def test_turtle_expansion_matches_direct_ntriples(ls, lp, lo, shape, lit):
+    """Rendering a triple with prefixed names and expanding it must parse
+    identically to rendering the same triple as raw N-Triples."""
+    from graphrag_rs_ray.sources.rdf_graphml import turtle_lines_to_ntriples
+    prefixes = {"ex": "http://ex.org/ns/", "": "http://ex.org/default/"}
+    s_full = f"http://ex.org/ns/{ls}"
+    p_full = f"http://ex.org/ns/{lp}"
+    if shape == "l":
+        from graphrag_rs_ray.sources.rdf_graphml import _escape_nt
+        ttl = f'ex:{ls} ex:{lp} "{_escape_nt(lit)}" .'
+        nt = f'<{s_full}> <{p_full}> "{_escape_nt(lit)}" .'
+    elif shape == "r":
+        ttl = f"ex:{ls} ex:{lp} :{lo} ."
+        nt = f"<{s_full}> <{p_full}> <http://ex.org/default/{lo}> ."
+    else:
+        ttl = f"ex:{ls} a ex:{lo} ."
+        nt = (f"<{s_full}> "
+              f"<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+              f"<http://ex.org/ns/{lo}> .")
+    import numpy as np
+    expanded = turtle_lines_to_ntriples(
+        {"text": np.array([ttl], dtype=object)}, prefixes)["text"]
+    assert len(expanded) == 1 and not expanded[0].startswith("\x00"), ttl
+    a = _parse_lines(expanded).to_pylist()
+    b = _parse_lines([nt]).to_pylist()
+    assert a == b
+
+
 xml_text = st.text(
     alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=40)
 
