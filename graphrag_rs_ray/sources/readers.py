@@ -264,3 +264,11 @@ def import_turtle(path: str, cfg: ImportConfig | None = None):
     its importer is a stub) — see ``rdf_graphml.py`` for the subset."""
     from .rdf_graphml import import_turtle as _impl
     return _impl(path, cfg)
+
+
+def import_graphml_stream(path: str, cfg: ImportConfig | None = None,
+                          batch_rows: int = 8192):
+    """Constant-memory GraphML import for a single file too large for
+    the per-file path — see ``rdf_graphml.py``."""
+    from .rdf_graphml import import_graphml_stream as _impl
+    return _impl(path, cfg, batch_rows)
