@@ -365,6 +365,45 @@ def test_graphml_stream_equals_whole_file(tmp_path):
     assert a[0].count() == 5003 and a[1].count() == 5002
 
 
+def test_rdf_import_hub_subject_skew(tmp_path):
+    """A hub subject with 100k facts lands in ONE merge bucket — the
+    vectorized per-bucket fold must absorb it (and the min-folds must
+    stay deterministic regardless of line order)."""
+    import time
+    from graphrag_rs_ray.sources.rdf_graphml import import_rdf
+    p = tmp_path / "hub.nt"
+    hub = "<http://ex.org/hub>"
+    lines = []
+    # labels/types/attrs emitted in DESCENDING order — min must win
+    for i in range(99999, -1, -1):
+        kind = i % 3
+        if kind == 0:
+            lines.append(f'{hub} <http://www.w3.org/2000/01/rdf-schema#label> "L{i:06d}" .')
+        elif kind == 1:
+            lines.append(f'{hub} <http://ex.org/ns/k{i % 7}> "v{i:06d}" .')
+        else:
+            lines.append(f"{hub} <http://ex.org/ns/links> <http://ex.org/o{i}> .")
+    p.write_text("\n".join(lines) + "\n")
+    t0 = time.perf_counter()
+    ents, rels, errors = import_rdf(str(p))
+    edf = ents.to_pandas()
+    wall = time.perf_counter() - t0
+    assert errors.count() == 0
+    assert len(edf) == 1
+    row = edf.iloc[0]
+    assert row["name"] == "L000000"          # min label
+    attrs = json.loads(row["attributes"])
+    assert len(attrs) == 7
+    # per-key min: k(i%7) over kind-1 lines; smallest i with i%3==1 and
+    # i%7==j determines v-min per key
+    for j, v in attrs.items():
+        jn = int(j[1:])
+        i = next(x for x in range(100000) if x % 3 == 1 and x % 7 == jn)
+        assert v == f"v{i:06d}", (j, v)
+    assert rels.count() == sum(1 for i in range(100000) if i % 3 == 2)
+    assert wall < 60, wall                   # absorbs the hot bucket
+
+
 def test_export_built_kg_roundtrip(tmp_path):
     """export_graph(built KG) → import_graphml reproduces the graph."""
     from graphrag_rs_ray.config import KGConfig
