@@ -84,12 +84,19 @@ def _local_name(term: str) -> str:
     return term
 
 
+_NT_UNESCAPE = re.compile(r"\\(.)")
+_NT_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", '"': '"', "\\": "\\"}
+
+
 def _unescape_nt(lit: str) -> str:
-    """N-Triples string-literal escapes (subset: the JSON-compatible ones)."""
+    """N-Triples string-literal escapes (subset: the JSON-compatible
+    ones).  Single left-to-right pass — a replace() chain corrupts
+    ``\\\\t`` (escaped backslash followed by 't'): the earlier
+    ``\\t``→TAB replace consumes the second backslash."""
     if "\\" not in lit:
         return lit
-    return (lit.replace("\\t", "\t").replace("\\n", "\n").replace("\\r", "\r")
-            .replace('\\"', '"').replace("\\\\", "\\"))
+    return _NT_UNESCAPE.sub(
+        lambda m: _NT_ESCAPES.get(m.group(1), m.group(1)), lit)
 
 
 def parse_ntriples_batch(batch) -> pa.Table:

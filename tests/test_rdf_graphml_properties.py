@@ -40,6 +40,18 @@ def test_nt_escape_roundtrip(s):
     assert _unescape_nt(_escape_nt(s)) == s
 
 
+# escape-dense alphabet: the original strategy almost never produced
+# adjacent backslash+specials, which hid a real replace-chain bug
+# ('\\' + 't' corrupted to '\\' + TAB on re-import)
+escape_dense = st.text(alphabet='\\"tnr\t\n\r x', max_size=30)
+
+
+@settings(max_examples=500, deadline=None)
+@given(escape_dense)
+def test_nt_escape_roundtrip_dense(s):
+    assert _unescape_nt(_escape_nt(s)) == s
+
+
 @settings(max_examples=300, deadline=None)
 @given(iri_body, iri_body, iri_body)
 def test_nt_resource_line_roundtrip(s, p, o):
