@@ -1218,6 +1218,18 @@ def q_ngram_dedup_pairs(sf_dir: str):
     return td.ngram_dedup_pairs(sf_dir, cand_ds=cand)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Transitive near-dup clustering (pairs → connected components →
+    min-member representative).  The candidate pairs are staged; DuckDB
+    independently re-computes the trigram-Jaccard verify from
+    ``documents``, the recursive reachability closure over the verified
+    pairs, the min-member cluster label, sizes and the keep flag."""
+    cand = _stage(td.minhash_lsh_candidates(sf_dir).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"),
+        "dedup_clusters", sf_dir)
+    return td.dedup_clusters(sf_dir, cand_ds=cand)
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end webtext curation (language/quality gates → exact dedup
     → MinHash-LSH near-dedup).  Only the MinHash band rows over the
@@ -3599,6 +3611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_signatures": q_simhash_signatures,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -8261,6 +8274,76 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM jac
             WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i * 1.0 / u END) >= 0.8
         """.replace("{c}", _staged_sql("ngram_dedup_pairs")),
+        # transitive clustering: the same trigram-Jaccard verify as
+        # ngram_dedup_pairs, then a recursive reachability closure over
+        # the verified pairs (MATERIALIZED is mandatory on CTEs the
+        # recursive arm references — DuckDB re-inlines them otherwise),
+        # min-member label, sizes, and the keep flag over ALL documents
+        "dedup_clusters": """
+            WITH RECURSIVE cand AS (SELECT doc_a, doc_b FROM {c}),
+            cd AS (SELECT DISTINCT doc_id FROM
+                   (SELECT doc_a AS doc_id FROM cand
+                    UNION SELECT doc_b FROM cand)),
+            docs AS (SELECT d.doc_id,
+                            lower(CASE WHEN length(trim(d.text)) = 0 THEN ''
+                                  ELSE array_to_string(
+                                    regexp_split_to_array(trim(d.text), '\\s+'), ' ')
+                                  END) AS s
+                     FROM documents d JOIN cd USING (doc_id)),
+            gs AS (SELECT unnest(range(1, 1 + greatest(
+                     (SELECT max(length(s))::INT FROM docs), 1))) AS i),
+            -- inside a WITH RECURSIVE clause DuckDB does NOT apply the
+            -- set-semantics dedup of a plain UNION in non-recursive CTEs
+            -- (measured: trigram multiplicities leak through and the
+            -- union-size arithmetic goes negative) — dedup explicitly
+            ngrams AS (
+              SELECT DISTINCT doc_id, ng FROM (
+                SELECT doc_id, substr(s, g.i::INT, 3) AS ng
+                FROM docs CROSS JOIN gs g
+                WHERE length(s) >= 3 AND g.i <= length(s) - 2
+                UNION ALL
+                SELECT doc_id, s FROM docs
+                WHERE length(s) BETWEEN 1 AND 2)),
+            sizes AS (SELECT doc_id, count(*) AS nn FROM ngrams GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c JOIN ngrams na ON na.doc_id = c.doc_a
+                          JOIN ngrams nb ON nb.doc_id = c.doc_b
+                                        AND nb.ng = na.ng
+              GROUP BY c.doc_a, c.doc_b),
+            jac AS (
+              SELECT c.doc_a, c.doc_b, coalesce(i.i, 0) AS i,
+                     coalesce(sa.nn, 0) + coalesce(sb.nn, 0)
+                       - coalesce(i.i, 0) AS u
+              FROM cand c
+              LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+              LEFT JOIN sizes sa ON sa.doc_id = c.doc_a
+              LEFT JOIN sizes sb ON sb.doc_id = c.doc_b),
+            und AS MATERIALIZED (
+              SELECT src, dst FROM (
+                SELECT doc_a AS src, doc_b AS dst FROM jac
+                WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i * 1.0 / u END) >= 0.8
+                UNION
+                SELECT doc_b, doc_a FROM jac
+                WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i * 1.0 / u END) >= 0.8)),
+            vnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM und),
+            r(node, lab) AS (
+              SELECT node, node FROM vnodes
+              UNION
+              SELECT u.dst, r.lab FROM r JOIN und u ON u.src = r.node),
+            comp AS (SELECT node AS doc_id, min(lab) AS cluster
+                     FROM r GROUP BY node),
+            csize AS (SELECT cluster, count(*)::BIGINT AS cluster_size
+                      FROM comp GROUP BY cluster)
+            SELECT d.doc_id,
+                   coalesce(cm.cluster, d.doc_id) AS cluster,
+                   coalesce(cs.cluster_size, 1)::BIGINT AS cluster_size,
+                   (CASE WHEN coalesce(cm.cluster, d.doc_id) = d.doc_id
+                         THEN 1 ELSE 0 END)::BIGINT AS is_kept
+            FROM documents d
+            LEFT JOIN comp cm USING (doc_id)
+            LEFT JOIN csize cs ON cs.cluster = cm.cluster
+        """.replace("{c}", _staged_sql("dedup_clusters")),
         "corpus_curation": """
             WITH w AS (
               SELECT doc_id, text,

@@ -395,6 +395,125 @@ def corpus_curation(sf_dir: str, min_tokens: int = 20,
     return surv.map_batches(final, batch_format="pyarrow")
 
 
+def dedup_clusters(sf_dir: str, threshold: float = 0.8, n: int = 3,
+                   cand_ds=None, small_graph_limit: int = 2_000_000,
+                   small_map_limit: int = 5_000_000):
+    """Transitive near-dup clustering: LSH candidates → char-trigram
+    Jaccard verify → connected components over the verified-pair graph →
+    one representative (min ``doc_id``) per cluster.
+
+    This is the cluster keep-policy a web-scale curation run actually
+    wants (one survivor per duplicate *cluster*, the RefinedWeb/CCNet
+    shape) and it genuinely differs from ``corpus_curation``'s per-pair
+    drop-larger rule: verified pairs (1,3),(2,3) keep {1,2} per-pair but
+    only {1} transitively — duplicate chains collapse to one survivor.
+
+    Scale shape: the verified-pair graph is tiny next to the corpus by
+    construction (only LSH-colliding, Jaccard-verified docs appear);
+    component labeling reuses the two-path CC machinery
+    (``pipelines.communities.connected_components``: driver union-find
+    ≤ ``small_graph_limit`` edges, hash-to-min label propagation with
+    pointer doubling above).  Assignments flow back onto ``documents``
+    via one broadcast map (≤ ``small_map_limit`` clustered docs) or a
+    bucketed left join — the corpus itself is never materialized.
+
+    Output per document: ``doc_id``, ``cluster`` (representative =
+    smallest member doc_id; singletons map to themselves),
+    ``cluster_size``, ``is_kept`` (1 for the representative, else 0 —
+    BIGINT per the no-NULL/no-bool oracle column discipline)."""
+    import ray
+
+    from ..stages.hashagg import (bucketed_join, grouped_arrow_agg,
+                                  hash_grouped_aggregate)
+    from .communities import connected_components
+
+    verified = ngram_dedup_pairs(sf_dir, threshold=threshold, n=n,
+                                 cand_ds=cand_ds)
+
+    # CC labels are strings with a lexicographic-min rule; zero-pad the
+    # int64 doc ids to a fixed width so lexicographic min == numeric min
+    pad = 20
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = [str(x).zfill(pad) for x in t.column("doc_a").to_pylist()]
+        b = [str(x).zfill(pad) for x in t.column("doc_b").to_pylist()]
+        return pa.table({"a": pa.array(a, pa.string()),
+                         "b": pa.array(b, pa.string())})
+
+    edges = verified.map_batches(to_edges,
+                                 batch_format="pyarrow").materialize()
+    docs = _docs(sf_dir, columns=("doc_id",))
+
+    def singletons(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        ones = pa.array([1] * batch.num_rows, pa.int64())
+        return pa.table({"doc_id": ids, "cluster": ids,
+                         "cluster_size": ones, "is_kept": ones})
+
+    if edges.count() == 0:
+        return docs.map_batches(singletons, batch_format="pyarrow")
+
+    comp = connected_components(edges, small_graph_limit=small_graph_limit)
+
+    def decode(t: pa.Table) -> pa.Table:
+        nodes = [int(v) for v in t.column("node").to_pylist()]
+        comps = [int(v) for v in t.column("component").to_pylist()]
+        return pa.table({"doc_id": pa.array(nodes, pa.int64()),
+                         "cluster": pa.array(comps, pa.int64())})
+
+    assign = comp.map_batches(decode, batch_format="pyarrow").materialize()
+
+    if assign.count() <= small_map_limit:
+        # small fast path (two-path discipline, equality-tested): the
+        # assignment is clustered-docs-only, broadcast ONCE via ray.put
+        amap: dict[int, int] = {}
+        for b in assign.iter_batches(batch_format="pyarrow"):
+            amap.update(zip(b.column("doc_id").to_pylist(),
+                            b.column("cluster").to_pylist()))
+        sizes: dict[int, int] = {}
+        for c in amap.values():
+            sizes[c] = sizes.get(c, 0) + 1
+        aref = ray.put((amap, sizes))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            m, s = ray.get(aref)
+            ids = batch.column("doc_id").to_pylist()
+            cl = [m.get(i, i) for i in ids]
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "cluster_size": pa.array([s.get(c, 1) for c in cl],
+                                         pa.int64()),
+                "is_kept": pa.array(
+                    [1 if c == i else 0 for i, c in zip(ids, cl)],
+                    pa.int64())})
+
+        return docs.map_batches(attach, batch_format="pyarrow")
+
+    # scale path: cluster sizes via the hash-bucketed aggregate, then two
+    # bucketed joins (assignment×sizes, documents×assignment) — no
+    # driver-side or broadcast copy of the assignment
+    sizes_ds = hash_grouped_aggregate(
+        assign, ["cluster"],
+        grouped_arrow_agg(["cluster"], [("doc_id", "count")],
+                          rename=["cluster", "cluster_size"]))
+    with_size = bucketed_join(assign, sizes_ds, on=["cluster"])
+    joined = bucketed_join(docs, with_size, on=["doc_id"], how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        # the left join pads misses with nulls, which promotes the int64
+        # columns to float64 in the pandas merge — cast back before use
+        cl = pc.coalesce(pc.cast(t.column("cluster"), pa.int64()), ids)
+        cs = pc.coalesce(pc.cast(t.column("cluster_size"), pa.int64()),
+                         pa.scalar(1, pa.int64()))
+        kept = pc.cast(pc.equal(cl, ids), pa.int64())
+        return pa.table({"doc_id": ids, "cluster": cl,
+                         "cluster_size": cs, "is_kept": kept})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def write_curated_corpus(curated_ds, out_dir: str, num_shards: int = 16,
                          fingerprint_parts: tuple = ()):
     """Resumable curated-corpus sink: ``docs/shard=K/`` partitioned by

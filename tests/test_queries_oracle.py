@@ -72,6 +72,9 @@ SQL_CHECKED = [
     # vocab hashes → vote/pack, candidate pairs → trigram Jaccard,
     # inverted lists + probes → within-lists cosine top-k
     "lsh_buckets", "simhash_signatures", "ngram_dedup_pairs", "ivf_topk",
+    # transitive near-dup clustering (verified pairs → recursive-CTE
+    # closure → min-member representative + sizes + keep flag)
+    "dedup_clusters",
     # end-to-end webtext curation (quality gates → exact dedup →
     # LSH near-dedup with the drop-larger-id rule); bands staged
     "corpus_curation",
