@@ -1230,6 +1230,16 @@ def q_dedup_clusters(sf_dir: str):
     return td.dedup_clusters(sf_dir, cand_ds=cand)
 
 
+def q_simhash_dup_pairs(sf_dir: str):
+    """SimHash near-dup pairs (4×16-bit pigeonhole bands → exact Hamming
+    verify ≤ 3).  The signature rows are staged; DuckDB independently
+    re-derives band slicing, the band-equality self-join and the
+    ``bit_count(xor(...))`` Hamming verify."""
+    sigs = _stage(td.simhash_signatures(sf_dir), "simhash_dup_pairs",
+                  sf_dir)
+    return td.simhash_dup_pairs(sf_dir, sigs_ds=sigs)
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end webtext curation (language/quality gates → exact dedup
     → MinHash-LSH near-dedup).  Only the MinHash band rows over the
@@ -3612,6 +3622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": q_simhash_signatures,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -8344,6 +8355,27 @@ def _oracle_sql_base() -> dict[str, str]:
             LEFT JOIN comp cm USING (doc_id)
             LEFT JOIN csize cs ON cs.cluster = cm.cluster
         """.replace("{c}", _staged_sql("dedup_clusters")),
+        "simhash_dup_pairs": """
+            WITH s AS (SELECT doc_id, simhash FROM {s}),
+            bands AS (
+              SELECT doc_id, b.i AS band,
+                     (simhash >> (16 * b.i)::INT) & 65535::UBIGINT
+                       AS band_val
+              FROM s CROSS JOIN generate_series(0, 3) b(i)),
+            cand AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM bands x JOIN bands y
+                ON x.band = y.band AND x.band_val = y.band_val
+               AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+            h AS (
+              SELECT c.doc_a, c.doc_b,
+                     bit_count(xor(sa.simhash, sb.simhash))::BIGINT
+                       AS hamming
+              FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
+                          JOIN s sb ON sb.doc_id = c.doc_b)
+            SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
+        """.replace("{s}", _staged_sql("simhash_dup_pairs")),
         "corpus_curation": """
             WITH w AS (
               SELECT doc_id, text,

@@ -271,6 +271,22 @@ def run_bench() -> dict:
         return td.corpus_curation(sf_dir).count()
 
     timed("corpus_curation", curation_unstaged)
+
+    # transitive near-dup clustering, un-staged production path
+    # (LSH candidates → trigram verify → CC → representative per cluster)
+    def dedup_clusters_unstaged():
+        from graphrag_rs_ray.pipelines import training_data as td
+        return td.dedup_clusters(sf_dir).count()
+
+    timed("dedup_clusters", dedup_clusters_unstaged)
+
+    # simhash near-dup pairs, un-staged production path (signatures →
+    # pigeonhole bands → Hamming verify)
+    def simhash_pairs_unstaged():
+        from graphrag_rs_ray.pipelines import training_data as td
+        return td.simhash_dup_pairs(sf_dir).count()
+
+    timed("simhash_dup_pairs", simhash_pairs_unstaged)
     timed("bm25_df", lambda: q["bm25_df"](sf_dir).count())
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())

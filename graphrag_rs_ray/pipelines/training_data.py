@@ -160,6 +160,159 @@ def simhash_signatures(sf_dir: str):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy<2 has no
+    bitwise_count; unpackbits on the byte view is vectorized)."""
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int = 4,
+                      sigs_ds=None, small_cand_limit: int = 10_000):
+    """SimHash near-dup pairs: 64-bit signatures → pigeonhole banding →
+    exact Hamming verify.
+
+    The 64-bit signature is sliced into ``n_bands`` equal bands; any two
+    signatures within Hamming distance < ``n_bands`` agree exactly on at
+    least one band (pigeonhole), so band-equality buckets have guaranteed
+    recall for ``max_hamming ≤ n_bands - 1`` (the classic simhash dedup
+    layout: 4 × 16-bit bands for distance ≤ 3).  Candidates then get an
+    exact vectorized popcount verify.
+
+    Same two-phase bucket discipline as ``minhash_lsh_candidates``
+    (vectorized occupancy count first, per-group Python only on colliding
+    buckets) and the same two-path verify as ``ngram_dedup_pairs``
+    (broadcast the candidate signatures below ``small_cand_limit``,
+    bucketed joins above — the signature table is 16 bytes/doc, but at
+    web scale even that never ships whole).
+
+    ``sigs_ds`` lets the query layer stage the signature rows so the
+    band→candidate→verify derivation is DuckDB-oracle-checked
+    (``bit_count(xor(...))``); the signature hashing itself stays
+    unit-gated via the staged-vocab ``simhash_signatures`` oracle."""
+    import pandas as pd
+    import ray
+
+    from ..stages.hashagg import (bucketed_join, grouped_arrow_agg,
+                                  hash_grouped_aggregate)
+
+    sigs = (sigs_ds if sigs_ds is not None
+            else simhash_signatures(sf_dir)).materialize()
+    band_width = 64 // n_bands
+    mask = np.uint64((1 << band_width) - 1)
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        s = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        parts = []
+        for b in range(n_bands):
+            parts.append(pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(np.full(len(ids), b, np.int64())),
+                "band_val": pa.array((s >> np.uint64(band_width * b)) & mask,
+                                     pa.uint64())}))
+        return pa.concat_tables(parts)
+
+    bands = sigs.map_batches(to_bands, batch_format="pyarrow").materialize()
+    counts = hash_grouped_aggregate(
+        bands, ["band", "band_val"],
+        grouped_arrow_agg(["band", "band_val"], [("doc_id", "count")],
+                          rename=["band", "band_val", "n"]))
+    hot = counts.filter(expr="n > 1").to_pandas()
+    hot_keys = (set() if hot.empty else
+                set(zip(hot["band"].astype(int),
+                        hot["band_val"].astype("uint64"))))
+    hot_ref = ray.put(hot_keys)
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        bs = batch.column("band").to_pylist()
+        vs = batch.column("band_val").to_pylist()
+        keep = pa.array([(b, v) in keys for b, v in zip(bs, vs)], pa.bool_())
+        return batch.filter(keep)
+
+    def pairs(group: pd.DataFrame) -> pa.Table:
+        ids = sorted(set(group["doc_id"]))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i]); b.append(ids[j])
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
+
+    # native groupby is safe HERE (hashagg-rule exception, same as
+    # minhash_lsh_candidates): only colliding buckets reach Python
+    cand = hash_grouped_aggregate(
+        (bands.map_batches(only_hot, batch_format="pyarrow")
+         .groupby(["band", "band_val"]).map_groups(pairs,
+                                                   batch_format="pandas")),
+        ["doc_a", "doc_b"],
+        grouped_arrow_agg(["doc_a", "doc_b"], [("doc_a", "count")],
+                          rename=["doc_a", "doc_b", "n_bands"]),
+    ).map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                  batch_format="pyarrow").materialize()
+
+    def _verify_arrays(da, db, sa, sb):
+        h = _popcount64(np.bitwise_xor(sa, sb))
+        keep = h <= max_hamming
+        return pa.table({
+            "doc_a": pa.array(da[keep], pa.int64()),
+            "doc_b": pa.array(db[keep], pa.int64()),
+            "hamming": pa.array(h[keep], pa.int64())})
+
+    n_cand = cand.count()
+    if n_cand == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                       "doc_b": pa.array([], pa.int64()),
+                                       "hamming": pa.array([], pa.int64())}))
+
+    if n_cand <= small_cand_limit:
+        # small fast path: candidate-doc signatures only (never the full
+        # table at scale; here candidates bound the broadcast)
+        ids: set[int] = set()
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            ids.update(b.column("doc_a").to_pylist())
+            ids.update(b.column("doc_b").to_pylist())
+        sig_map: dict[int, int] = {}
+        idarr = pa.array(sorted(ids), pa.int64())
+        for b in sigs.iter_batches(batch_format="pyarrow"):
+            f = b.filter(pc.is_in(b.column("doc_id"), value_set=idarr))
+            sig_map.update(zip(f.column("doc_id").to_pylist(),
+                               f.column("simhash").to_pylist()))
+        sref = ray.put(sig_map)
+
+        def verify_small(batch: pa.Table) -> pa.Table:
+            sm = ray.get(sref)
+            da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            sa = np.array([sm[x] for x in da], np.uint64)
+            sb = np.array([sm[x] for x in db], np.uint64)
+            return _verify_arrays(da, db, sa, sb)
+
+        return cand.map_batches(verify_small, batch_format="pyarrow")
+
+    def sigs_as(key: str):
+        return sigs.map_batches(
+            lambda t, k=key: t.rename_columns([k, f"sig_{k[-1]}"]),
+            batch_format="pyarrow")
+
+    n_buckets = max(8, min(64, n_cand // 50_000 + 1))
+    with_a = bucketed_join(cand, sigs_as("doc_a"), on=["doc_a"],
+                           num_buckets=n_buckets)
+    with_ab = bucketed_join(with_a, sigs_as("doc_b"), on=["doc_b"],
+                            num_buckets=n_buckets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        sa = batch.column("sig_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        sb = batch.column("sig_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return _verify_arrays(da, db, sa, sb)
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
 def simhash_vocab(sf_dir: str):
     """Distinct (word, h) rows over the corpus's lowercased whitespace
     tokens, h = the stable 64-bit word hash SimHash votes on.  Staged for

@@ -138,6 +138,50 @@ def main():
                       "recall_planted_exact": round(rec_exact, 4),
                       "non_planted_pairs": extras}), flush=True)
 
+    # transitive clustering over the SAME candidates: the planted block
+    # structure makes every i%33==32 a 3-doc chain {i-2 (base), i-1
+    # (exact copy), i (near mutation)} whose representative is i-2 —
+    # cluster recall is the fraction of those chains recovered intact
+    import pyarrow.compute as _pc
+
+    def _cluster_stats(ds):
+        def flags(t: pa.Table) -> pa.Table:
+            rep3 = _pc.and_(
+                _pc.and_(_pc.equal(t.column("is_kept"), 1),
+                         _pc.equal(t.column("cluster_size"), 3)),
+                _pc.equal(_pc.subtract(
+                    t.column("doc_id"),
+                    _pc.multiply(_pc.divide(t.column("doc_id"), 33), 33)), 30))
+            return pa.table({
+                "kept": t.column("is_kept"),
+                "rep3": _pc.cast(rep3, pa.int64())})
+        f = ds.map_batches(flags, batch_format="pyarrow").materialize()
+        return f.sum("kept"), f.sum("rep3")
+
+    expected_chains = sum(1 for i in range(n_docs) if i % 33 == 32 and i >= 2)
+    t0 = time.perf_counter()
+    n_kept_cl, n_chains = _cluster_stats(td.dedup_clusters(sf_dir, cand_ds=cand))
+    t_cl = time.perf_counter() - t0
+    print(json.dumps({"op": "dedup_clusters", "n_docs": n_docs,
+                      "sec": round(t_cl, 1), "kept": n_kept_cl,
+                      "chains_of_3_recovered": n_chains,
+                      "chains_planted": expected_chains,
+                      "chain_recall": round(n_chains / expected_chains, 4)
+                      if expected_chains else 1.0}), flush=True)
+
+    # forced sharded twins (distributed CC + bucketed join-back, no
+    # broadcast map) — must reproduce the fast-path summary exactly
+    t0 = time.perf_counter()
+    n_kept_sh, n_chains_sh = _cluster_stats(
+        td.dedup_clusters(sf_dir, cand_ds=cand,
+                          small_graph_limit=0, small_map_limit=0))
+    t_sh = time.perf_counter() - t0
+    print(json.dumps({"op": "dedup_clusters_sharded", "n_docs": n_docs,
+                      "sec": round(t_sh, 1),
+                      "equal_to_fast_path": bool(
+                          (n_kept_sh, n_chains_sh)
+                          == (n_kept_cl, n_chains))}), flush=True)
+
     # end-to-end curation (annotate → gates → exact dedup → LSH
     # near-dedup drop), recomputing signatures/candidates/verify inside —
     # the honest single-pipeline cost.  The synthetic vocab has no

@@ -75,6 +75,8 @@ SQL_CHECKED = [
     # transitive near-dup clustering (verified pairs → recursive-CTE
     # closure → min-member representative + sizes + keep flag)
     "dedup_clusters",
+    # simhash banding → candidates → bit_count(xor) Hamming verify
+    "simhash_dup_pairs",
     # end-to-end webtext curation (quality gates → exact dedup →
     # LSH near-dedup with the drop-larger-id rule); bands staged
     "corpus_curation",
