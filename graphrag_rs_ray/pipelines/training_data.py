@@ -186,6 +186,15 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int = 4,
     bucketed joins above — the signature table is 16 bytes/doc, but at
     web scale even that never ships whole).
 
+    Scale bound (documented, not hidden): with 64 signature bits fixed,
+    guaranteeing distance ≤ 3 forces 16-bit bands, and band-bucket
+    occupancy grows ~N²/2¹⁶ on uniform signatures — fine to ~1M docs,
+    hopeless at web scale (Manku et al. 2007 move to sorted
+    permuted-prefix tables for that regime).  This operator is the
+    exact-recall small/medium-corpus member of the dedup family; the
+    primary web-scale near-dedup path in this repo stays MinHash-LSH →
+    ``dedup_clusters``.
+
     ``sigs_ds`` lets the query layer stage the signature rows so the
     band→candidate→verify derivation is DuckDB-oracle-checked
     (``bit_count(xor(...))``); the signature hashing itself stays
@@ -218,18 +227,21 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int = 4,
         bands, ["band", "band_val"],
         grouped_arrow_agg(["band", "band_val"], [("doc_id", "count")],
                           rename=["band", "band_val", "n"]))
+    # hot-bucket key set is bounded by n_bands × 2^band_width rows
+    # regardless of corpus size; pack (band, band_val) into one uint64 so
+    # the filter is a vectorized pc.is_in, not a per-row Python loop
     hot = counts.filter(expr="n > 1").to_pandas()
-    hot_keys = (set() if hot.empty else
-                set(zip(hot["band"].astype(int),
-                        hot["band_val"].astype("uint64"))))
-    hot_ref = ray.put(hot_keys)
+    pack_shift = np.uint64(band_width)
+    hot_packed = (np.array([], np.uint64) if hot.empty else
+                  (hot["band"].to_numpy().astype(np.uint64) << pack_shift)
+                  | hot["band_val"].to_numpy().astype(np.uint64))
+    hot_ref = ray.put(pa.array(hot_packed, pa.uint64()))
 
     def only_hot(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        bs = batch.column("band").to_pylist()
-        vs = batch.column("band_val").to_pylist()
-        keep = pa.array([(b, v) in keys for b, v in zip(bs, vs)], pa.bool_())
-        return batch.filter(keep)
+        b = batch.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch.column("band_val").to_numpy(zero_copy_only=False).astype(np.uint64)
+        packed = pa.array((b << pack_shift) | v, pa.uint64())
+        return batch.filter(pc.is_in(packed, value_set=ray.get(hot_ref)))
 
     def pairs(group: pd.DataFrame) -> pa.Table:
         ids = sorted(set(group["doc_id"]))
@@ -549,7 +561,8 @@ def corpus_curation(sf_dir: str, min_tokens: int = 20,
 
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.8, n: int = 3,
-                   cand_ds=None, small_graph_limit: int = 2_000_000,
+                   cand_ds=None, verified_ds=None,
+                   small_graph_limit: int = 2_000_000,
                    small_map_limit: int = 5_000_000):
     """Transitive near-dup clustering: LSH candidates → char-trigram
     Jaccard verify → connected components over the verified-pair graph →
@@ -580,8 +593,12 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, n: int = 3,
                                   hash_grouped_aggregate)
     from .communities import connected_components
 
-    verified = ngram_dedup_pairs(sf_dir, threshold=threshold, n=n,
-                                 cand_ds=cand_ds)
+    # ``verified_ds`` lets a pipeline that already ran the Jaccard
+    # verify (corpus_curation, the scale scripts) feed its pairs in
+    # without recomputing the two corpus joins
+    verified = (verified_ds if verified_ds is not None
+                else ngram_dedup_pairs(sf_dir, threshold=threshold, n=n,
+                                       cand_ds=cand_ds))
 
     # CC labels are strings with a lexicographic-min rule; zero-pad the
     # int64 doc ids to a fixed width so lexicographic min == numeric min

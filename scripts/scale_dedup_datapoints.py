@@ -182,6 +182,30 @@ def main():
                           (n_kept_sh, n_chains_sh)
                           == (n_kept_cl, n_chains))}), flush=True)
 
+    # simhash banding, capped at 200k docs (documented scale bound:
+    # 16-bit band occupancy grows ~N²/2^16 — the op is the exact-recall
+    # small/medium-corpus dedup; MinHash-LSH is the web-scale path).
+    # Exact copies have Hamming 0 → recall must be 1.0; the 3%-mutation
+    # near-dups land wherever their vote margins fall — observed, not
+    # gated.
+    n_sim = min(n_docs, 200_000)
+    sim_sigs = td.simhash_signatures(sf_dir).filter(
+        expr=f"doc_id < {n_sim}").materialize()
+    t0 = time.perf_counter()
+    sh = td.simhash_dup_pairs(sf_dir, sigs_ds=sim_sigs).to_pandas()
+    t_sh2 = time.perf_counter() - t0
+    sh_pairs = set(zip(sh.doc_a, sh.doc_b))
+    planted_ex_sim = {(i - 1, i) for i in range(n_sim) if i % 33 == 31}
+    planted_nr_sim = {(i - 2, i) for i in range(n_sim) if i % 33 == 32}
+    print(json.dumps({
+        "op": "simhash_dup_pairs", "n_docs": n_sim,
+        "sec": round(t_sh2, 1), "pairs": len(sh_pairs),
+        "recall_exact": round(len(sh_pairs & planted_ex_sim)
+                              / len(planted_ex_sim), 4),
+        "recall_near_observed": round(len(sh_pairs & planted_nr_sim)
+                                      / len(planted_nr_sim), 4)}),
+        flush=True)
+
     # end-to-end curation (annotate → gates → exact dedup → LSH
     # near-dedup drop), recomputing signatures/candidates/verify inside —
     # the honest single-pipeline cost.  The synthetic vocab has no
