@@ -3623,6 +3623,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash_dup_pairs": q_simhash_dup_pairs,
+        # winnowing fingerprints: zero-staging oracle (full SQL re-derive)
+        "winnow_fingerprints": td.winnow_fingerprints,
+        "winnow_dup_pairs": td.winnow_dup_pairs,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4601,8 +4604,57 @@ _NT_PARSE_SQL_BODY = """
         """
 
 
+def _winnow_cte(k: int = 12, w: int = 5, base: int = 257) -> str:
+    """CTE list re-deriving `functions.dedup.Winnower` fingerprints in SQL
+    straight from ``documents.text`` (zero staging): ASCII-filter-then-
+    lowercase normalize, degree-(k-1) polynomial gram hash in HUGEINT
+    folded mod 2^64 then masked to 63 bits (≡ numpy uint64 wraparound +
+    mask), rightmost-window-min selection via equality-joined window
+    explosion (never a per-doc range join — that is quadratic in grams)."""
+    mod64 = 1 << 64
+    pows = [pow(base, k - 1 - j, mod64) for j in range(k)]
+    terms = " + ".join(
+        f"ascii(substr(s, pos + {j + 1}, 1))::HUGEINT * {p}"
+        for j, p in enumerate(pows))
+    return f"""
+        norm AS (SELECT doc_id,
+                        lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS s
+                 FROM documents),
+        wg AS (SELECT doc_id, unnest(range(0, length(s) - {k} + 1)) AS pos, s
+               FROM norm WHERE length(s) >= {k}),
+        gh AS (SELECT doc_id, pos,
+                      (({terms}) % {mod64} % {1 << 63})::BIGINT AS h
+               FROM wg),
+        wng AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+        wstarts AS (SELECT gh.doc_id, gh.pos AS s
+                    FROM gh JOIN wng USING (doc_id)
+                    WHERE gh.pos <= greatest(wng.n - {w}, 0)),
+        wjh AS (SELECT st.doc_id, st.s, h2.pos, h2.h
+                FROM (SELECT doc_id, s, s + unnest(range(0, {w})) AS pos
+                      FROM wstarts) st
+                JOIN gh h2 USING (doc_id, pos)),
+        wmin AS (SELECT doc_id, s, min(h) AS mh FROM wjh GROUP BY doc_id, s),
+        wsel AS (SELECT w1.doc_id, max(w2.pos) AS pos, w1.mh AS fp
+                 FROM wmin w1 JOIN wjh w2
+                   ON w2.doc_id = w1.doc_id AND w2.s = w1.s AND w2.h = w1.mh
+                 GROUP BY w1.doc_id, w1.s, w1.mh),
+        winnow_fps AS (SELECT DISTINCT doc_id, pos, fp FROM wsel)"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
+    d["winnow_fingerprints"] = ("WITH " + _winnow_cte() +
+                                "\nSELECT doc_id, pos, fp FROM winnow_fps")
+    d["winnow_dup_pairs"] = ("WITH " + _winnow_cte() + """,
+        wdf AS (SELECT DISTINCT doc_id, fp FROM winnow_fps),
+        wcnt AS (SELECT fp FROM wdf
+                 GROUP BY fp HAVING count(*) > 1 AND count(*) <= 16),
+        wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM wdf a
+               JOIN wcnt c ON a.fp = c.fp
+               JOIN wdf b ON b.fp = a.fp AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, count(*)::BIGINT AS n_shared
+        FROM wp GROUP BY doc_a, doc_b HAVING count(*) >= 4""")
     d["bm25_topk"] = ("SELECT * FROM (" + d["bm25_scores"] +
                       ") ORDER BY score DESC, doc_id ASC LIMIT 10")
     d["pagerank"] = _pagerank_sql(n_iter=8, damping=0.85, round_digits=8)

@@ -287,6 +287,14 @@ def run_bench() -> dict:
         return td.simhash_dup_pairs(sf_dir).count()
 
     timed("simhash_dup_pairs", simhash_pairs_unstaged)
+
+    # winnowing fingerprint dedup (MOSS): k-gram hash + window-min
+    # selection → shared-fp pairs with the stop-gram cap
+    def winnow_pairs():
+        from graphrag_rs_ray.pipelines import training_data as td
+        return td.winnow_dup_pairs(sf_dir).count()
+
+    timed("winnow_dup_pairs", winnow_pairs)
     timed("bm25_df", lambda: q["bm25_df"](sf_dir).count())
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())

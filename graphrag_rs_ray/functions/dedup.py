@@ -224,3 +224,62 @@ class SimHasher:
 
 def hamming_distance(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+class Winnower:
+    """MOSS-style winnowing document fingerprints (Schleimer, Wilkerson,
+    Aiken, SIGMOD 2003 — PAPERS.md).  Not in the reference (its dedup is
+    exact relationship dedup only, ``entity/gleaning_extractor.rs:418-436``);
+    this is the standard local-document fingerprint for plagiarism-style
+    near-dup detection: any shared substring of length ``k + w - 1`` or more
+    is guaranteed to share at least one selected fingerprint.
+
+    Deliberately DuckDB-replayable with ZERO staging (the oracle re-derives
+    everything straight from ``documents.text``):
+
+    - normalize = keep ``[a-zA-Z0-9]`` bytes only, then ASCII-lowercase
+      (filter-then-lower keeps Python/DuckDB unicode lowercasing out of the
+      comparison — non-ASCII just drops, documented bound);
+    - gram hash = degree-(k-1) polynomial in base 257 over the byte values,
+      mod 2^64 (numpy uint64 wraparound ≡ HUGEINT ``% 2^64`` in SQL), then
+      masked to 63 bits so both sides carry it as a BIGINT;
+    - selection = per window of ``w`` consecutive grams, the RIGHTMOST
+      position attaining the window minimum (the paper's robust-winnowing
+      tie rule); a document shorter than ``w`` grams is one window.
+    """
+
+    def __init__(self, k: int = 8, w: int = 4, base: int = 257):
+        self.k, self.w, self.base = k, w, base
+        self.pows = np.array([pow(base, k - 1 - j, 1 << 64) for j in range(k)],
+                             dtype=np.uint64)
+        lut = np.full(256, 255, np.uint8)
+        for c in range(ord("a"), ord("z") + 1):
+            lut[c] = c
+        for c in range(ord("0"), ord("9") + 1):
+            lut[c] = c
+        for c in range(ord("A"), ord("Z") + 1):
+            lut[c] = c + 32  # ASCII lowercase
+        self.lut = lut
+
+    def fingerprints(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """→ (positions, hashes): distinct winnowing selections, position-
+        sorted.  Position = gram start offset in the normalized string."""
+        raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        mapped = self.lut[raw]
+        c = mapped[mapped != 255].astype(np.uint64)
+        n = c.size - self.k + 1
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        if n <= 0:
+            return empty
+        h = np.zeros(n, np.uint64)
+        for j in range(self.k):
+            h += c[j:j + n] * self.pows[j]  # u64 wraparound by construction
+        h &= np.uint64((1 << 63) - 1)
+        if n <= self.w:
+            sel = np.array([n - 1 - int(np.argmin(h[::-1]))], dtype=np.int64)
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(h, self.w)
+            right_argmin = self.w - 1 - np.argmin(wins[:, ::-1], axis=1)
+            sel = np.arange(n - self.w + 1, dtype=np.int64) + right_argmin
+        pos = np.unique(sel)
+        return pos, h[pos].astype(np.int64)

@@ -1117,6 +1117,91 @@ def doc_fingerprints(sf_dir: str):
     return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
 
 
+def winnow_fingerprints(sf_dir: str, k: int = 12, w: int = 5, docs_ds=None):
+    """MOSS-style winnowing fingerprints (rolling k-gram hash + rightmost-
+    min window selection; ``functions.dedup.Winnower``): one row per
+    distinct selected gram, columns (doc_id, pos, fp).
+
+    Zero-staging DuckDB oracle — the whole kernel (normalize, polynomial
+    hash mod 2^64, window selection) is re-derived in SQL straight from
+    ``documents.text``.  Stateless vectorized map over the docs; at scale
+    the output is ~2/(w+1) fingerprints per normalized char, emitted
+    block-local with no shuffle."""
+    from ..functions.dedup import Winnower
+
+    wn = Winnower(k=k, w=w)
+
+    def fps(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        out_id, out_pos, out_fp = [], [], []
+        for d, t in zip(ids, batch.column("text").to_pylist()):
+            p, h = wn.fingerprints(t)
+            out_id.append(np.full(p.size, d, np.int64))
+            out_pos.append(p)
+            out_fp.append(h)
+        cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
+        return pa.table({"doc_id": pa.array(cat(out_id), pa.int64()),
+                         "pos": pa.array(cat(out_pos), pa.int64()),
+                         "fp": pa.array(cat(out_fp), pa.int64())})
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    return docs.map_batches(fps, batch_format="pyarrow")
+
+
+def winnow_dup_pairs(sf_dir: str, k: int = 12, w: int = 5,
+                     min_shared: int = 4, max_docs_per_fp: int = 16,
+                     docs_ds=None):
+    """Near-dup candidate pairs from shared winnowing fingerprints: docs
+    sharing ≥ ``min_shared`` distinct fingerprint values, with the shared
+    count.  Fingerprints held by more than ``max_docs_per_fp`` docs are
+    dropped as stop-grams (ubiquitous substrings are non-discriminative —
+    and at web scale a hot fingerprint bucket is a quadratic pair bomb);
+    the cap is part of the operator contract and the oracle replays it.
+
+    Same two-phase hot-bucket shape as ``minhash_lsh_candidates``, but the
+    bucket key is a single int64 so the filter is a vectorized
+    ``pc.is_in``."""
+    import pandas as pd
+    import ray
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    fps = hash_grouped_aggregate(
+        winnow_fingerprints(sf_dir, k, w, docs_ds=docs_ds), ["doc_id", "fp"],
+        grouped_arrow_agg(["doc_id", "fp"], [("pos", "count")],
+                          rename=["doc_id", "fp", "_n"])
+    ).select_columns(["doc_id", "fp"]).materialize()
+    counts = hash_grouped_aggregate(
+        fps, ["fp"],
+        grouped_arrow_agg(["fp"], [("doc_id", "count")], rename=["fp", "nd"]))
+    hot = counts.filter(
+        expr=f"nd > 1 and nd <= {max_docs_per_fp}").to_pandas()
+    hot_arr = pa.array([] if hot.empty else hot["fp"].astype(np.int64),
+                       pa.int64())
+    hot_ref = ray.put(hot_arr)
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("fp"), ray.get(hot_ref)))
+
+    def pairs(group: pd.DataFrame) -> pa.Table:
+        ids = sorted(set(group["doc_id"]))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i]); b.append(ids[j])
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
+
+    # native groupby is safe HERE (hashagg-rule exception, same as
+    # minhash_lsh_candidates): only colliding non-stop fingerprints remain
+    cand = (fps.map_batches(only_hot, batch_format="pyarrow")
+            .groupby("fp").map_groups(pairs, batch_format="pandas"))
+    shared = hash_grouped_aggregate(
+        cand, ["doc_a", "doc_b"],
+        grouped_arrow_agg(["doc_a", "doc_b"], [("doc_a", "count")],
+                          rename=["doc_a", "doc_b", "n_shared"]))
+    return shared.filter(expr=f"n_shared >= {min_shared}")
+
+
 def bm25_df(sf_dir: str):
     """Corpus document frequencies over the BM25 tokenizer
     (``retrieval/bm25.rs:70-113``): two-phase — per-batch distinct
