@@ -3626,6 +3626,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # winnowing fingerprints: zero-staging oracle (full SQL re-derive)
         "winnow_fingerprints": td.winnow_fingerprints,
         "winnow_dup_pairs": td.winnow_dup_pairs,
+        # CCNet-style bigram-LM quality scoring: zero-staging oracle
+        "lm_perplexity": td.lm_perplexity,
+        "perplexity_buckets": td.perplexity_buckets,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4641,8 +4644,57 @@ def _winnow_cte(k: int = 12, w: int = 5, base: int = 257) -> str:
         winnow_fps AS (SELECT DISTINCT doc_id, pos, fp FROM wsel)"""
 
 
+_LM_PPL_CTE = r"""
+    toks0 AS (
+      SELECT doc_id, lang, list_filter(list_transform(
+               regexp_split_to_array(trim(text), '\s+'),
+               x -> regexp_replace(lower(x), '[^\p{L}\p{N}]', '', 'g')),
+               x -> length(x) > 0) AS l
+      FROM documents WHERE length(trim(text)) > 0),
+    seq AS (
+      SELECT doc_id, lang, l, unnest(range(1, len(l) + 1)) AS pos
+      FROM toks0 WHERE len(l) > 0),
+    bg AS (
+      SELECT doc_id, lang,
+             CASE WHEN pos = 1 THEN '<s>' ELSE l[pos - 1] END AS prev,
+             l[pos] AS cur
+      FROM seq),
+    big AS (SELECT prev, cur, count(*)::BIGINT AS cb FROM bg GROUP BY prev, cur),
+    ctx AS (SELECT prev, sum(cb)::BIGINT AS cctx FROM big GROUP BY prev),
+    voc AS (SELECT count(DISTINCT cur)::BIGINT AS v FROM bg),
+    lp AS (
+      SELECT bg.doc_id, bg.lang,
+             floor(ln((big.cb + 1)::DOUBLE / (ctx.cctx + voc.v)) * 1e6)::BIGINT AS lpq
+      FROM bg JOIN big USING (prev, cur) JOIN ctx USING (prev) CROSS JOIN voc),
+    fin AS (
+      SELECT doc_id, lang, count(*)::BIGINT AS n_tokens,
+             (-sum(lpq))::BIGINT AS nll_micro,
+             ((-sum(lpq)) * 1000 // count(*))::BIGINT AS avg_nll_nano
+      FROM lp GROUP BY doc_id, lang)"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
+    d["lm_perplexity"] = ("WITH " + _LM_PPL_CTE + """
+        SELECT doc_id, lang, n_tokens, nll_micro, avg_nll_nano,
+               round(exp(avg_nll_nano / 1e9), 6) AS ppl
+        FROM fin""")
+    d["perplexity_buckets"] = ("WITH " + _LM_PPL_CTE + """,
+        hist AS (SELECT lang, avg_nll_nano AS v, count(*)::BIGINT AS c
+                 FROM fin GROUP BY lang, avg_nll_nano),
+        tot AS (SELECT lang, sum(c)::BIGINT AS n FROM hist GROUP BY lang),
+        cum AS (SELECT lang, v,
+                       sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum
+                FROM hist),
+        t1 AS (SELECT cum.lang, min(v) AS cut1 FROM cum JOIN tot USING (lang)
+               WHERE cum * 3 >= tot.n GROUP BY cum.lang),
+        t2 AS (SELECT cum.lang, min(v) AS cut2 FROM cum JOIN tot USING (lang)
+               WHERE cum * 3 >= 2 * tot.n GROUP BY cum.lang)
+        SELECT f.doc_id, f.lang, f.avg_nll_nano,
+               CASE WHEN f.avg_nll_nano <= t1.cut1 THEN 'head'
+                    WHEN f.avg_nll_nano <= t2.cut2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM fin f JOIN t1 USING (lang) JOIN t2 USING (lang)""")
     d["winnow_fingerprints"] = ("WITH " + _winnow_cte() +
                                 "\nSELECT doc_id, pos, fp FROM winnow_fps")
     d["winnow_dup_pairs"] = ("WITH " + _winnow_cte() + """,

@@ -295,6 +295,13 @@ def run_bench() -> dict:
         return td.winnow_dup_pairs(sf_dir).count()
 
     timed("winnow_dup_pairs", winnow_pairs)
+
+    # CCNet-style corpus-trained bigram-LM perplexity + per-lang buckets
+    def ppl_buckets():
+        from graphrag_rs_ray.pipelines import training_data as td
+        return td.perplexity_buckets(sf_dir).count()
+
+    timed("perplexity_buckets", ppl_buckets)
     timed("bm25_df", lambda: q["bm25_df"](sf_dir).count())
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())

@@ -93,6 +93,20 @@ def bm25_tokenize(text: str) -> list[str]:
     return out
 
 
+def lm_tokenize(text: str) -> list[str]:
+    """LM tokenizer: whitespace split, lowercase, strip non-alnum per
+    token, keep EVERY non-empty token in sequence (no stopword or length
+    filter — an LM needs the full stream, unlike ``bm25_tokenize``).
+    Normalization is byte-for-byte the bm25 oracle's proven-parity shape
+    (split → lower → strip ``[^\\p{L}\\p{N}]``)."""
+    out = []
+    for tok in text.lower().split():
+        tok = "".join(c for c in tok if c.isalnum())
+        if tok:
+            out.append(tok)
+    return out
+
+
 # ---- training-data extensions ------------------------------------------
 
 def quality_stats(text: str) -> dict:

@@ -25,6 +25,7 @@ from ..functions.textstats import (
     bm25_tokenize,
     detect_language,
     fingerprint,
+    lm_tokenize,
     quality_stats,
 )
 
@@ -1200,6 +1201,165 @@ def winnow_dup_pairs(sf_dir: str, k: int = 12, w: int = 5,
         grouped_arrow_agg(["doc_a", "doc_b"], [("doc_a", "count")],
                           rename=["doc_a", "doc_b", "n_shared"]))
     return shared.filter(expr=f"n_shared >= {min_shared}")
+
+
+def _lm_bigram_instances(sf_dir: str, docs_ds=None):
+    """One row per token: (doc_id, lang, prev, cur) with a '<s>' BOS
+    prefix per document (BOS never collides — real tokens are
+    alnum-only).  ``lang`` rides along so scoring needs no join back to
+    ``documents`` (injected test datasets without a lang column get
+    'xx')."""
+
+    def bigrams(batch: pa.Table) -> pa.Table:
+        langs = (batch.column("lang").to_pylist() if "lang" in
+                 batch.column_names else ["xx"] * len(batch))
+        ids, lgs, prevs, curs = [], [], [], []
+        for d, g, t in zip(batch.column("doc_id").to_pylist(), langs,
+                           batch.column("text").to_pylist()):
+            toks = lm_tokenize(t)
+            if not toks:
+                continue
+            ids.extend([d] * len(toks))
+            lgs.extend([g] * len(toks))
+            prevs.append("<s>")
+            prevs.extend(toks[:-1])
+            curs.extend(toks)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "lang": pa.array(lgs, pa.string()),
+                         "prev": pa.array(prevs, pa.string()),
+                         "cur": pa.array(curs, pa.string())})
+
+    docs = (docs_ds if docs_ds is not None else
+            _docs(sf_dir, columns=("doc_id", "text", "lang")))
+    return docs.map_batches(bigrams, batch_format="pyarrow")
+
+
+def lm_perplexity(sf_dir: str, docs_ds=None):
+    """CCNet-style LM quality score (Wenzek+ 2020, PAPERS.md) with a
+    corpus-trained bigram model instead of the paper's pretrained KenLM
+    (no model downloads): add-1-smoothed P(cur|prev) = (c(prev,cur)+1) /
+    (c(prev)+V), per-document mean negative log-likelihood.
+
+    Float discipline for the DuckDB oracle: per-token log-probs are
+    FLOOR-quantized to integer micro-nats (``floor(ln(p)*1e6)``) so the
+    per-doc sum is order-free integer arithmetic; the mean is integer
+    floor-division to nano-nats.  ``ppl = round(exp(avg/1e9), 6)`` is the
+    only trailing float (one op per doc; ``math.log``/``math.exp`` are
+    libm, same as DuckDB's ``ln``/``exp`` — np.log's SIMD polynomial is
+    deliberately avoided, computed once per DISTINCT (cb,cctx) pair).
+
+    Scale shape: NO model table and NO joins.  Grouping token instances
+    by ``prev`` makes both counts bucket-local facts (cctx = the prev
+    group's size, cb = the within-group (prev,cur) count), so scoring is
+    one instance shuffle emitting per-(doc,bucket) integer partials, plus
+    a tiny pre-deduped vocabulary count and a small per-doc reduce.  Hub
+    prev-tokens (stopwords) concentrate their bucket exactly as they
+    would the build side of a join — salt hot prevs and pre-merge their
+    cb/cctx if a real corpus makes one bucket dominate."""
+    import pandas as pd
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    bg = _lm_bigram_instances(sf_dir, docs_ds).materialize()
+
+    def distinct_cur(batch: pa.Table) -> pa.Table:
+        return pa.table({"cur": pc.unique(batch.column("cur"))})
+
+    n_vocab = hash_grouped_aggregate(
+        bg.map_batches(distinct_cur, batch_format="pyarrow"), ["cur"],
+        grouped_arrow_agg(["cur"], [("cur", "count")],
+                          rename=["cur", "_c"])).count()
+
+    def lp_partial(t: pa.Table) -> pa.Table:
+        prev_c, _ = pd.factorize(t.column("prev").to_pandas())
+        cur_c, _ = pd.factorize(t.column("cur").to_pandas())
+        cctx = np.bincount(prev_c)  # every row of each prev is co-bucketed
+        pair = prev_c.astype(np.int64) * (cur_c.max() + 1) + cur_c
+        pu, pinv = np.unique(pair, return_inverse=True)
+        cb = np.bincount(pinv)
+        lpu = np.array(
+            [math.floor(math.log((c + 1.0) / (x + n_vocab)) * 1e6)
+             for c, x in zip(cb, cctx[(pu // (cur_c.max() + 1))])],
+            dtype=np.int64)
+        lpq = lpu[pinv]
+        dl = pd.DataFrame({"doc_id": t.column("doc_id").to_numpy()})
+        doc_c, doc_u = pd.factorize(dl["doc_id"])
+        n_part = np.bincount(doc_c).astype(np.int64)
+        s_part = np.zeros(len(doc_u), np.int64)
+        np.add.at(s_part, doc_c, lpq)
+        lang_first = (pd.Series(t.column("lang").to_pandas().values)
+                      .groupby(doc_c).first())
+        return pa.table({"doc_id": pa.array(doc_u, pa.int64()),
+                         "lang": pa.array(lang_first.to_numpy(), pa.string()),
+                         "n_part": pa.array(n_part, pa.int64()),
+                         "s_part": pa.array(s_part, pa.int64())})
+
+    partials = hash_grouped_aggregate(bg, ["prev"], lp_partial)
+    per_doc = hash_grouped_aggregate(
+        partials, ["doc_id"],
+        grouped_arrow_agg(["doc_id", "lang"],
+                          [("n_part", "sum"), ("s_part", "sum")],
+                          rename=["doc_id", "lang", "n_tokens", "_sum"]))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tokens").to_numpy()
+        nll = -batch.column("_sum").to_numpy()
+        avg = (nll * 1000) // n  # positive ints: floor == trunc both sides
+        ppl = np.array([round(math.exp(a / 1e9), 6) for a in avg], np.float64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+            "nll_micro": pa.array(nll.astype(np.int64), pa.int64()),
+            "avg_nll_nano": pa.array(avg.astype(np.int64), pa.int64()),
+            "ppl": pa.array(ppl, pa.float64())})
+
+    return per_doc.map_batches(fin, batch_format="pyarrow")
+
+
+def perplexity_buckets(sf_dir: str, docs_ds=None):
+    """CCNet head/middle/tail corpus split: per-language thirds by the
+    integer ``avg_nll_nano`` score (head = lowest perplexity).  Cutoffs
+    are VALUE-based (smallest score whose per-language cumulative count
+    ×3 ≥ n, resp. ≥ 2n) so ties share a bucket — no global row-number.
+
+    Scale shape: the cutoff input is a (lang, score) histogram — at most
+    one row per distinct score value per language, aggregated
+    distributed; only the tiny per-language cumulative walk happens on
+    the driver (CCNet itself computes cutoffs from percentiles of a
+    sample; at 10⁹+ docs, coarsen the histogram by quantizing the score
+    before the walk)."""
+    import ray
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    scores = lm_perplexity(sf_dir, docs_ds).materialize()
+    hist = hash_grouped_aggregate(
+        scores, ["lang", "avg_nll_nano"],
+        grouped_arrow_agg(["lang", "avg_nll_nano"], [("doc_id", "count")],
+                          rename=["lang", "v", "c"])).to_pandas()
+    cuts: dict[str, tuple[int, int]] = {}
+    for lang, grp in hist.groupby("lang"):
+        grp = grp.sort_values("v")
+        cum = grp["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vs = grp["v"].to_numpy()
+        cut1 = int(vs[np.argmax(cum * 3 >= n)])
+        cut2 = int(vs[np.argmax(cum * 3 >= 2 * n)])
+        cuts[lang] = (cut1, cut2)
+    cuts_ref = ray.put(cuts)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cd = ray.get(cuts_ref)
+        langs = batch.column("lang").to_pylist()
+        v = batch.column("avg_nll_nano").to_numpy()
+        bucket = ["head" if x <= cd[g][0] else
+                  "middle" if x <= cd[g][1] else "tail"
+                  for g, x in zip(langs, v)]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "avg_nll_nano": batch.column("avg_nll_nano"),
+                         "bucket": pa.array(bucket, pa.string())})
+
+    return scores.map_batches(assign, batch_format="pyarrow")
 
 
 def bm25_df(sf_dir: str):
