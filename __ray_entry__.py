@@ -3629,6 +3629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-style bigram-LM quality scoring: zero-staging oracle
         "lm_perplexity": td.lm_perplexity,
         "perplexity_buckets": td.perplexity_buckets,
+        # Gopher quality-filter rules: all-integer, zero-staging oracle
+        "gopher_quality": td.gopher_quality,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4673,8 +4675,57 @@ _LM_PPL_CTE = r"""
       FROM lp GROUP BY doc_id, lang)"""
 
 
+_GOPHER_SQL = r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> length(x) > 0) AS words,
+             regexp_split_to_array(text, '\n') AS lines
+      FROM documents),
+    toks AS (
+      SELECT doc_id,
+             regexp_replace(lower(unnest(regexp_split_to_array(trim(text), '\s+'))),
+                            '[^\p{L}\p{N}]', '', 'g') AS term
+      FROM documents WHERE length(trim(text)) > 0),
+    stops AS (
+      SELECT doc_id, count(DISTINCT term)::BIGINT AS n_stop
+      FROM toks
+      WHERE term IN ('the','be','to','of','and','that','have','with')
+      GROUP BY doc_id),
+    base AS (
+      SELECT w.doc_id,
+             len(words)::BIGINT AS n_words,
+             coalesce(list_sum(list_transform(words, x -> length(x))), 0)::BIGINT
+               AS total_word_chars,
+             len(list_filter(words, x -> regexp_matches(x, '\p{L}')))::BIGINT
+               AS n_alpha_words,
+             ((length(text) - length(replace(text, '#', ''))) +
+              (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
+               AS n_sym,
+             len(lines)::BIGINT AS n_lines,
+             len(list_filter(lines, x -> regexp_matches(x, '^[-*•]')))::BIGINT
+               AS n_bullet_lines,
+             len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)$')))::BIGINT
+               AS n_ellipsis_lines,
+             coalesce(s.n_stop, 0)::BIGINT AS n_stop_distinct
+      FROM w LEFT JOIN stops s ON s.doc_id = w.doc_id)
+    SELECT doc_id, n_words, total_word_chars, n_alpha_words, n_sym, n_lines,
+           n_bullet_lines, n_ellipsis_lines, n_stop_distinct,
+           (n_words BETWEEN {min_words} AND {max_words}
+            AND 3 * n_words <= total_word_chars
+            AND total_word_chars <= 10 * n_words
+            AND 10 * n_sym < n_words
+            AND 10 * n_bullet_lines < 9 * n_lines
+            AND 10 * n_ellipsis_lines < 3 * n_lines
+            AND 10 * n_alpha_words >= 8 * n_words
+            AND n_stop_distinct >= 2) AS keep
+    FROM base"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
+    d["gopher_quality"] = (_GOPHER_SQL.replace("{min_words}", "50")
+                           .replace("{max_words}", "100000"))
     d["lm_perplexity"] = ("WITH " + _LM_PPL_CTE + """
         SELECT doc_id, lang, n_tokens, nll_micro, avg_nll_nano,
                round(exp(avg_nll_nano / 1e9), 6) AS ppl

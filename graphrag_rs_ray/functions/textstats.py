@@ -107,6 +107,49 @@ def lm_tokenize(text: str) -> list[str]:
     return out
 
 
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_stats(text: str) -> dict:
+    """Gopher quality-filter counts (Rae+ 2021 §A1.1.2, PAPERS.md) as pure
+    INTEGERS so every downstream rule is exact cross-multiplication, never
+    a float ratio: word/char/alpha-word counts, '#'+'...' symbol hits
+    (non-overlapping, str.count ≡ SQL replace-length), bullet-start and
+    ellipsis-end line counts, distinct Gopher-stopword presence (tokens
+    normalized like ``lm_tokenize``)."""
+    words = text.split()
+    lines = text.split("\n")
+    n_words = len(words)
+    total_word_chars = sum(len(w) for w in words)
+    n_alpha_words = sum(1 for w in words if any(c.isalpha() for c in w))
+    n_sym = text.count("#") + text.count("...")
+    n_bullet = sum(1 for ln in lines if ln.startswith(("-", "*", "•")))
+    n_ellipsis = sum(1 for ln in lines if ln.endswith(("...", "…")))
+    stops = set()
+    for tok in text.lower().split():
+        tok = "".join(c for c in tok if c.isalnum())
+        if tok in GOPHER_STOPS:
+            stops.add(tok)
+    return {"n_words": n_words, "total_word_chars": total_word_chars,
+            "n_alpha_words": n_alpha_words, "n_sym": n_sym,
+            "n_lines": len(lines), "n_bullet_lines": n_bullet,
+            "n_ellipsis_lines": n_ellipsis, "n_stop_distinct": len(stops)}
+
+
+def gopher_keep(s: dict, min_words: int = 50, max_words: int = 100_000) -> bool:
+    """The Gopher keep rule over ``gopher_stats`` counts — all integer
+    comparisons: 50≤words≤100k, 3≤mean word len≤10, symbol ratio <0.1,
+    bullet lines <90%, ellipsis lines <30%, ≥80% words alphabetic,
+    ≥2 distinct stopwords."""
+    return (min_words <= s["n_words"] <= max_words
+            and 3 * s["n_words"] <= s["total_word_chars"] <= 10 * s["n_words"]
+            and 10 * s["n_sym"] < s["n_words"]
+            and 10 * s["n_bullet_lines"] < 9 * s["n_lines"]
+            and 10 * s["n_ellipsis_lines"] < 3 * s["n_lines"]
+            and 10 * s["n_alpha_words"] >= 8 * s["n_words"]
+            and s["n_stop_distinct"] >= 2)
+
+
 # ---- training-data extensions ------------------------------------------
 
 def quality_stats(text: str) -> dict:

@@ -1362,6 +1362,32 @@ def perplexity_buckets(sf_dir: str, docs_ds=None):
     return scores.map_batches(assign, batch_format="pyarrow")
 
 
+def gopher_quality(sf_dir: str, min_words: int = 50,
+                   max_words: int = 100_000, docs_ds=None):
+    """Gopher document-quality filter (Rae+ 2021 §A1.1.2): per-doc integer
+    counts (``functions.textstats.gopher_stats``) + the keep flag
+    (``gopher_keep`` — every ratio rule is exact integer
+    cross-multiplication, so the DuckDB oracle needs zero staging and no
+    float discipline at all).  Stateless vectorized-enough map: one pass
+    per doc over its words/lines, no shuffle, prunes to (doc_id, text) at
+    the read."""
+    from ..functions.textstats import gopher_keep, gopher_stats
+
+    def stats(batch: pa.Table) -> pa.Table:
+        rows = [gopher_stats(t) for t in batch.column("text").to_pylist()]
+        cols = {"doc_id": batch.column("doc_id")}
+        for k in ("n_words", "total_word_chars", "n_alpha_words", "n_sym",
+                  "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+                  "n_stop_distinct"):
+            cols[k] = pa.array([r[k] for r in rows], pa.int64())
+        cols["keep"] = pa.array(
+            [gopher_keep(r, min_words, max_words) for r in rows], pa.bool_())
+        return pa.table(cols)
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
 def bm25_df(sf_dir: str):
     """Corpus document frequencies over the BM25 tokenizer
     (``retrieval/bm25.rs:70-113``): two-phase — per-batch distinct
