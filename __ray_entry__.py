@@ -3631,6 +3631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": td.perplexity_buckets,
         # Gopher quality-filter rules: all-integer, zero-staging oracle
         "gopher_quality": td.gopher_quality,
+        "gopher_repetition": td.gopher_repetition,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4722,10 +4723,86 @@ _GOPHER_SQL = r"""
     FROM base"""
 
 
+def _gopher_repetition_sql() -> str:
+    """Generated oracle for ``gopher_repetition``: the 22 integer counters
+    re-derived in SQL (dup-beyond-first semantics, non-empty lines/paras,
+    gram char length = length(gram) − (n−1) separators = sum of word
+    lengths, top-gram tie rule mc·max_len), keep = the cross-multiplied
+    Gopher thresholds — generated from the SAME rule table the Python
+    kernel evaluates (`textstats._REP_RULES`), parity by construction."""
+    from graphrag_rs_ray.functions.textstats import _REP_RULES
+    ctes = [r"""docs AS (SELECT doc_id, text FROM documents),
+    w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     x -> length(x) > 0) AS l FROM docs)"""]
+    for tag, sep in (("l", r"\n"), ("p", r"\n\n")):
+        ctes.append(f"""
+    {tag}items AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '{sep}'),
+                                        x -> x <> '')) AS it
+      FROM docs),
+    {tag}grp AS (SELECT doc_id, it, count(*) AS c, length(it) AS le
+                 FROM {tag}items GROUP BY doc_id, it),
+    {tag}stat AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_items,
+             sum(c * le)::BIGINT AS item_chars,
+             sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)::BIGINT AS dup_items,
+             sum(CASE WHEN c > 1 THEN (c - 1) * le ELSE 0 END)::BIGINT
+               AS dup_item_chars
+      FROM {tag}grp GROUP BY doc_id)""")
+    for n in range(2, 11):
+        if n <= 4:
+            final = f"""
+    gm{n} AS (SELECT doc_id, max(c) AS mc FROM gc{n} GROUP BY doc_id),
+    gs{n} AS (SELECT gc.doc_id, (gm.mc * max(gc.le))::BIGINT AS v
+              FROM gc{n} gc JOIN gm{n} gm
+                ON gm.doc_id = gc.doc_id AND gc.c = gm.mc
+              GROUP BY gc.doc_id, gm.mc)"""
+        else:
+            final = f"""
+    gs{n} AS (SELECT doc_id,
+                     sum(CASE WHEN c > 1 THEN (c - 1) * le ELSE 0 END)::BIGINT AS v
+              FROM gc{n} GROUP BY doc_id)"""
+        ctes.append(f"""
+    g{n} AS (
+      SELECT doc_id, array_to_string(l[i:i + {n - 1}], ' ') AS gram
+      FROM (SELECT doc_id, l, unnest(range(1, len(l) - {n} + 2)) AS i
+            FROM w WHERE len(l) >= {n})),
+    gc{n} AS (SELECT doc_id, gram, count(*) AS c,
+                     (length(gram) - {n - 1})::BIGINT AS le
+              FROM g{n} GROUP BY doc_id, gram),{final}""")
+    stat_cols = {
+        "n_lines": "lstat.n_items", "dup_lines": "lstat.dup_items",
+        "line_chars": "lstat.item_chars",
+        "dup_line_chars": "lstat.dup_item_chars",
+        "n_paras": "pstat.n_items", "dup_paras": "pstat.dup_items",
+        "para_chars": "pstat.item_chars",
+        "dup_para_chars": "pstat.dup_item_chars",
+        "word_chars":
+            "(SELECT coalesce(list_sum(list_transform(w.l, x -> length(x))), 0)"
+            " FROM w WHERE w.doc_id = docs.doc_id)",
+    }
+    for n in range(2, 11):
+        key = f"top{n}_chars" if n <= 4 else f"dup{n}_chars"
+        stat_cols[key] = f"gs{n}.v"
+    sels = [f"coalesce({src}, 0)::BIGINT AS {name}"
+            for name, src in stat_cols.items()]
+    keep = " AND ".join(
+        f"({name} * {den} <= {num} * {denom})"
+        for name, denom, num, den in _REP_RULES)
+    joins = "\n      ".join(
+        f"LEFT JOIN {t} ON {t}.doc_id = docs.doc_id"
+        for t in ["lstat", "pstat"] + [f"gs{n}" for n in range(2, 11)])
+    return (f"WITH {','.join(ctes)},\n"
+            f"    base AS (SELECT docs.doc_id, {', '.join(sels)}\n"
+            f"      FROM docs\n      {joins})\n"
+            f"    SELECT *, ({keep}) AS keep FROM base")
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d["gopher_quality"] = (_GOPHER_SQL.replace("{min_words}", "50")
                            .replace("{max_words}", "100000"))
+    d["gopher_repetition"] = _gopher_repetition_sql()
     d["lm_perplexity"] = ("WITH " + _LM_PPL_CTE + """
         SELECT doc_id, lang, n_tokens, nll_micro, avg_nll_nano,
                round(exp(avg_nll_nano / 1e9), 6) AS ppl

@@ -150,6 +150,79 @@ def gopher_keep(s: dict, min_words: int = 50, max_words: int = 100_000) -> bool:
             and s["n_stop_distinct"] >= 2)
 
 
+def gopher_repetition_stats(text: str) -> dict:
+    """Gopher repetition-filter counts (Rae+ 2021 §A1.1.1) as pure
+    integers.  Documented variant choices (each replayed by the oracle):
+    empty lines/paragraphs are excluded from numerators AND denominators;
+    duplicate chars count occurrences BEYOND the first; n-gram char
+    length = sum of word lengths (no separators) with ``word_chars`` as
+    every n-gram rule's denominator; top-n-gram tie rule = among the
+    most-frequent n-grams take the max char length (→ ``mc * max_len``);
+    duplicated-n-gram chars are overlap-unaware (sum over duplicate
+    instances, can exceed the denominator)."""
+    from collections import Counter
+
+    lines = [ln for ln in text.split("\n") if ln != ""]
+    paras = [p for p in text.split("\n\n") if p != ""]
+    words = text.split()
+
+    def dup_counts(items):
+        c = Counter(items)
+        n_dup = sum(k - 1 for k in c.values() if k > 1)
+        dup_chars = sum(len(v) * (k - 1) for v, k in c.items() if k > 1)
+        return n_dup, dup_chars, sum(len(v) for v in items)
+
+    dup_lines, dup_line_chars, line_chars = dup_counts(lines)
+    dup_paras, dup_para_chars, para_chars = dup_counts(paras)
+    word_chars = sum(len(w) for w in words)
+
+    out = {"n_lines": len(lines), "dup_lines": dup_lines,
+           "line_chars": line_chars, "dup_line_chars": dup_line_chars,
+           "n_paras": len(paras), "dup_paras": dup_paras,
+           "para_chars": para_chars, "dup_para_chars": dup_para_chars,
+           "word_chars": word_chars}
+    lens = [len(w) for w in words]
+    for n in range(2, 11):
+        grams = Counter()
+        glen = {}
+        for i in range(len(words) - n + 1):
+            g = " ".join(words[i:i + n])
+            grams[g] += 1
+            if g not in glen:
+                glen[g] = sum(lens[i:i + n])
+        if n <= 4:
+            if grams:
+                mc = max(grams.values())
+                out[f"top{n}_chars"] = mc * max(
+                    glen[g] for g, k in grams.items() if k == mc)
+            else:
+                out[f"top{n}_chars"] = 0
+        else:
+            out[f"dup{n}_chars"] = sum(
+                glen[g] * (k - 1) for g, k in grams.items() if k > 1)
+    return out
+
+
+# thresholds from the Gopher paper, as exact (num, den) rationals
+_REP_RULES = (
+    ("dup_lines", "n_lines", 3, 10), ("dup_line_chars", "line_chars", 1, 5),
+    ("dup_paras", "n_paras", 3, 10), ("dup_para_chars", "para_chars", 1, 5),
+    ("top2_chars", "word_chars", 1, 5), ("top3_chars", "word_chars", 9, 50),
+    ("top4_chars", "word_chars", 4, 25), ("dup5_chars", "word_chars", 3, 20),
+    ("dup6_chars", "word_chars", 7, 50), ("dup7_chars", "word_chars", 13, 100),
+    ("dup8_chars", "word_chars", 3, 25), ("dup9_chars", "word_chars", 11, 100),
+    ("dup10_chars", "word_chars", 1, 10),
+)
+
+
+def gopher_repetition_keep(s: dict) -> bool:
+    """Keep iff every repetition fraction is ≤ its Gopher threshold —
+    evaluated as exact integer cross-multiplication
+    (num_stat · den ≤ num · denom_stat)."""
+    return all(s[stat] * den <= num * s[denom]
+               for stat, denom, num, den in _REP_RULES)
+
+
 # ---- training-data extensions ------------------------------------------
 
 def quality_stats(text: str) -> dict:

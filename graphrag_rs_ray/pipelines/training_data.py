@@ -1388,6 +1388,38 @@ def gopher_quality(sf_dir: str, min_words: int = 50,
     return docs.map_batches(stats, batch_format="pyarrow")
 
 
+def gopher_repetition(sf_dir: str, docs_ds=None):
+    """Gopher repetition filters (Rae+ 2021 §A1.1.1): per-doc integer
+    counts (``functions.textstats.gopher_repetition_stats`` — dup
+    line/paragraph counts+chars, top-{2,3,4}-gram chars, duplicated
+    {5..10}-gram chars) + the keep flag (every threshold an exact integer
+    cross-multiplication).  Stateless map, no shuffle; the oracle
+    re-derives all 22 counters in SQL with zero staging."""
+    from ..functions.textstats import (gopher_repetition_keep,
+                                       gopher_repetition_stats)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        rows = [gopher_repetition_stats(t)
+                for t in batch.column("text").to_pylist()]
+        cols = {"doc_id": batch.column("doc_id")}
+        if rows:
+            keys = list(rows[0].keys())
+        else:
+            keys = (["n_lines", "dup_lines", "line_chars", "dup_line_chars",
+                     "n_paras", "dup_paras", "para_chars", "dup_para_chars",
+                     "word_chars"] +
+                    [f"top{n}_chars" for n in (2, 3, 4)] +
+                    [f"dup{n}_chars" for n in range(5, 11)])
+        for k in keys:
+            cols[k] = pa.array([r[k] for r in rows], pa.int64())
+        cols["keep"] = pa.array([gopher_repetition_keep(r) for r in rows],
+                                pa.bool_())
+        return pa.table(cols)
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
 def bm25_df(sf_dir: str):
     """Corpus document frequencies over the BM25 tokenizer
     (``retrieval/bm25.rs:70-113``): two-phase — per-batch distinct
