@@ -3632,6 +3632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher quality-filter rules: all-integer, zero-staging oracle
         "gopher_quality": td.gopher_quality,
         "gopher_repetition": td.gopher_repetition,
+        # eval-set decontamination: broadcast-small-side shingle overlap
+        "decontaminate": td.decontaminate,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4803,6 +4805,27 @@ def oracle_sql() -> dict[str, str]:
     d["gopher_quality"] = (_GOPHER_SQL.replace("{min_words}", "50")
                            .replace("{max_words}", "100000"))
     d["gopher_repetition"] = _gopher_repetition_sql()
+    d["decontaminate"] = r"""
+        WITH toks0 AS (
+          SELECT doc_id, list_filter(list_transform(
+                   regexp_split_to_array(trim(text), '\s+'),
+                   x -> regexp_replace(lower(x), '[^\p{L}\p{N}]', '', 'g')),
+                   x -> length(x) > 0) AS l
+          FROM documents),
+        shd AS (
+          SELECT DISTINCT doc_id, array_to_string(l[i:i + 7], ' ') AS s
+          FROM (SELECT doc_id, l, unnest(range(1, len(l) - 8 + 2)) AS i
+                FROM toks0 WHERE len(l) >= 8)),
+        ev AS (SELECT DISTINCT s FROM shd WHERE doc_id % 100 = 7),
+        ov AS (SELECT shd.doc_id, count(*)::BIGINT AS n_sh,
+                      count(ev.s)::BIGINT AS n_ov
+               FROM shd LEFT JOIN ev ON ev.s = shd.s
+               GROUP BY shd.doc_id)
+        SELECT d.doc_id, (d.doc_id % 100 = 7) AS is_eval,
+               coalesce(ov.n_sh, 0)::BIGINT AS n_shingles,
+               coalesce(ov.n_ov, 0)::BIGINT AS n_overlap,
+               (coalesce(ov.n_ov, 0) >= 1) AS contaminated
+        FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id"""
     d["lm_perplexity"] = ("WITH " + _LM_PPL_CTE + """
         SELECT doc_id, lang, n_tokens, nll_micro, avg_nll_nano,
                round(exp(avg_nll_nano / 1e9), 6) AS ppl

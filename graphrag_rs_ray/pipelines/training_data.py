@@ -1420,6 +1420,61 @@ def gopher_repetition(sf_dir: str, docs_ds=None):
     return docs.map_batches(stats, batch_format="pyarrow")
 
 
+def decontaminate(sf_dir: str, n: int = 8, eval_mod: int = 100,
+                  eval_rem: int = 7, docs_ds=None):
+    """Benchmark decontamination (GPT-3 appx C / Llama style): flag
+    training docs sharing any n-token shingle with the eval set.  The
+    eval split is deterministic (``doc_id % eval_mod == eval_rem``) so
+    tests and the oracle replay it; tokens via ``lm_tokenize``.
+
+    Scale shape: the eval side is SMALL by definition → its distinct
+    shingles are collected once and broadcast (``ray.put``), membership
+    is a vectorized ``pc.is_in`` per batch — the textbook
+    broadcast-small-side pattern, no shuffle at all on the corpus.  At
+    real scale broadcast 64-bit shingle hashes instead of strings (same
+    plumbing; strings here keep the oracle zero-staging).
+
+    Output: (doc_id, is_eval, n_shingles, n_overlap, contaminated) with
+    DISTINCT-shingle counting."""
+    import ray
+
+    def shingles(text: str) -> set[str]:
+        toks = lm_tokenize(text)
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+
+    def eval_sh(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if d % eval_mod == eval_rem:
+                out |= shingles(t)
+        return pa.table({"sh": pa.array(sorted(out), pa.string())})
+
+    ev_df = docs.map_batches(eval_sh, batch_format="pyarrow").to_pandas()
+    ev = set(ev_df["sh"]) if "sh" in ev_df.columns else set()
+    ev_ref = ray.put(ev)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        evs = ray.get(ev_ref)
+        ids = batch.column("doc_id").to_pylist()
+        n_sh, n_ov = [], []
+        for t in batch.column("text").to_pylist():
+            sh = shingles(t)
+            n_sh.append(len(sh))
+            n_ov.append(len(sh & evs))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "is_eval": pa.array([d % eval_mod == eval_rem for d in ids],
+                                pa.bool_()),
+            "n_shingles": pa.array(n_sh, pa.int64()),
+            "n_overlap": pa.array(n_ov, pa.int64()),
+            "contaminated": pa.array([v >= 1 for v in n_ov], pa.bool_())})
+
+    return docs.map_batches(mark, batch_format="pyarrow")
+
+
 def bm25_df(sf_dir: str):
     """Corpus document frequencies over the BM25 tokenizer
     (``retrieval/bm25.rs:70-113``): two-phase — per-batch distinct
