@@ -3634,6 +3634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": td.gopher_repetition,
         # eval-set decontamination: broadcast-small-side shingle overlap
         "decontaminate": td.decontaminate,
+        # reproducible per-domain token-budget sampling (mixing step)
+        "domain_mixture": td.domain_mixture,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4805,6 +4807,20 @@ def oracle_sql() -> dict[str, str]:
     d["gopher_quality"] = (_GOPHER_SQL.replace("{min_words}", "50")
                            .replace("{max_words}", "100000"))
     d["gopher_repetition"] = _gopher_repetition_sql()
+    d["domain_mixture"] = r"""
+        WITH base AS (
+          SELECT doc_id, source, md5(doc_id::VARCHAR) AS h,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> length(x) > 0))::BIGINT AS n_words
+          FROM documents),
+        w AS (SELECT doc_id, source, n_words,
+                     coalesce(sum(n_words) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS tok_before
+              FROM base)
+        SELECT doc_id, source, n_words, (tok_before < 800) AS selected
+        FROM w"""
     d["decontaminate"] = r"""
         WITH toks0 AS (
           SELECT doc_id, list_filter(list_transform(

@@ -10,6 +10,7 @@ with an exact SQL equivalent carry a DuckDB oracle in
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 
@@ -1473,6 +1474,100 @@ def decontaminate(sf_dir: str, n: int = 8, eval_mod: int = 100,
             "contaminated": pa.array([v >= 1 for v in n_ov], pa.bool_())})
 
     return docs.map_batches(mark, batch_format="pyarrow")
+
+
+def domain_mixture(sf_dir: str, budget: int = 800, docs_ds=None):
+    """Reproducible per-domain corpus mixing to a token budget (the
+    Pile/DoReMi-style sampling step): within each ``source``, order docs
+    by ``md5(doc_id)`` (a deterministic permutation — reruns and
+    resharding cannot change the sample) and select the greedy prefix:
+    a doc is selected iff the cumulative token count BEFORE it is still
+    under the budget.
+
+    Scale shape — a distributed exact order-statistic, NOT a per-source
+    sort: docs bucket by the first md5 byte (hex order ≡ md5 order);
+    per-(source,bucket) token sums aggregate distributed, the driver
+    walks 256 ints per source to find each boundary bucket, and ONLY the
+    boundary buckets (1/256 of each source) are resolved exactly via a
+    per-source grouped pass; everything else is decided by bucket id
+    against a broadcast cutoff map.  Output covers ALL docs with a
+    ``selected`` flag."""
+    import ray
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hs = [hashlib.md5(str(d).encode()).hexdigest() for d in ids]
+        nw = [len(t.split()) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "source": batch.column("source"),
+                         "h": pa.array(hs, pa.string()),
+                         "b": pa.array([int(x[:2], 16) for x in hs],
+                                       pa.int64()),
+                         "n_words": pa.array(nw, pa.int64())})
+
+    docs = (docs_ds if docs_ds is not None else
+            _docs(sf_dir, columns=("doc_id", "text", "source")))
+    st = docs.map_batches(stats, batch_format="pyarrow").materialize()
+
+    per_bucket = hash_grouped_aggregate(
+        st, ["source", "b"],
+        grouped_arrow_agg(["source", "b"], [("n_words", "sum")],
+                          rename=["source", "b", "toks"])).to_pandas()
+    # driver walk: 256 ints per source -> boundary bucket + prefix tokens
+    bound: dict[str, tuple[int, int]] = {}  # source -> (b*, tokens_before)
+    for src, grp in per_bucket.groupby("source"):
+        grp = grp.sort_values("b")
+        cum = grp["toks"].cumsum().to_numpy()
+        bs = grp["b"].to_numpy()
+        hit = np.nonzero(cum >= budget)[0]
+        if hit.size == 0:
+            bound[src] = (256, 0)  # whole source under budget
+        else:
+            i = int(hit[0])
+            bound[src] = (int(bs[i]), int(cum[i - 1]) if i else 0)
+    bound_ref = ray.put(bound)
+
+    def boundary_only(batch: pa.Table) -> pa.Table:
+        bd = ray.get(bound_ref)
+        keep = [bd[s][0] == b for s, b in
+                zip(batch.column("source").to_pylist(),
+                    batch.column("b").to_pylist())]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        bd = ray.get(bound_ref)
+        df = t.to_pandas().sort_values(["source", "h", "doc_id"])
+        out_id, out_sel = [], []
+        for src, grp in df.groupby("source", sort=False):
+            before = bd[src][1]
+            for d, w in zip(grp["doc_id"], grp["n_words"]):
+                out_id.append(int(d))
+                out_sel.append(before < budget)
+                before += int(w)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "sel": pa.array(out_sel, pa.bool_())})
+
+    picks = hash_grouped_aggregate(
+        st.map_batches(boundary_only, batch_format="pyarrow"),
+        ["source"], resolve).to_pandas()
+    picks_map = (dict(zip(picks["doc_id"], picks["sel"]))
+                 if "doc_id" in picks.columns else {})
+    picks_ref = ray.put(picks_map)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bd, pm = ray.get(bound_ref), ray.get(picks_ref)
+        sel = []
+        for d, s, b in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("source").to_pylist(),
+                           batch.column("b").to_pylist()):
+            sel.append(b < bd[s][0] if b != bd[s][0] else bool(pm[d]))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "source": batch.column("source"),
+                         "n_words": batch.column("n_words"),
+                         "selected": pa.array(sel, pa.bool_())})
+
+    return st.map_batches(assign, batch_format="pyarrow")
 
 
 def bm25_df(sf_dir: str):
