@@ -3636,6 +3636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": td.decontaminate,
         # reproducible per-domain token-budget sampling (mixing step)
         "domain_mixture": td.domain_mixture,
+        # duplicate-span profiling over shared winnow fingerprints
+        "dup_span_profile": td.dup_span_profile,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4864,6 +4866,32 @@ def oracle_sql() -> dict[str, str]:
         FROM fin f JOIN t1 USING (lang) JOIN t2 USING (lang)""")
     d["winnow_fingerprints"] = ("WITH " + _winnow_cte() +
                                 "\nSELECT doc_id, pos, fp FROM winnow_fps")
+    d["dup_span_profile"] = ("WITH " + _winnow_cte(k=40, w=10) + """,
+        wdfp AS (SELECT DISTINCT doc_id, fp FROM winnow_fps),
+        wshared AS (SELECT fp FROM wdfp GROUP BY fp HAVING count(*) > 1),
+        sp AS (SELECT DISTINCT w.doc_id, w.pos
+               FROM winnow_fps w JOIN wshared sh ON sh.fp = w.fp),
+        brks AS (SELECT doc_id, pos,
+                        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                             OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 40
+                             THEN 1 ELSE 0 END AS brk
+                 FROM sp),
+        isl AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS iid
+                FROM brks),
+        per_isl AS (SELECT doc_id, iid,
+                           (max(pos) - min(pos) + 40)::BIGINT AS clen,
+                           count(*)::BIGINT AS npos
+                    FROM isl GROUP BY doc_id, iid),
+        dd AS (SELECT doc_id, sum(clen)::BIGINT AS dup_chars,
+                      sum(npos)::BIGINT AS n_dup_positions
+               FROM per_isl GROUP BY doc_id)
+        SELECT n.doc_id, length(n.s)::BIGINT AS norm_len,
+               coalesce(dd.n_dup_positions, 0)::BIGINT AS n_dup_positions,
+               coalesce(dd.dup_chars, 0)::BIGINT AS dup_chars,
+               (length(n.s) > 0 AND 5 * coalesce(dd.dup_chars, 0) >= length(n.s))
+                 AS heavy_dup
+        FROM norm n LEFT JOIN dd ON dd.doc_id = n.doc_id""")
     d["winnow_dup_pairs"] = ("WITH " + _winnow_cte() + """,
         wdf AS (SELECT DISTINCT doc_id, fp FROM winnow_fps),
         wcnt AS (SELECT fp FROM wdf

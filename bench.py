@@ -307,6 +307,8 @@ def run_bench() -> dict:
           lambda: q["gopher_repetition"](sf_dir).count())
     timed("decontaminate", lambda: q["decontaminate"](sf_dir).count())
     timed("domain_mixture", lambda: q["domain_mixture"](sf_dir).count())
+    timed("dup_span_profile",
+          lambda: q["dup_span_profile"](sf_dir).count())
     timed("bm25_df", lambda: q["bm25_df"](sf_dir).count())
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())

@@ -261,6 +261,12 @@ class Winnower:
             lut[c] = c + 32  # ASCII lowercase
         self.lut = lut
 
+    def norm_len(self, text: str) -> int:
+        """Length of the normalized string (kept-alnum count) — the
+        denominator for span-coverage fractions."""
+        raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        return int((self.lut[raw] != 255).sum())
+
     def fingerprints(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         """→ (positions, hashes): distinct winnowing selections, position-
         sorted.  Position = gram start offset in the normalized string."""
