@@ -3638,6 +3638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mixture": td.domain_mixture,
         # duplicate-span profiling over shared winnow fingerprints
         "dup_span_profile": td.dup_span_profile,
+        # one-row corpus composition report over the Gopher gates
+        "curation_report": td.curation_report,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4809,6 +4811,20 @@ def oracle_sql() -> dict[str, str]:
     d["gopher_quality"] = (_GOPHER_SQL.replace("{min_words}", "50")
                            .replace("{max_words}", "100000"))
     d["gopher_repetition"] = _gopher_repetition_sql()
+    d["curation_report"] = f"""
+        WITH gq AS ({d["gopher_quality"]}),
+        gr AS ({_gopher_repetition_sql()})
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN gq.keep THEN 1 ELSE 0 END)::BIGINT
+                 AS n_quality_pass,
+               sum(CASE WHEN gr.keep THEN 1 ELSE 0 END)::BIGINT
+                 AS n_repetition_pass,
+               sum(CASE WHEN gq.keep AND gr.keep THEN 1 ELSE 0 END)::BIGINT
+                 AS n_both_pass,
+               sum(gq.n_words)::BIGINT AS total_words,
+               sum(CASE WHEN gq.keep AND gr.keep THEN gq.n_words
+                        ELSE 0 END)::BIGINT AS kept_words
+        FROM gq JOIN gr ON gr.doc_id = gq.doc_id"""
     d["domain_mixture"] = r"""
         WITH base AS (
           SELECT doc_id, source, md5(doc_id::VARCHAR) AS h,
