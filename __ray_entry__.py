@@ -3640,6 +3640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_profile": td.dup_span_profile,
         # one-row corpus composition report over the Gopher gates
         "curation_report": td.curation_report,
+        # duplicate-span removal transform (keep-first-occurrence)
+        "remove_dup_spans": td.remove_dup_spans,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4882,6 +4884,37 @@ def oracle_sql() -> dict[str, str]:
         FROM fin f JOIN t1 USING (lang) JOIN t2 USING (lang)""")
     d["winnow_fingerprints"] = ("WITH " + _winnow_cte() +
                                 "\nSELECT doc_id, pos, fp FROM winnow_fps")
+    d["remove_dup_spans"] = ("WITH " + _winnow_cte(k=40, w=10) + """,
+        fpm AS (SELECT fp, min(doc_id) AS mdoc FROM winnow_fps GROUP BY fp),
+        cuts AS (SELECT DISTINCT w.doc_id, w.pos
+                 FROM winnow_fps w JOIN fpm USING (fp)
+                 WHERE w.doc_id > fpm.mdoc),
+        brks AS (SELECT doc_id, pos,
+                        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                             OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 40
+                             THEN 1 ELSE 0 END AS brk
+                 FROM cuts),
+        isl AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS iid
+                FROM brks),
+        spans AS (SELECT doc_id, iid, min(pos) AS ist, max(pos) + 40 AS ien
+                  FROM isl GROUP BY doc_id, iid),
+        segs AS (SELECT doc_id, ist, ien,
+                        coalesce(lag(ien) OVER (PARTITION BY doc_id ORDER BY ist),
+                                 0) AS seg0
+                 FROM spans),
+        spliced AS (SELECT sg.doc_id,
+                           string_agg(substr(n.s, (sg.seg0 + 1)::INT,
+                                             (sg.ist - sg.seg0)::INT),
+                                      '' ORDER BY sg.ist)
+                             || substr(n.s, (max(sg.ien) + 1)::INT) AS cleaned,
+                           sum(sg.ien - sg.ist)::BIGINT AS removed
+                    FROM segs sg JOIN norm n ON n.doc_id = sg.doc_id
+                    GROUP BY sg.doc_id, n.s)
+        SELECT n.doc_id, length(n.s)::BIGINT AS norm_len,
+               coalesce(sp.removed, 0)::BIGINT AS removed_chars,
+               coalesce(sp.cleaned, n.s) AS cleaned_norm
+        FROM norm n LEFT JOIN spliced sp ON sp.doc_id = n.doc_id""")
     d["dup_span_profile"] = ("WITH " + _winnow_cte(k=40, w=10) + """,
         wdfp AS (SELECT DISTINCT doc_id, fp FROM winnow_fps),
         wshared AS (SELECT fp FROM wdfp GROUP BY fp HAVING count(*) > 1),

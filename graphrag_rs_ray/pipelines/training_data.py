@@ -1461,6 +1461,98 @@ def dup_span_profile(sf_dir: str, k: int = 40, w: int = 10, docs_ds=None):
     return hash_grouped_aggregate(tagged, ["doc_id"], profile)
 
 
+def remove_dup_spans(sf_dir: str, k: int = 40, w: int = 10, docs_ds=None):
+    """Duplicate-span REMOVAL (the transform half of Lee+ 2021): excise
+    from each doc's NORMALIZED text every [pos, pos+k) span whose winnow
+    fingerprint also appears in a SMALLER doc_id — the first occurrence
+    in doc-id order is the one kept, every later copy is cut.  Output:
+    (doc_id, norm_len, removed_chars, cleaned_norm).
+
+    Operating in normalized space keeps the oracle exact: DuckDB
+    re-derives the fingerprints, the keeper rule (per-fp min doc_id),
+    the interval union, and splices ``cleaned_norm`` back together with
+    ordered ``string_agg``+``substr`` — byte-for-byte.  (Raw-text
+    surgery needs the normalized→raw index map, which SQL can't replay;
+    the normalized transform is the oracle-honest variant and the raw
+    map is a mechanical extension inside the same kernel.)
+
+    Scale shape mirrors ``dup_span_profile``: per-fp min via hash agg,
+    cut positions via ``bucketed_join`` on fp, one per-doc grouped
+    reduce over a tagged union carrying the normalized string."""
+    from ..functions.dedup import Winnower
+    from ..stages.hashagg import (bucketed_join, grouped_arrow_agg,
+                                  hash_grouped_aggregate)
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    fps = winnow_fingerprints(sf_dir, k, w, docs_ds=docs).materialize()
+
+    cuts = None
+    if fps.schema() is not None:
+        fpm = hash_grouped_aggregate(
+            fps, ["fp"],
+            grouped_arrow_agg(["fp"], [("doc_id", "min")],
+                              rename=["fp", "mdoc"])).materialize()
+        if fpm.schema() is not None:
+            joined = bucketed_join(fps, fpm, on=["fp"])
+
+            def later_only(t: pa.Table) -> pa.Table:
+                m = pc.greater(t.column("doc_id"), t.column("mdoc"))
+                kept = t.filter(m)
+                return pa.table({"doc_id": kept.column("doc_id"),
+                                 "pos": kept.column("pos"),
+                                 "s": pa.array([""] * len(kept),
+                                               pa.string())})
+
+            cuts = joined.map_batches(later_only, batch_format="pyarrow")
+
+    wn = Winnower(k=k, w=w)
+
+    def norm_rows(batch: pa.Table) -> pa.Table:
+        lut = wn.lut
+        ss = []
+        for t in batch.column("text").to_pylist():
+            raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            mapped = lut[raw]
+            ss.append(mapped[mapped != 255].tobytes().decode("ascii"))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "pos": pa.array([-1] * len(batch), pa.int64()),
+                         "s": pa.array(ss, pa.string())})
+
+    tagged = docs.map_batches(norm_rows, batch_format="pyarrow")
+    if cuts is not None:
+        tagged = tagged.union(cuts)
+
+    def splice(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = {"doc_id": [], "norm_len": [], "removed_chars": [],
+               "cleaned_norm": []}
+        for did, grp in df.groupby("doc_id", sort=True):
+            s = grp.loc[grp["pos"] < 0, "s"].iloc[0]
+            n = len(s)
+            pos = np.unique(grp.loc[grp["pos"] >= 0, "pos"].to_numpy())
+            if pos.size:
+                diff = np.zeros(n + 1, np.int64)
+                np.add.at(diff, pos, 1)
+                np.add.at(diff, np.minimum(pos + k, n), -1)
+                covered = np.cumsum(diff[:n]) > 0
+                arr = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+                cleaned = arr[~covered].tobytes().decode("ascii")
+                removed = int(covered.sum())
+            else:
+                cleaned, removed = s, 0
+            out["doc_id"].append(int(did))
+            out["norm_len"].append(n)
+            out["removed_chars"].append(removed)
+            out["cleaned_norm"].append(cleaned)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "norm_len": pa.array(out["norm_len"], pa.int64()),
+            "removed_chars": pa.array(out["removed_chars"], pa.int64()),
+            "cleaned_norm": pa.array(out["cleaned_norm"], pa.string())})
+
+    return hash_grouped_aggregate(tagged, ["doc_id"], splice)
+
+
 def gopher_quality(sf_dir: str, min_words: int = 50,
                    max_words: int = 100_000, docs_ds=None):
     """Gopher document-quality filter (Rae+ 2021 §A1.1.2): per-doc integer
