@@ -3642,6 +3642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_report": td.curation_report,
         # duplicate-span removal transform (keep-first-occurrence)
         "remove_dup_spans": td.remove_dup_spans,
+        # DSIR importance scoring vs a deterministic target split
+        "dsir_scores": td.dsir_scores,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4884,6 +4886,45 @@ def oracle_sql() -> dict[str, str]:
         FROM fin f JOIN t1 USING (lang) JOIN t2 USING (lang)""")
     d["winnow_fingerprints"] = ("WITH " + _winnow_cte() +
                                 "\nSELECT doc_id, pos, fp FROM winnow_fps")
+    d["dsir_scores"] = r"""
+        WITH toks0 AS (
+          SELECT doc_id, list_filter(list_transform(
+                   regexp_split_to_array(trim(text), '\s+'),
+                   x -> regexp_replace(lower(x), '[^\p{L}\p{N}]', '', 'g')),
+                   x -> length(x) > 0) AS l
+          FROM documents),
+        bg AS (
+          SELECT doc_id, (doc_id % 50 = 3) AS is_t,
+                 l[pos] AS prev, l[pos + 1] AS cur
+          FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS pos
+                FROM toks0 WHERE len(l) >= 2)),
+        fc AS (SELECT prev, cur, count(*)::BIGINT AS c_raw,
+                      sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS c_t
+               FROM bg GROUP BY prev, cur),
+        tots AS (SELECT count(*)::BIGINT AS n_raw,
+                        sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS n_t
+                 FROM bg),
+        voc AS (SELECT count(*)::BIGINT AS v FROM fc),
+        lr AS (SELECT bg.doc_id, bg.is_t,
+                      (floor(ln((fc.c_t + 1)::DOUBLE / (tots.n_t + voc.v)) * 1e6)
+                       - floor(ln((fc.c_raw + 1)::DOUBLE / (tots.n_raw + voc.v)) * 1e6))::BIGINT
+                        AS lrq
+               FROM bg JOIN fc USING (prev, cur)
+               CROSS JOIN tots CROSS JOIN voc),
+        agg AS (SELECT doc_id, bool_or(is_t) AS is_target,
+                       count(*)::BIGINT AS n_feats,
+                       sum(lrq)::BIGINT AS ratio_micro
+                FROM lr GROUP BY doc_id),
+        fin AS (SELECT doc_id, is_target, n_feats, ratio_micro,
+                       (CASE WHEN ratio_micro >= 0
+                             THEN (ratio_micro * 1000) // n_feats
+                             ELSE -(((-ratio_micro) * 1000 + n_feats - 1)
+                                    // n_feats)
+                        END)::BIGINT AS avg_ratio_nano
+                FROM agg)
+        SELECT doc_id, is_target, n_feats, ratio_micro, avg_ratio_nano,
+               (avg_ratio_nano > 0) AS selected
+        FROM fin"""
     d["remove_dup_spans"] = ("WITH " + _winnow_cte(k=40, w=10) + """,
         fpm AS (SELECT fp, min(doc_id) AS mdoc FROM winnow_fps GROUP BY fp),
         cuts AS (SELECT DISTINCT w.doc_id, w.pos

@@ -313,6 +313,7 @@ def run_bench() -> dict:
           lambda: q["curation_report"](sf_dir).num_rows)
     timed("remove_dup_spans",
           lambda: q["remove_dup_spans"](sf_dir).count())
+    timed("dsir_scores", lambda: q["dsir_scores"](sf_dir).count())
     timed("bm25_df", lambda: q["bm25_df"](sf_dir).count())
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())

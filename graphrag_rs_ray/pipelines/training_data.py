@@ -1553,6 +1553,116 @@ def remove_dup_spans(sf_dir: str, k: int = 40, w: int = 10, docs_ds=None):
     return hash_grouped_aggregate(tagged, ["doc_id"], splice)
 
 
+def dsir_scores(sf_dir: str, target_mod: int = 50, target_rem: int = 3,
+                docs_ds=None):
+    """DSIR-style importance scoring (Xie+ 2023, Data Selection with
+    Importance Resampling): per-doc mean log importance ratio between a
+    TARGET distribution and the RAW corpus over bigram features, both
+    add-1-smoothed unigram-of-bigrams models.  The target split is
+    deterministic (``doc_id % target_mod == target_rem``) so tests and
+    the oracle replay it; ``selected`` = ratio > 0 (more target-like
+    than raw).
+
+    Same float discipline as ``lm_perplexity``: each log is
+    FLOOR-quantized to integer micro-nats (libm ``math.log`` per
+    DISTINCT count pair), sums/means are integer arithmetic.  Same
+    no-join scale shape: grouping instances by feature makes BOTH counts
+    bucket-local (c_raw = group size, c_target = target-flagged rows in
+    the group); scalars N_target/N_raw/V are tiny driver values.
+
+    Output: (doc_id, is_target, n_feats, ratio_micro, avg_ratio_nano,
+    selected)."""
+    import pandas as pd
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    def feats(batch: pa.Table) -> pa.Table:
+        ids, tgt, prevs, curs = [], [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = lm_tokenize(t)
+            if len(toks) < 2:
+                continue
+            n = len(toks) - 1
+            ids.extend([d] * n)
+            tgt.extend([d % target_mod == target_rem] * n)
+            prevs.extend(toks[:-1])
+            curs.extend(toks[1:])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "is_t": pa.array(tgt, pa.bool_()),
+                         "prev": pa.array(prevs, pa.string()),
+                         "cur": pa.array(curs, pa.string())})
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    bg = docs.map_batches(feats, batch_format="pyarrow").materialize()
+    if bg.schema() is None or bg.count() == 0:
+        return bg  # no docs with >= 2 tokens: empty result
+
+    def partial_tot(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_raw": pa.array([len(batch)], pa.int64()),
+            "n_t": pa.array([int(pc.sum(pc.cast(
+                batch.column("is_t"), pa.int64())).as_py() or 0)],
+                pa.int64())})
+
+    tot = bg.map_batches(partial_tot, batch_format="pyarrow").to_pandas()
+    n_raw_tot, n_t_tot = int(tot["n_raw"].sum()), int(tot["n_t"].sum())
+    v = hash_grouped_aggregate(
+        bg, ["prev", "cur"],
+        grouped_arrow_agg(["prev", "cur"], [("doc_id", "count")],
+                          rename=["prev", "cur", "_c"])).count()
+
+    def ratio_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        key = pd.factorize(df["prev"] + "\x1f" + df["cur"])[0]
+        c_raw = np.bincount(key)
+        c_t = np.bincount(key, weights=df["is_t"].to_numpy()
+                          .astype(np.int64)).astype(np.int64)
+        pairs = np.stack([c_t[key], c_raw[key]], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        lr = np.array(
+            [math.floor(math.log((ct + 1.0) / (n_t_tot + v)) * 1e6)
+             - math.floor(math.log((cr + 1.0) / (n_raw_tot + v)) * 1e6)
+             for ct, cr in uniq], dtype=np.int64)
+        lrq = lr[inv]
+        doc_c, doc_u = pd.factorize(df["doc_id"])
+        n_part = np.bincount(doc_c).astype(np.int64)
+        s_part = np.zeros(len(doc_u), np.int64)
+        np.add.at(s_part, doc_c, lrq)
+        is_t_first = (pd.Series(df["is_t"].to_numpy())
+                      .groupby(doc_c).first())
+        return pa.table({
+            "doc_id": pa.array(doc_u.astype(np.int64), pa.int64()),
+            "is_t": pa.array(is_t_first.to_numpy(), pa.bool_()),
+            "n_part": pa.array(n_part, pa.int64()),
+            "s_part": pa.array(s_part, pa.int64())})
+
+    partials = hash_grouped_aggregate(bg, ["prev", "cur"], ratio_partial)
+    per_doc = hash_grouped_aggregate(
+        partials, ["doc_id"],
+        grouped_arrow_agg(["doc_id", "is_t"],
+                          [("n_part", "sum"), ("s_part", "sum")],
+                          rename=["doc_id", "is_target", "n_feats",
+                                  "_sum"]))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_feats").to_numpy()
+        s = batch.column("_sum").to_numpy()
+        # floor division toward -inf for possibly-negative sums, exact in
+        # SQL as well via a CASE (// truncates toward zero in numpy? no:
+        # numpy // floors; DuckDB // floors for integers too on negatives
+        # — but pin it with an explicit floor-div identity both sides)
+        avg = np.floor_divide(s * 1000, n)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "is_target": batch.column("is_target"),
+            "n_feats": pa.array(n.astype(np.int64), pa.int64()),
+            "ratio_micro": pa.array(s.astype(np.int64), pa.int64()),
+            "avg_ratio_nano": pa.array(avg.astype(np.int64), pa.int64()),
+            "selected": pa.array((avg > 0).tolist(), pa.bool_())})
+
+    return per_doc.map_batches(fin, batch_format="pyarrow")
+
+
 def gopher_quality(sf_dir: str, min_words: int = 50,
                    max_words: int = 100_000, docs_ds=None):
     """Gopher document-quality filter (Rae+ 2021 §A1.1.2): per-doc integer
