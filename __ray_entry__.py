@@ -3644,6 +3644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans": td.remove_dup_spans,
         # DSIR importance scoring vs a deterministic target split
         "dsir_scores": td.dsir_scores,
+        # GPT-style sequence-packing manifest (distributed prefix scan)
+        "sequence_pack": td.sequence_pack,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4886,6 +4888,25 @@ def oracle_sql() -> dict[str, str]:
         FROM fin f JOIN t1 USING (lang) JOIN t2 USING (lang)""")
     d["winnow_fingerprints"] = ("WITH " + _winnow_cte() +
                                 "\nSELECT doc_id, pos, fp FROM winnow_fps")
+    d["sequence_pack"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> length(x) > 0))::BIGINT AS n_tokens
+          FROM documents),
+        w AS (SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS cum_before
+              FROM base)
+        SELECT doc_id, n_tokens, cum_before,
+               (cum_before // 2048)::BIGINT AS start_seq,
+               (cum_before % 2048)::BIGINT AS start_off,
+               (CASE WHEN n_tokens = 0 THEN cum_before // 2048 - 1
+                     ELSE (cum_before + n_tokens - 1) // 2048
+                END)::BIGINT AS end_seq
+        FROM w"""
     d["dsir_scores"] = r"""
         WITH toks0 AS (
           SELECT doc_id, list_filter(list_transform(

@@ -1663,6 +1663,72 @@ def dsir_scores(sf_dir: str, target_mod: int = 50, target_rem: int = 3,
     return per_doc.map_batches(fin, batch_format="pyarrow")
 
 
+def sequence_pack(sf_dir: str, seq_len: int = 2048, docs_ds=None):
+    """GPT-style sequence-packing manifest: concatenate every doc's
+    tokens in doc_id order and chop into fixed ``seq_len`` windows
+    (docs straddle boundaries, as in standard LM pre-training packing).
+    Output per doc: (doc_id, n_tokens, cum_before, start_seq, start_off,
+    end_seq) — ``end_seq`` is the inclusive last occupied sequence, and
+    ``start_seq - 1`` for an empty doc (documented sentinel, never NULL).
+
+    Scale shape — a DISTRIBUTED PREFIX SCAN, no global sort: docs bucket
+    by ``doc_id // B`` (contiguous id ranges), per-bucket token sums
+    aggregate distributed, the driver walks the ~N/B bucket sums into
+    base offsets (broadcast), and one grouped pass per bucket computes
+    exact intra-bucket prefixes.  Two passes over (doc_id, n_tokens)
+    rows, never over text twice."""
+    import ray
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    B = 4096
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        nw = [len(t.split()) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "b": pa.array(ids // B, pa.int64()),
+                         "n_tokens": pa.array(nw, pa.int64())})
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    st = docs.map_batches(stats, batch_format="pyarrow").materialize()
+
+    bsums = hash_grouped_aggregate(
+        st, ["b"],
+        grouped_arrow_agg(["b"], [("n_tokens", "sum")],
+                          rename=["b", "toks"])).to_pandas().sort_values("b")
+    base = dict(zip(bsums["b"],
+                    np.concatenate([[0], bsums["toks"].cumsum()
+                                    .to_numpy()[:-1]]).astype(np.int64)))
+    base_ref = ray.put(base)
+
+    def pack(t: pa.Table) -> pa.Table:
+        bd = ray.get(base_ref)
+        df = t.to_pandas().sort_values("doc_id")
+        out_parts = []
+        for b, grp in df.groupby("b", sort=True):
+            n = grp["n_tokens"].to_numpy(np.int64)
+            cum = int(bd[b]) + np.concatenate([[0], n.cumsum()[:-1]])
+            start_seq = cum // seq_len
+            end_seq = np.where(n == 0, start_seq - 1,
+                               (cum + np.maximum(n, 1) - 1) // seq_len)
+            out_parts.append(pa.table({
+                "doc_id": pa.array(grp["doc_id"].to_numpy(np.int64),
+                                   pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "cum_before": pa.array(cum.astype(np.int64), pa.int64()),
+                "start_seq": pa.array(start_seq.astype(np.int64),
+                                      pa.int64()),
+                "start_off": pa.array((cum % seq_len).astype(np.int64),
+                                      pa.int64()),
+                "end_seq": pa.array(end_seq.astype(np.int64), pa.int64())}))
+        return pa.concat_tables(out_parts) if out_parts else pa.table(
+            {c: pa.array([], pa.int64()) for c in
+             ("doc_id", "n_tokens", "cum_before", "start_seq",
+              "start_off", "end_seq")})
+
+    return hash_grouped_aggregate(st, ["b"], pack)
+
+
 def gopher_quality(sf_dir: str, min_words: int = 50,
                    max_words: int = 100_000, docs_ds=None):
     """Gopher document-quality filter (Rae+ 2021 §A1.1.2): per-doc integer
