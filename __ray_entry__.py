@@ -3646,6 +3646,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": td.dsir_scores,
         # GPT-style sequence-packing manifest (distributed prefix scan)
         "sequence_pack": td.sequence_pack,
+        # deterministic hash-based train/val/test split
+        "corpus_split": td.corpus_split,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4888,6 +4890,17 @@ def oracle_sql() -> dict[str, str]:
         FROM fin f JOIN t1 USING (lang) JOIN t2 USING (lang)""")
     d["winnow_fingerprints"] = ("WITH " + _winnow_cte() +
                                 "\nSELECT doc_id, pos, fp FROM winnow_fps")
+    d["corpus_split"] = r"""
+        WITH s AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4)) AS INT)
+                   ::BIGINT AS slot
+          FROM documents)
+        SELECT doc_id, source, slot,
+               CASE WHEN slot < 655 THEN 'val'
+                    WHEN slot < 1310 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM s"""
     d["sequence_pack"] = r"""
         WITH base AS (
           SELECT doc_id,

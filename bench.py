@@ -315,6 +315,7 @@ def run_bench() -> dict:
           lambda: q["remove_dup_spans"](sf_dir).count())
     timed("dsir_scores", lambda: q["dsir_scores"](sf_dir).count())
     timed("sequence_pack", lambda: q["sequence_pack"](sf_dir).count())
+    timed("corpus_split", lambda: q["corpus_split"](sf_dir).count())
     timed("bm25_df", lambda: q["bm25_df"](sf_dir).count())
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())

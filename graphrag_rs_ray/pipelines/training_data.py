@@ -1729,6 +1729,36 @@ def sequence_pack(sf_dir: str, seq_len: int = 2048, docs_ds=None):
     return hash_grouped_aggregate(st, ["b"], pack)
 
 
+def corpus_split(sf_dir: str, val_pct: int = 1, test_pct: int = 1,
+                 docs_ds=None):
+    """Deterministic stratified train/val/test split: assignment is a
+    pure function of md5(doc_id) — stateless, reshard/rerun-invariant,
+    and (unlike row-number splits) stable under corpus growth: adding
+    docs never moves an existing doc between splits.  Value-based
+    thresholds on the first 4 hex chars (65536 slots): val = slots
+    [0, 655), test = [655, 1310) at the 1%/1% defaults.  Stratification
+    is implicit — a uniform hash splits every `source`/language stratum
+    at the same rates without grouping.  No shuffle: one vectorized map."""
+
+    lo_val = (65536 * val_pct) // 100
+    lo_test = lo_val + (65536 * test_pct) // 100
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        slots = [int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16)
+                 for d in ids]
+        split = ["val" if s < lo_val else
+                 "test" if s < lo_test else "train" for s in slots]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "source": batch.column("source"),
+                         "slot": pa.array(slots, pa.int64()),
+                         "split": pa.array(split, pa.string())})
+
+    docs = (docs_ds if docs_ds is not None else
+            _docs(sf_dir, columns=("doc_id", "source")))
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
 def gopher_quality(sf_dir: str, min_words: int = 50,
                    max_words: int = 100_000, docs_ds=None):
     """Gopher document-quality filter (Rae+ 2021 §A1.1.2): per-doc integer
