@@ -3648,6 +3648,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": td.sequence_pack,
         # deterministic hash-based train/val/test split
         "corpus_split": td.corpus_split,
+        # C4 line-level cleaning (Raffel+ 2020 §2.2)
+        "c4_clean": td.c4_clean,
+        # PII redaction (typed placeholders, pinned pass order)
+        "pii_redact": td.pii_redact,
+        # corpus-wide exact line dedup (CCNet/RefinedWeb line correction)
+        "line_dedup": td.line_dedup,
+        # corpus vocabulary builder (BPE counting pass, global top-k)
+        "vocab_topk": td.vocab_topk,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4901,6 +4909,94 @@ def oracle_sql() -> dict[str, str]:
                     WHEN slot < 1310 THEN 'test'
                     ELSE 'train' END AS split
         FROM s"""
+    d["c4_clean"] = r"""
+        WITH base AS (SELECT doc_id, text,
+                             string_split(text, chr(10)) AS l
+                      FROM documents),
+        lines AS (SELECT doc_id, i,
+                         trim(l[i], ' ' || chr(9) || chr(13)) AS ln
+                  FROM (SELECT doc_id, l,
+                               unnest(range(1, len(l) + 1)) AS i
+                        FROM base)),
+        lk AS (SELECT doc_id, i, ln,
+                      (regexp_matches(ln, '[.!?"]$')
+                       AND NOT contains(lower(ln), 'javascript')
+                       AND len(list_filter(
+                             regexp_split_to_array(ln, '[ \t\r\v\f]+'),
+                             x -> length(x) > 0)) >= 5) AS kl
+               FROM lines),
+        agg AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+                       sum(CASE WHEN kl THEN 1 ELSE 0 END)::BIGINT
+                         AS n_kept_lines,
+                       coalesce(string_agg(CASE WHEN kl THEN ln END,
+                                           chr(10) ORDER BY i), '')
+                         AS cleaned
+                FROM lk GROUP BY doc_id)
+        SELECT b.doc_id, a.n_lines, a.n_kept_lines,
+               (contains(b.text, '{') OR contains(b.text, '}')) AS has_brace,
+               contains(lower(b.text), 'lorem ipsum') AS has_lorem,
+               (NOT (contains(b.text, '{') OR contains(b.text, '}'))
+                AND NOT contains(lower(b.text), 'lorem ipsum')
+                AND a.n_kept_lines >= 3) AS keep,
+               a.cleaned
+        FROM base b JOIN agg a ON a.doc_id = b.doc_id"""
+    from graphrag_rs_ray.functions.webclean import (PII_EMAIL, PII_IPV4,
+                                                    PII_PHONE)
+    d["pii_redact"] = f"""
+        WITH s1 AS (SELECT doc_id, text,
+               (len(regexp_split_to_array(text, '{PII_EMAIL}')) - 1)::BIGINT
+                 AS n_email,
+               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+             FROM documents),
+        s2 AS (SELECT doc_id, n_email,
+               (len(regexp_split_to_array(t1, '{PII_IPV4}')) - 1)::BIGINT
+                 AS n_ip,
+               regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+             FROM s1),
+        s3 AS (SELECT doc_id, n_email, n_ip,
+               (len(regexp_split_to_array(t2, '{PII_PHONE}')) - 1)::BIGINT
+                 AS n_phone,
+               regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+             FROM s2)
+        SELECT doc_id, n_email, n_ip, n_phone, redacted FROM s3"""
+    d["line_dedup"] = r"""
+        WITH base AS (SELECT doc_id, string_split(text, chr(10)) AS l
+                      FROM documents),
+        lines AS (SELECT doc_id, i, l[i] AS ln
+                  FROM (SELECT doc_id, l,
+                               unnest(range(1, len(l) + 1)) AS i
+                        FROM base)),
+        tag AS (SELECT doc_id, i, ln,
+                       (length(trim(ln, ' ' || chr(9) || chr(13))) = 0)
+                         AS blank
+                FROM lines),
+        firsts AS (SELECT ln, min(doc_id * 1048576 + i) AS mpk
+                   FROM tag WHERE NOT blank
+                   GROUP BY ln HAVING count(*) > 1),
+        k AS (SELECT t.doc_id, t.i, t.ln,
+                     (t.blank OR f.ln IS NULL
+                      OR f.mpk = t.doc_id * 1048576 + t.i) AS keep
+              FROM tag t
+              LEFT JOIN firsts f ON f.ln = t.ln AND NOT t.blank)
+        SELECT doc_id, count(*)::BIGINT AS n_lines,
+               sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+               coalesce(string_agg(CASE WHEN keep THEN ln END,
+                                   chr(10) ORDER BY i), '') AS cleaned
+        FROM k GROUP BY doc_id"""
+    d["vocab_topk"] = r"""
+        WITH toks0 AS (
+          SELECT doc_id, list_filter(list_transform(
+                   regexp_split_to_array(trim(text), '\s+'),
+                   x -> regexp_replace(lower(x), '[^\p{L}\p{N}]', '', 'g')),
+                   x -> length(x) > 0) AS l
+          FROM documents),
+        tok AS (SELECT unnest(l) AS token FROM toks0),
+        cnt AS (SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token),
+        r AS (SELECT token, n,
+                     row_number() OVER (ORDER BY n DESC, token)::BIGINT
+                       AS rnk
+              FROM cnt)
+        SELECT token, n, rnk FROM r WHERE rnk <= 1000"""
     d["sequence_pack"] = r"""
         WITH base AS (
           SELECT doc_id,

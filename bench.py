@@ -316,6 +316,10 @@ def run_bench() -> dict:
     timed("dsir_scores", lambda: q["dsir_scores"](sf_dir).count())
     timed("sequence_pack", lambda: q["sequence_pack"](sf_dir).count())
     timed("corpus_split", lambda: q["corpus_split"](sf_dir).count())
+    timed("c4_clean", lambda: q["c4_clean"](sf_dir).count())
+    timed("pii_redact", lambda: q["pii_redact"](sf_dir).count())
+    timed("line_dedup", lambda: q["line_dedup"](sf_dir).count())
+    timed("vocab_topk", lambda: len(q["vocab_topk"](sf_dir)))
     timed("bm25_df", lambda: q["bm25_df"](sf_dir).count())
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())

@@ -2629,3 +2629,192 @@ def windowed_event_counts(sf_dir: str, window_minutes: int = 60):
               .groupby(["event_type", "window_start"])
               .aggregate(Count(alias_name="n_events"),
                          Sum("cents", alias_name="sum_value_cents")))
+
+
+# ------------------------------------------------------ web cleaning --
+
+def c4_clean(sf_dir: str, min_kept_lines: int = 3, docs_ds=None):
+    """C4 document cleaning (Raffel+ 2020 §2.2, `functions.webclean.
+    c4_clean`): line filters (terminal punctuation, >= 5 words, no
+    'javascript') + doc gates (curly brace, 'lorem ipsum', >= 3 surviving
+    lines).  Stateless vectorized-enough map, no shuffle; all counters are
+    integers and the cleaned text is a deterministic splice, so the
+    DuckDB oracle re-derives everything from ``documents.text`` with zero
+    staging."""
+    from ..functions.webclean import c4_clean as _c4
+
+    def stats(batch: pa.Table) -> pa.Table:
+        rows = [_c4(t, min_kept_lines)
+                for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array([r["n_lines"] for r in rows], pa.int64()),
+            "n_kept_lines": pa.array([r["n_kept_lines"] for r in rows],
+                                     pa.int64()),
+            "has_brace": pa.array([r["has_brace"] for r in rows], pa.bool_()),
+            "has_lorem": pa.array([r["has_lorem"] for r in rows], pa.bool_()),
+            "keep": pa.array([r["keep"] for r in rows], pa.bool_()),
+            "cleaned": pa.array([r["cleaned"] for r in rows], pa.string()),
+        })
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def pii_redact(sf_dir: str, docs_ds=None):
+    """PII redaction (CCNet / BigScience-ROOTS style,
+    `functions.webclean.pii_redact`): emails → IPv4 → phone numbers
+    replaced by typed placeholder tokens in a pinned pass order, with
+    per-type non-overlapping match counts.  Stateless map over compiled
+    module-level regexes (RE2-compatible: no lookaround, no capture
+    groups, no \\b), zero-staging oracle via regexp_replace/g."""
+    from ..functions.webclean import pii_redact as _pii
+
+    def redact(batch: pa.Table) -> pa.Table:
+        rows = [_pii(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_email": pa.array([r["n_email"] for r in rows], pa.int64()),
+            "n_ip": pa.array([r["n_ip"] for r in rows], pa.int64()),
+            "n_phone": pa.array([r["n_phone"] for r in rows], pa.int64()),
+            "redacted": pa.array([r["redacted"] for r in rows], pa.string()),
+        })
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    return docs.map_batches(redact, batch_format="pyarrow")
+
+
+def line_dedup(sf_dir: str, broadcast_limit: int = 200_000, docs_ds=None,
+               force_join: bool = False):
+    """Corpus-wide exact line dedup (CCNet §4.1 / RefinedWeb line-wise
+    correction): a non-blank line occurring more than once in the corpus
+    keeps only its FIRST occurrence (min (doc_id, line_idx)); blank lines
+    are document structure and never dedup.  Output per doc: line counts
+    + the cleaned text (kept raw lines rejoined with \\n).
+
+    Scale shape: explode lines → hash-grouped aggregate on the line text
+    finds DUPLICATED lines only (count > 1, a tiny set on real corpora)
+    with their first-occurrence key; unique lines never leave their
+    bucket.  The dup table flows back as a broadcast dict under
+    ``broadcast_limit`` rows, else via ``bucketed_join`` (two paths, one
+    semantics — equality-gated; ``force_join`` pins the join path for
+    tests).  Per-doc reassembly is one more hash-grouped pass.  The
+    occurrence key packs doc_id * 2^20 + line_idx (bound: < 2^20 lines
+    per doc, asserted at explode)."""
+    import ray
+    from ..functions.webclean import _STRIP
+    from ..stages.hashagg import (bucketed_join, grouped_arrow_agg,
+                                  hash_grouped_aggregate)
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, li, ln, blank, pk = [], [], [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            lines = t.split("\n")
+            assert len(lines) < (1 << 20), "line_dedup: >=2^20 lines/doc"
+            for i, s in enumerate(lines, start=1):
+                ids.append(d)
+                li.append(i)
+                ln.append(s)
+                blank.append(len(s.strip(_STRIP)) == 0)
+                pk.append(d * (1 << 20) + i)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "li": pa.array(li, pa.int64()),
+                         "ln": pa.array(ln, pa.string()),
+                         "blank": pa.array(blank, pa.bool_()),
+                         "pk": pa.array(pk, pa.int64())})
+
+    lines = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def dup_firsts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t.column("blank")))
+        agg = t.group_by(["ln"]).aggregate([("pk", "min"), ("pk", "count")])
+        agg = agg.rename_columns(["ln", "mpk", "n"])
+        return agg.filter(pc.greater(agg.column("n"), 1)).drop_columns(["n"])
+
+    dups = hash_grouped_aggregate(lines, ["ln"], dup_firsts).materialize()
+
+    if not force_join and dups.count() <= broadcast_limit:
+        dup_df = dups.to_pandas()
+        dmap = ({} if dup_df.empty else
+                dict(zip(dup_df["ln"], dup_df["mpk"].astype("int64"))))
+        dref = ray.put(dmap)
+
+        def mark(batch: pa.Table) -> pa.Table:
+            dm = ray.get(dref)
+            keep = [b or dm.get(s, p) == p
+                    for s, b, p in zip(batch.column("ln").to_pylist(),
+                                       batch.column("blank").to_pylist(),
+                                       batch.column("pk").to_pylist())]
+            return batch.append_column("keep", pa.array(keep, pa.bool_()))
+
+        marked = lines.map_batches(mark, batch_format="pyarrow")
+    else:
+        joined = bucketed_join(lines, dups, on=["ln"], how="left")
+
+        def flag(batch: pa.Table) -> pa.Table:
+            mpk = batch.column("mpk").to_pylist()
+            keep = [b or (m is None) or int(m) == p
+                    for b, m, p in zip(batch.column("blank").to_pylist(),
+                                       mpk, batch.column("pk").to_pylist())]
+            return (batch.drop_columns(["mpk"])
+                    .append_column("keep", pa.array(keep, pa.bool_())))
+
+        marked = joined.map_batches(flag, batch_format="pyarrow")
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["doc_id", "li"])
+        out = {"doc_id": [], "n_lines": [], "n_dropped": [], "cleaned": []}
+        for d, g in df.groupby("doc_id", sort=True):
+            out["doc_id"].append(int(d))
+            out["n_lines"].append(len(g))
+            out["n_dropped"].append(int((~g["keep"]).sum()))
+            out["cleaned"].append("\n".join(g.loc[g["keep"], "ln"]))
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "n_lines": pa.array(out["n_lines"], pa.int64()),
+                         "n_dropped": pa.array(out["n_dropped"], pa.int64()),
+                         "cleaned": pa.array(out["cleaned"], pa.string())})
+
+    return hash_grouped_aggregate(
+        marked.drop_columns(["blank", "pk"]), ["doc_id"], rebuild)
+
+
+def vocab_topk(sf_dir: str, k: int = 1000, docs_ds=None):
+    """Corpus vocabulary builder (the counting pass of BPE/unigram vocab
+    training): global token frequencies via per-block Counter partials →
+    hash-grouped sum → per-block local top-k → driver final top-k (≤ k ×
+    n_blocks rows ever reach the driver).  Tokens via ``lm_tokenize``
+    (the proven-parity split → lower → strip \\p{L}\\p{N} shape); rank
+    ties break on token ASC.  Returns a pandas DataFrame (small by
+    construction)."""
+    from collections import Counter
+
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(lm_tokenize(t))
+        toks = sorted(c)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "n": pa.array([c[t] for t in toks], pa.int64())})
+
+    counts = hash_grouped_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"), ["token"],
+        grouped_arrow_agg(["token"], [("n", "sum")], rename=["token", "n"]))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = counts.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    fin = (cand.sort_values(["n", "token"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    fin["rnk"] = (fin.index + 1).astype("int64")
+    fin["n"] = fin["n"].astype("int64")
+    return fin
