@@ -1240,6 +1240,38 @@ def q_simhash_dup_pairs(sf_dir: str):
     return td.simhash_dup_pairs(sf_dir, sigs_ds=sigs)
 
 
+_BPE_CACHE: dict[tuple, tuple] = {}
+
+
+def _bpe_learned(sf_dir: str, n_merges: int = 20, max_types: int = 300):
+    """Driver-side learned merges, cached per process (the three BPE
+    queries and bench share one learning pass — at scale the merge table
+    is learned once and persisted, like the KG checkpoints)."""
+    key = (sf_dir, n_merges, max_types)
+    if key not in _BPE_CACHE:
+        mdf = td.bpe_merges(sf_dir, n_merges=n_merges, max_types=max_types)
+        _BPE_CACHE[key] = (mdf, list(zip(mdf["lhs"], mdf["rhs"])))
+    return _BPE_CACHE[key]
+
+
+def q_bpe_merges(sf_dir: str):
+    """Learned BPE merge table (rnk, lhs, rhs).  Oracle: the whole
+    Sennrich+ 2016 learning loop as generated SQL (one weighted-argmax +
+    window merge pass per rank) straight from ``documents`` — zero
+    staging."""
+    return _bpe_learned(sf_dir)[0]
+
+
+def q_bpe_segments(sf_dir: str):
+    """Per-distinct-word BPE segmentation under the learned merges."""
+    return td.bpe_segments(sf_dir, merges=_bpe_learned(sf_dir)[1])
+
+
+def q_bpe_token_stats(sf_dir: str):
+    """Per-document BPE piece counts (stateless map, per-worker memo)."""
+    return td.bpe_token_stats(sf_dir, merges=_bpe_learned(sf_dir)[1])
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end webtext curation (language/quality gates → exact dedup
     → MinHash-LSH near-dedup).  Only the MinHash band rows over the
@@ -3656,6 +3688,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": td.line_dedup,
         # corpus vocabulary builder (BPE counting pass, global top-k)
         "vocab_topk": td.vocab_topk,
+        # BPE subword tokenizer (Sennrich+ 2016): learned merges,
+        # per-distinct-word segmentation, per-doc piece counts — the
+        # ENTIRE learning loop re-derived in generated SQL, zero staging
+        "bpe_merges": q_bpe_merges,
+        "bpe_segments": q_bpe_segments,
+        "bpe_token_stats": q_bpe_token_stats,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4824,6 +4862,9 @@ def _gopher_repetition_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
+    d["bpe_merges"] = _bpe_merges_sql()
+    d["bpe_segments"] = _bpe_segments_sql()
+    d["bpe_token_stats"] = _bpe_token_stats_sql()
     d["gopher_quality"] = (_GOPHER_SQL.replace("{min_words}", "50")
                            .replace("{max_words}", "100000"))
     d["gopher_repetition"] = _gopher_repetition_sql()
@@ -7928,6 +7969,108 @@ def _pagerank_sql(n_iter: int, damping: float, round_digits: int) -> str:
     parts.append(
         f"\nSELECT node, round(score, {round_digits}) AS score FROM s{n_iter}")
     return "\n".join(parts)
+
+
+_BPE_TOK_SQL = r"""
+toks0 AS MATERIALIZED (
+  SELECT doc_id, list_filter(list_transform(
+           regexp_split_to_array(trim(text), '\s+'),
+           x -> regexp_replace(lower(x), '[^\p{L}\p{N}]', '', 'g')),
+           x -> length(x) > 0) AS l
+  FROM documents),
+tok AS (SELECT unnest(l) AS word FROM toks0),
+wt AS MATERIALIZED (SELECT word, count(*)::BIGINT AS n
+                    FROM tok GROUP BY word),
+wf AS (SELECT word, n FROM wt ORDER BY n DESC, word LIMIT __K__),
+seg0 AS MATERIALIZED (SELECT word, n,
+         list_transform(range(1, length(word)+1), i -> word[i])
+           || ['</w>'] AS syms FROM wf)"""
+
+
+def _bpe_pass_sql(tag: str, src: str, pair: str) -> str:
+    """One L2R merge-all window pass (``functions/bpe.merge_pass``):
+    match flags → run-parity keep (overlaps only arise when lhs == rhs)
+    → splice via the lagged-keep skip.  Complete for a single pair: the
+    merged symbol can never start or finish another occurrence."""
+    body = r"""
+e__T__ AS (SELECT word, n, u.p AS p, syms[u.p] AS sym, syms[u.p+1] AS nxt
+         FROM __SRC__, unnest(range(1, len(syms)+1)) AS u(p)),
+q__T__ AS (SELECT *, coalesce(sym = (SELECT lhs FROM __M__)
+                   AND nxt = (SELECT rhs FROM __M__), false) AS mt
+         FROM e__T__),
+rr__T__ AS (SELECT *, CASE WHEN mt THEN p - row_number() OVER
+            (PARTITION BY word, mt ORDER BY p) END AS rid FROM q__T__),
+k__T__ AS (SELECT *, CASE WHEN mt THEN (p - min(p) OVER
+            (PARTITION BY word, rid)) % 2 = 0 ELSE false END AS keep
+         FROM rr__T__),
+g__T__ AS (SELECT *, coalesce(lag(keep) OVER
+            (PARTITION BY word ORDER BY p), false) AS pk FROM k__T__),
+seg__T__ AS MATERIALIZED (SELECT word, n,
+             list(CASE WHEN keep THEN sym || nxt ELSE sym END
+                  ORDER BY p) AS syms
+           FROM g__T__ WHERE NOT pk GROUP BY word, n)"""
+    return (body.replace("__T__", tag).replace("__SRC__", src)
+            .replace("__M__", pair).strip())
+
+
+def _bpe_prefix_sql(n_merges: int, max_types: int, with_apply: bool) -> str:
+    """The WHOLE BPE learning loop (Sennrich+ 2016) as generated SQL —
+    zero staging: per rank, weighted pair counts over the previous
+    segmentation → argmax (count DESC, pair ASC; binary UTF-8 order ==
+    code-point order) → one window merge pass.  ``with_apply`` appends
+    the apply chain re-tokenizing EVERY distinct corpus word with the
+    learned merges in rank order (``functions/bpe.apply_bpe``)."""
+    parts = ["WITH " + _BPE_TOK_SQL.replace("__K__", str(max_types)).strip()]
+    for r in range(1, n_merges + 1):
+        src = "seg" + str(r - 1)
+        parts.append((r"""
+pc__R__ AS (SELECT syms[u.p] AS lhs, syms[u.p+1] AS rhs,
+            sum(n)::BIGINT AS c
+          FROM __SRC__, unnest(range(1, len(syms))) AS u(p)
+          GROUP BY 1, 2),
+m__R__ AS MATERIALIZED (SELECT lhs, rhs FROM pc__R__
+          ORDER BY c DESC, lhs, rhs LIMIT 1)"""
+                      ).replace("__R__", str(r)).replace("__SRC__", src)
+                     .strip())
+        parts.append(_bpe_pass_sql(str(r), src, "m" + str(r)))
+    if with_apply:
+        parts.append(r"""
+sega0 AS MATERIALIZED (SELECT word, 0::BIGINT AS n,
+         list_transform(range(1, length(word)+1), i -> word[i])
+           || ['</w>'] AS syms FROM wt)""".strip())
+        for r in range(1, n_merges + 1):
+            parts.append(_bpe_pass_sql(
+                "a" + str(r), "sega" + str(r - 1), "m" + str(r)))
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int = 20, max_types: int = 300) -> str:
+    union = "\nUNION ALL\n".join(
+        "SELECT {r}::BIGINT AS rnk, lhs, rhs FROM m{r}".replace(
+            "{r}", str(r))
+        for r in range(1, n_merges + 1))
+    return (_bpe_prefix_sql(n_merges, max_types, with_apply=False)
+            + "\n" + union)
+
+
+def _bpe_segments_sql(n_merges: int = 20, max_types: int = 300) -> str:
+    return (_bpe_prefix_sql(n_merges, max_types, with_apply=True)
+            + "\nSELECT word, array_to_string(syms, ' ') AS pieces,"
+            + "\n       len(syms)::BIGINT AS n_pieces FROM sega"
+            + str(n_merges))
+
+
+def _bpe_token_stats_sql(n_merges: int = 20, max_types: int = 300) -> str:
+    return (_bpe_prefix_sql(n_merges, max_types, with_apply=True) + r""",
+dt AS (SELECT doc_id, unnest(l) AS word FROM toks0),
+wcn AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM dt GROUP BY 1, 2),
+sp AS (SELECT word, len(syms)::BIGINT AS np FROM sega""" + str(n_merges)
+            + r"""),
+j AS (SELECT wcn.doc_id, sum(wcn.c) AS nw, sum(wcn.c * sp.np) AS npc
+      FROM wcn JOIN sp USING (word) GROUP BY 1)
+SELECT d.doc_id, coalesce(j.nw, 0)::BIGINT AS n_words,
+       coalesce(j.npc, 0)::BIGINT AS n_pieces
+FROM documents d LEFT JOIN j ON j.doc_id = d.doc_id""")
 
 
 def _oracle_sql_base() -> dict[str, str]:

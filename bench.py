@@ -320,6 +320,10 @@ def run_bench() -> dict:
     timed("pii_redact", lambda: q["pii_redact"](sf_dir).count())
     timed("line_dedup", lambda: q["line_dedup"](sf_dir).count())
     timed("vocab_topk", lambda: len(q["vocab_topk"](sf_dir)))
+    # BPE: learning (counting pass + driver merge loop) timed once;
+    # the per-doc tokenize-apply pass timed separately on the warm merges
+    timed("bpe_merges", lambda: len(q["bpe_merges"](sf_dir)))
+    timed("bpe_token_stats", lambda: q["bpe_token_stats"](sf_dir).count())
     timed("bm25_df", lambda: q["bm25_df"](sf_dir).count())
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())

@@ -2818,3 +2818,121 @@ def vocab_topk(sf_dir: str, k: int = 1000, docs_ds=None):
     fin["rnk"] = (fin.index + 1).astype("int64")
     fin["n"] = fin["n"].astype("int64")
     return fin
+
+
+# ------------------------------------------------------------------ BPE --
+
+def bpe_word_freqs(sf_dir: str, docs_ds=None):
+    """Distributed word-TYPE frequency table feeding BPE learning:
+    per-block Counter partials → hash-grouped sum (the ``vocab_topk``
+    counting shape — every block emits at most its distinct-token count,
+    never its token stream)."""
+    from collections import Counter
+
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(lm_tokenize(t))
+        toks = sorted(c)
+        return pa.table({"word": pa.array(toks, pa.string()),
+                         "n": pa.array([c[t] for t in toks], pa.int64())})
+
+    return hash_grouped_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"), ["word"],
+        grouped_arrow_agg(["word"], [("n", "sum")], rename=["word", "n"]))
+
+
+def bpe_merges(sf_dir: str, n_merges: int = 20, max_types: int = 300,
+               freqs_ds=None):
+    """Learn BPE merges (Sennrich+ 2016) from the corpus.
+
+    Scale shape: the distributed pass is the word-type counting
+    (``bpe_word_freqs``); the merge loop itself runs driver-side over the
+    top-``max_types`` types by (freq DESC, word ASC) — bounded BY
+    CONTRACT, the standard practice for BPE learners (the type table a
+    learner consumes is always frequency-capped; the corpus never ships).
+    Returns a pandas DataFrame (rnk, lhs, rhs).  Oracle: the ENTIRE
+    learning loop is re-derived in generated SQL straight from
+    ``documents`` (one window-pass merge round per rank — zero staging).
+    """
+    import pandas as pd
+
+    from ..functions.bpe import learn_bpe
+
+    freqs = (freqs_ds if freqs_ds is not None
+             else bpe_word_freqs(sf_dir)).to_pandas()
+    freqs = freqs.sort_values(["n", "word"], ascending=[False, True]
+                              ).head(max_types)
+    merges = learn_bpe(list(zip(freqs["word"], freqs["n"].astype(int))),
+                       n_merges)
+    return pd.DataFrame({
+        "rnk": pd.array(range(1, len(merges) + 1), dtype="int64"),
+        "lhs": [m[0] for m in merges],
+        "rhs": [m[1] for m in merges],
+    })
+
+
+def bpe_segments(sf_dir: str, n_merges: int = 20, max_types: int = 300,
+                 merges=None, docs_ds=None):
+    """Tokenize every DISTINCT corpus word with the learned merges:
+    (word, pieces, n_pieces).  Stateless map over the distinct-word
+    table; the merge list (≤ n_merges tuples) ships in the closure."""
+    from ..functions.bpe import apply_bpe
+
+    if merges is None:
+        mdf = bpe_merges(sf_dir, n_merges=n_merges, max_types=max_types)
+        merges = list(zip(mdf["lhs"], mdf["rhs"]))
+
+    words = bpe_word_freqs(sf_dir, docs_ds=docs_ds)
+
+    def seg(batch: pa.Table) -> pa.Table:
+        ws = batch.column("word").to_pylist()
+        pieces = [apply_bpe(w, merges) for w in ws]
+        return pa.table({
+            "word": batch.column("word"),
+            "pieces": pa.array([" ".join(p) for p in pieces], pa.string()),
+            "n_pieces": pa.array([len(p) for p in pieces], pa.int64()),
+        })
+
+    return words.map_batches(seg, batch_format="pyarrow")
+
+
+def bpe_token_stats(sf_dir: str, n_merges: int = 20, max_types: int = 300,
+                    merges=None, docs_ds=None):
+    """Per-document BPE token counts: (doc_id, n_words, n_pieces).
+    Stateless per-doc map — the apply step is memoized per worker process
+    on the distinct words each batch sees (Zipf makes the hit rate high);
+    no join, no shuffle at any scale."""
+    from collections import Counter
+
+    from ..functions.bpe import apply_bpe
+
+    if merges is None:
+        mdf = bpe_merges(sf_dir, n_merges=n_merges, max_types=max_types)
+        merges = list(zip(mdf["lhs"], mdf["rhs"]))
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    memo: dict = {}
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids, nw, npc = [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            c = Counter(lm_tokenize(t))
+            total = words = 0
+            for w, k in c.items():
+                ln = memo.get(w)
+                if ln is None:
+                    ln = memo[w] = len(apply_bpe(w, merges))
+                total += k * ln
+                words += k
+            ids.append(did); nw.append(words); npc.append(total)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_words": pa.array(nw, pa.int64()),
+                         "n_pieces": pa.array(npc, pa.int64())})
+
+    return docs.map_batches(stats, batch_format="pyarrow")
