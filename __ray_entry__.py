@@ -1272,6 +1272,27 @@ def q_bpe_token_stats(sf_dir: str):
     return td.bpe_token_stats(sf_dir, merges=_bpe_learned(sf_dir)[1])
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas+ 2023): k-means-blocked semantic near-dedup.
+    Only the k-means CENTROIDS are staged (iterative procedural build,
+    same device as ``ivf_topk``); DuckDB independently re-derives the
+    argmax assignment, centroid similarity, within-cluster cosine pair
+    graph, reachability closure, min-member group label and the
+    keep-least-central rule."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    _, _, cent, _ = td.ivf_index(sf_dir, n_queries=1, n_centroids=8,
+                                 nprobe=1)
+    ct = pa.table({
+        "cluster": pa.array(range(len(cent)), pa.int64()),
+        "cvec": pa.array([list(map(float, c)) for c in cent],
+                         pa.list_(pa.float64())),
+    })
+    _stage(rd.from_arrow(ct), "semdedup", sf_dir)
+    return td.semdedup(sf_dir, cent=cent)
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end webtext curation (language/quality gates → exact dedup
     → MinHash-LSH near-dedup).  Only the MinHash band rows over the
@@ -3694,6 +3715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "bpe_segments": q_bpe_segments,
         "bpe_token_stats": q_bpe_token_stats,
+        # SemDeDup (Abbas+ 2023): k-means-blocked embedding near-dedup
+        "semdedup": q_semdedup,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4865,6 +4888,38 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_merges"] = _bpe_merges_sql()
     d["bpe_segments"] = _bpe_segments_sql()
     d["bpe_token_stats"] = _bpe_token_stats_sql()
+    d["semdedup"] = """
+        WITH RECURSIVE cent AS (
+          SELECT cluster, cvec FROM __CENT__),
+        emb AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+        sims AS (
+          SELECT e.vec_id, c.cluster, list_cosine_similarity(e.v, c.cvec)
+                   AS s
+          FROM emb e CROSS JOIN cent c),
+        asg AS (
+          SELECT vec_id, cluster, s AS csim FROM sims
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cluster) = 1),
+        ae AS (SELECT a.vec_id, a.cluster, a.csim, e.v
+               FROM asg a JOIN emb e USING (vec_id)),
+        pr AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst
+          FROM ae a JOIN ae b
+            ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+          WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        reach AS (
+          SELECT vec_id AS v, vec_id AS lbl FROM asg
+          UNION
+          SELECT p.dst AS v, r.lbl FROM reach r JOIN pr p ON p.src = r.v),
+        grp AS (SELECT v AS vec_id, min(lbl)::BIGINT AS grp
+                FROM reach GROUP BY v)
+        SELECT a.vec_id, a.cluster, g.grp,
+               (row_number() OVER (PARTITION BY g.grp
+                                   ORDER BY a.csim, a.vec_id) = 1) AS keep
+        FROM asg a JOIN grp g USING (vec_id)""".replace(
+        "__CENT__", _staged_sql("semdedup"))
     d["gopher_quality"] = (_GOPHER_SQL.replace("{min_words}", "50")
                            .replace("{max_words}", "100000"))
     d["gopher_repetition"] = _gopher_repetition_sql()

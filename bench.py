@@ -324,6 +324,10 @@ def run_bench() -> dict:
     # the per-doc tokenize-apply pass timed separately on the warm merges
     timed("bpe_merges", lambda: len(q["bpe_merges"](sf_dir)))
     timed("bpe_token_stats", lambda: q["bpe_token_stats"](sf_dir).count())
+    # SemDeDup un-staged production path (centroid staging is oracle
+    # harness I/O, same precedent as kg_triples)
+    from graphrag_rs_ray.pipelines import training_data as _td
+    timed("semdedup", lambda: _td.semdedup(sf_dir).count())
     timed("bm25_df", lambda: q["bm25_df"](sf_dir).count())
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())

@@ -2936,3 +2936,102 @@ def bpe_token_stats(sf_dir: str, n_merges: int = 20, max_types: int = 300,
                          "n_pieces": pa.array(npc, pa.int64())})
 
     return docs.map_batches(stats, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ SemDeDup --
+
+def semdedup(sf_dir: str, threshold: float = 0.35, n_centroids: int = 8,
+             seed: int = 11, sample_size: int = 512, kmeans_iters: int = 8,
+             cent=None):
+    """SemDeDup (Abbas+ 2023, PAPERS.md): semantic near-dedup via
+    k-means blocking.  Spherical k-means centroids from a bounded
+    driver-side sample (the ``ivf_index`` build), stateless cluster
+    assignment (argmax cosine; ties → lowest cluster id, numpy argmax ==
+    the oracle's row_number tie-break), then WITHIN each cluster
+    pairwise cosine ≥ ``threshold`` defines duplicate groups (connected
+    components over the pair graph); every group keeps the member LEAST
+    similar to its centroid (the paper's keep-low-centroid-sim rule),
+    ties on vec_id.  Output (vec_id, cluster, grp, keep); singletons
+    keep themselves.
+
+    Scale shape: the only exchange is the cluster groupby
+    (``hash_grouped_aggregate``); the quadratic verify is bounded per
+    cluster by the k choice — the paper's own device (k grows with the
+    corpus so cluster size stays fixed).  Centroids broadcast once via
+    ``ray.put``; union-find runs inside the bucket, never driver-side.
+    """
+    import ray
+    from ..stages.hashagg import hash_grouped_aggregate
+
+    if cent is None:
+        _, _, cent, _ = ivf_index(
+            sf_dir, n_queries=1, n_centroids=n_centroids, nprobe=1,
+            seed=seed, sample_size=sample_size, kmeans_iters=kmeans_iters)
+    cref = ray.put(np.asarray(cent, dtype=np.float64))
+
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ce = ray.get(cref)
+        vecs = np.array(batch.column("embedding").to_pylist(),
+                        dtype=np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                           1e-12)
+        sims = vecs @ ce.T
+        cid = np.argmax(sims, axis=1)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(cid, pa.int64()),
+            "csim": pa.array(sims[np.arange(len(cid)), cid], pa.float64()),
+            "embedding": batch.column("embedding"),
+        })
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        out_v, out_c, out_g, out_k = [], [], [], []
+        df_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        df_cl = np.asarray(t.column("cluster").to_pylist(), dtype=np.int64)
+        df_cs = np.asarray(t.column("csim").to_pylist(), dtype=np.float64)
+        embs = t.column("embedding").to_pylist()
+        for cl in np.unique(df_cl):
+            idx = np.where(df_cl == cl)[0]
+            order = idx[np.argsort(df_ids[idx])]
+            ids = df_ids[order]
+            cs = df_cs[order]
+            vecs = np.array([embs[i] for i in order], dtype=np.float64)
+            vecs /= np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            sims = vecs @ vecs.T
+            m = len(ids)
+            parent = list(range(m))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            for a, b in zip(ii, jj):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            comp: dict[int, list[int]] = {}
+            for i in range(m):
+                comp.setdefault(find(i), []).append(i)
+            for members in comp.values():
+                grp = int(min(ids[i] for i in members))
+                best = min(members, key=lambda i: (cs[i], ids[i]))
+                for i in members:
+                    out_v.append(int(ids[i]))
+                    out_c.append(int(cl))
+                    out_g.append(grp)
+                    out_k.append(i == best)
+        return pa.table({"vec_id": pa.array(out_v, pa.int64()),
+                         "cluster": pa.array(out_c, pa.int64()),
+                         "grp": pa.array(out_g, pa.int64()),
+                         "keep": pa.array(out_k, pa.bool_())})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return hash_grouped_aggregate(assigned, ["cluster"], per_bucket)

@@ -1,0 +1,51 @@
+"""SemDeDup (Abbas+ 2023) semantics gates on planted vectors: transitive
+duplicate chains inside a cluster, the keep-least-central rule, exact-dup
+vec_id tie-break, and singleton self-keep.  Engine parity (assignment
+argmax, closure, keep rule vs DuckDB) is swept by driver_sim; this file
+pins the TRUE branches the sf embeddings may not exercise."""
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from graphrag_rs_ray.pipelines import training_data as td
+
+
+@pytest.fixture()
+def planted_dir(tmp_path):
+    th = math.acos(0.9)
+    a = [1.0, 0.0, 0.0]
+    b = [math.cos(th), 0.0, math.sin(th)]          # a·b = 0.9
+    c = [math.cos(2 * th), 0.0, math.sin(2 * th)]  # b·c = 0.9, a·c = 0.62
+    d = [0.5, 0.0, -math.sqrt(1 - 0.25)]           # singleton in cluster 0
+    e = [0.0, 1.0, 0.0]                            # exact dups in cluster 1
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "embedding": pa.array([a, b, c, d, e, e],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, os.path.join(tmp_path, "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_semdedup_planted(ray_session, planted_dir):
+    cent = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    out = td.semdedup(planted_dir, threshold=0.8, cent=cent).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    rows = {r.vec_id: r for r in out.itertuples()}
+
+    # chain 1-2-3 is one transitive group even though cos(1,3) < 0.8
+    assert rows[1].grp == rows[2].grp == rows[3].grp == 1
+    # keep = least similar to the centroid (vec 3: csim 0.62)
+    assert (rows[1].keep, rows[2].keep, rows[3].keep) == (False, False, True)
+    # singleton keeps itself
+    assert rows[4].grp == 4 and bool(rows[4].keep)
+    # exact dups: csim tie → min vec_id kept
+    assert rows[5].grp == rows[6].grp == 5
+    assert (rows[5].keep, rows[6].keep) == (True, False)
+    # cluster assignment: 1-4 → centroid 0, 5-6 → centroid 1
+    assert list(out["cluster"]) == [0, 0, 0, 0, 1, 1]
