@@ -3717,6 +3717,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats": q_bpe_token_stats,
         # SemDeDup (Abbas+ 2023): k-means-blocked embedding near-dedup
         "semdedup": q_semdedup,
+        # model-based quality filter (hashing-trick linear scorer;
+        # deterministic stand-in weights, zero-staging oracle)
+        "quality_classifier": td.quality_classifier,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4888,6 +4891,7 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_merges"] = _bpe_merges_sql()
     d["bpe_segments"] = _bpe_segments_sql()
     d["bpe_token_stats"] = _bpe_token_stats_sql()
+    d["quality_classifier"] = _quality_classifier_sql()
     d["semdedup"] = """
         WITH RECURSIVE cent AS (
           SELECT cluster, cvec FROM __CENT__),
@@ -8126,6 +8130,45 @@ j AS (SELECT wcn.doc_id, sum(wcn.c) AS nw, sum(wcn.c * sp.np) AS npc
 SELECT d.doc_id, coalesce(j.nw, 0)::BIGINT AS n_words,
        coalesce(j.npc, 0)::BIGINT AS n_pieces
 FROM documents d LEFT JOIN j ON j.doc_id = d.doc_id""")
+
+
+def _hex2int_sql(expr: str, n_chars: int) -> str:
+    """SQL expression: integer value of the first ``n_chars`` hex digits
+    of ``expr`` (== Python ``int(expr[:n], 16)``) — strpos-chain, no
+    engine-specific hex cast."""
+    terms = [
+        "(strpos('0123456789abcdef', substr(" + expr + ", "
+        + str(i + 1) + ", 1)) - 1) * " + str(16 ** (n_chars - 1 - i))
+        for i in range(n_chars)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _quality_classifier_sql() -> str:
+    """The hashing-trick linear scorer re-derived entirely from
+    ``documents``: bucket = md5(token)[:4], weight = md5('w'+bucket)[:8]
+    % 2001 - 1000 — all integer micro-logits, zero staging."""
+    bucket = _hex2int_sql("md5(token)", 4)
+    weight = _hex2int_sql("md5('w' || bucket::VARCHAR)", 8)
+    return r"""
+        WITH toks0 AS (
+          SELECT doc_id, list_filter(list_transform(
+                   regexp_split_to_array(trim(text), '\s+'),
+                   x -> regexp_replace(lower(x), '[^\p{L}\p{N}]', '', 'g')),
+                   x -> length(x) > 0) AS l
+          FROM documents),
+        ti AS (SELECT doc_id, unnest(l) AS token FROM toks0),
+        dt AS (SELECT DISTINCT token FROM ti),
+        tb AS (SELECT token, __BUCKET__::BIGINT AS bucket FROM dt),
+        tw AS (SELECT token, (__WEIGHT__ % 2001 - 1000)::BIGINT AS w
+               FROM tb),
+        agg AS (SELECT ti.doc_id, count(*)::BIGINT AS n_toks,
+                       sum(tw.w)::BIGINT AS logit_sum
+                FROM ti JOIN tw USING (token) GROUP BY 1)
+        SELECT d.doc_id, coalesce(a.n_toks, 0)::BIGINT AS n_toks,
+               coalesce(a.logit_sum, 0)::BIGINT AS logit_sum,
+               coalesce(a.logit_sum, 0) > 0 AS keep
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".replace(
+        "__BUCKET__", bucket).replace("__WEIGHT__", weight)
 
 
 def _oracle_sql_base() -> dict[str, str]:

@@ -328,6 +328,8 @@ def run_bench() -> dict:
     # harness I/O, same precedent as kg_triples)
     from graphrag_rs_ray.pipelines import training_data as _td
     timed("semdedup", lambda: _td.semdedup(sf_dir).count())
+    timed("quality_classifier",
+          lambda: q["quality_classifier"](sf_dir).count())
     timed("bm25_df", lambda: q["bm25_df"](sf_dir).count())
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())

@@ -3035,3 +3035,38 @@ def semdedup(sf_dir: str, threshold: float = 0.35, n_centroids: int = 8,
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     return hash_grouped_aggregate(assigned, ["cluster"], per_bucket)
+
+
+# ------------------------------------------- model-based quality filter --
+
+def quality_classifier(sf_dir: str, weights=None, docs_ds=None):
+    """Model-based quality filtering (the GPT-3 appx-A / LLaMA curation
+    step; fastText-style hashing-trick linear scorer, Joulin+ 2016):
+    per-doc (doc_id, n_toks, logit_sum, keep) with keep = mean token
+    weight > 0.  Stateless per-doc map, per-worker token→weight memo
+    (Zipf makes the hit rate high); a trained model ships as a dense
+    ``weights`` array broadcast via ``ray.put``, the default is the
+    deterministic md5-derived stand-in (``functions/quality_clf``) so
+    the oracle re-derives EVERYTHING from ``documents`` — zero staging.
+    """
+    import ray
+
+    from ..functions.quality_clf import doc_logit
+
+    wref = ray.put(weights) if weights is not None else None
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    memo: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = ray.get(wref) if wref is not None else None
+        ids, nt, ls, keep = [], [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            n, s = doc_logit(lm_tokenize(t), weights=w, _memo=memo)
+            ids.append(did); nt.append(n); ls.append(s); keep.append(s > 0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_toks": pa.array(nt, pa.int64()),
+                         "logit_sum": pa.array(ls, pa.int64()),
+                         "keep": pa.array(keep, pa.bool_())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
