@@ -17,6 +17,7 @@ class KGConfig:
     chunk_overlap: int = 100
     min_chunk_size: int = 50            # chunking.rs:29
     chunker: str = "hierarchical"       # "hierarchical" | "legacy" (text/mod.rs:123)
+                                        # | "rust_code" (chunking_strategies.rs:138)
 
     # extraction — registry name (SURVEY §2.13): "pattern" | "gleaning"
     # (+ any name registered via stages.registry.register_extractor)

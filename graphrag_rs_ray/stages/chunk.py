@@ -14,6 +14,7 @@ import pyarrow as pa
 
 from ..config import KGConfig
 from ..functions.chunking import chunk_text, chunk_text_legacy
+from ..functions.code_chunking import chunk_rust_code
 
 CHUNKS_SCHEMA = pa.schema([
     ("chunk_id", pa.string()),
@@ -41,6 +42,10 @@ class ChunkStage:
                 continue
             if cfg.chunker == "legacy":
                 pieces = chunk_text_legacy(text, cfg.chunk_size, cfg.chunk_overlap)
+            elif cfg.chunker == "rust_code":
+                # code-aware item-boundary chunking
+                # (chunking_strategies.rs:138-239)
+                pieces = chunk_rust_code(text, cfg.min_chunk_size)
             else:
                 pieces = chunk_text(text, cfg.chunk_size, cfg.chunk_overlap,
                                     cfg.min_chunk_size)
