@@ -3720,6 +3720,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # model-based quality filter (hashing-trick linear scorer;
         # deterministic stand-in weights, zero-staging oracle)
         "quality_classifier": td.quality_classifier,
+        # deterministic training-order shuffle + shard manifest
+        # (distributed order statistic over md5 hash order)
+        "shuffle_shards": td.shuffle_shards,
+        # temperature-scaled domain sampling weights (mT5/DoReMi mix)
+        "mixture_weights": td.mixture_weights,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4892,6 +4897,32 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_segments"] = _bpe_segments_sql()
     d["bpe_token_stats"] = _bpe_token_stats_sql()
     d["quality_classifier"] = _quality_classifier_sql()
+    d["shuffle_shards"] = r"""
+        WITH r AS (SELECT doc_id, md5('shuf:' || doc_id::VARCHAR) AS h
+                   FROM documents),
+        p AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY h, doc_id) - 1 AS pos,
+                     count(*) OVER () AS total
+              FROM r)
+        SELECT doc_id, pos::BIGINT AS pos,
+               ((pos * 16) // total)::BIGINT AS shard,
+               (pos - (((pos * 16) // total) * total + 16 - 1) // 16
+                )::BIGINT AS shard_pos
+        FROM p"""
+    d["mixture_weights"] = r"""
+        WITH s AS (
+          SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(len(list_filter(
+                   regexp_split_to_array(trim(text), '\s+'),
+                   x -> length(x) > 0)))::BIGINT AS n_toks
+          FROM documents GROUP BY source),
+        w AS (SELECT source, n_docs, n_toks,
+                     floor(1e6 * pow(n_toks, 0.3))::BIGINT AS wq
+              FROM s)
+        SELECT source, n_docs, n_toks, wq,
+               (wq * 1000000 // (SELECT sum(wq) FROM w))::BIGINT
+                 AS share_micro
+        FROM w"""
     d["semdedup"] = """
         WITH RECURSIVE cent AS (
           SELECT cluster, cvec FROM __CENT__),

@@ -3070,3 +3070,104 @@ def quality_classifier(sf_dir: str, weights=None, docs_ds=None):
                          "keep": pa.array(keep, pa.bool_())})
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------- training-order shuffle --
+
+def shuffle_shards(sf_dir: str, n_shards: int = 16, seed: str = "shuf",
+                   docs_ds=None, bucket_hex: int = 4):
+    """Deterministic global training-order shuffle + shard manifest:
+    every doc gets its position in the md5-permuted corpus order and
+    the output shard that position falls in (contiguous equal chop, the
+    way a shuffled stream is cut into training files).  Hash order makes
+    the shuffle seeded, rerun- and reshard-invariant — the GPT/LLaMA
+    data-order reproducibility requirement — with no random state.
+
+    Scale shape — a distributed exact order-statistic, NOT a global
+    sort: docs bucket by the first ``bucket_hex`` md5 hex chars (hex
+    order ≡ hash order; 4 chars = 65536 buckets keeps groups ~15M docs
+    at 10^12), per-bucket counts roll up to the driver (one int per
+    bucket), a prefix walk yields each bucket's base offset, and ranks
+    WITHIN a bucket come from one grouped pass — so the only exchange is
+    the bucket groupby, never an all-to-all sort of the corpus."""
+    import ray
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hs = [hashlib.md5(f"{seed}:{d}".encode()).hexdigest() for d in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "h": pa.array(hs, pa.string()),
+                         "b": pa.array([int(x[:bucket_hex], 16) for x in hs],
+                                       pa.int64()),
+                         "one": pa.array([1] * len(ids), pa.int64())})
+
+    docs = (docs_ds if docs_ds is not None else
+            _docs(sf_dir, columns=("doc_id",)))
+    st = docs.map_batches(stats, batch_format="pyarrow").materialize()
+
+    counts = hash_grouped_aggregate(
+        st, ["b"], grouped_arrow_agg(["b"], [("one", "sum")],
+                                     rename=["b", "n"])).to_pandas()
+    counts = counts.sort_values("b")
+    total = int(counts["n"].sum())
+    base = dict(zip(counts["b"].astype(int),
+                    counts["n"].cumsum().shift(fill_value=0).astype(int)))
+    base_ref = ray.put(base)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        bmap = ray.get(base_ref)
+        df = t.to_pandas().sort_values(["b", "h", "doc_id"])
+        pos = (df["b"].map(bmap).to_numpy(dtype=np.int64)
+               + df.groupby("b").cumcount().to_numpy(dtype=np.int64))
+        shard = pos * n_shards // total
+        start = (shard * total + n_shards - 1) // n_shards
+        return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "shard": pa.array(shard, pa.int64()),
+                         "shard_pos": pa.array(pos - start, pa.int64())})
+
+    return hash_grouped_aggregate(st, ["b"], resolve)
+
+
+# ------------------------------------------ domain mixture weights --
+
+def mixture_weights(sf_dir: str, alpha: float = 0.3, docs_ds=None):
+    """Temperature-scaled domain sampling weights (the mT5 / DoReMi-init
+    corpus-mixing table, Xue+ 2021 §3.1): per ``source``, doc and token
+    counts, unnormalized weight floor(1e6·tokens^alpha) and its integer
+    micro-share of the corpus mix.  Per-block integer partials stream to
+    a driver reduce of ≤ blocks × sources rows — no shuffle at any
+    scale; pow via libm (math.pow ≡ DuckDB pow), quantized BEFORE the
+    normalizing division so every downstream value is exact integer
+    arithmetic."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        nw = [len(t.split()) for t in batch.column("text").to_pylist()]
+        agg: dict[str, list[int]] = {}
+        for s, w in zip(src, nw):
+            a = agg.setdefault(s, [0, 0])
+            a[0] += 1
+            a[1] += w
+        return pa.table({"source": pa.array(list(agg), pa.string()),
+                         "n_docs": pa.array([v[0] for v in agg.values()],
+                                            pa.int64()),
+                         "n_toks": pa.array([v[1] for v in agg.values()],
+                                            pa.int64())})
+
+    docs = (docs_ds if docs_ds is not None else
+            _docs(sf_dir, columns=("doc_id", "text", "source")))
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("source", as_index=False)[["n_docs", "n_toks"]]
+           .sum().sort_values("source").reset_index(drop=True))
+    agg["wq"] = [int(math.floor(1e6 * math.pow(float(t), alpha)))
+                 for t in agg["n_toks"]]
+    sum_wq = int(agg["wq"].sum())
+    agg["share_micro"] = [int(w) * 1_000_000 // sum_wq for w in agg["wq"]]
+    return pd.DataFrame({"source": agg["source"],
+                         "n_docs": agg["n_docs"].astype("int64"),
+                         "n_toks": agg["n_toks"].astype("int64"),
+                         "wq": agg["wq"].astype("int64"),
+                         "share_micro": agg["share_micro"].astype("int64")})

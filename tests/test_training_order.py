@@ -1,0 +1,94 @@
+"""Gates for the training-order ops: shuffle_shards (naive-equality,
+gapless positions, balanced contiguous shards, reshard invariance) and
+mixture_weights (hand-computed shares, integer discipline)."""
+
+import hashlib
+import math
+
+import pyarrow as pa
+import pytest
+
+from graphrag_rs_ray.pipelines.training_data import (
+    mixture_weights,
+    shuffle_shards,
+)
+
+
+def _docs_table(n):
+    return pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array([f"word {'x ' * (i % 7)}" for i in range(n)],
+                         pa.string()),
+        "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
+    })
+
+
+@pytest.fixture(scope="module")
+def shuffled(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(_docs_table(257)).repartition(7)
+    return (shuffle_shards("", n_shards=4, docs_ds=ds)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def test_shuffle_matches_naive(shuffled):
+    n = len(shuffled)
+    order = sorted(range(n),
+                   key=lambda d: (hashlib.md5(f"shuf:{d}".encode())
+                                  .hexdigest(), d))
+    naive_pos = {d: i for i, d in enumerate(order)}
+    for _, r in shuffled.iterrows():
+        pos = naive_pos[r["doc_id"]]
+        assert r["pos"] == pos
+        assert r["shard"] == pos * 4 // n
+        assert r["shard_pos"] == pos - (r["shard"] * n + 3) // 4
+
+
+def test_shuffle_shards_contiguous_and_balanced(shuffled):
+    n = len(shuffled)
+    assert sorted(shuffled["pos"]) == list(range(n))
+    sizes = shuffled.groupby("shard").size()
+    assert set(sizes.index) == {0, 1, 2, 3}
+    assert sizes.max() - sizes.min() <= 1
+    for _, grp in shuffled.groupby("shard"):
+        sp = sorted(grp["shard_pos"])
+        assert sp == list(range(len(grp)))
+
+
+def test_shuffle_reshard_invariant(ray_session):
+    import ray.data as rd
+    a = (shuffle_shards("", n_shards=4,
+                        docs_ds=rd.from_arrow(_docs_table(120))
+                        .repartition(1))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (shuffle_shards("", n_shards=4,
+                        docs_ds=rd.from_arrow(_docs_table(120))
+                        .repartition(11))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    # a different seed is a different permutation
+    c = (shuffle_shards("", n_shards=4, seed="other",
+                        docs_ds=rd.from_arrow(_docs_table(120)))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert not a["pos"].equals(c["pos"])
+
+
+def test_mixture_weights_hand_computed(ray_session):
+    import ray.data as rd
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d", "e f", "g"], pa.string()),
+        "source": pa.array(["big", "big", "small"], pa.string()),
+    })
+    out = mixture_weights("", alpha=0.5,
+                          docs_ds=rd.from_arrow(docs).repartition(3))
+    out = out.set_index("source")
+    assert out.loc["big", "n_docs"] == 2 and out.loc["big", "n_toks"] == 6
+    assert out.loc["small", "n_docs"] == 1 and out.loc["small", "n_toks"] == 1
+    wq_big = int(math.floor(1e6 * math.pow(6.0, 0.5)))
+    wq_small = int(math.floor(1e6 * math.pow(1.0, 0.5)))
+    assert out.loc["big", "wq"] == wq_big
+    assert out.loc["small", "wq"] == wq_small
+    tot = wq_big + wq_small
+    assert out.loc["big", "share_micro"] == wq_big * 1_000_000 // tot
+    assert int(out["share_micro"].sum()) <= 1_000_000
