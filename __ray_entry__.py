@@ -3725,6 +3725,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": td.shuffle_shards,
         # temperature-scaled domain sampling weights (mT5/DoReMi mix)
         "mixture_weights": td.mixture_weights,
+        # Common-Crawl link graph: <a href> extraction → edges →
+        # host rollup → host PageRank (all oracle-replayed)
+        "web_link_graph": q_web_link_graph,
+        "domain_link_stats": q_domain_link_stats,
+        "host_rank": q_host_rank,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4909,6 +4914,14 @@ def oracle_sql() -> dict[str, str]:
                (pos - (((pos * 16) // total) * total + 16 - 1) // 16
                 )::BIGINT AS shard_pos
         FROM p"""
+    d["web_link_graph"] = ("WITH " + _link_edges_sql("web_link_graph")
+                           + "\nSELECT * FROM edges")
+    d["domain_link_stats"] = ("WITH " + _link_edges_sql("domain_link_stats")
+                              + """
+        SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+        FROM edges GROUP BY src_host, dst_host""")
+    d["host_rank"] = _pagerank_sql(n_iter=8, damping=0.85, round_digits=8,
+                                   query="host_rank")
     d["mixture_weights"] = r"""
         WITH s AS (
           SELECT source, count(*)::BIGINT AS n_docs,
@@ -8029,12 +8042,13 @@ def _sssp_sql(n_rounds: int) -> str:
     return "\n".join(parts)
 
 
-def _pagerank_sql(n_iter: int, damping: float, round_digits: int) -> str:
+def _pagerank_sql(n_iter: int, damping: float, round_digits: int,
+                  query: str = "pagerank") -> str:
     """Fixed-iteration PageRank as programmatically generated SQL: one
     join+aggregate CTE per power iteration, mirroring
     ``graph_ops.pagerank_dataset``'s recurrence exactly (same f64 op
     order per term; summation order differs → both sides round)."""
-    e = _staged_sql("pagerank")
+    e = _staged_sql(query)
     parts = [
         f"WITH e AS (SELECT subj, obj FROM {e}),",
         "deg AS (SELECT subj AS node, count(*)::DOUBLE AS out_deg"
@@ -8161,6 +8175,116 @@ j AS (SELECT wcn.doc_id, sum(wcn.c) AS nw, sum(wcn.c * sp.np) AS npc
 SELECT d.doc_id, coalesce(j.nw, 0)::BIGINT AS n_words,
        coalesce(j.npc, 0)::BIGINT AS n_pieces
 FROM documents d LEFT JOIN j ON j.doc_id = d.doc_id""")
+
+
+def _html_pages_str(sf_dir: str, query: str, links: int = 3):
+    """Linked synthetic pages with html decoded to string (pre-extracted
+    pages dropped — links live in markup only), staged for a query + its
+    oracle."""
+    from graphrag_rs_ray.sources.pages import pages_dataset
+
+    def rows(t: pa.Table) -> pa.Table:
+        u2, h2 = [], []
+        for u, h in zip(t.column("url").to_pylist(),
+                        t.column("html").to_pylist()):
+            if h is None:
+                continue
+            u2.append(u)
+            h2.append(h.decode("utf-8"))
+        return pa.table({"url": pa.array(u2, pa.string()),
+                         "html": pa.array(h2, pa.string())})
+
+    pages = pages_dataset(_n_pages(sf_dir), links=links).map_batches(
+        rows, batch_format="pyarrow")
+    return _stage(pages, query, sf_dir)
+
+
+def q_web_link_graph(sf_dir: str):
+    """Common-Crawl-style outlink extraction: <a href> anchors of every
+    html page → resolved+normalized (src_url, src_host, dst_url,
+    dst_host, anchor) edges; kernel semantics (href forms, skip schemes,
+    fragment stripping) replayed by the oracle's regex+CASE SQL over the
+    staged page table."""
+    from graphrag_rs_ray.pipelines.weblinks import link_edges
+    return link_edges(_html_pages_str(sf_dir, "web_link_graph"))
+
+
+def q_domain_link_stats(sf_dir: str):
+    """Host-level link-graph rollup: (src_host, dst_host, n_links) via
+    one hash-bucketed aggregation over the extracted edges."""
+    from graphrag_rs_ray.pipelines.weblinks import domain_edges, link_edges
+    return domain_edges(link_edges(
+        _html_pages_str(sf_dir, "domain_link_stats")))
+
+
+def q_host_rank(sf_dir: str):
+    """PageRank over the host graph (distinct host→host edges from the
+    domain rollup), fixed 8 iterations so the oracle replays the exact
+    recurrence (same machinery as the `pagerank` query)."""
+    from graphrag_rs_ray.pipelines.graph_ops import pagerank_dataset
+    from graphrag_rs_ray.pipelines.weblinks import domain_edges, link_edges
+
+    de = domain_edges(link_edges(
+        _html_pages_str(sf_dir, "host_rank_pages"))).map_batches(
+        lambda t: pa.table({"subj": t.column("src_host"),
+                            "obj": t.column("dst_host")}),
+        batch_format="pyarrow")
+    edges = _stage(de, "host_rank", sf_dir)
+    return pagerank_dataset(edges, damping=0.85, max_iter=8, tolerance=0.0,
+                            num_buckets=16, round_digits=8)
+
+
+_LINK_EDGE_SQL_BODY = r"""
+        pages AS (SELECT url, html FROM __PAGES__),
+        m AS (SELECT url,
+               regexp_extract_all(html,
+                 '(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>', 1)
+                 AS hrefs,
+               regexp_extract_all(html,
+                 '(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>', 2)
+                 AS txts
+              FROM pages),
+        u AS (SELECT url AS src_url, unnest(hrefs) AS href,
+                     unnest(txts) AS txt
+              FROM m),
+        t AS (SELECT src_url, trim(href) AS h, txt FROM u),
+        f AS (SELECT src_url, split_part(h, '#', 1) AS hs, txt
+              FROM t
+              WHERE h <> '' AND NOT (h LIKE '#%')
+                AND NOT (lower(h) LIKE 'mailto:%')
+                AND NOT (lower(h) LIKE 'javascript:%')
+                AND NOT (lower(h) LIKE 'data:%')
+                AND NOT (lower(h) LIKE 'tel:%')),
+        g AS (SELECT src_url, txt,
+                     CASE
+                       WHEN lower(hs) LIKE 'http://%'
+                         OR lower(hs) LIKE 'https://%' THEN hs
+                       WHEN hs LIKE '//%' THEN 'https:' || hs
+                       WHEN hs LIKE '/%' THEN
+                         regexp_extract(src_url, '^(https?://[^/]+)', 1) || hs
+                       ELSE regexp_extract(src_url, '^(.*/)', 1) || hs
+                     END AS dst0
+              FROM f WHERE hs <> ''),
+        n AS (SELECT src_url, txt,
+                     lower(regexp_extract(dst0, '^(https?://[^/]+)', 1))
+                       || substr(dst0,
+                            length(regexp_extract(dst0,
+                                   '^(https?://[^/]+)', 1)) + 1) AS dst_url
+              FROM g),
+        edges AS (
+          SELECT src_url,
+                 lower(regexp_extract(src_url, '^https?://([^/:]+)', 1))
+                   AS src_host,
+                 dst_url,
+                 lower(regexp_extract(dst_url, '^https?://([^/:]+)', 1))
+                   AS dst_host,
+                 trim(regexp_replace(regexp_replace(txt, '<[^>]+>', '', 'g'),
+                                     '\s+', ' ', 'g')) AS anchor
+          FROM n)"""
+
+
+def _link_edges_sql(query: str) -> str:
+    return _LINK_EDGE_SQL_BODY.replace("__PAGES__", _staged_sql(query))
 
 
 def _hex2int_sql(expr: str, n_chars: int) -> str:

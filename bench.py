@@ -331,6 +331,8 @@ def run_bench() -> dict:
     timed("quality_classifier",
           lambda: q["quality_classifier"](sf_dir).count())
     timed("shuffle_shards", lambda: q["shuffle_shards"](sf_dir).count())
+    timed("web_link_graph", lambda: q["web_link_graph"](sf_dir).count())
+    timed("host_rank", lambda: q["host_rank"](sf_dir).count())
     timed("bm25_df", lambda: q["bm25_df"](sf_dir).count())
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())

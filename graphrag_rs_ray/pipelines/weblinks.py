@@ -1,0 +1,91 @@
+"""Web link-graph dataflows: pages → (src, dst, anchor) edge table →
+host-level domain graph → host rank.
+
+The Common-Crawl link-graph workload over the same page table the KG
+headline consumes: a stateless extraction map (one pass over html),
+one hash-bucketed aggregation for the domain rollup, and the existing
+Dataset-native PageRank for host ranking — no driver materialization
+anywhere, so the shape survives 10^12 pages.  Kernels in
+``functions/weblinks.py``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.weblinks import extract_links, url_host
+from ..stages.hashagg import (
+    grouped_arrow_agg,
+    hash_grouped_aggregate,
+)
+
+EDGES_SCHEMA = pa.schema([
+    ("src_url", pa.string()),
+    ("src_host", pa.string()),
+    ("dst_url", pa.string()),
+    ("dst_host", pa.string()),
+    ("anchor", pa.string()),
+])
+
+
+def link_edges(pages_ds):
+    """Raw outlink edges: one row per extracted anchor, document order
+    per page, duplicates preserved.  Pages without html (pre-extracted
+    arrivals) contribute no edges — links live in markup only."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        su, sh, du, dh, an = [], [], [], [], []
+        for url, html in zip(urls, htmls):
+            if html is None:
+                continue
+            text = html.decode("utf-8") if isinstance(html, bytes) else html
+            host = url_host(url)
+            for dst, anchor in extract_links(text, url):
+                su.append(url)
+                sh.append(host)
+                du.append(dst)
+                dh.append(url_host(dst))
+                an.append(anchor)
+        return pa.table({"src_url": pa.array(su, pa.string()),
+                         "src_host": pa.array(sh, pa.string()),
+                         "dst_url": pa.array(du, pa.string()),
+                         "dst_host": pa.array(dh, pa.string()),
+                         "anchor": pa.array(an, pa.string())})
+
+    return pages_ds.map_batches(extract, batch_format="pyarrow")
+
+
+def domain_edges(edges_ds):
+    """Host-level rollup: (src_host, dst_host, n_links) — one
+    hash-bucketed aggregation (host pairs are low-cardinality next to
+    edges, so per-block combining collapses most of the exchange)."""
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({"src_host": batch.column("src_host"),
+                         "dst_host": batch.column("dst_host"),
+                         "one": pa.array([1] * batch.num_rows, pa.int64())})
+
+    return hash_grouped_aggregate(
+        edges_ds.map_batches(ones, batch_format="pyarrow"),
+        ["src_host", "dst_host"],
+        grouped_arrow_agg(["src_host", "dst_host"], [("one", "sum")],
+                          rename=["src_host", "dst_host", "n_links"]))
+
+
+def host_pagerank(edges_ds, damping: float = 0.85, max_iter: int = 20,
+                  **kw):
+    """PageRank over the host graph (distinct host→host edges feed the
+    existing Dataset-native / small-graph twin implementation)."""
+    from .graph_ops import pagerank
+
+    def as_subj_obj(batch: pa.Table) -> pa.Table:
+        return pa.table({"subj": batch.column("src_host"),
+                         "pred": pa.array(["links_to"] * batch.num_rows,
+                                          pa.string()),
+                         "obj": batch.column("dst_host")})
+
+    hosts = domain_edges(edges_ds).map_batches(
+        as_subj_obj, batch_format="pyarrow")
+    return pagerank(hosts, damping=damping, max_iter=max_iter, **kw)

@@ -1,0 +1,109 @@
+"""Gates for the web link-graph family: href resolution/normalization
+kernel cases, extraction hazards (tags in anchors, junk schemes,
+duplicates preserved), the generator's byte-identity when links are off,
+and the pipeline shapes (edge rows, domain rollup, host pagerank)."""
+
+import pyarrow as pa
+
+from graphrag_rs_ray.functions.weblinks import (
+    extract_links,
+    normalize_url,
+    resolve_href,
+    url_host,
+)
+from graphrag_rs_ray.sources.pages import page_record
+
+
+def test_resolve_href_cases():
+    base = "https://site7.example/abc123"
+    assert resolve_href("https://x.example/p", base) == "https://x.example/p"
+    assert resolve_href("HTTP://X.Example:80/P", base) == "http://x.example/P"
+    assert resolve_href("https://x.example:443/p", base) == "https://x.example/p"
+    assert resolve_href("//cdn.example/lib.js", base) == "https://cdn.example/lib.js"
+    assert resolve_href("/other", base) == "https://site7.example/other"
+    assert resolve_href("rel/page", base) == "https://site7.example/rel/page"
+    assert resolve_href("rel", "https://h.example") == "https://h.example/rel"
+    assert resolve_href("https://x.example/p#frag", base) == "https://x.example/p"
+    for junk in ("#top", "", "  ", "mailto:a@b", "MAILTO:a@b",
+                 "javascript:void(0)", "data:text/plain,x", "tel:+1234",
+                 "#"):
+        assert resolve_href(junk, base) is None
+
+
+def test_normalize_and_host():
+    assert normalize_url("HTTPS://Site1.Example/KeepPath") == \
+        "https://site1.example/KeepPath"
+    assert url_host("https://a.b.example:8080/x") == "a.b.example"
+    assert url_host("not-a-url") == ""
+
+
+def test_extract_links_order_tags_duplicates():
+    html = ('<p>x</p><a href="/a">One</a>'
+            '<A HREF="https://h.example/b">Two <em>em</em>\n lines</A>'
+            '<a class="z" href="/a">One</a>'          # duplicate kept
+            '<a href="mailto:x@y">skip</a>')
+    got = extract_links(html, "https://s.example/page")
+    assert got == [("https://s.example/a", "One"),
+                   ("https://h.example/b", "Two em lines"),
+                   ("https://s.example/a", "One")]
+
+
+def test_generator_byte_identity_when_links_off():
+    for i in (0, 5, 17):
+        assert page_record(i, links=0) == page_record(i)
+    # links=1+ adds anchors without touching any other field
+    a, b = page_record(3), page_record(3, links=2)
+    assert a["url"] == b["url"] and a["lang"] == b["lang"]
+    if a["html"] is not None:
+        assert b"<a href=" in b["html"] and b"<a href=" not in a["html"]
+        assert b["html"].startswith(a["html"][:a["html"].index(b"</body>")])
+
+
+def test_link_pipeline_shapes(ray_session):
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.weblinks import (
+        domain_edges,
+        host_pagerank,
+        link_edges,
+    )
+    from graphrag_rs_ray.sources.pages import pages_dataset
+
+    pages = pages_dataset(60, links=3)
+    edges = link_edges(pages).materialize()
+    df = edges.to_pandas()
+    assert len(df) > 0
+    # every kept edge resolved to an absolute normalized URL
+    assert df["dst_url"].str.startswith("https://").all()
+    assert (df["dst_host"] == df["dst_url"].str.extract(
+        r"https://([^/]+)/")[0]).all()
+    # junk anchors (mailto / #top) never survive
+    assert not df["anchor"].isin(["Mail", "Top"]).any()
+    # the duplicated first link is preserved in the raw edge table
+    dup = df.groupby(["src_url", "dst_url"]).size()
+    assert (dup >= 2).any()
+
+    dom = domain_edges(edges).to_pandas()
+    assert dom["n_links"].sum() == len(df)
+    assert (dom.groupby(["src_host", "dst_host"]).size() == 1).all()
+
+    ranks = host_pagerank(edges, max_iter=5).to_pandas()
+    # no dangling redistribution (pagerank.rs semantics): mass can only
+    # leak, never grow
+    assert 0 < ranks["score"].sum() <= 1.0 + 1e-9
+    assert (ranks["score"] > 0).all()
+    assert ranks["node"].str.endswith(".example").all()
+    # the 30% hub bias makes a site0-9 host the top-ranked node
+    top = ranks.sort_values("score", ascending=False)["node"].iloc[0]
+    assert top in {f"site{k}.example" for k in range(10)}
+
+
+def test_pre_extracted_pages_contribute_no_edges(ray_session):
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.weblinks import link_edges
+
+    t = pa.table({"url": ["https://s.example/p"], "html": [None]},
+                 schema=pa.schema([("url", pa.string()),
+                                   ("html", pa.binary())]))
+    assert link_edges(rd.from_arrow(t)).count() == 0
