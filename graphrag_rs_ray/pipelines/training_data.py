@@ -457,7 +457,8 @@ def ngram_dedup_pairs(sf_dir: str, threshold: float = 0.8, n: int = 3,
 # ----------------------------------------------------- corpus curation --
 
 def curation_survivors(sf_dir: str, min_tokens: int = 20,
-                       max_punct: float = 0.2, min_stopword: float = 0.01):
+                       max_punct: float = 0.2, min_stopword: float = 0.01,
+                       lang: str | None = "en"):
     """Annotate → quality-filter → exact-dedup: the first half of the
     webtext curation pipeline.  One vectorized-per-batch annotate pass
     computes language, token/char counts, punct/stopword ratios and the
@@ -490,8 +491,11 @@ def curation_survivors(sf_dir: str, min_tokens: int = 20,
         })
 
     def keep(batch: pa.Table) -> pa.Table:
+        lang_ok = (pc.equal(batch.column("lang_pred"), lang)
+                   if lang is not None
+                   else pa.array([True] * batch.num_rows, pa.bool_()))
         mask = pc.and_(
-            pc.and_(pc.equal(batch.column("lang_pred"), "en"),
+            pc.and_(lang_ok,
                     pc.greater_equal(batch.column("n_tokens"),
                                      pa.scalar(min_tokens, pa.int64()))),
             pc.and_(pc.less_equal(batch.column("punct_ratio"), max_punct),
@@ -516,7 +520,7 @@ def corpus_curation(sf_dir: str, min_tokens: int = 20,
                     max_punct: float = 0.2, min_stopword: float = 0.01,
                     jaccard_threshold: float = 0.8,
                     survivors_ds=None, bands_ds=None,
-                    keep_text: bool = False):
+                    keep_text: bool = False, lang: str | None = "en"):
     """End-to-end webtext curation over ``documents``: language-ID +
     quality gates → exact dedup (md5 groups, keep min doc_id) →
     MinHash-LSH near-dedup (banded candidates → char-trigram Jaccard
@@ -536,7 +540,7 @@ def corpus_curation(sf_dir: str, min_tokens: int = 20,
 
     surv = (survivors_ds if survivors_ds is not None
             else curation_survivors(sf_dir, min_tokens, max_punct,
-                                    min_stopword).materialize())
+                                    min_stopword, lang=lang).materialize())
     bands = bands_ds if bands_ds is not None else minhash_signatures(
         sf_dir, docs_ds=surv.map_batches(
             lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"))
@@ -3171,3 +3175,86 @@ def mixture_weights(sf_dir: str, alpha: float = 0.3, docs_ds=None):
                          "n_toks": agg["n_toks"].astype("int64"),
                          "wq": agg["wq"].astype("int64"),
                          "share_micro": agg["share_micro"].astype("int64")})
+
+
+# ------------------------------------- sharded training-corpus sink --
+
+def write_corpus_shards(curated_dir: str, out_dir: str,
+                        num_shards: int = 64, seed: str = "shuf",
+                        input_token: str = "") -> dict:
+    """Materialize a curated document table as a shuffled, sharded
+    training corpus: ``shard=K/`` Parquet partitions in deterministic
+    md5 training order (``shuffle_shards`` manifest joined back onto the
+    rows), each partition with a lineage manifest.
+
+    Resume is PARTITION-granular, the same contract as the KG graph sink
+    (``pipelines/kg.py::write_graph``): a rerun with the same
+    ``(num_shards, seed, input_token)`` returns immediately when the
+    top-level manifest matches, otherwise rewrites ONLY the shards whose
+    manifest is missing or stale — data always lands before its
+    manifest, so a crashed write never looks complete."""
+    import glob
+    import shutil
+
+    import ray.data as rd
+
+    from ..state.manifests import (fingerprint_config, read_manifest,
+                                   stage_complete, write_manifest)
+    from ..stages.hashagg import bucketed_join
+
+    def shard_fp(k: int) -> str:
+        return fingerprint_config("corpus-shard", input_token, num_shards,
+                                  seed, f"shard={k}")
+
+    def count_rows(d: str) -> int:
+        import pyarrow.dataset as pads
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        return pads.dataset(files).count_rows() if files else 0
+
+    top_fp = fingerprint_config("corpus", input_token, num_shards, seed)
+    if stage_complete(out_dir, top_fp):
+        return read_manifest(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    done = {k for k in range(num_shards)
+            if stage_complete(os.path.join(out_dir, f"shard={k}"),
+                              shard_fp(k))}
+    if not done:
+        for entry in glob.glob(os.path.join(out_dir, "shard=*")):
+            shutil.rmtree(entry)       # config change / first run
+    missing = [k for k in range(num_shards) if k not in done]
+    for k in missing:                  # data without manifest = crash
+        d = os.path.join(out_dir, f"shard={k}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    if missing:
+        curated_ds = rd.read_parquet(curated_dir)
+        manifest_ds = shuffle_shards(
+            "", n_shards=num_shards, seed=seed,
+            docs_ds=curated_ds.map_batches(
+                lambda t: t.select(["doc_id"]), batch_format="pyarrow"))
+        joined = bucketed_join(curated_ds, manifest_ds, ["doc_id"])
+        if done:
+            todo = pa.array(missing, pa.int64())
+            joined = joined.map_batches(
+                lambda t: t.filter(pc.is_in(t.column("shard"),
+                                            value_set=todo)),
+                batch_format="pyarrow")
+        joined.write_parquet(out_dir, partition_cols=["shard"])
+        for k in missing:
+            d = os.path.join(out_dir, f"shard={k}")
+            os.makedirs(d, exist_ok=True)   # empty shards get a dir too
+            write_manifest(d, "corpus_shard", shard_fp(k),
+                           rows=count_rows(d))
+
+    shard_rows = {k: read_manifest(
+        os.path.join(out_dir, f"shard={k}"))["rows"]
+        for k in range(num_shards)}
+    return write_manifest(out_dir, "corpus", top_fp,
+                          rows=sum(shard_rows.values()),
+                          extra={"num_shards": num_shards,
+                                 "resumed_shards": sorted(done),
+                                 "written_shards": missing,
+                                 "shard_rows": {str(k): v for k, v
+                                                in shard_rows.items()}})
