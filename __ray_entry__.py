@@ -3730,6 +3730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_link_graph": q_web_link_graph,
         "domain_link_stats": q_domain_link_stats,
         "host_rank": q_host_rank,
+        "anchor_text_index": q_anchor_text_index,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4922,6 +4923,20 @@ def oracle_sql() -> dict[str, str]:
         FROM edges GROUP BY src_host, dst_host""")
     d["host_rank"] = _pagerank_sql(n_iter=8, damping=0.85, round_digits=8,
                                    query="host_rank")
+    d["anchor_text_index"] = ("WITH "
+                              + _link_edges_sql("anchor_text_index") + """,
+        cnt AS (SELECT dst_url, anchor, count(*)::BIGINT AS c
+                FROM edges GROUP BY dst_url, anchor),
+        top AS (SELECT dst_url, anchor AS top_anchor,
+                       row_number() OVER (PARTITION BY dst_url
+                         ORDER BY c DESC, anchor ASC) AS rn
+                FROM cnt),
+        agg AS (SELECT dst_url, count(*)::BIGINT AS n_inlinks,
+                       count(DISTINCT anchor)::BIGINT AS n_distinct_anchors
+                FROM edges GROUP BY dst_url)
+        SELECT agg.dst_url, agg.n_inlinks, agg.n_distinct_anchors,
+               top.top_anchor
+        FROM agg JOIN top ON top.dst_url = agg.dst_url AND top.rn = 1""")
     d["mixture_weights"] = r"""
         WITH s AS (
           SELECT source, count(*)::BIGINT AS n_docs,
@@ -8215,6 +8230,16 @@ def q_domain_link_stats(sf_dir: str):
     from graphrag_rs_ray.pipelines.weblinks import domain_edges, link_edges
     return domain_edges(link_edges(
         _html_pages_str(sf_dir, "domain_link_stats")))
+
+
+def q_anchor_text_index(sf_dir: str):
+    """Anchor-text document expansion: per dst_url, in-link count,
+    distinct anchors, and the most frequent anchor (ties lexicographic);
+    one dst_url-bucketed exchange."""
+    from graphrag_rs_ray.pipelines.weblinks import (anchor_text_index,
+                                                    link_edges)
+    return anchor_text_index(link_edges(
+        _html_pages_str(sf_dir, "anchor_text_index")))
 
 
 def q_host_rank(sf_dir: str):

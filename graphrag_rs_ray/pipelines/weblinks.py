@@ -89,3 +89,34 @@ def host_pagerank(edges_ds, damping: float = 0.85, max_iter: int = 20,
     hosts = domain_edges(edges_ds).map_batches(
         as_subj_obj, batch_format="pyarrow")
     return pagerank(hosts, damping=damping, max_iter=max_iter, **kw)
+
+
+def anchor_text_index(edges_ds):
+    """Anchor-text document expansion (the classic web-IR signal: what
+    the web CALLS a page): per dst_url — in-link count, distinct anchor
+    count, and the top anchor (max frequency, ties to the
+    lexicographically-smallest anchor).  One hash-bucketed exchange on
+    dst_url; all counting happens inside the bucket."""
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cnt = (df.groupby(["dst_url", "anchor"]).size()
+               .rename("c").reset_index()
+               .sort_values(["dst_url", "c", "anchor"],
+                            ascending=[True, False, True]))
+        top = cnt.drop_duplicates("dst_url").set_index("dst_url")
+        g = df.groupby("dst_url")
+        out = g.size().rename("n_inlinks").to_frame()
+        out["n_distinct_anchors"] = g["anchor"].nunique()
+        out["top_anchor"] = top["anchor"]
+        return pa.table({
+            "dst_url": pa.array(out.index, pa.string()),
+            "n_inlinks": pa.array(out["n_inlinks"], pa.int64()),
+            "n_distinct_anchors": pa.array(out["n_distinct_anchors"],
+                                           pa.int64()),
+            "top_anchor": pa.array(out["top_anchor"], pa.string()),
+        })
+
+    slim = edges_ds.map_batches(
+        lambda t: t.select(["dst_url", "anchor"]), batch_format="pyarrow")
+    return hash_grouped_aggregate(slim, ["dst_url"], per_bucket)

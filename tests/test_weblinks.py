@@ -107,3 +107,38 @@ def test_pre_extracted_pages_contribute_no_edges(ray_session):
                  schema=pa.schema([("url", pa.string()),
                                    ("html", pa.binary())]))
     assert link_edges(rd.from_arrow(t)).count() == 0
+
+
+def test_canonical_url():
+    from graphrag_rs_ray.functions.weblinks import canonical_url as c
+    assert c("HTTPS://WWW.Site.Example:443/a/?utm_source=x&b=2&a=1&fbclid=z#f") == \
+        "https://site.example/a?a=1&b=2"
+    assert c("https://www.example/x") == "https://www.example/x"  # www.<tld>
+    assert c("https://site.example/") == "https://site.example/"
+    assert c("https://site.example/p/?utm_x=1") == "https://site.example/p"
+    assert c("http://site.example:80/p?z=1&y=2") == \
+        "http://site.example/p?y=2&z=1"
+    # idempotent
+    for u in ("https://site.example/a?a=1&b=2", "https://site.example/"):
+        assert c(c(u)) == c(u)
+
+
+def test_anchor_text_index(ray_session):
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.weblinks import anchor_text_index
+
+    edges = pa.table({
+        "dst_url": ["u1", "u1", "u1", "u2"],
+        "anchor": ["b", "a", "a", "z"],
+    })
+    out = (anchor_text_index(rd.from_arrow(edges).repartition(3))
+           .to_pandas().set_index("dst_url"))
+    assert out.loc["u1", "n_inlinks"] == 3
+    assert out.loc["u1", "n_distinct_anchors"] == 2
+    assert out.loc["u1", "top_anchor"] == "a"     # freq 2 beats freq 1
+    assert out.loc["u2", "top_anchor"] == "z"
+    # tie -> lexicographically smallest
+    tie = pa.table({"dst_url": ["u3", "u3"], "anchor": ["y", "x"]})
+    t = anchor_text_index(rd.from_arrow(tie)).to_pandas()
+    assert t["top_anchor"].iloc[0] == "x"
