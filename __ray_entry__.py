@@ -3731,6 +3731,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_link_stats": q_domain_link_stats,
         "host_rank": q_host_rank,
         "anchor_text_index": q_anchor_text_index,
+        # jusText-style link-density boilerplate block decisions
+        "boilerplate_blocks": q_boilerplate_blocks,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4923,6 +4925,39 @@ def oracle_sql() -> dict[str, str]:
         FROM edges GROUP BY src_host, dst_host""")
     d["host_rank"] = _pagerank_sql(n_iter=8, damping=0.85, round_digits=8,
                                    query="host_rank")
+    d["boilerplate_blocks"] = (r"""
+        WITH pages AS (SELECT url, html FROM __PAGES__),
+        b0 AS (
+          SELECT url, 'p' AS tag,
+                 unnest(regexp_extract_all(html,
+                   '(?is)<p[^>]*>(.*?)</p>', 1)) AS raw
+          FROM pages
+          UNION ALL
+          SELECT url, 'li',
+                 unnest(regexp_extract_all(html,
+                   '(?is)<li[^>]*>(.*?)</li>', 1))
+          FROM pages
+          UNION ALL
+          SELECT url, 'h',
+                 unnest(regexp_extract_all(html,
+                   '(?is)<h[1-6][^>]*>(.*?)</h[1-6]>', 1))
+          FROM pages),
+        c AS (
+          SELECT url, tag,
+                 trim(regexp_replace(regexp_replace(raw, '<[^>]+>', '',
+                   'g'), '\s+', ' ', 'g')) AS block_text,
+                 coalesce(list_sum(list_transform(
+                   regexp_extract_all(raw, '(?is)<a\s[^>]*>(.*?)</a>', 1),
+                   x -> length(trim(regexp_replace(regexp_replace(x,
+                          '<[^>]+>', '', 'g'), '\s+', ' ', 'g'))))),
+                   0)::BIGINT AS link_chars
+          FROM b0)
+        SELECT url, tag, block_text,
+               length(block_text)::BIGINT AS text_chars, link_chars,
+               (length(block_text) > 0
+                AND 1000000 * link_chars < 500000 * length(block_text))
+                 AS kept
+        FROM c""").replace("__PAGES__", _staged_sql("boilerplate_blocks"))
     d["anchor_text_index"] = ("WITH "
                               + _link_edges_sql("anchor_text_index") + """,
         cnt AS (SELECT dst_url, anchor, count(*)::BIGINT AS c
@@ -8240,6 +8275,14 @@ def q_anchor_text_index(sf_dir: str):
                                                     link_edges)
     return anchor_text_index(link_edges(
         _html_pages_str(sf_dir, "anchor_text_index")))
+
+
+def q_boilerplate_blocks(sf_dir: str):
+    """jusText-style link-density boilerplate decisions: one row per
+    <p>/<li>/<h*> block with integer char counts and the keep verdict
+    (1e6·link_chars < 5e5·text_chars cross-multiplication)."""
+    from graphrag_rs_ray.pipelines.weblinks import boilerplate_blocks
+    return boilerplate_blocks(_html_pages_str(sf_dir, "boilerplate_blocks"))
 
 
 def q_host_rank(sf_dir: str):

@@ -120,3 +120,60 @@ def anchor_text_index(edges_ds):
     slim = edges_ds.map_batches(
         lambda t: t.select(["dst_url", "anchor"]), batch_format="pyarrow")
     return hash_grouped_aggregate(slim, ["dst_url"], per_bucket)
+
+
+def boilerplate_blocks(pages_ds, max_link_density_micro: int = 500_000):
+    """Per-block boilerplate decisions over html pages (jusText-style
+    link-density heuristic, ``functions/boilerplate.py``): one row per
+    <p>/<li>/<h*> block with its text/link char counts and the keep
+    verdict.  Stateless map — the 100-TB shape."""
+    from ..functions.boilerplate import block_rows
+
+    def rows(batch: pa.Table) -> pa.Table:
+        urls, tags, texts, tc, lc, kept = [], [], [], [], [], []
+        for url, html in zip(batch.column("url").to_pylist(),
+                             batch.column("html").to_pylist()):
+            if html is None:
+                continue
+            text = html.decode("utf-8") if isinstance(html, bytes) else html
+            for r in block_rows(text, max_link_density_micro):
+                urls.append(url)
+                tags.append(r["tag"])
+                texts.append(r["block_text"])
+                tc.append(r["text_chars"])
+                lc.append(r["link_chars"])
+                kept.append(r["kept"])
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "tag": pa.array(tags, pa.string()),
+                         "block_text": pa.array(texts, pa.string()),
+                         "text_chars": pa.array(tc, pa.int64()),
+                         "link_chars": pa.array(lc, pa.int64()),
+                         "kept": pa.array(kept, pa.bool_())})
+
+    return pages_ds.map_batches(rows, batch_format="pyarrow")
+
+
+def clean_pages(pages_ds, max_link_density_micro: int = 500_000):
+    """Boilerplate-stripped page text: (url, text, n_blocks, n_dropped)
+    with link-heavy blocks removed, document order preserved."""
+    from ..functions.boilerplate import strip_boilerplate
+
+    def rows(batch: pa.Table) -> pa.Table:
+        urls, texts, nb, nd = [], [], [], []
+        for url, html in zip(batch.column("url").to_pylist(),
+                             batch.column("html").to_pylist()):
+            if html is None:
+                continue
+            h = html.decode("utf-8") if isinstance(html, bytes) else html
+            text, n_blocks, n_dropped = strip_boilerplate(
+                h, max_link_density_micro)
+            urls.append(url)
+            texts.append(text)
+            nb.append(n_blocks)
+            nd.append(n_dropped)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "text": pa.array(texts, pa.string()),
+                         "n_blocks": pa.array(nb, pa.int64()),
+                         "n_dropped": pa.array(nd, pa.int64())})
+
+    return pages_ds.map_batches(rows, batch_format="pyarrow")

@@ -142,3 +142,42 @@ def test_anchor_text_index(ray_session):
     tie = pa.table({"dst_url": ["u3", "u3"], "anchor": ["y", "x"]})
     t = anchor_text_index(rd.from_arrow(tie)).to_pandas()
     assert t["top_anchor"].iloc[0] == "x"
+
+
+def test_boilerplate_kernel():
+    from graphrag_rs_ray.functions.boilerplate import (
+        block_rows,
+        strip_boilerplate,
+    )
+    html = ('<h1>Title</h1>'
+            '<p>Real content sentence with many words here.</p>'
+            '<li><a href="/x">Nav link</a></li>'
+            '<p>Half <a href="/y">link text longer</a> mix.</p>'
+            '<p>   </p>'
+            '<li>item with <a href="/z">tiny</a> link in a long line '
+            'of plain prose text</li>')
+    rows = block_rows(html)
+    assert [r["tag"] for r in rows] == ["h", "p", "li", "p", "p", "li"]
+    assert [r["kept"] for r in rows] == [True, True, False, False, False,
+                                         True]
+    # the nav <li> is 100% link text
+    nav = rows[2]
+    assert nav["link_chars"] == nav["text_chars"] == len("Nav link")
+    # whitespace-only block dropped for emptiness, not density
+    assert rows[4]["text_chars"] == 0
+    text, n_blocks, n_dropped = strip_boilerplate(html)
+    assert n_blocks == 6 and n_dropped == 3
+    assert text.splitlines()[0] == "Title"
+    assert "Nav link" not in text and "Real content" in text
+
+
+def test_clean_pages_drops_link_section(ray_session):
+    from graphrag_rs_ray.pipelines.weblinks import clean_pages
+    from graphrag_rs_ray.sources.pages import pages_dataset
+
+    out = clean_pages(pages_dataset(40, links=3)).to_pandas()
+    assert len(out) > 0
+    assert (out["n_dropped"] > 0).all()       # every html page has nav
+    assert not out["text"].str.contains("Link to site").any()
+    assert out["text"].str.contains("works for|professor|headquartered",
+                                    regex=True).any()
