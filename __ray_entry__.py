@@ -3733,6 +3733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_index": q_anchor_text_index,
         # jusText-style link-density boilerplate block decisions
         "boilerplate_blocks": q_boilerplate_blocks,
+        # neighborhood-overlap link prediction (CN/Jaccard/Adamic-Adar)
+        "link_prediction": q_link_prediction,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4925,6 +4927,35 @@ def oracle_sql() -> dict[str, str]:
         FROM edges GROUP BY src_host, dst_host""")
     d["host_rank"] = _pagerank_sql(n_iter=8, damping=0.85, round_digits=8,
                                    query="host_rank")
+    d["link_prediction"] = r"""
+        WITH tri AS (SELECT subj, obj FROM __TRI__),
+        e AS (SELECT DISTINCT a, b FROM (
+            SELECT subj AS a, obj AS b FROM tri WHERE subj <> obj
+            UNION ALL
+            SELECT obj AS a, subj AS b FROM tri WHERE subj <> obj)),
+        deg AS (SELECT a AS node, count(*)::BIGINT AS deg
+                FROM e GROUP BY a),
+        ctr AS (SELECT node,
+                       floor(1000000 / ln(deg::DOUBLE))::BIGINT AS term
+                FROM deg WHERE deg >= 2 AND deg <= 64),
+        w AS (SELECT e1.b AS pa, e2.b AS pb, c.term
+              FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+              JOIN ctr c ON c.node = e1.a),
+        p AS (SELECT pa, pb, count(*)::BIGINT AS cn,
+                     sum(term)::BIGINT AS aa_micro
+              FROM w GROUP BY pa, pb),
+        q AS (SELECT p.pa, p.pb, p.cn, p.aa_micro,
+                     da.deg AS deg_a, db.deg AS deg_b
+              FROM p JOIN deg da ON da.node = p.pa
+                     JOIN deg db ON db.node = p.pb)
+        SELECT pa AS node_a, pb AS node_b, cn,
+               (cn * 1000000 // (deg_a + deg_b - cn))::BIGINT
+                 AS jaccard_micro,
+               aa_micro
+        FROM q
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.a = q.pa AND e.b = q.pb)""".replace(
+        "__TRI__", _staged_sql("link_prediction"))
     d["boilerplate_blocks"] = (r"""
         WITH pages AS (SELECT url, html FROM __PAGES__),
         b0 AS (
@@ -8275,6 +8306,16 @@ def q_anchor_text_index(sf_dir: str):
                                                     link_edges)
     return anchor_text_index(link_edges(
         _html_pages_str(sf_dir, "anchor_text_index")))
+
+
+def q_link_prediction(sf_dir: str):
+    """Common-neighbors / Jaccard / Adamic-Adar link prediction over the
+    undirected distinct KG graph (bonus analytics beyond the reference,
+    Liben-Nowell & Kleinberg 2003); hub cap 64 bounds the wedge
+    emission, AA terms quantized per center so sums are order-free."""
+    from graphrag_rs_ray.pipelines.graph_ops import link_prediction
+    return link_prediction(_staged_triples("link_prediction", sf_dir),
+                           max_center_degree=64)
 
 
 def q_boilerplate_blocks(sf_dir: str):

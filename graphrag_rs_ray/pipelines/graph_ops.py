@@ -1030,3 +1030,126 @@ def write_graph_json(entities_ds, triples_ds, out_dir: str):
     import os
     entities_ds.write_json(os.path.join(out_dir, "entities"))
     triples_ds.write_json(os.path.join(out_dir, "triples"))
+
+
+# ---- link prediction ----------------------------------------------------
+
+def link_prediction(triples_ds, max_center_degree: int = 64,
+                    num_buckets: int = 64):
+    """Neighborhood-overlap link prediction over the undirected distinct
+    graph (extension beyond the reference's analytics surface —
+    common-neighbors / Jaccard / Adamic-Adar, Liben-Nowell & Kleinberg
+    2003): for every non-adjacent pair (a, b) sharing ≥1 neighbor,
+
+        cn            = |N(a) ∩ N(b)|
+        jaccard_micro = 1e6·cn // (deg(a) + deg(b) − cn)
+        aa_micro      = Σ_x floor(1e6 / ln(deg(x)))  over common x
+
+    Adamic-Adar terms are quantized PER CENTER before summing, so the
+    aggregate is order-free integer arithmetic (libm ``math.log`` ≡
+    DuckDB ``ln``).  Wedge centers with degree > ``max_center_degree``
+    are skipped — the hub cap that bounds the Θ(Σ deg²) pair emission at
+    web scale (part of the operator contract, same discipline as the
+    winnowing stop-gram cap); dropped centers also leave the oracle's
+    wedge set, so both sides agree exactly.
+
+    Scale shape: one node-bucketed exchange builds neighbor lists, pair
+    emission is per-center local (run-sliced inside the bucket), the
+    pair aggregation is a second bucketed exchange, degrees arrive by
+    ``bucketed_join`` (×2), and adjacency is excluded with a left
+    anti-join — no broadcast of any large side."""
+    import math
+
+    def und(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.invert(pc.equal(t.column("subj"),
+                                           t.column("obj"))))
+        return pa.concat_tables([
+            pa.table({"a": keep.column("subj"), "b": keep.column("obj")}),
+            pa.table({"a": keep.column("obj"), "b": keep.column("subj")}),
+        ])
+
+    directed = triples_ds.map_batches(und, batch_format="pyarrow")
+
+    def nbrs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["a", "b"])
+        g = df.groupby("a")["b"].agg(list)
+        return pa.table({"node": pa.array(g.index, pa.string()),
+                         "nbrs": pa.array(g.to_list(),
+                                          pa.list_(pa.string()))})
+
+    adj = hash_grouped_aggregate(directed, ["a"], nbrs,
+                                 num_buckets=num_buckets).materialize()
+
+    def wedges(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_t = [], [], []
+        for ns in t.column("nbrs").to_pylist():
+            d = len(ns)
+            if d < 2 or d > max_center_degree:
+                continue
+            term = math.floor(1_000_000 / math.log(float(d)))
+            ns = sorted(ns)
+            for i in range(d):
+                for j in range(i + 1, d):
+                    out_a.append(ns[i])
+                    out_b.append(ns[j])
+                    out_t.append(term)
+        return pa.table({"pa_": pa.array(out_a, pa.string()),
+                         "pb_": pa.array(out_b, pa.string()),
+                         "term": pa.array(out_t, pa.int64())})
+
+    pairs = hash_grouped_aggregate(
+        adj.map_batches(wedges, batch_format="pyarrow"), ["pa_", "pb_"],
+        grouped_arrow_agg(["pa_", "pb_"], [("term", "sum"),
+                                           ("term", "count")],
+                          rename=["pa_", "pb_", "aa_micro", "cn"]),
+        num_buckets=num_buckets).materialize()
+    if pairs.count() == 0:     # every center excluded by the hub cap
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "node_a": pa.array([], pa.string()),
+            "node_b": pa.array([], pa.string()),
+            "cn": pa.array([], pa.int64()),
+            "jaccard_micro": pa.array([], pa.int64()),
+            "aa_micro": pa.array([], pa.int64())}))
+
+    deg = adj.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "deg": pc.list_value_length(
+                                t.column("nbrs")).cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    da = deg.map_batches(lambda t: t.rename_columns(["pa_", "deg_a"]),
+                         batch_format="pyarrow")
+    db = deg.map_batches(lambda t: t.rename_columns(["pb_", "deg_b"]),
+                         batch_format="pyarrow")
+    j1 = bucketed_join(pairs, da, ["pa_"], num_buckets=num_buckets)
+    j2 = bucketed_join(j1, db, ["pb_"], num_buckets=num_buckets)
+
+    edge_keys = directed.map_batches(
+        lambda t: pa.table({"pa_": t.column("a"), "pb_": t.column("b"),
+                            "is_edge": pa.array([1] * t.num_rows,
+                                                pa.int64())}),
+        batch_format="pyarrow")
+    edge_keys = hash_grouped_aggregate(
+        edge_keys, ["pa_", "pb_"],
+        grouped_arrow_agg(["pa_", "pb_"], [("is_edge", "max")],
+                          rename=["pa_", "pb_", "is_edge"]),
+        num_buckets=num_buckets)
+    j3 = bucketed_join(j2, edge_keys, ["pa_", "pb_"],
+                       num_buckets=num_buckets, how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["is_edge"].isna()]
+        cn = df["cn"].astype("int64")
+        denom = (df["deg_a"] + df["deg_b"] - cn).astype("int64")
+        return pa.table({
+            "node_a": pa.array(df["pa_"], pa.string()),
+            "node_b": pa.array(df["pb_"], pa.string()),
+            "cn": pa.array(cn, pa.int64()),
+            "jaccard_micro": pa.array(cn * 1_000_000 // denom, pa.int64()),
+            "aa_micro": pa.array(df["aa_micro"].astype("int64"),
+                                 pa.int64()),
+        })
+
+    return j3.map_batches(finish, batch_format="pyarrow")
