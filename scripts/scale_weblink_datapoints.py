@@ -69,6 +69,16 @@ def main():
                       "top_in_links": int(top.iloc[0]),
                       "median_in_links": int(top.median())}), flush=True)
 
+    from graphrag_rs_ray.pipelines.weblinks import clean_pages
+    t0 = time.perf_counter()
+    cp = clean_pages(pages).materialize()
+    t_cp = time.perf_counter() - t0
+    n_dropped = cp.sum("n_dropped")
+    print(json.dumps({"op": "clean_pages", "n_pages": n_pages,
+                      "sec": round(t_cp, 1),
+                      "pages_per_sec": round(cp.count() / t_cp),
+                      "blocks_dropped": n_dropped}), flush=True)
+
     kw = {}
     if os.environ.get("GRAFT_FORCE_SHARDED"):
         kw["small_graph_limit"] = 0

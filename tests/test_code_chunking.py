@@ -115,3 +115,41 @@ def test_chunk_stage_rust_code_path(ray_session):
     assert list(out["chunk_id"]) == ["d1_0", "d1_1", "d1_2"]
     for _, r in out.iterrows():
         assert REFERENCE_FIXTURE[r["start"]:r["end"]] == r["text"]
+
+
+# --------------------------------------------------- property gates --
+
+from hypothesis import given, settings, strategies as st
+
+_RUST_TOKENS = st.sampled_from([
+    "fn", "impl", "struct", "enum", "mod", "trait", "pub", "unsafe",
+    "async", "const", "extern", "use", "type", "static", "let", "x",
+    "Foo", "{", "}", "(", ")", "[", "]", ";", ":", ",", "->", "=",
+    '"str"', "'c'", "// line\n", "/* block */", 'r#"raw"#', "#[attr]",
+    "1.5", "&mut", "<T>",
+])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_RUST_TOKENS, max_size=40).map(" ".join))
+def test_spans_always_slice_correct(src):
+    spans = rust_item_spans(src)
+    prev_end = 0
+    for s, e in spans:
+        assert 0 <= s < e <= len(src)
+        assert s >= prev_end          # non-overlapping, in order
+        prev_end = e
+    for content, s, e in chunk_rust_code(src, 1):
+        assert src[s:e] == content
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=200))
+def test_never_crashes_on_arbitrary_text(src):
+    # arbitrary (non-Rust) input: must terminate without error and obey
+    # the whole-text fallback contract
+    chunks = chunk_rust_code(src, 10)
+    if src.strip() and not chunks:
+        raise AssertionError("non-blank text must yield >= 1 chunk")
+    for content, s, e in chunks:
+        assert src[s:e] == content

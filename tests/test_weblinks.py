@@ -181,3 +181,29 @@ def test_clean_pages_drops_link_section(ray_session):
     assert not out["text"].str.contains("Link to site").any()
     assert out["text"].str.contains("works for|professor|headquartered",
                                     regex=True).any()
+
+
+# --------------------------------------------------- property gates --
+
+from hypothesis import given, settings, strategies as st
+
+_URLISH = st.text(
+    alphabet="abcXY019:/?&=#._-%", max_size=60).map(
+    lambda s: "https://" + s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="abcXY019:/?&=#._- %", max_size=60))
+def test_resolve_href_contract(href):
+    got = resolve_href(href, "https://base.example/dir/page")
+    if got is not None:
+        assert got.lower().startswith(("http://", "https://"))
+        assert "#" not in got
+
+
+@settings(max_examples=60, deadline=None)
+@given(_URLISH)
+def test_canonical_url_idempotent(u):
+    from graphrag_rs_ray.functions.weblinks import canonical_url as c
+    once = c(u)
+    assert c(once) == once
