@@ -3735,6 +3735,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_blocks": q_boilerplate_blocks,
         # neighborhood-overlap link prediction (CN/Jaccard/Adamic-Adar)
         "link_prediction": q_link_prediction,
+        # HyperLogLog distinct-token sketch: registers + estimate
+        "hll_registers": td.hll_registers,
+        "hll_estimate": td.hll_estimate,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4927,6 +4930,44 @@ def oracle_sql() -> dict[str, str]:
         FROM edges GROUP BY src_host, dst_host""")
     d["host_rank"] = _pagerank_sql(n_iter=8, damping=0.85, round_digits=8,
                                    query="host_rank")
+    _hll_regs_cte = r"""
+        toks0 AS (
+          SELECT doc_id, list_filter(list_transform(
+                   regexp_split_to_array(trim(text), '\s+'),
+                   x -> regexp_replace(lower(x), '[^\p{L}\p{N}]', '', 'g')),
+                   x -> length(x) > 0) AS l
+          FROM documents),
+        dt AS (SELECT DISTINCT unnest(l) AS token FROM toks0),
+        hr AS (SELECT __BUCKET__::BIGINT AS bucket, __V__::BIGINT AS v
+               FROM dt),
+        rk AS (SELECT bucket,
+                      CASE WHEN v = 0 THEN 41
+                           ELSE 41 - length(bin(v)) END AS rank
+               FROM hr),
+        reg AS (SELECT bucket, max(rank)::BIGINT AS reg
+                FROM rk GROUP BY bucket)""".replace(
+        "__BUCKET__", _hex2int_sql("md5(token)", 3)).replace(
+        "__V__", _hex2int_sql("substr(md5(token), 4, 10)", 10))
+    d["hll_registers"] = ("WITH " + _hll_regs_cte
+                          + "\n        SELECT bucket, reg FROM reg")
+    d["hll_estimate"] = ("WITH " + _hll_regs_cte + r""",
+        agg AS (SELECT count(*)::BIGINT AS observed,
+                       sum((2::BIGINT) ^ (41 - reg))::BIGINT AS s_obs
+                FROM reg),
+        fin AS (SELECT observed, 4096 - observed AS v_zero,
+                       ((4096 - observed) * (2::BIGINT ^ 41)::BIGINT
+                        + s_obs) AS s_scaled
+                FROM agg),
+        est0 AS (SELECT observed, v_zero,
+                        0.7213 / (1 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                          * (2::BIGINT ^ 41)::DOUBLE
+                          / s_scaled::DOUBLE AS raw
+                 FROM fin)
+        SELECT 4096::BIGINT AS m, observed AS n_buckets_used, v_zero,
+               floor((CASE WHEN raw <= 2.5 * 4096.0 AND v_zero > 0
+                      THEN 4096.0 * ln(4096.0 / v_zero::DOUBLE)
+                      ELSE raw END) * 10000.0)::BIGINT AS est_x10k
+        FROM est0""")
     d["link_prediction"] = r"""
         WITH tri AS (SELECT subj, obj FROM __TRI__),
         e AS (SELECT DISTINCT a, b FROM (

@@ -333,6 +333,7 @@ def run_bench() -> dict:
     timed("shuffle_shards", lambda: q["shuffle_shards"](sf_dir).count())
     timed("web_link_graph", lambda: q["web_link_graph"](sf_dir).count())
     timed("host_rank", lambda: q["host_rank"](sf_dir).count())
+    timed("hll_estimate", lambda: len(q["hll_estimate"](sf_dir)))
     # link_prediction is NOT benched at sf0.1: the saturated synthetic KG
     # (~900 entities, ~300k triples) puts every node over the hub cap, so
     # the result is degenerate there; sf0.01 (avg degree ~15) is the

@@ -3258,3 +3258,77 @@ def write_corpus_shards(curated_dir: str, out_dir: str,
                                  "written_shards": missing,
                                  "shard_rows": {str(k): v for k, v
                                                 in shard_rows.items()}})
+
+
+# --------------------------------------------- HyperLogLog sketch --
+
+HLL_M = 4096          # 2^12 buckets (first 3 md5 hex chars)
+HLL_W = 40            # rank window: next 10 hex chars
+_HLL_RMAX = HLL_W + 1
+
+
+def _hll_bucket_rank(token: str) -> tuple[int, int]:
+    hx = hashlib.md5(token.encode()).hexdigest()
+    v = int(hx[3:13], 16)
+    return int(hx[:3], 16), (_HLL_RMAX if v == 0
+                             else _HLL_RMAX - v.bit_length())
+
+
+def hll_registers(sf_dir: str, docs_ds=None):
+    """Distributed HyperLogLog registers for the corpus's distinct-token
+    cardinality (Flajolet+ 2007): bucket = 12 md5 bits, rank = leading
+    zeros in the next 40 bits + 1, register = max rank per bucket.
+
+    The sketch IS the scale story: each block reduces to ≤ 4096 integer
+    rows regardless of input size, merge = max per bucket (associative,
+    order-free), so a 100-TB distinct count moves only
+    blocks × 4096 ints through the exchange.  Zero-staging oracle — the
+    whole derivation (tokenize, md5 bucket/remainder, bit_length rank,
+    max) replays in SQL (``bin()`` gives bit_length exactly)."""
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs: dict[int, int] = {}
+        seen: set[str] = set()
+        for t in batch.column("text").to_pylist():
+            for tok in lm_tokenize(t):
+                if tok in seen:
+                    continue
+                seen.add(tok)
+                b, r = _hll_bucket_rank(tok)
+                if regs.get(b, 0) < r:
+                    regs[b] = r
+        return pa.table({"bucket": pa.array(list(regs), pa.int64()),
+                         "reg": pa.array(list(regs.values()), pa.int64())})
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    parts = docs.map_batches(partial, batch_format="pyarrow")
+    return hash_grouped_aggregate(
+        parts, ["bucket"],
+        grouped_arrow_agg(["bucket"], [("reg", "max")],
+                          rename=["bucket", "reg"]))
+
+
+def hll_estimate(sf_dir: str, docs_ds=None):
+    """One-row HLL cardinality estimate from the registers: the harmonic
+    mean is summed as EXACT dyadic rationals (Σ 2^(RMAX−reg) over a
+    common 2^RMAX denominator — pure BIGINT, order-free), then the
+    float epilogue (alpha·m²·2^RMAX / S, linear-counting correction when
+    est ≤ 2.5 m with empty buckets) runs in one pinned op order on both
+    sides, so the floor-quantized micro value matches exactly."""
+    import pandas as pd
+
+    regs = hll_registers(sf_dir, docs_ds=docs_ds).to_pandas()
+    observed = len(regs)
+    v_zero = HLL_M - observed
+    s_scaled = (int(v_zero) << _HLL_RMAX) + int(
+        sum(1 << (_HLL_RMAX - int(r)) for r in regs["reg"]))
+    alpha = 0.7213 / (1 + 1.079 / 4096.0)
+    est = alpha * 4096.0 * 4096.0 * float(1 << _HLL_RMAX) / float(s_scaled)
+    if est <= 2.5 * 4096.0 and v_zero > 0:
+        est = 4096.0 * math.log(4096.0 / float(v_zero))
+    return pd.DataFrame({"m": [HLL_M],
+                         "n_buckets_used": [observed],
+                         "v_zero": [v_zero],
+                         "est_x10k": [math.floor(est * 10000.0)]}).astype(
+        "int64")
