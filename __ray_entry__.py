@@ -3738,6 +3738,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HyperLogLog distinct-token sketch: registers + estimate
         "hll_registers": td.hll_registers,
         "hll_estimate": td.hll_estimate,
+        # Count-Min sketch: registers + heavy-hitter point queries
+        "cms_registers": td.cms_registers,
+        "cms_heavy_hitters": td.cms_heavy_hitters,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -4968,6 +4971,47 @@ def oracle_sql() -> dict[str, str]:
                       THEN 4096.0 * ln(4096.0 / v_zero::DOUBLE)
                       ELSE raw END) * 10000.0)::BIGINT AS est_x10k
         FROM est0""")
+    def _cms_cell(i: int) -> str:
+        return ("(" + _hex2int_sql(f"md5('{i}:' || token)", 4)
+                + ") % 16384")
+
+    _cms_cte = (r"""
+        toks0 AS (
+          SELECT doc_id, list_filter(list_transform(
+                   regexp_split_to_array(trim(text), '\s+'),
+                   x -> regexp_replace(lower(x), '[^\p{L}\p{N}]', '', 'g')),
+                   x -> length(x) > 0) AS l
+          FROM documents),
+        ti AS (SELECT unnest(l) AS token FROM toks0),
+        tc AS MATERIALIZED (SELECT token, count(*)::BIGINT AS n
+                            FROM ti GROUP BY token),
+        cc AS MATERIALIZED (SELECT token, n, __C0__ AS c0, __C1__ AS c1,
+                                   __C2__ AS c2, __C3__ AS c3
+                            FROM tc),
+        reg AS MATERIALIZED (
+          SELECT row, cell, sum(n)::BIGINT AS cnt FROM (
+            SELECT 0 AS row, c0 AS cell, n FROM cc
+            UNION ALL SELECT 1, c1, n FROM cc
+            UNION ALL SELECT 2, c2, n FROM cc
+            UNION ALL SELECT 3, c3, n FROM cc)
+          GROUP BY row, cell)"""
+        .replace("__C0__", _cms_cell(0)).replace("__C1__", _cms_cell(1))
+        .replace("__C2__", _cms_cell(2)).replace("__C3__", _cms_cell(3)))
+    d["cms_registers"] = ("WITH " + _cms_cte
+                          + "\n        SELECT row, cell, cnt FROM reg")
+    d["cms_heavy_hitters"] = ("WITH " + _cms_cte + """,
+        top AS (SELECT token, n, c0, c1, c2, c3 FROM cc
+                ORDER BY n DESC, token ASC LIMIT 20),
+        est AS (SELECT t.token, t.n AS n_exact,
+                       least(r0.cnt, r1.cnt, r2.cnt, r3.cnt) AS est
+                FROM top t
+                JOIN reg r0 ON r0.row = 0 AND r0.cell = t.c0
+                JOIN reg r1 ON r1.row = 1 AND r1.cell = t.c1
+                JOIN reg r2 ON r2.row = 2 AND r2.cell = t.c2
+                JOIN reg r3 ON r3.row = 3 AND r3.cell = t.c3)
+        SELECT token, n_exact, est,
+               (est - n_exact)::BIGINT AS overestimate
+        FROM est""")
     d["link_prediction"] = r"""
         WITH tri AS (SELECT subj, obj FROM __TRI__),
         e AS (SELECT DISTINCT a, b FROM (

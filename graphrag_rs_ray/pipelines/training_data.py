@@ -3332,3 +3332,76 @@ def hll_estimate(sf_dir: str, docs_ds=None):
                          "v_zero": [v_zero],
                          "est_x10k": [math.floor(est * 10000.0)]}).astype(
         "int64")
+
+
+# --------------------------------------------- Count-Min sketch --
+
+CMS_D = 4             # hash rows
+CMS_W = 16384         # cells per row (first 4 md5 hex chars of "i:tok")
+
+
+def _cms_cells(token: str) -> list[int]:
+    return [int(hashlib.md5(f"{i}:{token}".encode()).hexdigest()[:4], 16)
+            % CMS_W for i in range(CMS_D)]
+
+
+def cms_registers(sf_dir: str, docs_ds=None):
+    """Distributed Count-Min sketch over token INSTANCES (Cormode &
+    Muthukrishnan 2005): d=4 independent md5 rows × 16384 cells; cell
+    value = Σ counts of tokens hashing there.  Pure integer counters,
+    merge = sum (associative) — each block reduces to ≤ 65536 rows no
+    matter the input size, the same bounded-exchange shape as the HLL
+    sketch.  Zero-staging oracle (md5 cell arithmetic replayed in SQL)."""
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        cnt: Counter = Counter()
+        cells_memo: dict[str, list[int]] = {}
+        for t in batch.column("text").to_pylist():
+            for tok in lm_tokenize(t):
+                cells = cells_memo.get(tok)
+                if cells is None:
+                    cells = _cms_cells(tok)
+                    cells_memo[tok] = cells
+                for i, c in enumerate(cells):
+                    cnt[(i, c)] += 1
+        keys = list(cnt)
+        return pa.table({"row": pa.array([k[0] for k in keys], pa.int64()),
+                         "cell": pa.array([k[1] for k in keys], pa.int64()),
+                         "cnt": pa.array([cnt[k] for k in keys],
+                                         pa.int64())})
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    return hash_grouped_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"), ["row", "cell"],
+        grouped_arrow_agg(["row", "cell"], [("cnt", "sum")],
+                          rename=["row", "cell", "cnt"]))
+
+
+def cms_heavy_hitters(sf_dir: str, k: int = 20, docs_ds=None):
+    """Heavy-hitter point queries against the sketch: for the exact
+    global top-k tokens, the CMS estimate (min over the d row cells) next
+    to the true count — ``overestimate = est − n_exact ≥ 0`` is the CMS
+    guarantee, gated in tests and visible to the oracle.  The exact side
+    reuses the vocab machinery (per-block partials, never a raw token
+    shuffle); the sketch side is a driver lookup into the ≤65536-row
+    register table."""
+    import pandas as pd
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    docs = docs.materialize()
+    top = vocab_topk(sf_dir, k=k, docs_ds=docs)
+    regs = cms_registers(sf_dir, docs_ds=docs).to_pandas()
+    lut = {(int(r), int(c)): int(n) for r, c, n in
+           zip(regs["row"], regs["cell"], regs["cnt"])}
+    toks = list(top["token"])
+    est = [min(lut.get((i, c), 0)
+               for i, c in enumerate(_cms_cells(t))) for t in toks]
+    exact = [int(n) for n in top["n"]]
+    return pd.DataFrame({
+        "token": toks,
+        "n_exact": pd.array(exact, dtype="int64"),
+        "est": pd.array(est, dtype="int64"),
+        "overestimate": pd.array([e - x for e, x in zip(est, exact)],
+                                 dtype="int64")})

@@ -49,3 +49,39 @@ def test_reshard_invariance_and_accuracy(ray_session):
     c = (hll_registers("", docs_ds=rd.from_arrow(dup))
          .to_pandas().sort_values("bucket").reset_index(drop=True))
     assert a.equals(c)
+
+
+# ------------------------------------------------ Count-Min gates --
+
+def test_cms_guarantee_and_invariance(ray_session):
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.training_data import (
+        CMS_W,
+        cms_heavy_hitters,
+        cms_registers,
+    )
+
+    docs = _docs(300)
+    # plant one genuinely heavy token
+    heavy = pa.table({"doc_id": pa.array([9999], pa.int64()),
+                      "text": pa.array([("hot " * 500).strip()],
+                                       pa.string())})
+    corpus = pa.concat_tables([docs, heavy])
+
+    hh = cms_heavy_hitters("", k=5,
+                           docs_ds=rd.from_arrow(corpus)).set_index("token")
+    assert hh.index[0] == "hot" and hh.loc["hot", "n_exact"] == 500
+    # the CMS one-sided error guarantee: never underestimates
+    assert (hh["overestimate"] >= 0).all()
+    assert (hh["est"] >= hh["n_exact"]).all()
+
+    a = (cms_registers("", docs_ds=rd.from_arrow(corpus).repartition(1))
+         .to_pandas().sort_values(["row", "cell"]).reset_index(drop=True))
+    b = (cms_registers("", docs_ds=rd.from_arrow(corpus).repartition(17))
+         .to_pandas().sort_values(["row", "cell"]).reset_index(drop=True))
+    assert a.equals(b)          # sum-merge is shard free
+    assert (a["cell"] < CMS_W).all() and a["row"].isin([0, 1, 2, 3]).all()
+    # total mass per row == total token instances
+    per_row = a.groupby("row")["cnt"].sum()
+    assert per_row.nunique() == 1
