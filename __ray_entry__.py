@@ -3741,6 +3741,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Count-Min sketch: registers + heavy-hitter point queries
         "cms_registers": td.cms_registers,
         "cms_heavy_hitters": td.cms_heavy_hitters,
+        # Bloom filter: set-bit table + membership probes
+        "bloom_bits": td.bloom_bits,
+        "bloom_membership": td.bloom_membership,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -5012,6 +5015,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, n_exact, est,
                (est - n_exact)::BIGINT AS overestimate
         FROM est""")
+    def _bloom_bit(i: int, var: str = "token") -> str:
+        return ("(" + _hex2int_sql(f"md5('{i}:' || {var})", 5)
+                + ") % 262144")
+
+    _bloom_cte = (r"""
+        toks0 AS (
+          SELECT doc_id, list_filter(list_transform(
+                   regexp_split_to_array(trim(text), '\s+'),
+                   x -> regexp_replace(lower(x), '[^\p{L}\p{N}]', '', 'g')),
+                   x -> length(x) > 0) AS l
+          FROM documents),
+        dt AS MATERIALIZED (SELECT DISTINCT unnest(l) AS token
+                            FROM toks0),
+        bits AS MATERIALIZED (SELECT DISTINCT bit FROM ("""
+        + "\n            UNION ALL ".join(
+            f"SELECT {_bloom_bit(i)} AS bit FROM dt" for i in range(7))
+        + "))")
+    d["bloom_bits"] = ("WITH " + _bloom_cte
+                       + "\n        SELECT bit FROM bits")
+    d["bloom_membership"] = ("WITH " + _bloom_cte + """,
+        pr AS (SELECT token FROM dt
+               WHERE substr(md5(token), 1, 1) = 'a'),
+        probes AS MATERIALIZED (
+          SELECT token AS probe, true AS in_corpus FROM pr
+          UNION ALL
+          SELECT '__absent_' || token, false FROM pr),
+        pb AS (SELECT probe, in_corpus, unnest(["""
+        + ", ".join(_bloom_bit(i, "probe") for i in range(7))
+        + """]) AS bit
+               FROM probes)
+        SELECT pb.probe, pb.in_corpus,
+               (count(bits.bit) = 7) AS hit
+        FROM pb LEFT JOIN bits ON bits.bit = pb.bit
+        GROUP BY pb.probe, pb.in_corpus""")
     d["link_prediction"] = r"""
         WITH tri AS (SELECT subj, obj FROM __TRI__),
         e AS (SELECT DISTINCT a, b FROM (

@@ -3405,3 +3405,86 @@ def cms_heavy_hitters(sf_dir: str, k: int = 20, docs_ds=None):
         "est": pd.array(est, dtype="int64"),
         "overestimate": pd.array([e - x for e, x in zip(est, exact)],
                                  dtype="int64")})
+
+
+# ------------------------------------------------ Bloom filter --
+
+BLOOM_M = 1 << 18     # bits
+BLOOM_K = 7           # hash functions (md5 of "i:tok", first 5 hex)
+
+
+def _bloom_bits(token: str) -> list[int]:
+    return [int(hashlib.md5(f"{i}:{token}".encode()).hexdigest()[:5], 16)
+            % BLOOM_M for i in range(BLOOM_K)]
+
+
+def bloom_bits(sf_dir: str, docs_ds=None):
+    """Distributed Bloom filter over the corpus's distinct tokens (the
+    Dolma-style membership structure for cross-shard dedup): k=7 md5
+    hashes into 2^18 bits; the filter is the DISTINCT set-bit table, so
+    merge = set union (a distinct groupby) and each block contributes at
+    most its distinct-bit count — the same bounded-exchange contract as
+    the HLL/CMS sketches.  Zero-staging oracle."""
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits: set[int] = set()
+        seen: set[str] = set()
+        for t in batch.column("text").to_pylist():
+            for tok in lm_tokenize(t):
+                if tok in seen:
+                    continue
+                seen.add(tok)
+                bits.update(_bloom_bits(tok))
+        out = sorted(bits)
+        return pa.table({"bit": pa.array(out, pa.int64()),
+                         "one": pa.array([1] * len(out), pa.int64())})
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    dedup = hash_grouped_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"), ["bit"],
+        grouped_arrow_agg(["bit"], [("one", "max")], rename=["bit", "one"]))
+    return dedup.map_batches(lambda t: t.select(["bit"]),
+                             batch_format="pyarrow")
+
+
+def bloom_membership(sf_dir: str, docs_ds=None):
+    """Membership probes against the Bloom filter: a deterministic probe
+    set — every corpus token with md5 starting 'a' (present) plus its
+    '__absent_<token>' twin (absent by construction) — each probed for
+    all-bits-set.  The Bloom guarantee surfaces as columns: present
+    tokens are ALWAYS hits (no false negatives); absent twins may rarely
+    hit (false positives, rate ~(1−e^{−kn/m})^k)."""
+    import pandas as pd
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    docs = docs.materialize()
+    bits = set(bloom_bits(sf_dir, docs_ds=docs).to_pandas()["bit"])
+
+    def probes(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for t in batch.column("text").to_pylist():
+            for tok in lm_tokenize(t):
+                if hashlib.md5(tok.encode()).hexdigest()[0] == "a":
+                    out.add(tok)
+        out_l = sorted(out)
+        return pa.table({"token": pa.array(out_l, pa.string()),
+                         "one": pa.array([1] * len(out_l), pa.int64())})
+
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+    probe_ds = hash_grouped_aggregate(
+        docs.map_batches(probes, batch_format="pyarrow"), ["token"],
+        grouped_arrow_agg(["token"], [("one", "max")],
+                          rename=["token", "one"]))
+    toks = sorted(probe_ds.to_pandas()["token"])
+
+    rows = []
+    for tok in toks:
+        for probe, present in ((tok, True), ("__absent_" + tok, False)):
+            hit = all(b in bits for b in _bloom_bits(probe))
+            rows.append((probe, present, hit))
+    return pd.DataFrame({
+        "probe": [r[0] for r in rows],
+        "in_corpus": pd.array([r[1] for r in rows], dtype="boolean"),
+        "hit": pd.array([r[2] for r in rows], dtype="boolean")}).astype(
+        {"in_corpus": "bool", "hit": "bool"})

@@ -85,3 +85,31 @@ def test_cms_guarantee_and_invariance(ray_session):
     # total mass per row == total token instances
     per_row = a.groupby("row")["cnt"].sum()
     assert per_row.nunique() == 1
+
+
+# ---------------------------------------------------- Bloom gates --
+
+def test_bloom_no_false_negatives(ray_session):
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.training_data import (
+        BLOOM_M,
+        bloom_bits,
+        bloom_membership,
+    )
+
+    corpus = _docs(400)
+    mem = bloom_membership("", docs_ds=rd.from_arrow(corpus))
+    present = mem[mem["in_corpus"]]
+    absent = mem[~mem["in_corpus"]]
+    assert len(present) > 0 and len(present) == len(absent)
+    assert present["hit"].all()              # NEVER a false negative
+    fp_rate = absent["hit"].mean()
+    assert fp_rate < 0.05                    # k=7, m=2^18, n~8k -> tiny
+
+    a = (bloom_bits("", docs_ds=rd.from_arrow(corpus).repartition(1))
+         .to_pandas().sort_values("bit").reset_index(drop=True))
+    b = (bloom_bits("", docs_ds=rd.from_arrow(corpus).repartition(11))
+         .to_pandas().sort_values("bit").reset_index(drop=True))
+    assert a.equals(b)                       # union-merge is shard free
+    assert a["bit"].is_unique and (a["bit"] < BLOOM_M).all()
