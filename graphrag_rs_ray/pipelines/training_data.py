@@ -3356,16 +3356,15 @@ def cms_registers(sf_dir: str, docs_ds=None):
 
     def partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
-        cnt: Counter = Counter()
-        cells_memo: dict[str, list[int]] = {}
+        tok_n: Counter = Counter()
         for t in batch.column("text").to_pylist():
-            for tok in lm_tokenize(t):
-                cells = cells_memo.get(tok)
-                if cells is None:
-                    cells = _cms_cells(tok)
-                    cells_memo[tok] = cells
-                for i, c in enumerate(cells):
-                    cnt[(i, c)] += 1
+            tok_n.update(lm_tokenize(t))
+        # hash once per DISTINCT token (Zipf: distinct << instances),
+        # then add the token's block count to its 4 cells
+        cnt: Counter = Counter()
+        for tok, n in tok_n.items():
+            for i, c in enumerate(_cms_cells(tok)):
+                cnt[(i, c)] += n
         keys = list(cnt)
         return pa.table({"row": pa.array([k[0] for k in keys], pa.int64()),
                          "cell": pa.array([k[1] for k in keys], pa.int64()),
