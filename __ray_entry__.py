@@ -3744,6 +3744,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Bloom filter: set-bit table + membership probes
         "bloom_bits": td.bloom_bits,
         "bloom_membership": td.bloom_membership,
+        # unicode NFC audit + exact no-sort word-count quantiles
+        "unicode_audit": td.unicode_audit,
+        "length_quantiles": td.length_quantiles,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -5049,6 +5052,27 @@ def oracle_sql() -> dict[str, str]:
                (count(bits.bit) = 7) AS hit
         FROM pb LEFT JOIN bits ON bits.bit = pb.bit
         GROUP BY pb.probe, pb.in_corpus""")
+    d["unicode_audit"] = r"""
+        SELECT doc_id, length(text)::BIGINT AS n_chars,
+               length(regexp_replace(text, '[[:ascii:]]', '', 'g')
+                 )::BIGINT AS n_nonascii,
+               (nfc_normalize(text) <> text) AS nfc_changed,
+               length(nfc_normalize(text))::BIGINT AS n_chars_nfc
+        FROM documents"""
+    d["length_quantiles"] = r"""
+        WITH w AS (SELECT len(list_filter(
+                     regexp_split_to_array(trim(text), '\s+'),
+                     x -> length(x) > 0))::BIGINT AS v
+                   FROM documents),
+        h AS (SELECT v, count(*)::BIGINT AS c FROM w GROUP BY v),
+        cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+        nn AS (SELECT count(*)::BIGINT AS n FROM w),
+        qs AS (SELECT unnest([500, 900, 990, 999]) AS q_mille)
+        SELECT q_mille::BIGINT AS q_mille,
+               (SELECT min(v) FROM cum
+                WHERE cum >= ((SELECT n FROM nn) * q_mille + 999) // 1000
+               )::BIGINT AS value
+        FROM qs"""
     d["link_prediction"] = r"""
         WITH tri AS (SELECT subj, obj FROM __TRI__),
         e AS (SELECT DISTINCT a, b FROM (

@@ -3487,3 +3487,64 @@ def bloom_membership(sf_dir: str, docs_ds=None):
         "in_corpus": pd.array([r[1] for r in rows], dtype="boolean"),
         "hit": pd.array([r[2] for r in rows], dtype="boolean")}).astype(
         {"in_corpus": "bool", "hit": "bool"})
+
+
+# ------------------------------------------ unicode + quantiles --
+
+def unicode_audit(sf_dir: str, docs_ds=None):
+    """Unicode normalization audit (the CC-pipeline NFC pass): per doc —
+    char count, non-ASCII char count, whether NFC normalization changes
+    the text, and the NFC length.  Stateless map; DuckDB
+    ``nfc_normalize`` ≡ Python ``unicodedata.normalize('NFC', ·)`` and
+    RE2's ``[[:ascii:]]`` ≡ ``ord(c) <= 127``, so the oracle is
+    zero-staging."""
+    import unicodedata
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        nch, nna, chg, nnf = [], [], [], []
+        for t in batch.column("text").to_pylist():
+            nfc = unicodedata.normalize("NFC", t)
+            nch.append(len(t))
+            nna.append(sum(1 for c in t if ord(c) > 127))
+            chg.append(nfc != t)
+            nnf.append(len(nfc))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_chars": pa.array(nch, pa.int64()),
+                         "n_nonascii": pa.array(nna, pa.int64()),
+                         "nfc_changed": pa.array(chg, pa.bool_()),
+                         "n_chars_nfc": pa.array(nnf, pa.int64())})
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    return docs.map_batches(audit, batch_format="pyarrow")
+
+
+def length_quantiles(sf_dir: str, q_milles=(500, 900, 990, 999),
+                     docs_ds=None):
+    """Exact distributed word-count quantiles WITHOUT a global sort (the
+    corpus-report percentile table): per-doc word counts collapse to a
+    value histogram (one grouped exchange over ≤ distinct-length rows),
+    the driver walks the cumulative histogram, and quantile q‰ = the
+    smallest value whose cumulative count reaches ceil(n·q/1000) — the
+    same order-statistic discipline as ``domain_mixture``."""
+    import pandas as pd
+
+    def words(batch: pa.Table) -> pa.Table:
+        nw = [len(t.split()) for t in batch.column("text").to_pylist()]
+        return pa.table({"v": pa.array(nw, pa.int64()),
+                         "c": pa.array([1] * len(nw), pa.int64())})
+
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+    hist = hash_grouped_aggregate(
+        docs.map_batches(words, batch_format="pyarrow"), ["v"],
+        grouped_arrow_agg(["v"], [("c", "sum")], rename=["v", "c"]))
+    df = hist.to_pandas().sort_values("v").reset_index(drop=True)
+    cum = df["c"].cumsum()
+    n = int(df["c"].sum())
+    vals = []
+    for q in q_milles:
+        thr = (n * q + 999) // 1000
+        vals.append(int(df["v"][cum >= thr].iloc[0]))
+    return pd.DataFrame({"q_mille": pd.array(q_milles, dtype="int64"),
+                         "value": pd.array(vals, dtype="int64")})

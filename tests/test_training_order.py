@@ -92,3 +92,41 @@ def test_mixture_weights_hand_computed(ray_session):
     tot = wq_big + wq_small
     assert out.loc["big", "share_micro"] == wq_big * 1_000_000 // tot
     assert int(out["share_micro"].sum()) <= 1_000_000
+
+
+def test_unicode_audit(ray_session):
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.training_data import unicode_audit
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        # NFD e + combining acute -> NFC composes; plain ascii; composed
+        "text": pa.array(["café", "plain ascii", "café"],
+                         pa.string()),
+    })
+    out = (unicode_audit("", docs_ds=rd.from_arrow(docs))
+           .to_pandas().set_index("doc_id"))
+    assert bool(out.loc[1, "nfc_changed"]) is True
+    assert out.loc[1, "n_chars"] == 5 and out.loc[1, "n_chars_nfc"] == 4
+    assert out.loc[1, "n_nonascii"] == 1        # the combining mark
+    assert bool(out.loc[2, "nfc_changed"]) is False
+    assert out.loc[2, "n_nonascii"] == 0
+    assert bool(out.loc[3, "nfc_changed"]) is False
+    assert out.loc[3, "n_nonascii"] == 1
+
+
+def test_length_quantiles(ray_session):
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.training_data import length_quantiles
+
+    # 100 docs with word counts 1..100 -> q-mille 500 = 50, 999 = 100
+    docs = pa.table({
+        "doc_id": pa.array(range(1, 101), pa.int64()),
+        "text": pa.array([("w " * i).strip() for i in range(1, 101)],
+                         pa.string()),
+    })
+    out = length_quantiles("", docs_ds=rd.from_arrow(docs).repartition(7))
+    got = dict(zip(out["q_mille"], out["value"]))
+    assert got == {500: 50, 900: 90, 990: 99, 999: 100}
