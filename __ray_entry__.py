@@ -3747,6 +3747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unicode NFC audit + exact no-sort word-count quantiles
         "unicode_audit": td.unicode_audit,
         "length_quantiles": td.length_quantiles,
+        # cross-snapshot corpus diff (added/removed/changed/same)
+        "corpus_diff": td.corpus_diff,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -5052,6 +5054,23 @@ def oracle_sql() -> dict[str, str]:
                (count(bits.bit) = 7) AS hit
         FROM pb LEFT JOIN bits ON bits.bit = pb.bit
         GROUP BY pb.probe, pb.in_corpus""")
+    d["corpus_diff"] = r"""
+        WITH cur AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        prev AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 5
+                      THEN md5(substr(text, 1, length(text) // 2))
+                      ELSE md5(text) END AS fp
+          FROM documents WHERE doc_id % 11 <> 3
+          UNION ALL
+          SELECT 1000000000 + doc_id, md5('gone:' || doc_id::VARCHAR)
+          FROM documents WHERE doc_id % 17 = 2)
+        SELECT coalesce(c.doc_id, p.doc_id)::BIGINT AS doc_id,
+               CASE WHEN p.doc_id IS NULL THEN 'added'
+                    WHEN c.doc_id IS NULL THEN 'removed'
+                    WHEN c.fp = p.fp THEN 'same'
+                    ELSE 'changed' END AS status
+        FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id"""
     d["unicode_audit"] = r"""
         SELECT doc_id, length(text)::BIGINT AS n_chars,
                length(regexp_replace(text, '[[:ascii:]]', '', 'g')

@@ -3548,3 +3548,75 @@ def length_quantiles(sf_dir: str, q_milles=(500, 900, 990, 999),
         vals.append(int(df["v"][cum >= thr].iloc[0]))
     return pd.DataFrame({"q_mille": pd.array(q_milles, dtype="int64"),
                          "value": pd.array(vals, dtype="int64")})
+
+
+# ------------------------------------------------ corpus snapshot diff --
+
+def corpus_diff(sf_dir: str, docs_ds=None, prev_ds=None):
+    """Cross-snapshot corpus diff (the iterative-crawl bookkeeping step):
+    per doc_id, status vs the previous snapshot — ``added`` (new id),
+    ``removed`` (id gone), ``changed`` (md5(text) differs), ``same``.
+
+    Shape: one bucketed full-outer join on doc_id comparing text
+    fingerprints — no text ever crosses the exchange, only (id, md5).
+    Without an explicit ``prev_ds`` the previous snapshot derives
+    DETERMINISTICALLY from the current table (so the oracle re-derives
+    it with zero staging): docs with ``doc_id % 11 == 3`` are treated as
+    new (absent from prev), prev text for ``doc_id % 13 == 5`` was the
+    first half of the current text (changed), and prev additionally
+    held ids ``1_000_000_000 + doc_id`` for ``doc_id % 17 == 2``
+    (removed since)."""
+    from ..stages.hashagg import hash_grouped_aggregate
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir)
+
+    def cur_fp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        fps = [hashlib.md5(t.encode()).hexdigest()
+               for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "fp": pa.array(fps, pa.string()),
+                         "side": pa.array([0] * len(ids), pa.int64())})
+
+    def prev_fp(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if d % 11 != 3:                      # existed before
+                old = t[:len(t) // 2] if d % 13 == 5 else t
+                ids.append(d)
+                fps.append(hashlib.md5(old.encode()).hexdigest())
+            if d % 17 == 2:                      # a doc removed since
+                ids.append(1_000_000_000 + d)
+                fps.append(hashlib.md5(f"gone:{d}".encode()).hexdigest())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "fp": pa.array(fps, pa.string()),
+                         "side": pa.array([1] * len(ids), pa.int64())})
+
+    cur = docs.map_batches(cur_fp, batch_format="pyarrow")
+    prev = (prev_ds.map_batches(
+        lambda t: t.append_column("side", pa.array([1] * t.num_rows,
+                                                   pa.int64())),
+        batch_format="pyarrow") if prev_ds is not None
+        else docs.map_batches(prev_fp, batch_format="pyarrow"))
+
+    def verdict(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out_id, out_st = [], []
+        for d, g in df.groupby("doc_id"):
+            sides = dict(zip(g["side"], g["fp"]))
+            if 1 not in sides:
+                st = "added"
+            elif 0 not in sides:
+                st = "removed"
+            elif sides[0] == sides[1]:
+                st = "same"
+            else:
+                st = "changed"
+            out_id.append(int(d))
+            out_st.append(st)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "status": pa.array(out_st, pa.string())})
+
+    both = cur.union(prev)
+    return hash_grouped_aggregate(both, ["doc_id"], verdict)

@@ -130,3 +130,44 @@ def test_length_quantiles(ray_session):
     out = length_quantiles("", docs_ds=rd.from_arrow(docs).repartition(7))
     got = dict(zip(out["q_mille"], out["value"]))
     assert got == {500: 50, 900: 90, 990: 99, 999: 100}
+
+
+def test_corpus_diff(ray_session):
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.training_data import corpus_diff
+
+    n = 300
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"document body {i} with words" for i in range(n)],
+                         pa.string()),
+    })
+    out = (corpus_diff("", docs_ds=rd.from_arrow(docs).repartition(5))
+           .to_pandas().set_index("doc_id")["status"])
+    for d in range(n):
+        if d % 11 == 3:
+            assert out[d] == "added"
+        elif d % 13 == 5:
+            assert out[d] == "changed"
+        else:
+            assert out[d] == "same"
+        if d % 17 == 2:
+            assert out[1_000_000_000 + d] == "removed"
+    # explicit prev snapshot path: one changed, one removed, one added
+    prev = pa.table({
+        "doc_id": pa.array([0, 1, 999], pa.int64()),
+        "fp": pa.array([__import__("hashlib").md5(
+            b"document body 0 with words").hexdigest(), "different",
+            "whatever"], pa.string()),
+    })
+    small = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["document body 0 with words", "x", "y"],
+                         pa.string()),
+    })
+    got = (corpus_diff("", docs_ds=rd.from_arrow(small),
+                       prev_ds=rd.from_arrow(prev))
+           .to_pandas().set_index("doc_id")["status"])
+    assert got[0] == "same" and got[1] == "changed"
+    assert got[2] == "added" and got[999] == "removed"
