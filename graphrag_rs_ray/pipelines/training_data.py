@@ -3113,6 +3113,13 @@ def shuffle_shards(sf_dir: str, n_shards: int = 16, seed: str = "shuf",
     counts = hash_grouped_aggregate(
         st, ["b"], grouped_arrow_agg(["b"], [("one", "sum")],
                                      rename=["b", "n"])).to_pandas()
+    if counts.empty or "b" not in counts.columns:   # empty corpus
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "shard": pa.array([], pa.int64()),
+            "shard_pos": pa.array([], pa.int64())}))
     counts = counts.sort_values("b")
     total = int(counts["n"].sum())
     base = dict(zip(counts["b"].astype(int),
@@ -3228,8 +3235,19 @@ def write_corpus_shards(curated_dir: str, out_dir: str,
         if os.path.exists(d):
             shutil.rmtree(d)
 
-    if missing:
+    try:
         curated_ds = rd.read_parquet(curated_dir)
+        n_curated = curated_ds.count()
+    except Exception:          # empty curated table (no parquet files)
+        n_curated = 0
+    written = list(missing)
+    if missing and n_curated == 0:
+        for k in missing:      # an empty corpus still completes: every
+            d = os.path.join(out_dir, f"shard={k}")   # shard is empty
+            os.makedirs(d, exist_ok=True)
+            write_manifest(d, "corpus_shard", shard_fp(k), rows=0)
+        missing = []
+    if missing:
         manifest_ds = shuffle_shards(
             "", n_shards=num_shards, seed=seed,
             docs_ds=curated_ds.map_batches(
@@ -3255,7 +3273,7 @@ def write_corpus_shards(curated_dir: str, out_dir: str,
                           rows=sum(shard_rows.values()),
                           extra={"num_shards": num_shards,
                                  "resumed_shards": sorted(done),
-                                 "written_shards": missing,
+                                 "written_shards": written,
                                  "shard_rows": {str(k): v for k, v
                                                 in shard_rows.items()}})
 

@@ -54,3 +54,29 @@ def test_write_resume_and_crash_recovery(ray_session, tmp_path):
     m4 = write_corpus_shards(cur, out, num_shards=8, input_token="t2")
     assert m4["written_shards"] == list(range(8))
     assert _read_all(out).equals(first)   # same data, same determinism
+
+
+def test_empty_corpus_still_completes(ray_session, tmp_path):
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.training_data import shuffle_shards
+
+    # empty curated dir (no parquet files at all)
+    cur = str(tmp_path / "empty_curated")
+    os.makedirs(cur)
+    out = str(tmp_path / "empty_corpus")
+    m = write_corpus_shards(cur, out, num_shards=4, input_token="e1")
+    assert m["rows"] == 0
+    assert m["written_shards"] == [0, 1, 2, 3]
+    # rerun resumes instantly
+    m2 = write_corpus_shards(cur, out, num_shards=4, input_token="e1")
+    assert m2["fingerprint"] == m["fingerprint"]
+
+    # shuffle_shards on an empty dataset returns an empty typed table
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    sh = shuffle_shards("", n_shards=4, docs_ds=empty)
+    assert sh.count() == 0
+    assert set(sh.schema().names) == {"doc_id", "pos", "shard",
+                                      "shard_pos"}
