@@ -2817,6 +2817,8 @@ def vocab_topk(sf_dir: str, k: int = 1000, docs_ds=None):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     cand = counts.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if "n" not in cand.columns:         # empty corpus
+        cand = cand.reindex(columns=["token", "n"])
     fin = (cand.sort_values(["n", "token"], ascending=[False, True])
            .head(k).reset_index(drop=True))
     fin["rnk"] = (fin.index + 1).astype("int64")
@@ -3171,11 +3173,13 @@ def mixture_weights(sf_dir: str, alpha: float = 0.3, docs_ds=None):
     docs = (docs_ds if docs_ds is not None else
             _docs(sf_dir, columns=("doc_id", "text", "source")))
     parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "source" not in parts.columns:   # empty corpus
+        parts = parts.reindex(columns=["source", "n_docs", "n_toks"])
     agg = (parts.groupby("source", as_index=False)[["n_docs", "n_toks"]]
            .sum().sort_values("source").reset_index(drop=True))
     agg["wq"] = [int(math.floor(1e6 * math.pow(float(t), alpha)))
                  for t in agg["n_toks"]]
-    sum_wq = int(agg["wq"].sum())
+    sum_wq = int(agg["wq"].sum()) or 1   # empty corpus: no shares
     agg["share_micro"] = [int(w) * 1_000_000 // sum_wq for w in agg["wq"]]
     return pd.DataFrame({"source": agg["source"],
                          "n_docs": agg["n_docs"].astype("int64"),
@@ -3337,6 +3341,8 @@ def hll_estimate(sf_dir: str, docs_ds=None):
     import pandas as pd
 
     regs = hll_registers(sf_dir, docs_ds=docs_ds).to_pandas()
+    if "reg" not in regs.columns:       # empty corpus: no registers
+        regs = regs.reindex(columns=["bucket", "reg"])
     observed = len(regs)
     v_zero = HLL_M - observed
     s_scaled = (int(v_zero) << _HLL_RMAX) + int(
@@ -3409,6 +3415,11 @@ def cms_heavy_hitters(sf_dir: str, k: int = 20, docs_ds=None):
     docs = docs_ds if docs_ds is not None else _docs(sf_dir)
     docs = docs.materialize()
     top = vocab_topk(sf_dir, k=k, docs_ds=docs)
+    if "token" not in top.columns or len(top) == 0:   # empty corpus
+        return pd.DataFrame({"token": pd.array([], dtype="str"),
+                             "n_exact": pd.array([], dtype="int64"),
+                             "est": pd.array([], dtype="int64"),
+                             "overestimate": pd.array([], dtype="int64")})
     regs = cms_registers(sf_dir, docs_ds=docs).to_pandas()
     lut = {(int(r), int(c)): int(n) for r, c, n in
            zip(regs["row"], regs["cell"], regs["cnt"])}
@@ -3476,7 +3487,8 @@ def bloom_membership(sf_dir: str, docs_ds=None):
 
     docs = docs_ds if docs_ds is not None else _docs(sf_dir)
     docs = docs.materialize()
-    bits = set(bloom_bits(sf_dir, docs_ds=docs).to_pandas()["bit"])
+    bits_df = bloom_bits(sf_dir, docs_ds=docs).to_pandas()
+    bits = set(bits_df["bit"]) if "bit" in bits_df.columns else set()
 
     def probes(batch: pa.Table) -> pa.Table:
         out: set[str] = set()
@@ -3493,7 +3505,9 @@ def bloom_membership(sf_dir: str, docs_ds=None):
         docs.map_batches(probes, batch_format="pyarrow"), ["token"],
         grouped_arrow_agg(["token"], [("one", "max")],
                           rename=["token", "one"]))
-    toks = sorted(probe_ds.to_pandas()["token"])
+    probe_df = probe_ds.to_pandas()
+    toks = (sorted(probe_df["token"])
+            if "token" in probe_df.columns else [])
 
     rows = []
     for tok in toks:
@@ -3557,7 +3571,11 @@ def length_quantiles(sf_dir: str, q_milles=(500, 900, 990, 999),
     hist = hash_grouped_aggregate(
         docs.map_batches(words, batch_format="pyarrow"), ["v"],
         grouped_arrow_agg(["v"], [("c", "sum")], rename=["v", "c"]))
-    df = hist.to_pandas().sort_values("v").reset_index(drop=True)
+    df = hist.to_pandas()
+    if "v" not in df.columns or len(df) == 0:   # empty corpus
+        return pd.DataFrame({"q_mille": pd.array([], dtype="int64"),
+                             "value": pd.array([], dtype="int64")})
+    df = df.sort_values("v").reset_index(drop=True)
     cum = df["c"].cumsum()
     n = int(df["c"].sum())
     vals = []

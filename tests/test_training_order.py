@@ -171,3 +171,24 @@ def test_corpus_diff(ray_session):
            .to_pandas().set_index("doc_id")["status"])
     assert got[0] == "same" and got[1] == "changed"
     assert got[2] == "added" and got[999] == "removed"
+
+
+def test_empty_corpus_epilogues(ray_session):
+    """Driver-side epilogues must survive an empty partition/corpus
+    (empty to_pandas has no columns — the KeyError class of failure)."""
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines import training_data as td
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "source": pa.array([], pa.string())}))
+    assert len(td.hll_estimate("", docs_ds=empty)) == 1      # lc(0) row
+    assert len(td.cms_heavy_hitters("", docs_ds=empty)) == 0
+    assert len(td.bloom_membership("", docs_ds=empty)) == 0
+    assert len(td.mixture_weights("", docs_ds=empty)) == 0
+    assert len(td.length_quantiles("", docs_ds=empty)) == 0
+    assert len(td.vocab_topk("", docs_ds=empty)) == 0
+    assert td.corpus_diff("", docs_ds=empty).count() == 0
+    assert td.unicode_audit("", docs_ds=empty).count() == 0
