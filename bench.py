@@ -12,6 +12,9 @@ prints ONE JSON line:
 ``--scaling``: runs the headline pipeline in two fresh processes at
 num_cpus=8 and num_cpus=32 on the same input and reports both plus
 efficiency eff = (T_8 / T_32) / (32 / 8)  (≥ 0.8 target, BASELINE.md).
+``GRAFT_SCALING_LO/HI`` select a different CPU pair (e.g. 4 vs 16 — a
+second independent N→4N proxy); non-default pairs write
+``SCALING_<lo>v<hi>.json`` so the canonical 8-vs-32 artifact survives.
 """
 
 from __future__ import annotations
