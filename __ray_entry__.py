@@ -3749,6 +3749,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": td.length_quantiles,
         # cross-snapshot corpus diff (added/removed/changed/same)
         "corpus_diff": td.corpus_diff,
+        # reproducible uniform hash-rate subsample
+        "corpus_sample": td.corpus_sample,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -5054,6 +5056,12 @@ def oracle_sql() -> dict[str, str]:
                (count(bits.bit) = 7) AS hit
         FROM pb LEFT JOIN bits ON bits.bit = pb.bit
         GROUP BY pb.probe, pb.in_corpus""")
+    d["corpus_sample"] = ("""
+        SELECT doc_id, (__H__ < """
+        + str(100_000 * (1 << 32) // 1_000_000)
+        + """) AS sampled
+        FROM documents""").replace(
+        "__H__", _hex2int_sql("md5('sample:' || doc_id::VARCHAR)", 8))
     d["corpus_diff"] = r"""
         WITH cur AS (SELECT doc_id, md5(text) AS fp FROM documents),
         prev AS (

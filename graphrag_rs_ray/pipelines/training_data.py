@@ -3656,3 +3656,26 @@ def corpus_diff(sf_dir: str, docs_ds=None, prev_ds=None):
 
     both = cur.union(prev)
     return hash_grouped_aggregate(both, ["doc_id"], verdict)
+
+
+# ------------------------------------------------ deterministic sample --
+
+def corpus_sample(sf_dir: str, rate_ppm: int = 100_000,
+                  seed: str = "sample", docs_ds=None):
+    """Reproducible uniform subsample (the debug-slice / ablation-corpus
+    step): keep a doc iff the first 8 md5 hex digits of ``seed:doc_id``
+    fall under ``rate_ppm`` parts-per-million of 2^32 — stateless,
+    rerun/reshard-invariant, growth-stable (new docs never flip old
+    verdicts), integer threshold arithmetic end to end."""
+    thr = rate_ppm * (1 << 32) // 1_000_000
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = [int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:8],
+                    16) < thr for d in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sampled": pa.array(keep, pa.bool_())})
+
+    docs = docs_ds if docs_ds is not None else _docs(sf_dir,
+                                                     columns=("doc_id",))
+    return docs.map_batches(flag, batch_format="pyarrow")

@@ -192,3 +192,28 @@ def test_empty_corpus_epilogues(ray_session):
     assert len(td.vocab_topk("", docs_ds=empty)) == 0
     assert td.corpus_diff("", docs_ds=empty).count() == 0
     assert td.unicode_audit("", docs_ds=empty).count() == 0
+
+
+def test_corpus_sample(ray_session):
+    import hashlib as _h
+
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.training_data import corpus_sample
+
+    docs = _docs_table(5000)
+    out = (corpus_sample("", rate_ppm=100_000,
+                         docs_ds=rd.from_arrow(docs).repartition(9))
+           .to_pandas().set_index("doc_id")["sampled"])
+    # exact per-id determinism vs the kernel formula
+    thr = 100_000 * (1 << 32) // 1_000_000
+    for d in (0, 1, 4999):
+        assert out[d] == (int(_h.md5(f"sample:{d}".encode())
+                              .hexdigest()[:8], 16) < thr)
+    # rate lands near 10% (binomial 3-sigma for n=5000 is ~1.3%)
+    assert abs(out.mean() - 0.1) < 0.015
+    # growth stability: a bigger corpus never flips earlier verdicts
+    out2 = (corpus_sample("", rate_ppm=100_000,
+                          docs_ds=rd.from_arrow(_docs_table(6000)))
+            .to_pandas().set_index("doc_id")["sampled"])
+    assert (out2.loc[out.index] == out).all()
