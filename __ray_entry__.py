@@ -3751,6 +3751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": td.corpus_diff,
         # reproducible uniform hash-rate subsample
         "corpus_sample": td.corpus_sample,
+        # schema-on-read JSON extraction over events.props
+        "event_props_stats": td.event_props_stats,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -5062,6 +5064,18 @@ def oracle_sql() -> dict[str, str]:
         + """) AS sampled
         FROM documents""").replace(
         "__H__", _hex2int_sql("md5('sample:' || doc_id::VARCHAR)", 8))
+    d["event_props_stats"] = r"""
+        WITH e AS (SELECT event_type,
+                          TRY_CAST(props->>'k' AS BIGINT) AS v
+                   FROM events)
+        SELECT event_type,
+               count(*)::BIGINT AS n_events,
+               count(v)::BIGINT AS n_with_key,
+               coalesce(sum(v), -1)::BIGINT AS sum_v,
+               coalesce(min(v), -1)::BIGINT AS min_v,
+               coalesce(max(v), -1)::BIGINT AS max_v,
+               count(DISTINCT v)::BIGINT AS n_distinct_v
+        FROM e GROUP BY event_type"""
     d["corpus_diff"] = r"""
         WITH cur AS (SELECT doc_id, md5(text) AS fp FROM documents),
         prev AS (

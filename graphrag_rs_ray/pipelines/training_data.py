@@ -3679,3 +3679,86 @@ def corpus_sample(sf_dir: str, rate_ppm: int = 100_000,
     docs = docs_ds if docs_ds is not None else _docs(sf_dir,
                                                      columns=("doc_id",))
     return docs.map_batches(flag, batch_format="pyarrow")
+
+
+# -------------------------------------------- schema-on-read JSON --
+
+def event_props_stats(sf_dir: str, key: str = "k", events_ds=None):
+    """Schema-on-read extraction over the events table's JSON ``props``
+    column (the semi-structured-log workload): parse per row, pull one
+    integer key, aggregate per event_type — n_events, rows carrying the
+    key, sum/min/max, and distinct value count.
+
+    Scale shape: a two-level rollup — blocks group locally by
+    (event_type, value) so the exchange carries only distinct pairs
+    (bounded by the value domain, not the event count), then a tiny
+    per-type reduce.  -1 sentinels for types where no row carries the
+    key (house no-NULL-numerics rule)."""
+    import json as _json
+
+    import pandas as pd
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ets, vals, ns = [], [], []
+        agg: dict[tuple[str, int], int] = {}
+        miss: dict[str, int] = {}
+        for et, pr in zip(batch.column("event_type").to_pylist(),
+                          batch.column("props").to_pylist()):
+            v = None
+            if pr:
+                try:
+                    v = _json.loads(pr).get(key)
+                except ValueError:
+                    v = None
+            if isinstance(v, bool) or not isinstance(v, int):
+                miss[et] = miss.get(et, 0) + 1
+            else:
+                agg[(et, v)] = agg.get((et, v), 0) + 1
+        for (et, v), n in agg.items():
+            ets.append(et)
+            vals.append(v)
+            ns.append(n)
+        for et, n in miss.items():   # value sentinel for keyless rows
+            ets.append(et)
+            vals.append(None)
+            ns.append(n)
+        return pa.table({"event_type": pa.array(ets, pa.string()),
+                         "v": pa.array(vals, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    if events_ds is None:
+        import ray.data as rd
+        events_ds = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "props"])
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+    pairs = hash_grouped_aggregate(
+        events_ds.map_batches(parse, batch_format="pyarrow"),
+        ["event_type", "v"],
+        grouped_arrow_agg(["event_type", "v"], [("n", "sum")],
+                          rename=["event_type", "v", "n"]))
+    df = pairs.to_pandas()
+    if "event_type" not in df.columns or len(df) == 0:
+        return pd.DataFrame({c: pd.array([], dtype=t) for c, t in [
+            ("event_type", "str"), ("n_events", "int64"),
+            ("n_with_key", "int64"), ("sum_v", "int64"),
+            ("min_v", "int64"), ("max_v", "int64"),
+            ("n_distinct_v", "int64")]})
+    rows = []
+    for et, g in df.groupby("event_type"):
+        has = g[g["v"].notna()]
+        n_with = int(has["n"].sum())
+        rows.append({
+            "event_type": et,
+            "n_events": int(g["n"].sum()),
+            "n_with_key": n_with,
+            "sum_v": int((has["v"] * has["n"]).sum()) if n_with else -1,
+            "min_v": int(has["v"].min()) if n_with else -1,
+            "max_v": int(has["v"].max()) if n_with else -1,
+            "n_distinct_v": int(len(has)),
+        })
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(
+        drop=True)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out

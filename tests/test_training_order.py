@@ -217,3 +217,24 @@ def test_corpus_sample(ray_session):
                           docs_ds=rd.from_arrow(_docs_table(6000)))
             .to_pandas().set_index("doc_id")["sampled"])
     assert (out2.loc[out.index] == out).all()
+
+
+def test_event_props_stats(ray_session):
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.training_data import event_props_stats
+
+    ev = pa.table({
+        "event_type": ["a", "a", "a", "b", "b", "c"],
+        "props": ['{"k": 5}', '{"k": 5}', '{"k": 7}',
+                  '{"other": 1}', 'not json', '{"k": true}'],
+    })
+    out = (event_props_stats("", events_ds=rd.from_arrow(ev).repartition(3))
+           .set_index("event_type"))
+    assert out.loc["a", "n_events"] == 3 and out.loc["a", "n_with_key"] == 3
+    assert out.loc["a", "sum_v"] == 17 and out.loc["a", "n_distinct_v"] == 2
+    assert out.loc["a", "min_v"] == 5 and out.loc["a", "max_v"] == 7
+    # no parsable key anywhere in b (bad json + missing key) or c (bool)
+    for et in ("b", "c"):
+        assert out.loc[et, "n_with_key"] == 0
+        assert out.loc[et, "sum_v"] == -1 and out.loc[et, "min_v"] == -1
