@@ -3753,6 +3753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": td.corpus_sample,
         # schema-on-read JSON extraction over events.props
         "event_props_stats": td.event_props_stats,
+        # ordered funnel analysis (first-touch subsequence depth)
+        "event_funnel": td.event_funnel,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -5064,6 +5066,36 @@ def oracle_sql() -> dict[str, str]:
         + """) AS sampled
         FROM documents""").replace(
         "__H__", _hex2int_sql("md5('sample:' || doc_id::VARCHAR)", 8))
+    d["event_funnel"] = r"""
+        WITH st AS (SELECT event_type,
+                           row_number() OVER (ORDER BY event_type) AS i
+                    FROM (SELECT DISTINCT event_type FROM events)),
+        r AS (SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+        t1 AS (SELECT user_id, min(rn) AS r1 FROM r
+               WHERE event_type = (SELECT event_type FROM st WHERE i = 1)
+               GROUP BY user_id),
+        t2 AS (SELECT r.user_id, min(r.rn) AS r2
+               FROM r JOIN t1 ON t1.user_id = r.user_id
+               WHERE r.event_type = (SELECT event_type FROM st WHERE i = 2)
+                 AND r.rn > t1.r1
+               GROUP BY r.user_id),
+        t3 AS (SELECT r.user_id, min(r.rn) AS r3
+               FROM r JOIN t2 ON t2.user_id = r.user_id
+               WHERE r.event_type = (SELECT event_type FROM st WHERE i = 3)
+                 AND r.rn > t2.r2
+               GROUP BY r.user_id)
+        SELECT u.user_id,
+               (CASE WHEN t3.user_id IS NOT NULL THEN 3
+                     WHEN t2.user_id IS NOT NULL THEN 2
+                     WHEN t1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END)::BIGINT AS reached
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN t1 ON t1.user_id = u.user_id
+        LEFT JOIN t2 ON t2.user_id = u.user_id
+        LEFT JOIN t3 ON t3.user_id = u.user_id"""
     d["event_props_stats"] = r"""
         WITH e AS (SELECT event_type,
                           TRY_CAST(props->>'k' AS BIGINT) AS v

@@ -3762,3 +3762,52 @@ def event_props_stats(sf_dir: str, key: str = "k", events_ds=None):
     for c in out.columns[1:]:
         out[c] = out[c].astype("int64")
     return out
+
+
+# ------------------------------------------------ event funnels --
+
+def event_funnel(sf_dir: str, steps: list[str] | None = None,
+                 events_ds=None):
+    """Ordered funnel analysis over the events table (the product-log
+    workload): per user, how deep the step sequence was completed —
+    step k counts only when it occurs strictly AFTER the first match of
+    step k-1 (first-touch semantics; event order = (ts, event_id), a
+    total order).  ``steps`` defaults to the three alphabetically-first
+    event types, derived identically by the oracle.
+
+    Scale shape: one hash-bucketed exchange on user_id; each bucket
+    sorts its own users' events and walks the subsequence in one pass —
+    no window function over the global stream, no cross-user state."""
+    import ray.data as rd
+
+    from ..stages.hashagg import hash_grouped_aggregate
+
+    if events_ds is None:
+        events_ds = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "event_type", "ts"])
+    ev = events_ds.materialize()
+
+    if steps is None:
+        types = sorted(set(
+            t for b in ev.map_batches(
+                lambda t: pa.table({"event_type":
+                                    pc.unique(t.column("event_type"))}),
+                batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+            for t in b.column("event_type").to_pylist()))
+        steps = types[:3]
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        out_u, out_r = [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            depth = 0
+            for et in g["event_type"]:
+                if depth < len(steps) and et == steps[depth]:
+                    depth += 1
+            out_u.append(int(uid))
+            out_r.append(depth)
+        return pa.table({"user_id": pa.array(out_u, pa.int64()),
+                         "reached": pa.array(out_r, pa.int64())})
+
+    return hash_grouped_aggregate(ev, ["user_id"], per_bucket)

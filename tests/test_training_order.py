@@ -238,3 +238,43 @@ def test_event_props_stats(ray_session):
     for et in ("b", "c"):
         assert out.loc[et, "n_with_key"] == 0
         assert out.loc[et, "sum_v"] == -1 and out.loc[et, "min_v"] == -1
+
+
+def test_event_funnel(ray_session):
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.training_data import event_funnel
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: full a->b->c in order (with noise between)
+        (1, 1, "a"), (2, 1, "x"), (3, 1, "b"), (4, 1, "c"),
+        # user 2: b before a -> only reaches a (depth 1)
+        (5, 2, "b"), (6, 2, "a"),
+        # user 3: a then c (no b) -> depth 1
+        (7, 3, "a"), (8, 3, "c"),
+        # user 4: never does a -> depth 0
+        (9, 4, "c"), (10, 4, "b"),
+        # user 5: a, b, then b again, c out of order BEFORE b -> a,b only?
+        (11, 5, "c"), (12, 5, "a"), (13, 5, "b"), (14, 5, "c"),
+    ]
+    ev = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([t0 + dt.timedelta(seconds=r[0]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    out = (event_funnel("", events_ds=rd.from_arrow(ev).repartition(3))
+           .to_pandas().set_index("user_id")["reached"])
+    assert out[1] == 3
+    assert out[2] == 1      # b-before-a does not count
+    assert out[3] == 1
+    assert out[4] == 0
+    assert out[5] == 3      # c AFTER b counts; earlier c ignored
+    # explicit steps: x appears only for user 1
+    out2 = (event_funnel("", steps=["x"],
+                         events_ds=rd.from_arrow(ev))
+            .to_pandas().set_index("user_id")["reached"])
+    assert out2[1] == 1 and out2[2] == 0
