@@ -3755,6 +3755,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_stats": td.event_props_stats,
         # ordered funnel analysis (first-touch subsequence depth)
         "event_funnel": td.event_funnel,
+        # cohort retention triangle (first-event-day cohorts)
+        "event_retention": td.event_retention,
         "corpus_curation": q_corpus_curation,
         "lsh_buckets": q_lsh_buckets,
         # bucketed (LSH-blocked) scale path for embedding near-dup —
@@ -5066,6 +5068,18 @@ def oracle_sql() -> dict[str, str]:
         + """) AS sampled
         FROM documents""").replace(
         "__H__", _hex2int_sql("md5('sample:' || doc_id::VARCHAR)", 8))
+    d["event_retention"] = r"""
+        WITH ud AS (SELECT DISTINCT user_id,
+                           date_trunc('day', ts) AS day
+                    FROM events),
+        c AS (SELECT user_id, min(day) AS cohort_day FROM ud
+              GROUP BY user_id)
+        SELECT c.cohort_day,
+               date_diff('day', c.cohort_day, ud.day)::BIGINT
+                 AS day_offset,
+               count(*)::BIGINT AS n_users
+        FROM ud JOIN c ON c.user_id = ud.user_id
+        GROUP BY c.cohort_day, day_offset"""
     d["event_funnel"] = r"""
         WITH st AS (SELECT event_type,
                            row_number() OVER (ORDER BY event_type) AS i

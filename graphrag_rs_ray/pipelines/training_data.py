@@ -3811,3 +3811,45 @@ def event_funnel(sf_dir: str, steps: list[str] | None = None,
                          "reached": pa.array(out_r, pa.int64())})
 
     return hash_grouped_aggregate(ev, ["user_id"], per_bucket)
+
+
+def event_retention(sf_dir: str, events_ds=None):
+    """Cohort retention over the events table: users cohort by the DAY
+    of their first event; a cohort is "retained at offset k" by every
+    user with any activity exactly k days after their cohort day.
+    Output: (cohort_day, day_offset, n_users) — the classic retention
+    triangle.
+
+    Scale shape: one user_id-bucketed exchange; each bucket computes its
+    users' (cohort, offset) pairs locally and emits DISTINCT-per-user
+    integer partials, so the second exchange carries at most
+    users × active-days rows pre-collapsed to triangle cells per block."""
+    import ray.data as rd
+
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    if events_ds is None:
+        events_ds = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["day"] = df["ts"].dt.floor("D")
+        cells: dict[tuple, int] = {}
+        for _uid, g in df.groupby("user_id", sort=False):
+            days = sorted(set(g["day"]))
+            c0 = days[0]
+            for d in days:
+                key = (c0, (d - c0).days)
+                cells[key] = cells.get(key, 0) + 1
+        return pa.table({
+            "cohort_day": pa.array([k[0] for k in cells], pa.timestamp("us")),
+            "day_offset": pa.array([k[1] for k in cells], pa.int64()),
+            "n": pa.array(list(cells.values()), pa.int64())})
+
+    cells = hash_grouped_aggregate(events_ds, ["user_id"], per_user)
+    return hash_grouped_aggregate(
+        cells, ["cohort_day", "day_offset"],
+        grouped_arrow_agg(["cohort_day", "day_offset"], [("n", "sum")],
+                          rename=["cohort_day", "day_offset", "n_users"]))

@@ -278,3 +278,35 @@ def test_event_funnel(ray_session):
                          events_ds=rd.from_arrow(ev))
             .to_pandas().set_index("user_id")["reached"])
     assert out2[1] == 1 and out2[2] == 0
+
+
+def test_event_retention(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.training_data import event_retention
+
+    d0 = dt.datetime(2024, 3, 1, 10, 0)
+    rows = [
+        # user 1: day0 twice (counts once), day2
+        (1, d0), (1, d0 + dt.timedelta(hours=3)),
+        (1, d0 + dt.timedelta(days=2)),
+        # user 2: joins day1, active day1 + day3
+        (2, d0 + dt.timedelta(days=1)),
+        (2, d0 + dt.timedelta(days=3, hours=5)),
+        # user 3: single event on day0
+        (3, d0 + dt.timedelta(minutes=7)),
+    ]
+    ev = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    out = (event_retention("", events_ds=rd.from_arrow(ev).repartition(2))
+           .to_pandas())
+    tri = {(r["cohort_day"].day, int(r["day_offset"])): int(r["n_users"])
+           for _, r in out.iterrows()}
+    assert tri == {(1, 0): 2,    # users 1 and 3 cohort day0, active day0
+                   (1, 2): 1,    # user 1 back on offset 2
+                   (2, 0): 1,    # user 2 cohort day1
+                   (2, 2): 1}    # user 2 back on offset 2
