@@ -337,6 +337,9 @@ def run_bench() -> dict:
     timed("web_link_graph", lambda: q["web_link_graph"](sf_dir).count())
     timed("host_rank", lambda: q["host_rank"](sf_dir).count())
     timed("hll_estimate", lambda: len(q["hll_estimate"](sf_dir)))
+    timed("event_funnel", lambda: q["event_funnel"](sf_dir).count())
+    timed("event_retention",
+          lambda: q["event_retention"](sf_dir).count())
     # link_prediction is NOT benched at sf0.1: the saturated synthetic KG
     # (~900 entities, ~300k triples) puts every node over the hub cap, so
     # the result is degenerate there; sf0.01 (avg degree ~15) is the
