@@ -8504,7 +8504,7 @@ def _html_pages_str(sf_dir: str, query: str, links: int = 3):
             if h is None:
                 continue
             u2.append(u)
-            h2.append(h.decode("utf-8"))
+            h2.append(h.decode("utf-8", errors="replace"))
         return pa.table({"url": pa.array(u2, pa.string()),
                          "html": pa.array(h2, pa.string())})
 

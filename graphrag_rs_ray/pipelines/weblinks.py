@@ -40,7 +40,8 @@ def link_edges(pages_ds):
         for url, html in zip(urls, htmls):
             if html is None:
                 continue
-            text = html.decode("utf-8") if isinstance(html, bytes) else html
+            text = (html.decode("utf-8", errors="replace")
+                    if isinstance(html, bytes) else html)
             host = url_host(url)
             for dst, anchor in extract_links(text, url):
                 su.append(url)
@@ -135,7 +136,8 @@ def boilerplate_blocks(pages_ds, max_link_density_micro: int = 500_000):
                              batch.column("html").to_pylist()):
             if html is None:
                 continue
-            text = html.decode("utf-8") if isinstance(html, bytes) else html
+            text = (html.decode("utf-8", errors="replace")
+                    if isinstance(html, bytes) else html)
             for r in block_rows(text, max_link_density_micro):
                 urls.append(url)
                 tags.append(r["tag"])
@@ -164,7 +166,8 @@ def clean_pages(pages_ds, max_link_density_micro: int = 500_000):
                              batch.column("html").to_pylist()):
             if html is None:
                 continue
-            h = html.decode("utf-8") if isinstance(html, bytes) else html
+            h = (html.decode("utf-8", errors="replace")
+                 if isinstance(html, bytes) else html)
             text, n_blocks, n_dropped = strip_boilerplate(
                 h, max_link_density_micro)
             urls.append(url)

@@ -207,3 +207,19 @@ def test_canonical_url_idempotent(u):
     from graphrag_rs_ray.functions.weblinks import canonical_url as c
     once = c(u)
     assert c(once) == once
+
+
+def test_invalid_utf8_html_does_not_crash(ray_session):
+    import ray.data as rd
+
+    from graphrag_rs_ray.pipelines.weblinks import clean_pages, link_edges
+
+    bad = b'<p>ok</p><a href="/x">A\xff\xfeB</a>' + b"\xc3("
+    t = pa.table({"url": ["https://s.example/p"], "html": [bad]},
+                 schema=pa.schema([("url", pa.string()),
+                                   ("html", pa.binary())]))
+    edges = link_edges(rd.from_arrow(t)).to_pandas()
+    assert len(edges) == 1 and edges["dst_url"][0] == "https://s.example/x"
+    assert "�" in edges["anchor"][0]          # replacement char
+    cp = clean_pages(rd.from_arrow(t)).to_pandas()
+    assert cp["n_blocks"][0] >= 1
