@@ -1274,22 +1274,19 @@ def q_bpe_token_stats(sf_dir: str):
 
 def q_semdedup(sf_dir: str):
     """SemDeDup (Abbas+ 2023): k-means-blocked semantic near-dedup.
-    Only the k-means CENTROIDS are staged (iterative procedural build,
-    same device as ``ivf_topk``); DuckDB independently re-derives the
-    argmax assignment, centroid similarity, within-cluster cosine pair
-    graph, reachability closure, min-member group label and the
-    keep-least-central rule."""
-    import pyarrow as pa
-    import ray.data as rd
-
+    The (vec_id, cluster, csim) ASSIGNMENT is staged (the ``ivf_topk``
+    device): the argmax and the keep-ordering csim are float-op-order
+    surfaces (numpy normalize-then-matmul vs DuckDB
+    list_cosine_similarity — a near-threshold ulp flips verdicts), so
+    DuckDB consumes Python's own assignment and independently
+    re-derives the within-cluster cosine pair graph, reachability
+    closure, min-member group label and the keep-least-central rule."""
     _, _, cent, _ = td.ivf_index(sf_dir, n_queries=1, n_centroids=8,
                                  nprobe=1)
-    ct = pa.table({
-        "cluster": pa.array(range(len(cent)), pa.int64()),
-        "cvec": pa.array([list(map(float, c)) for c in cent],
-                         pa.list_(pa.float64())),
-    })
-    _stage(rd.from_arrow(ct), "semdedup", sf_dir)
+    asg = td.semdedup_assignments(sf_dir, cent).map_batches(
+        lambda t: t.select(["vec_id", "cluster", "csim"]),
+        batch_format="pyarrow")
+    _stage(asg, "semdedup", sf_dir)
     return td.semdedup(sf_dir, cent=cent)
 
 
@@ -5251,19 +5248,11 @@ def oracle_sql() -> dict[str, str]:
                  AS share_micro
         FROM w"""
     d["semdedup"] = """
-        WITH RECURSIVE cent AS (
-          SELECT cluster, cvec FROM __CENT__),
+        WITH RECURSIVE asg AS (
+          SELECT vec_id, cluster, csim FROM __ASG__),
         emb AS (
           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
           FROM embeddings),
-        sims AS (
-          SELECT e.vec_id, c.cluster, list_cosine_similarity(e.v, c.cvec)
-                   AS s
-          FROM emb e CROSS JOIN cent c),
-        asg AS (
-          SELECT vec_id, cluster, s AS csim FROM sims
-          QUALIFY row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY s DESC, cluster) = 1),
         ae AS (SELECT a.vec_id, a.cluster, a.csim, e.v
                FROM asg a JOIN emb e USING (vec_id)),
         pr AS (
@@ -5281,7 +5270,7 @@ def oracle_sql() -> dict[str, str]:
                (row_number() OVER (PARTITION BY g.grp
                                    ORDER BY a.csim, a.vec_id) = 1) AS keep
         FROM asg a JOIN grp g USING (vec_id)""".replace(
-        "__CENT__", _staged_sql("semdedup"))
+        "__ASG__", _staged_sql("semdedup"))
     d["gopher_quality"] = (_GOPHER_SQL.replace("{min_words}", "50")
                            .replace("{max_words}", "100000"))
     d["gopher_repetition"] = _gopher_repetition_sql()
@@ -8604,6 +8593,12 @@ _LINK_EDGE_SQL_BODY = r"""
                        WHEN hs LIKE '//%' THEN 'https:' || hs
                        WHEN hs LIKE '/%' THEN
                          regexp_extract(src_url, '^(https?://[^/]+)', 1) || hs
+                       WHEN length(regexp_extract(src_url, '^(.*/)', 1))
+                              <= 8 THEN
+                         -- origin-only base (https://host): Python's
+                         -- resolve_href appends origin + '/' + href;
+                         -- the greedy ^(.*/) would yield just the scheme
+                         rtrim(src_url, '/') || '/' || hs
                        ELSE regexp_extract(src_url, '^(.*/)', 1) || hs
                      END AS dst0
               FROM f WHERE hs <> ''),

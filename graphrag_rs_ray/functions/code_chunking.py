@@ -268,6 +268,15 @@ def rust_item_spans(text: str) -> list[tuple[int, int]]:
                 mod_start = None
         elif kind == "punct" and text[s] == "(" and mod_start is not None:
             _skip_balanced(lex, "(")   # pub(crate) / pub(in ..)
+        elif kind == "punct" and text[s] == "{":
+            # bare top-level brace group: `extern "C" { .. }` foreign
+            # block (after the extern-modifier + ABI-string path) or a
+            # stray block.  Consume the WHOLE group — foreign signatures
+            # inside are function_signature_item in tree-sitter, never
+            # matched as items, and the item following the block must
+            # not be swallowed.
+            _skip_balanced(lex, "{")
+            mod_start = None
         elif kind == "punct" and text[s] == "#":
             # attribute: #[...] or #![...] — sibling of the item in
             # tree-sitter, so NOT part of the span; skip its group

@@ -2966,33 +2966,12 @@ def semdedup(sf_dir: str, threshold: float = 0.35, n_centroids: int = 8,
     corpus so cluster size stays fixed).  Centroids broadcast once via
     ``ray.put``; union-find runs inside the bucket, never driver-side.
     """
-    import ray
     from ..stages.hashagg import hash_grouped_aggregate
 
     if cent is None:
         _, _, cent, _ = ivf_index(
             sf_dir, n_queries=1, n_centroids=n_centroids, nprobe=1,
             seed=seed, sample_size=sample_size, kmeans_iters=kmeans_iters)
-    cref = ray.put(np.asarray(cent, dtype=np.float64))
-
-    import ray.data as rd
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-
-    def assign(batch: pa.Table) -> pa.Table:
-        ce = ray.get(cref)
-        vecs = np.array(batch.column("embedding").to_pylist(),
-                        dtype=np.float64)
-        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
-                           1e-12)
-        sims = vecs @ ce.T
-        cid = np.argmax(sims, axis=1)
-        return pa.table({
-            "vec_id": batch.column("vec_id"),
-            "cluster": pa.array(cid, pa.int64()),
-            "csim": pa.array(sims[np.arange(len(cid)), cid], pa.float64()),
-            "embedding": batch.column("embedding"),
-        })
 
     def per_bucket(t: pa.Table) -> pa.Table:
         out_v, out_c, out_g, out_k = [], [], [], []
@@ -3039,8 +3018,40 @@ def semdedup(sf_dir: str, threshold: float = 0.35, n_centroids: int = 8,
                          "grp": pa.array(out_g, pa.int64()),
                          "keep": pa.array(out_k, pa.bool_())})
 
-    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    assigned = semdedup_assignments(sf_dir, cent)
     return hash_grouped_aggregate(assigned, ["cluster"], per_bucket)
+
+
+def semdedup_assignments(sf_dir: str, cent):
+    """Stateless argmax-cosine cluster assignment for SemDeDup —
+    (vec_id, cluster, csim, embedding).  Factored out so the oracle can
+    STAGE the assignment (the ``ivf_topk`` device): the argmax and the
+    centroid-similarity keep-ordering are float-op-order surfaces
+    (numpy normalize-then-matmul vs DuckDB list_cosine_similarity), so
+    DuckDB consumes Python's own assignment instead of re-deriving it."""
+    import ray
+    import ray.data as rd
+
+    cref = ray.put(np.asarray(cent, dtype=np.float64))
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ce = ray.get(cref)
+        vecs = np.array(batch.column("embedding").to_pylist(),
+                        dtype=np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                           1e-12)
+        sims = vecs @ ce.T
+        cid = np.argmax(sims, axis=1)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(cid, pa.int64()),
+            "csim": pa.array(sims[np.arange(len(cid)), cid], pa.float64()),
+            "embedding": batch.column("embedding"),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
 
 
 # ------------------------------------------- model-based quality filter --
@@ -3239,10 +3250,15 @@ def write_corpus_shards(curated_dir: str, out_dir: str,
         if os.path.exists(d):
             shutil.rmtree(d)
 
-    try:
+    # only a genuinely file-less curated dir counts as an empty corpus;
+    # a corrupt file / transient FS error must propagate, not silently
+    # complete the job with rows=0 manifests
+    if glob.glob(os.path.join(curated_dir, "**", "*.parquet"),
+                 recursive=True):
         curated_ds = rd.read_parquet(curated_dir)
         n_curated = curated_ds.count()
-    except Exception:          # empty curated table (no parquet files)
+    else:
+        curated_ds = None
         n_curated = 0
     written = list(missing)
     if missing and n_curated == 0:
@@ -3714,16 +3730,24 @@ def event_props_stats(sf_dir: str, key: str = "k", events_ds=None):
                 miss[et] = miss.get(et, 0) + 1
             else:
                 agg[(et, v)] = agg.get((et, v), 0) + 1
+        has = []
         for (et, v), n in agg.items():
             ets.append(et)
             vals.append(v)
+            has.append(1)
             ns.append(n)
-        for et, n in miss.items():   # value sentinel for keyless rows
+        # keyless rows: integer sentinel + has_key=0 — never a NULL in
+        # the group key (a null v makes to_pandas yield float64 for
+        # some batches and int64 for others, so the same (type, v)
+        # value hash-buckets differently and a group splits)
+        for et, n in miss.items():
             ets.append(et)
-            vals.append(None)
+            vals.append(0)
+            has.append(0)
             ns.append(n)
         return pa.table({"event_type": pa.array(ets, pa.string()),
                          "v": pa.array(vals, pa.int64()),
+                         "has_key": pa.array(has, pa.int64()),
                          "n": pa.array(ns, pa.int64())})
 
     if events_ds is None:
@@ -3734,9 +3758,9 @@ def event_props_stats(sf_dir: str, key: str = "k", events_ds=None):
     from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
     pairs = hash_grouped_aggregate(
         events_ds.map_batches(parse, batch_format="pyarrow"),
-        ["event_type", "v"],
-        grouped_arrow_agg(["event_type", "v"], [("n", "sum")],
-                          rename=["event_type", "v", "n"]))
+        ["event_type", "v", "has_key"],
+        grouped_arrow_agg(["event_type", "v", "has_key"], [("n", "sum")],
+                          rename=["event_type", "v", "has_key", "n"]))
     df = pairs.to_pandas()
     if "event_type" not in df.columns or len(df) == 0:
         return pd.DataFrame({c: pd.array([], dtype=t) for c, t in [
@@ -3746,7 +3770,7 @@ def event_props_stats(sf_dir: str, key: str = "k", events_ds=None):
             ("n_distinct_v", "int64")]})
     rows = []
     for et, g in df.groupby("event_type"):
-        has = g[g["v"].notna()]
+        has = g[g["has_key"] == 1]
         n_with = int(has["n"].sum())
         rows.append({
             "event_type": et,

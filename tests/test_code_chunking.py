@@ -87,6 +87,22 @@ def test_tuple_and_unit_structs_end_at_semicolon():
         'trait Tr { fn f(&self); }']
 
 
+def test_extern_block_consumed_whole():
+    # `extern "C" { .. }` is a foreign_mod in tree-sitter: its contents
+    # are function_signature_item (never matched as items) and the item
+    # FOLLOWING the block must still be chunked.
+    src = ('extern "C" { fn foo(); fn bar(); }\n'
+           'fn real_item() { let x = 1; }\n'
+           'pub struct S { a: u8 }')
+    spans = rust_item_spans(src)
+    assert [src[s:e] for s, e in spans] == [
+        'fn real_item() { let x = 1; }', 'pub struct S { a: u8 }']
+    # unsafe extern (Rust 2024 form) and a bare stray block
+    src2 = ('unsafe extern "C" { fn f(); }\n{ let y = 2; }\n'
+            'fn after() {}')
+    assert [src2[s:e] for s, e in rust_item_spans(src2)] == ['fn after() {}']
+
+
 def test_min_size_filter_and_fallback():
     src = 'fn a() {}\n\nfn bbbbbbbbbbbbbbbbbb() { work(); }'
     chunks = chunk_rust_code(src, 20)

@@ -72,6 +72,18 @@ def test_empty_corpus_still_completes(ray_session, tmp_path):
     m2 = write_corpus_shards(cur, out, num_shards=4, input_token="e1")
     assert m2["fingerprint"] == m["fingerprint"]
 
+    # a corrupt parquet file is NOT an empty corpus: the error must
+    # propagate instead of silently writing rows=0 shard manifests
+    bad = str(tmp_path / "bad_curated")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-0.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    out_bad = str(tmp_path / "bad_corpus")
+    import pytest
+    with pytest.raises(Exception):
+        write_corpus_shards(bad, out_bad, num_shards=2, input_token="b1")
+    assert not os.path.exists(os.path.join(out_bad, "_MANIFEST.json"))
+
     # shuffle_shards on an empty dataset returns an empty typed table
     empty = rd.from_arrow(pa.table({
         "doc_id": pa.array([], pa.int64()),

@@ -239,6 +239,27 @@ def test_event_props_stats(ray_session):
         assert out.loc[et, "n_with_key"] == 0
         assert out.loc[et, "sum_v"] == -1 and out.loc[et, "min_v"] == -1
 
+    # the same (type, value) group must not split across buckets when
+    # one batch also carries keyless rows (mixed dtype hazard: a null
+    # in the group key made to_pandas float64 for that batch only)
+    t_mixed = pa.table({"event_type": ["a", "a", "b"],
+                        "props": ['{"k": 5}', '{"k": 5}', '{"x": 1}']})
+    t_clean = pa.table({"event_type": ["a"], "props": ['{"k": 5}']})
+    out2 = (event_props_stats("", events_ds=rd.from_arrow([t_mixed,
+                                                           t_clean]))
+            .set_index("event_type"))
+    assert out2.loc["a", "n_distinct_v"] == 1
+    assert out2.loc["a", "sum_v"] == 15 and out2.loc["a", "n_with_key"] == 3
+    # a real value equal to the sentinel (0) in a batch with misses of
+    # the SAME type stays a distinct keyed group
+    t3 = pa.table({"event_type": ["d", "d"],
+                   "props": ['{"k": 0}', '{"y": 1}']})
+    out3 = (event_props_stats("", events_ds=rd.from_arrow([t3]))
+            .set_index("event_type"))
+    assert out3.loc["d", "n_with_key"] == 1
+    assert out3.loc["d", "n_distinct_v"] == 1
+    assert out3.loc["d", "sum_v"] == 0 and out3.loc["d", "n_events"] == 2
+
 
 def test_event_funnel(ray_session):
     import ray.data as rd

@@ -48,6 +48,38 @@ def test_extract_links_order_tags_duplicates():
                    ("https://s.example/a", "One")]
 
 
+def test_link_edge_sql_parity_origin_only_base():
+    # the oracle SQL fragment must resolve directory-relative hrefs the
+    # way resolve_href does — INCLUDING an origin-only base such as
+    # https://host (where the greedy '^(.*/)'-prefix is just the scheme)
+    import duckdb
+    import __ray_entry__ as e
+
+    pages = [
+        ("https://host.example",
+         '<a href="rel/page">R</a><a href="/abs">A</a>'),
+        ("https://host.example/dir/page",
+         '<a href="rel2">R2</a><a href="//cdn.example/x">C</a>'),
+        ("https://host.example/",
+         '<a href="x">X</a>'),
+        ("http://h2.example",
+         '<a href="y">Y</a>'),
+    ]
+    expected = sorted(
+        (url, dst, anchor)
+        for url, html in pages
+        for dst, anchor in extract_links(html, url))
+    sql = ("WITH " + e._LINK_EDGE_SQL_BODY.replace(
+               "__PAGES__", "staged_pages")
+           + "\nSELECT src_url, dst_url, anchor FROM edges")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE staged_pages(url VARCHAR, html VARCHAR)")
+    con.executemany("INSERT INTO staged_pages VALUES (?, ?)", pages)
+    got = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    con.close()
+    assert got == expected
+
+
 def test_generator_byte_identity_when_links_off():
     for i in (0, 5, 17):
         assert page_record(i, links=0) == page_record(i)
