@@ -38,6 +38,9 @@ class KGConfig:
     use_phonetic: bool = False
     # batched hash-embedding refinement of candidate links (None = off)
     link_embedding_threshold: float | None = None
+    # fuzzy links broadcast as a dict below this row count; above it the
+    # link table stays a Dataset and subj/obj remap via bucketed joins
+    link_broadcast_limit: int = 2_000_000
 
     # embeddings
     embedding_dim: int = 64

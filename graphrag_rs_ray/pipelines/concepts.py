@@ -96,12 +96,119 @@ def _triu(k: int) -> tuple[np.ndarray, np.ndarray]:
     return t
 
 
-def concept_edges_from_lists(lists_ds, co_occurrence_threshold: int = 2):
+def _pair_spans(col: pa.Array):
+    """Flattened list column → (flat values, offsets, lengths) for the
+    cached-triu pair explosion."""
+    flat = pc.list_flatten(col)
+    lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    return flat, offs, lens
+
+
+def _concept_edges_bucketed(lists_ds, co_occurrence_threshold: int):
+    """Scale path (no driver-collected vocabulary): within-chunk pairs
+    ship as STRING pairs (per-batch combined), the per-concept chunk
+    counts stay a Dataset, and the Jaccard denominator arrives through
+    two bucketed joins — nothing ships whole, the distinct-concept
+    table can exceed driver memory.  Same arithmetic as the broadcast
+    path (float64 ``n / (na + nb - n)``), so the two paths are
+    bit-equal."""
+    from ..stages.hashagg import bucketed_join
+
+    counts_ds = concept_table_from_mentions(mentions_from_lists(lists_ds))
+
+    def string_pairs(batch: pa.Table) -> pa.Table:
+        col = batch.column("concepts")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, offs, lens = _pair_spans(col)
+        vals = flat.to_numpy(zero_copy_only=False)
+        ia_parts, ib_parts = [], []
+        for o, k in zip(offs[:-1], lens):
+            if k > 1:
+                i, j = _triu(int(k))
+                ia_parts.append(vals[o + i])
+                ib_parts.append(vals[o + j])
+        if ia_parts:
+            ca = np.concatenate(ia_parts)
+            cb = np.concatenate(ib_parts)
+        else:
+            ca = cb = np.empty(0, object)
+        t = pa.table({"concept_a": pa.array(ca, pa.string()),
+                      "concept_b": pa.array(cb, pa.string())})
+        g = t.group_by(["concept_a", "concept_b"]).aggregate(
+            [("concept_a", "count")])
+        return g.rename_columns(["concept_a", "concept_b", "n"])
+
+    pair_counts = hash_grouped_aggregate(
+        lists_ds.map_batches(string_pairs, batch_format="pyarrow"),
+        ["concept_a", "concept_b"],
+        grouped_arrow_agg(["concept_a", "concept_b"], [("n", "sum")],
+                          rename=["concept_a", "concept_b", "count"]))
+
+    thr = co_occurrence_threshold
+    pairs_thr = pair_counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("count"), thr)),
+        batch_format="pyarrow").materialize()   # lineage cut before the
+    if pairs_thr.count() == 0:                  # two join consumers
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "concept_a": pa.array([], pa.string()),
+            "concept_b": pa.array([], pa.string()),
+            "count": pa.array([], pa.int64()),
+            "confidence": pa.array([], pa.float64())}))
+
+    def _renamed(side):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({side: pa.array([], pa.string()),
+                                 f"_n_{side}": pa.array([], pa.int64())})
+            return pa.table({side: t.column("concept"),
+                             f"_n_{side}": t.column("n_chunks")})
+        return f
+
+    j = bucketed_join(pairs_thr,
+                      counts_ds.map_batches(_renamed("concept_a"),
+                                            batch_format="pyarrow"),
+                      ["concept_a"])
+    j = bucketed_join(j,
+                      counts_ds.map_batches(_renamed("concept_b"),
+                                            batch_format="pyarrow"),
+                      ["concept_b"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("count").to_numpy().astype(np.float64)
+        na = batch.column("_n_concept_a").to_numpy().astype(np.float64)
+        nb = batch.column("_n_concept_b").to_numpy().astype(np.float64)
+        union = na + nb - n
+        conf = np.divide(n, union, out=np.zeros_like(n), where=union != 0)
+        return pa.table({
+            "concept_a": batch.column("concept_a"),
+            "concept_b": batch.column("concept_b"),
+            "count": batch.column("count"),
+            "confidence": pa.array(conf, pa.float64()),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def concept_edges_from_lists(lists_ds, co_occurrence_threshold: int = 2,
+                             vocab_broadcast_limit: int = 5_000_000):
     """Edges with shared-chunk count ≥ threshold and Jaccard confidence
     (``concept_graph.rs:389-448``) from a materialized per-chunk concept
-    list table.  The pair exchange is int32-dictionary-encoded against the
-    sorted vocabulary (concept lists are sorted, so encoded ia < ib holds
-    by construction) and pre-aggregated per batch before the shuffle."""
+    list table.  Two paths on the vocabulary size:
+
+    * ≤ ``vocab_broadcast_limit`` distinct concepts (the fast path):
+      the pair exchange is int32-dictionary-encoded against the sorted
+      driver-collected vocabulary (concept lists are sorted, so encoded
+      ia < ib holds by construction) and pre-aggregated per batch
+      before the shuffle;
+    * above it (open-vocabulary web scale), ``_concept_edges_bucketed``
+      — string pairs + Dataset counts + bucketed Jaccard joins, no
+      driver collection anywhere.  The cap is enforced DURING the
+      driver combine (abort as soon as the accumulating distinct count
+      crosses the limit), so the driver never holds more than
+      ``vocab_broadcast_limit`` entries even on the overflow route."""
     import pandas as pd
     import ray
 
@@ -114,15 +221,25 @@ def concept_edges_from_lists(lists_ds, co_occurrence_threshold: int = 2):
         return pa.table({"concept": vc.field("values"),
                          "n_chunks": vc.field("counts")})
 
-    parts = [b for b in mentions_from_lists(lists_ds)
-             .map_batches(_partial_counts, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow")]
-    if parts:
-        counts_df = (pa.concat_tables(parts).to_pandas()
-                     .groupby("concept", as_index=False)["n_chunks"].sum())
-    else:
-        counts_df = pd.DataFrame({"concept": pd.Series([], dtype=object),
-                                  "n_chunks": pd.Series([], dtype=np.int64)})
+    acc: dict[str, int] = {}
+    overflow = False
+    for b in (mentions_from_lists(lists_ds)
+              .map_batches(_partial_counts, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        if b.num_rows == 0:
+            continue
+        for c, n in zip(b.column("concept").to_pylist(),
+                        b.column("n_chunks").to_pylist()):
+            acc[c] = acc.get(c, 0) + n
+        if len(acc) > vocab_broadcast_limit:
+            overflow = True
+            break
+    if overflow:
+        return _concept_edges_bucketed(lists_ds, co_occurrence_threshold)
+
+    counts_df = pd.DataFrame(
+        {"concept": pd.Series(list(acc.keys()), dtype=object),
+         "n_chunks": pd.Series(list(acc.values()), dtype=np.int64)})
     counts_df = counts_df.sort_values("concept").reset_index(drop=True)
     vocab = counts_df["concept"].tolist()
     n_chunks = counts_df["n_chunks"].astype(np.int64).to_numpy()
@@ -188,7 +305,9 @@ def concept_edges_from_lists(lists_ds, co_occurrence_threshold: int = 2):
 
 
 def concept_edges(chunks_ds, co_occurrence_threshold: int = 2,
-                  max_concepts: int | None = None):
+                  max_concepts: int | None = None,
+                  vocab_broadcast_limit: int = 5_000_000):
     """Edges with shared-chunk count ≥ threshold and Jaccard confidence."""
     lists = concept_chunk_lists(chunks_ds, max_concepts).materialize()
-    return concept_edges_from_lists(lists, co_occurrence_threshold)
+    return concept_edges_from_lists(lists, co_occurrence_threshold,
+                                    vocab_broadcast_limit)

@@ -37,7 +37,13 @@ from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
 from ..stages.chunk import ChunkStage
 from ..stages.extract_text import extract_text_stage
 from ..stages.kg_extract import ExtractKG, entities_only, make_extract_fn, triples_only
-from ..stages.linking import compute_links, make_remap_entities, make_remap_triples
+from ..stages.linking import (
+    compute_links_ds,
+    links_ds_to_dict,
+    make_remap_entities,
+    make_remap_triples,
+    remap_column_bucketed,
+)
 from ..state.manifests import (
     fingerprint_config,
     read_manifest,
@@ -136,8 +142,10 @@ def entities_dataset(pages_ds, cfg: KGConfig | None = None):
 class KGResult:
     entities: "object"            # ray.data.Dataset — entities table
     triples: "object"             # ray.data.Dataset — deduped triples
-    links: dict[str, str]         # fuzzy-tier canonicalization map
+    links: dict[str, str]         # fuzzy-tier map (broadcast path only;
+                                  # empty on the bucketed scale path)
     fingerprint: str = ""         # build-config fingerprint (resume token)
+    n_links: int = 0              # fuzzy link count (both paths)
 
 
 def build_kg(pages_ds, cfg: KGConfig | None = None, work_dir: str | None = None) -> KGResult:
@@ -171,18 +179,30 @@ def build_kg(pages_ds, cfg: KGConfig | None = None, work_dir: str | None = None)
         ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards * 4)
 
     links: dict[str, str] = {}
+    n_links = 0
+    links_ds = None
     if cfg.fuzzy_linking:
         entities = entities.materialize()
-        links = compute_links(
+        links_ds = compute_links_ds(
             entities,
             LinkingConfig(min_similarity=cfg.min_similarity,
                           use_phonetic=cfg.use_phonetic),
-            embedding_threshold=cfg.link_embedding_threshold)
-        if links:
+            embedding_threshold=cfg.link_embedding_threshold).materialize()
+        n_links = links_ds.count()
+        if n_links and n_links <= cfg.link_broadcast_limit:
+            # fast path: links fit the driver — broadcast dict remap
+            links = links_ds_to_dict(links_ds)
             links_ref = ray.put(links)
             entities = hash_grouped_aggregate(
                 entities
                 .map_batches(make_remap_entities(links_ref), batch_format="pyarrow")
+                .map_batches(partial_entity_agg_from_final, batch_format="pyarrow"),
+                ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards)
+        elif n_links:
+            # scale path: links stay a Dataset; remap via bucketed left
+            # joins — no driver materialization, no whole-set broadcast
+            entities = hash_grouped_aggregate(
+                remap_column_bucketed(entities, links_ds, "entity_id")
                 .map_batches(partial_entity_agg_from_final, batch_format="pyarrow"),
                 ["entity_id"], entity_bucket_merge, num_buckets=cfg.num_shards)
 
@@ -191,10 +211,14 @@ def build_kg(pages_ds, cfg: KGConfig | None = None, work_dir: str | None = None)
     if links:
         links_ref2 = ray.put(links)
         t_rows = t_rows.map_batches(make_remap_triples(links_ref2), batch_format="pyarrow")
+    elif n_links:
+        t_rows = remap_column_bucketed(
+            remap_column_bucketed(t_rows, links_ds, "subj"), links_ds, "obj")
     triples = dedup_triples(t_rows, cfg)
 
     return KGResult(entities=entities, triples=triples, links=links,
-                    fingerprint=fingerprint_config("combined", cfg))
+                    fingerprint=fingerprint_config("combined", cfg),
+                    n_links=n_links)
 
 
 def partial_entity_agg_from_final(batch: pa.Table) -> pa.Table:
@@ -352,7 +376,7 @@ def write_graph(result: KGResult, out_dir: str, num_shards: int = 16,
                                      "num_shards": num_shards,
                                      "shard_rows": shard_counts,
                                      "resumed_shards": sorted(done),
-                                     "n_fuzzy_links": len(result.links)})
+                                     "n_fuzzy_links": result.n_links})
     return manifest
 
 

@@ -88,22 +88,35 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_k: int = 3,
 
 
 def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, shingle_k: int = 3,
-                           bands_ds=None):
+                           bands_ds=None,
+                           hot_broadcast_limit: int = 1_000_000):
     """Candidate near-dup pairs (shingle→minhash→band→bucket groupby).
 
     Two-phase to dodge per-group Python overhead: (1) a native vectorized
-    groupby counts bucket occupancy; only COLLIDING buckets (n>1, a tiny
-    set) are kept, broadcast, and (2) the band rows filtered to those
-    buckets go through the pair-emitting map_groups.  On mostly-unique
-    corpora this reduces the Python-group count from |docs|×bands to
-    ~|duplicates|.
+    groupby counts bucket occupancy; only COLLIDING buckets (n>1) are
+    kept, and (2) the band rows filtered to those buckets go through the
+    pair-emitting map_groups.  On mostly-unique corpora this reduces the
+    Python-group count from |docs|×bands to ~|duplicates|.
+
+    Hot-bucket filter, two paths: the hot-key set is ~|duplicate
+    buckets| — UNBOUNDED in corpus size — so it broadcasts only below
+    ``hot_broadcast_limit`` keys, packed to one uint64 per key
+    (``(band_hash << 4) ^ band``) and matched with a vectorized
+    ``pc.is_in``.  The pack drops band_hash's top 4 bits, so distinct
+    keys may alias — harmless: the filter only PRE-selects rows, the
+    downstream groupby re-groups exactly on (band, band_hash) and a
+    false-positive singleton group emits no pairs.  No false negatives
+    (the pack is a pure function of the key).  Above the limit the hot
+    keys stay a Dataset and the filter becomes a bucketed semi-join —
+    nothing ships whole.
 
     ``bands_ds`` (optional) supplies pre-computed band rows — the query
     layer stages them to Parquet so the band→candidate derivation is
     DuckDB-oracle-checked (the signature math itself is unit-gated)."""
     import pandas as pd
     import ray
-    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+    from ..stages.hashagg import (bucketed_join, grouped_arrow_agg,
+                                  hash_grouped_aggregate)
 
     bands = (bands_ds if bands_ds is not None
              else minhash_signatures(sf_dir, num_perm, shingle_k)).materialize()
@@ -111,18 +124,33 @@ def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, shingle_k: int = 3,
         bands, ["band", "band_hash"],
         grouped_arrow_agg(["band", "band_hash"], [("doc_id", "count")],
                           rename=["band", "band_hash", "n"]))
-    hot = counts.filter(expr="n > 1").to_pandas()
-    hot_keys = (set() if hot.empty else    # empty blocks carry no columns
-                set(zip(hot["band"].astype(int),
-                        hot["band_hash"].astype("uint64"))))
-    hot_ref = ray.put(hot_keys)
+    hot = counts.filter(expr="n > 1").materialize()
+    n_hot = hot.count()
 
-    def only_hot(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        bs = batch.column("band").to_pylist()
-        hs = batch.column("band_hash").to_pylist()
-        mask = pa.array([(b, h) in keys for b, h in zip(bs, hs)], pa.bool_())
-        return batch.filter(mask)
+    def _packed(band_arr, hash_arr) -> pa.UInt64Array:
+        b = band_arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = hash_arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.array((h << np.uint64(4)) ^ b, pa.uint64())
+
+    if n_hot <= hot_broadcast_limit:
+        chunks = [_packed(b.column("band"), b.column("band_hash"))
+                  for b in hot.iter_batches(batch_format="pyarrow")
+                  if b.num_rows]          # empty blocks carry no columns
+        hot_ref = ray.put(pa.concat_arrays(chunks) if chunks
+                          else pa.array([], pa.uint64()))
+
+        def only_hot(batch: pa.Table) -> pa.Table:
+            packed = _packed(batch.column("band"),
+                             batch.column("band_hash"))
+            return batch.filter(pc.is_in(packed,
+                                         value_set=ray.get(hot_ref)))
+
+        hot_bands = bands.map_batches(only_hot, batch_format="pyarrow")
+    else:
+        hot_keys = hot.map_batches(
+            lambda t: t.select(["band", "band_hash"]),
+            batch_format="pyarrow")
+        hot_bands = bucketed_join(bands, hot_keys, ["band", "band_hash"])
 
     def pairs(group: pd.DataFrame) -> pa.Table:
         ids = sorted(set(group["doc_id"]))
@@ -135,7 +163,7 @@ def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, shingle_k: int = 3,
 
     # native groupby is safe HERE (exception to the hashagg rule): the
     # hot-bucket filter leaves ~|duplicates| groups, not |docs|×bands
-    cand = (bands.map_batches(only_hot, batch_format="pyarrow")
+    cand = (hot_bands
             .groupby(["band", "band_hash"])
             .map_groups(pairs, batch_format="pandas"))
     return hash_grouped_aggregate(
@@ -169,102 +197,61 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
                          axis=1).sum(axis=1).astype(np.int64)
 
 
-def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int = 4,
-                      sigs_ds=None, small_cand_limit: int = 10_000):
-    """SimHash near-dup pairs: 64-bit signatures → pigeonhole banding →
-    exact Hamming verify.
+def _collision_pairs(rows_ds, key_cols: list[str], pack_fn):
+    """Shared exact-recall collision-pair generation for the simhash
+    family: ONE hash-bucketed exchange on ``key_cols``; inside each
+    bucket the rows are sorted by their uint64-packed key
+    (``pack_fn(table)``) and pairs are emitted for runs of length > 1 —
+    run detection is vectorized, Python touches only COLLIDING runs.
+    A second (doc_a, doc_b) exchange dedups pairs found under multiple
+    keys.  (Fused from the earlier occupancy-count + hot-broadcast +
+    native-groupby three-exchange shape: same output, one exchange and
+    zero broadcasts fewer — at sf scale the stages were pure fixed
+    overhead, at web scale the hot-key broadcast was the bound.)"""
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
 
-    The 64-bit signature is sliced into ``n_bands`` equal bands; any two
-    signatures within Hamming distance < ``n_bands`` agree exactly on at
-    least one band (pigeonhole), so band-equality buckets have guaranteed
-    recall for ``max_hamming ≤ n_bands - 1`` (the classic simhash dedup
-    layout: 4 × 16-bit bands for distance ≤ 3).  Candidates then get an
-    exact vectorized popcount verify.
-
-    Same two-phase bucket discipline as ``minhash_lsh_candidates``
-    (vectorized occupancy count first, per-group Python only on colliding
-    buckets) and the same two-path verify as ``ngram_dedup_pairs``
-    (broadcast the candidate signatures below ``small_cand_limit``,
-    bucketed joins above — the signature table is 16 bytes/doc, but at
-    web scale even that never ships whole).
-
-    Scale bound (documented, not hidden): with 64 signature bits fixed,
-    guaranteeing distance ≤ 3 forces 16-bit bands, and band-bucket
-    occupancy grows ~N²/2¹⁶ on uniform signatures — fine to ~1M docs,
-    hopeless at web scale (Manku et al. 2007 move to sorted
-    permuted-prefix tables for that regime).  This operator is the
-    exact-recall small/medium-corpus member of the dedup family; the
-    primary web-scale near-dedup path in this repo stays MinHash-LSH →
-    ``dedup_clusters``.
-
-    ``sigs_ds`` lets the query layer stage the signature rows so the
-    band→candidate→verify derivation is DuckDB-oracle-checked
-    (``bit_count(xor(...))``); the signature hashing itself stays
-    unit-gated via the staged-vocab ``simhash_signatures`` oracle."""
-    import pandas as pd
-    import ray
-
-    from ..stages.hashagg import (bucketed_join, grouped_arrow_agg,
-                                  hash_grouped_aggregate)
-
-    sigs = (sigs_ds if sigs_ds is not None
-            else simhash_signatures(sf_dir)).materialize()
-    band_width = 64 // n_bands
-    mask = np.uint64((1 << band_width) - 1)
-
-    def to_bands(t: pa.Table) -> pa.Table:
-        s = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        packed = pack_fn(t)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        parts = []
-        for b in range(n_bands):
-            parts.append(pa.table({
-                "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(np.full(len(ids), b, np.int64())),
-                "band_val": pa.array((s >> np.uint64(band_width * b)) & mask,
-                                     pa.uint64())}))
-        return pa.concat_tables(parts)
+        order = np.lexsort((ids, packed))
+        k, d = packed[order], ids[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):      # colliding runs only
+            if e - s > 1:
+                run = np.unique(d[s:e])
+                if len(run) > 1:
+                    i, j = np.triu_indices(len(run), 1)
+                    a_parts.append(run[i])
+                    b_parts.append(run[j])
+        if not a_parts:
+            return empty
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(a_parts), pa.int64()),
+            "doc_b": pa.array(np.concatenate(b_parts), pa.int64())})
 
-    bands = sigs.map_batches(to_bands, batch_format="pyarrow").materialize()
-    counts = hash_grouped_aggregate(
-        bands, ["band", "band_val"],
-        grouped_arrow_agg(["band", "band_val"], [("doc_id", "count")],
-                          rename=["band", "band_val", "n"]))
-    # hot-bucket key set is bounded by n_bands × 2^band_width rows
-    # regardless of corpus size; pack (band, band_val) into one uint64 so
-    # the filter is a vectorized pc.is_in, not a per-row Python loop
-    hot = counts.filter(expr="n > 1").to_pandas()
-    pack_shift = np.uint64(band_width)
-    hot_packed = (np.array([], np.uint64) if hot.empty else
-                  (hot["band"].to_numpy().astype(np.uint64) << pack_shift)
-                  | hot["band_val"].to_numpy().astype(np.uint64))
-    hot_ref = ray.put(pa.array(hot_packed, pa.uint64()))
-
-    def only_hot(batch: pa.Table) -> pa.Table:
-        b = batch.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
-        v = batch.column("band_val").to_numpy(zero_copy_only=False).astype(np.uint64)
-        packed = pa.array((b << pack_shift) | v, pa.uint64())
-        return batch.filter(pc.is_in(packed, value_set=ray.get(hot_ref)))
-
-    def pairs(group: pd.DataFrame) -> pa.Table:
-        ids = sorted(set(group["doc_id"]))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i]); b.append(ids[j])
-        return pa.table({"doc_a": pa.array(a, pa.int64()),
-                         "doc_b": pa.array(b, pa.int64())})
-
-    # native groupby is safe HERE (hashagg-rule exception, same as
-    # minhash_lsh_candidates): only colliding buckets reach Python
-    cand = hash_grouped_aggregate(
-        (bands.map_batches(only_hot, batch_format="pyarrow")
-         .groupby(["band", "band_val"]).map_groups(pairs,
-                                                   batch_format="pandas")),
+    return hash_grouped_aggregate(
+        hash_grouped_aggregate(rows_ds, key_cols, bucket_pairs),
         ["doc_a", "doc_b"],
         grouped_arrow_agg(["doc_a", "doc_b"], [("doc_a", "count")],
-                          rename=["doc_a", "doc_b", "n_bands"]),
+                          rename=["doc_a", "doc_b", "n_keys"]),
     ).map_batches(lambda t: t.select(["doc_a", "doc_b"]),
                   batch_format="pyarrow").materialize()
+
+
+def _hamming_verify(cand, sigs, max_hamming: int, small_cand_limit: int):
+    """Exact popcount verify of candidate (doc_a, doc_b) pairs against
+    the signature table: broadcast candidate-doc signatures below
+    ``small_cand_limit``, bucketed joins above (two-path, same as
+    ``ngram_dedup_pairs``)."""
+    import ray
+
+    from ..stages.hashagg import bucketed_join
 
     def _verify_arrays(da, db, sa, sb):
         h = _popcount64(np.bitwise_xor(sa, sb))
@@ -325,6 +312,125 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int = 4,
         return _verify_arrays(da, db, sa, sb)
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def simhash_dup_pairs_manku(sf_dir: str, max_hamming: int = 3,
+                            n_blocks: int = 6, sigs_ds=None,
+                            small_cand_limit: int = 10_000):
+    """SimHash near-dup pairs via Manku/Jain/Sarma 2007 (WWW) permuted
+    prefix tables — the WEB-SCALE member of the simhash family.
+
+    The 64-bit signature splits into ``n_blocks`` blocks; any two
+    signatures within Hamming distance ≤ ``max_hamming`` agree exactly
+    on at least ``n_blocks - max_hamming`` blocks (pigeonhole), so each
+    of the C(n_blocks, n_blocks-max_hamming) block subsets becomes one
+    "permuted table" whose sort key is the subset's concatenated bits.
+    With the defaults (6 blocks → 20 tables, ~32-bit keys) bucket
+    occupancy is ~N²/2³² per table instead of the 4×16-bit banding's
+    ~N²/2¹⁶ — candidates stay linear far past the banding's ~1M-doc
+    wall, at the cost of 20 key rows/doc on the wire instead of 4.
+    Same guaranteed recall (exact for distance ≤ max_hamming), same
+    exact popcount verify, so output is IDENTICAL to the banding path
+    (path-equality gated in tests)."""
+    from itertools import combinations
+
+    sigs = (sigs_ds if sigs_ds is not None
+            else simhash_signatures(sf_dir)).materialize()
+    if not 0 < n_blocks - max_hamming:
+        raise ValueError("need n_blocks > max_hamming for pigeonhole "
+                         "recall")
+    base, rem = divmod(64, n_blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    offsets = np.cumsum([0] + widths[:-1])
+    subsets = list(combinations(range(n_blocks), n_blocks - max_hamming))
+
+    def to_keys(t: pa.Table) -> pa.Table:
+        s = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        parts = []
+        for ti, subset in enumerate(subsets):
+            key = np.zeros_like(s)
+            for b in subset:
+                blockval = ((s >> np.uint64(offsets[b]))
+                            & np.uint64((1 << widths[b]) - 1))
+                key = (key << np.uint64(widths[b])) | blockval
+            parts.append(pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "tbl": pa.array(np.full(len(ids), ti, np.int64)),
+                "key": pa.array(key, pa.uint64())}))
+        return pa.concat_tables(parts)
+
+    rows = sigs.map_batches(to_keys, batch_format="pyarrow")
+
+    # pack (tbl < C(n_blocks, ·) ≤ 64 → 6 bits, key ≤ 64-max_hamming·base
+    # bits) into one uint64 run key
+    def pack(t: pa.Table) -> np.ndarray:
+        tb = t.column("tbl").to_numpy(zero_copy_only=False).astype(np.uint64)
+        kv = t.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (kv << np.uint64(6)) | tb
+
+    cand = _collision_pairs(rows, ["tbl", "key"], pack)
+    return _hamming_verify(cand, sigs, max_hamming, small_cand_limit)
+
+
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int = 4,
+                      sigs_ds=None, small_cand_limit: int = 10_000):
+    """SimHash near-dup pairs: 64-bit signatures → pigeonhole banding →
+    exact Hamming verify.
+
+    The 64-bit signature is sliced into ``n_bands`` equal bands; any two
+    signatures within Hamming distance < ``n_bands`` agree exactly on at
+    least one band (pigeonhole), so band-equality buckets have guaranteed
+    recall for ``max_hamming ≤ n_bands - 1`` (the classic simhash dedup
+    layout: 4 × 16-bit bands for distance ≤ 3).  Candidates then get an
+    exact vectorized popcount verify.
+
+    Same two-phase bucket discipline as ``minhash_lsh_candidates``
+    (vectorized occupancy count first, per-group Python only on colliding
+    buckets) and the same two-path verify as ``ngram_dedup_pairs``
+    (broadcast the candidate signatures below ``small_cand_limit``,
+    bucketed joins above — the signature table is 16 bytes/doc, but at
+    web scale even that never ships whole).
+
+    Scale regimes (both exact-recall): band-bucket occupancy grows
+    ~N²/2¹⁶ on uniform signatures — fine to ~1M docs; above that,
+    ``simhash_dup_pairs_manku`` (permuted-prefix tables, ~N²/2³²
+    occupancy) is the web-scale twin producing the IDENTICAL verified
+    pair set (path-equality gated in tests).
+
+    ``sigs_ds`` lets the query layer stage the signature rows so the
+    band→candidate→verify derivation is DuckDB-oracle-checked
+    (``bit_count(xor(...))``); the signature hashing itself stays
+    unit-gated via the staged-vocab ``simhash_signatures`` oracle."""
+    sigs = (sigs_ds if sigs_ds is not None
+            else simhash_signatures(sf_dir)).materialize()
+    band_width = 64 // n_bands
+    mask = np.uint64((1 << band_width) - 1)
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        s = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        parts = []
+        for b in range(n_bands):
+            parts.append(pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(np.full(len(ids), b, np.int64())),
+                "band_val": pa.array((s >> np.uint64(band_width * b)) & mask,
+                                     pa.uint64())}))
+        return pa.concat_tables(parts)
+
+    bands = sigs.map_batches(to_bands, batch_format="pyarrow")
+
+    # pack (band, band_val) into one uint64 run key
+    pack_shift = np.uint64(band_width)
+
+    def pack(t: pa.Table) -> np.ndarray:
+        b = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t.column("band_val").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (b << pack_shift) | v
+
+    cand = _collision_pairs(bands, ["band", "band_val"], pack)
+    return _hamming_verify(cand, sigs, max_hamming, small_cand_limit)
 
 
 def simhash_vocab(sf_dir: str):

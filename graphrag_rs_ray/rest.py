@@ -150,6 +150,25 @@ def get_metrics(state: AppState):
     return 200, metrics
 
 
+def build_graph_route(state: AppState):
+    """``graphrag-server/src/main.rs:625-678`` (memory backend branch):
+    400 when no documents, else build + pinned success envelope
+    (processing_time_ms pinned 0 — the reference's value is a measured
+    sleep; we pin the deterministic member of the envelope)."""
+    state.graphrag.ensure_initialized()
+    if not state.graphrag.has_documents():
+        return app_error(
+            "bad_request",
+            "No documents to build graph from. Add documents first.")
+    state.graphrag.build_graph()
+    kg = state.graphrag.get_knowledge_graph()
+    return 200, {"success": True,
+                 "document_count": len(kg["documents"]) if kg else 0,
+                 "processing_time_ms": 0,
+                 "message": "Knowledge graph built from memory successfully",
+                 "backend": "memory"}
+
+
 def app_error(kind: str, message: str):
     """``AppError::into_response`` (``:312-334``)."""
     status = {"graphrag": 500, "not_found": 404, "bad_request": 400,
@@ -162,6 +181,7 @@ ROUTES = {
     ("POST", "/query"): handle_query,
     ("POST", "/documents"): add_document,
     ("GET", "/documents/{id}"): get_document,
+    ("POST", "/graph/build"): build_graph_route,
     ("GET", "/graph/stats"): graph_stats,
     ("GET", "/graph/export"): export_graph,
     ("GET", "/entities"): list_entities,
@@ -172,4 +192,4 @@ ROUTES = {
 __all__ = ["API_VERSION", "AppState", "health_check", "handle_query",
            "add_document", "get_document", "graph_stats",
            "export_graph", "list_entities", "get_metrics", "app_error",
-           "ROUTES"]
+           "build_graph_route", "ROUTES"]

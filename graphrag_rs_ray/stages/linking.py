@@ -12,8 +12,12 @@ first tokens, which at min_similarity=0.85 almost never link — this is the
 documented partitioning assumption.
 
 The resulting link set is tiny relative to the corpus (typo variants
-only), so it is broadcast via ``ray.put`` and applied inside
-``map_batches`` — never a shuffle join.
+only), so BELOW ``link_broadcast_limit`` it is broadcast via ``ray.put``
+and applied inside ``map_batches``.  Above the limit (open-vocabulary
+web scale, where "tiny relative to the corpus" still exceeds driver
+memory) the links stay a Dataset end-to-end and remapping becomes a
+bucketed left join per remapped column (``remap_column_bucketed``) —
+the two-path pattern established by ``semantic_edges``.
 """
 
 from __future__ import annotations
@@ -69,6 +73,59 @@ def make_block_clusterer(cfg: LinkingConfig, embedding_threshold: float | None =
     return cluster_block
 
 
+def compute_links_ds(entities_ds, cfg: LinkingConfig | None = None,
+                     embedding_threshold: float | None = None):
+    """entities Dataset → links Dataset (entity_id, canonical_id) — the
+    scale-safe form: link rows never leave the cluster.  One exchange
+    (the block-key groupby); greedy clustering runs inside each block."""
+    cfg = cfg or LinkingConfig()
+    blocked = entities_ds.map_batches(add_block_key, batch_format="pyarrow")
+    # native groupby is safe HERE (exception to the hashagg rule): block
+    # keys are coarse (first-char/phonetic), so group count ≪ entity count
+    return blocked.groupby("block_key").map_groups(
+        make_block_clusterer(cfg, embedding_threshold=embedding_threshold),
+        batch_format="pandas")
+
+
+def links_ds_to_dict(links_ds) -> dict[str, str]:
+    """Collect a links Dataset into the broadcastable dict form (the
+    ≤``link_broadcast_limit`` fast path only)."""
+    links: dict[str, str] = {}
+    for b in links_ds.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:          # empty blocks carry no columns
+            links.update(zip(b.column("entity_id").to_pylist(),
+                             b.column("canonical_id").to_pylist()))
+    return links
+
+
+def remap_column_bucketed(ds, links_ds, col: str, num_buckets: int = 64):
+    """Remap ``ds[col]`` through (entity_id → canonical_id) with a
+    bucketed LEFT join — the above-limit path where the link table never
+    ships to the driver or broadcasts whole.  Unlinked values pass
+    through unchanged (left join + coalesce)."""
+    from .hashagg import bucketed_join
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:     # empty blocks carry no columns
+            return pa.table({col: pa.array([], pa.string()),
+                             "_canon": pa.array([], pa.string())})
+        return pa.table({col: t.column("entity_id"),
+                         "_canon": t.column("canonical_id")})
+
+    joined = bucketed_join(ds, links_ds.map_batches(
+        rename, batch_format="pyarrow"), [col], how="left",
+        num_buckets=num_buckets)
+
+    def fold(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        merged = pc.coalesce(t.column("_canon"), t.column(col))
+        i = t.column_names.index(col)
+        return t.drop_columns(["_canon"]).set_column(
+            i, col, pc.cast(merged, pa.string()))
+
+    return joined.map_batches(fold, batch_format="pyarrow")
+
+
 def compute_links(entities_ds, cfg: LinkingConfig | None = None,
                   stats: dict | None = None,
                   embedding_threshold: float | None = None) -> dict[str, str]:
@@ -76,15 +133,8 @@ def compute_links(entities_ds, cfg: LinkingConfig | None = None,
     link rows (small by assumption, see module docstring).  Pass ``stats``
     to collect linking metrics (mirrors ``corpus/entity_linker.rs:44-85``
     LinkingStatistics: totals + linked counts + ratio)."""
-    cfg = cfg or LinkingConfig()
-    blocked = entities_ds.map_batches(add_block_key, batch_format="pyarrow")
-    # native groupby is safe HERE (exception to the hashagg rule): block
-    # keys are coarse (first-char/phonetic), so group count ≪ entity count
-    links_ds = blocked.groupby("block_key").map_groups(
-        make_block_clusterer(cfg, embedding_threshold=embedding_threshold),
-        batch_format="pandas")
-    df = links_ds.to_pandas()
-    links = {} if df.empty else dict(zip(df["entity_id"], df["canonical_id"]))
+    links = links_ds_to_dict(compute_links_ds(
+        entities_ds, cfg, embedding_threshold=embedding_threshold))
     if stats is not None:
         total = entities_ds.count()
         stats.update({

@@ -1,6 +1,10 @@
 """Driver-style sweep: run every oracle_sql() query side-by-side vs DuckDB
 at sf0.01 (exactly what the round driver does) and report failures.
-Run: python scripts/driver_sim.py"""
+Run: python scripts/driver_sim.py [query ...]
+     python scripts/driver_sim.py --sample N --seed R   # rotate a random
+          N-query subset (like the round driver's 50-of-all sampling) so
+          repeated CI-ish runs cover different slices; the chosen names
+          are printed so any drift is attributable."""
 import os, sys, json
 import duckdb
 import numpy as np, pandas as pd
@@ -23,7 +27,16 @@ def norm(df):
 q = e.queries(); o = e.oracle_sql()
 fails = []
 import ray.data as rd
-only = set(sys.argv[1:])   # optional: sweep just the named queries
+argv = sys.argv[1:]
+if argv and argv[0] == "--sample":
+    import random
+    n_sample = int(argv[1])
+    seed = int(argv[argv.index("--seed") + 1]) if "--seed" in argv else 0
+    only = set(random.Random(seed).sample(sorted(o), min(n_sample, len(o))))
+    print(f"sampled {len(only)} of {len(o)} (seed={seed}): "
+          + " ".join(sorted(only)), flush=True)
+else:
+    only = set(argv)       # optional: sweep just the named queries
 import time as _time
 _t_all = _time.perf_counter()
 for name in sorted(o):

@@ -114,6 +114,23 @@ def test_hnsw_kernel_exactness_small():
         assert got == exact
 
 
+def test_minhash_hot_filter_paths_equal(ray_session):
+    """The broadcast (packed pc.is_in) and bucketed-semi-join hot-bucket
+    paths must yield identical candidate pairs; limit=0 forces the
+    semi-join twin."""
+    from graphrag_rs_ray.pipelines import training_data as td
+
+    def norm(df):
+        return (df.sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True))
+
+    fast = norm(td.minhash_lsh_candidates(SF_DIR).to_pandas())
+    slow = norm(td.minhash_lsh_candidates(
+        SF_DIR, hot_broadcast_limit=0).to_pandas())
+    assert fast.equals(slow)
+    assert len(fast) > 0        # planted dups must surface candidates
+
+
 def test_ngram_dedup_pairs_still_verifies(ray_session):
     """The bucketed-join rework of ngram_dedup_pairs must keep verifying
     candidates (planted exact duplicates in documents reach jaccard 1.0)."""

@@ -87,3 +87,31 @@ def test_full_fuzzy_pipeline_deterministic(ray_session):
     assert outs[0][0].equals(outs[1][0])
     assert outs[0][1].equals(outs[1][1])
     assert outs[0][2] == outs[1][2]
+
+
+def test_fuzzy_broadcast_and_bucketed_paths_equal(ray_session):
+    """link_broadcast_limit=0 forces the Dataset/bucketed-join remap
+    (the web-scale path); entities and triples must match the broadcast
+    path exactly."""
+    from graphrag_rs_ray.config import KGConfig
+    from graphrag_rs_ray.pipelines.kg import build_kg
+    from graphrag_rs_ray.sources.pages import pages_dataset
+
+    def run(limit):
+        res = build_kg(pages_dataset(80, seed=21),
+                       KGConfig(fuzzy_linking=True,
+                                link_broadcast_limit=limit))
+        ents = (res.entities.to_pandas().sort_values("entity_id")
+                .reset_index(drop=True))
+        tris = (res.triples.to_pandas()
+                .sort_values(["subj", "pred", "obj"])
+                .reset_index(drop=True))
+        return res, ents, tris
+
+    fast_res, fast_e, fast_t = run(2_000_000)
+    slow_res, slow_e, slow_t = run(0)
+    assert fast_res.n_links > 0          # fixture must exercise linking
+    assert slow_res.n_links == fast_res.n_links
+    assert slow_res.links == {}          # scale path never collects
+    assert fast_e.equals(slow_e)
+    assert fast_t.equals(slow_t)

@@ -59,6 +59,63 @@ def test_pigeonhole_recall_within_3_flips(ray_session):
     assert not missing, f"pigeonhole recall violated: {missing}"
 
 
+def test_manku_equals_banding(ray_session):
+    """The Manku 2007 permuted-prefix twin must produce the IDENTICAL
+    verified pair set as the 4×16 banding path (both have exact recall
+    for distance ≤ max_hamming and the same popcount verify)."""
+    from graphrag_rs_ray.pipelines import training_data as td
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    sigs = {}
+    for k in range(40):
+        base = int(rng.integers(0, 2**63, dtype=np.int64)) & (2**64 - 1)
+        a, b = 300 + 2 * k, 301 + 2 * k
+        flips = rng.choice(64, size=int(rng.integers(0, 6)), replace=False)
+        mut = base
+        for f in flips:
+            mut ^= 1 << int(f)
+        sigs[a], sigs[b] = base, mut & (2**64 - 1)
+    cols = ["doc_a", "doc_b", "hamming"]
+
+    def norm(ds):
+        return (ds.to_pandas()[cols].sort_values(cols)
+                .reset_index(drop=True))
+
+    banding = norm(td.simhash_dup_pairs("/unused", sigs_ds=_sigs_ds(sigs)))
+    manku = norm(td.simhash_dup_pairs_manku("/unused",
+                                            sigs_ds=_sigs_ds(sigs)))
+    assert len(banding) > 0
+    assert banding.equals(manku)
+    # bucketed-verify twin of the manku path agrees too
+    manku_j = norm(td.simhash_dup_pairs_manku(
+        "/unused", sigs_ds=_sigs_ds(sigs), small_cand_limit=0))
+    assert manku.equals(manku_j)
+
+
+def test_manku_pigeonhole_recall(ray_session):
+    """distance ≤ 3 pairs MUST appear (some 3-of-6 block subset agrees);
+    distance-4 pairs spread over ≥ 4 blocks must NOT be candidates when
+    no 3 blocks agree... they CAN be (only 4 of 6 blocks touched means
+    2+ agree but not 3 — flips in 4 distinct blocks leave exactly 2
+    agreeing blocks < 3, so no table catches them)."""
+    from graphrag_rs_ray.pipelines import training_data as td
+
+    base = BASE_SIG
+    sigs = {
+        1: base,
+        2: base ^ 0b111,                          # distance 3, one block
+        # one flip in 4 DIFFERENT 11/10-bit blocks (offsets 0,11,22,33):
+        3: base ^ ((1 << 0) | (1 << 11) | (1 << 22) | (1 << 33)),
+        4: 0x0101_0101_0101_0101,
+    }
+    out = td.simhash_dup_pairs_manku("/unused",
+                                     sigs_ds=_sigs_ds(sigs)).to_pandas()
+    got = set(zip(out.doc_a, out.doc_b, out.hamming))
+    assert (1, 2, 3) in got
+    assert all(a != 3 and b != 3 for a, b, _ in got)   # dist 4: excluded
+    assert all(a != 4 and b != 4 for a, b, _ in got)
+
+
 def test_verify_paths_equal(ray_session):
     from graphrag_rs_ray.pipelines import training_data as td
 
