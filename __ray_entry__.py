@@ -1071,6 +1071,33 @@ def q_chunk_embeddings(sf_dir: str):
         lambda t: t.select(["chunk_id", "embedding"]), batch_format="pyarrow")
 
 
+def q_simhash_dup_pairs_manku(sf_dir: str):
+    """Manku/Jain/Sarma 2007 permuted-prefix simhash twin.  CROSS-PATH
+    oracle: Ray derives candidates via the 20 permuted-prefix tables,
+    DuckDB independently via 4×16 pigeonhole banding — both have exact
+    recall for Hamming ≤ 3 and the same popcount verify, so agreement
+    proves both constructions."""
+    sigs = _stage(td.simhash_signatures(sf_dir),
+                  "simhash_dup_pairs_manku", sf_dir)
+    return td.simhash_dup_pairs_manku(sf_dir, sigs_ds=sigs)
+
+
+def q_neural_embeddings(sf_dir: str):
+    """Neural-provider seam (rows-only: procedural float32 MLP math has
+    no SQL twin): fixed-weight 17 MB encoder loaded once per actor,
+    batched encode over documents.  Distributed==local equality is
+    unit-gated (``tests/test_neural_embed.py``)."""
+    import ray.data as rd
+
+    from graphrag_rs_ray.stages.embed import NeuralEmbedStage
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return docs.map_batches(NeuralEmbedStage, batch_format="pyarrow",
+                            batch_size=256, concurrency=2).map_batches(
+        lambda t: t.select(["doc_id", "embedding"]),
+        batch_format="pyarrow")
+
+
 def q_multimodal_features(sf_dir: str):
     """Actor-pool fake-codec decode (``DeterministicFakeDecoder``):
     features = BLAKE2b(payload) bytes / 255 as f32, width/height from the
@@ -3673,6 +3700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash_dup_pairs": q_simhash_dup_pairs,
+        "simhash_dup_pairs_manku": q_simhash_dup_pairs_manku,
         # winnowing fingerprints: zero-staging oracle (full SQL re-derive)
         "winnow_fingerprints": td.winnow_fingerprints,
         "winnow_dup_pairs": td.winnow_dup_pairs,
@@ -3823,6 +3851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "communities": q_communities,
         "community_summaries": q_community_summaries,
         "chunk_embeddings": q_chunk_embeddings,
+        "neural_embeddings": q_neural_embeddings,
         # BM25 scoring + sentence stats (oracle-checked)
         "bm25_scores": td.bm25_scores,
         "bm25_topk": td.bm25_topk,
@@ -9628,6 +9657,30 @@ def _oracle_sql_base() -> dict[str, str]:
                           JOIN s sb ON sb.doc_id = c.doc_b)
             SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
         """.replace("{s}", _staged_sql("simhash_dup_pairs")),
+        # cross-path oracle: Ray = Manku permuted-prefix tables, SQL =
+        # pigeonhole banding — identical ground truth (both exact-recall
+        # for Hamming ≤ 3 + popcount verify)
+        "simhash_dup_pairs_manku": """
+            WITH s AS (SELECT doc_id, simhash FROM {s}),
+            bands AS (
+              SELECT doc_id, b.i AS band,
+                     (simhash >> (16 * b.i)::INT) & 65535::UBIGINT
+                       AS band_val
+              FROM s CROSS JOIN generate_series(0, 3) b(i)),
+            cand AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM bands x JOIN bands y
+                ON x.band = y.band AND x.band_val = y.band_val
+               AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+            h AS (
+              SELECT c.doc_a, c.doc_b,
+                     bit_count(xor(sa.simhash, sb.simhash))::BIGINT
+                       AS hamming
+              FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
+                          JOIN s sb ON sb.doc_id = c.doc_b)
+            SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
+        """.replace("{s}", _staged_sql("simhash_dup_pairs_manku")),
         "corpus_curation": """
             WITH w AS (
               SELECT doc_id, text,

@@ -291,6 +291,28 @@ def run_bench() -> dict:
 
     timed("simhash_dup_pairs", simhash_pairs_unstaged)
 
+    # Manku 2007 permuted-prefix twin (the web-scale simhash path) on
+    # the same signatures — identical output, ~N^2/2^32 bucket regime
+    def simhash_pairs_manku():
+        from graphrag_rs_ray.pipelines import training_data as td
+        return td.simhash_dup_pairs_manku(sf_dir).count()
+
+    timed("simhash_dup_pairs_manku", simhash_pairs_manku)
+
+    # neural-provider seam: 17 MB fixed-weight MLP loaded once per
+    # actor (model-in-__init__), batched float32 encode over documents
+    def neural_embed():
+        import ray.data as rd
+
+        from graphrag_rs_ray.stages.embed import NeuralEmbedStage
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        return docs.map_batches(
+            NeuralEmbedStage, batch_format="pyarrow",
+            batch_size=256, concurrency=4).count()
+
+    timed("neural_embeddings", neural_embed)
+
     # winnowing fingerprint dedup (MOSS): k-gram hash + window-min
     # selection → shared-fp pairs with the stop-gram cap
     def winnow_pairs():
