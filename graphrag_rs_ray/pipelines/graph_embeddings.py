@@ -293,7 +293,7 @@ def node2vec_walks_sharded(edges_ds, cfg: EmbeddingConfig,
     ck0 = os.path.join(work_dir, "round=0")
     os.makedirs(ck0)
     state.write_parquet(ck0)
-    state = rd.read_parquet(ck0)
+    state = rd.read_parquet(ck0).repartition(num_buckets)
 
     # one wide exchange schema: walk rows + adjacency rows, keyed by cur
     def tag_state(t: pa.Table) -> pa.Table:
@@ -367,7 +367,8 @@ def node2vec_walks_sharded(edges_ds, cfg: EmbeddingConfig,
         ck = os.path.join(work_dir, f"round={t_step}")
         os.makedirs(ck)
         advanced.write_parquet(ck)
-        state = rd.read_parquet(ck)
+        # coalesce on read (tiny-block sort hazard; see communities.py)
+        state = rd.read_parquet(ck).repartition(num_buckets)
 
     # assemble: every round checkpoints the full state; a walk's node at
     # step s is the ``cur`` of any round whose row had advanced to s
@@ -454,7 +455,7 @@ def graphsage_embeddings_sharded(edges_ds, cfg: GraphSAGEConfig,
     ck = os.path.join(work_dir, "feats_init")
     os.makedirs(ck)
     feats.write_parquet(ck)
-    feats = rd.read_parquet(ck)
+    feats = rd.read_parquet(ck).repartition(num_buckets)
 
     for layer in range(cfg.num_layers):
         samples = (cfg.samples_per_layer[layer]
@@ -578,7 +579,8 @@ def graphsage_embeddings_sharded(edges_ds, cfg: GraphSAGEConfig,
         ck = os.path.join(work_dir, f"feats_{layer}")
         os.makedirs(ck)
         new_feats.write_parquet(ck)
-        feats = rd.read_parquet(ck)
+        # coalesce on read (tiny-block sort hazard; see communities.py)
+        feats = rd.read_parquet(ck).repartition(num_buckets)
 
     def finalize(t: pa.Table) -> pa.Table:
         nodes = t.column("node").to_pylist()

@@ -510,7 +510,10 @@ def pagerank_dataset(edges, damping: float = 0.85, max_iter: int = 20,
             shutil.rmtree(ck)
         os.makedirs(ck)
         updated.map_batches(apply, batch_format="pyarrow").write_parquet(ck)
-        full = rd.read_parquet(ck)
+        # one file per upstream block → coalesce on read, or every later
+        # round's exchanges fan with the tiny-block count (see the
+        # measured hazard note in communities.connected_components)
+        full = rd.read_parquet(ck).repartition(num_buckets)
         delta = full.sum("diff")
         scores = full.map_batches(lambda t: t.drop_columns(["diff"]),
                                   batch_format="pyarrow")
