@@ -774,12 +774,19 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, n: int = 3,
 
     # scale path: cluster sizes via the hash-bucketed aggregate, then two
     # bucketed joins (assignment×sizes, documents×assignment) — no
-    # driver-side or broadcast copy of the assignment
+    # driver-side or broadcast copy of the assignment.  MATERIALIZE (and
+    # coalesce) between the joins: chaining three all-to-all sorts in
+    # one streaming plan throttles the executor to near-idle (measured
+    # at 10M docs: load ~0.2, 20+ min stalled; split plans run in
+    # normal sort time), and the coalesce is the tiny-block sort-fan
+    # rule from communities.connected_components
     sizes_ds = hash_grouped_aggregate(
         assign, ["cluster"],
         grouped_arrow_agg(["cluster"], [("doc_id", "count")],
-                          rename=["cluster", "cluster_size"]))
-    with_size = bucketed_join(assign, sizes_ds, on=["cluster"])
+                          rename=["cluster", "cluster_size"]),
+    ).repartition(64).materialize()
+    with_size = bucketed_join(assign, sizes_ds,
+                              on=["cluster"]).repartition(64).materialize()
     joined = bucketed_join(docs, with_size, on=["doc_id"], how="left")
 
     def finish(t: pa.Table) -> pa.Table:
