@@ -115,7 +115,12 @@ def _concept_edges_bucketed(lists_ds, co_occurrence_threshold: int):
     bit-equal."""
     from ..stages.hashagg import bucketed_join
 
-    counts_ds = concept_table_from_mentions(mentions_from_lists(lists_ds))
+    # materialize + coalesce: counts_ds has TWO consumers (a diamond —
+    # the CLAUDE.md materialize-before-diamond rule) and feeds two
+    # bucketed joins whose schema probes would otherwise re-run its
+    # aggregate; coalescing avoids the tiny-block sort fan
+    counts_ds = concept_table_from_mentions(
+        mentions_from_lists(lists_ds)).repartition(64).materialize()
 
     def string_pairs(batch: pa.Table) -> pa.Table:
         col = batch.column("concepts")
@@ -170,7 +175,7 @@ def _concept_edges_bucketed(lists_ds, co_occurrence_threshold: int):
     j = bucketed_join(pairs_thr,
                       counts_ds.map_batches(_renamed("concept_a"),
                                             batch_format="pyarrow"),
-                      ["concept_a"])
+                      ["concept_a"]).repartition(64).materialize()
     j = bucketed_join(j,
                       counts_ds.map_batches(_renamed("concept_b"),
                                             batch_format="pyarrow"),

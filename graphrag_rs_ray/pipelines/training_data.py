@@ -300,7 +300,8 @@ def _hamming_verify(cand, sigs, max_hamming: int, small_cand_limit: int):
 
     n_buckets = max(8, min(64, n_cand // 50_000 + 1))
     with_a = bucketed_join(cand, sigs_as("doc_a"), on=["doc_a"],
-                           num_buckets=n_buckets)
+                           num_buckets=n_buckets
+                           ).repartition(n_buckets).materialize()
     with_ab = bucketed_join(with_a, sigs_as("doc_b"), on=["doc_b"],
                             num_buckets=n_buckets)
 
@@ -538,8 +539,12 @@ def ngram_dedup_pairs(sf_dir: str, threshold: float = 0.8, n: int = 3,
             lambda t, k=key: t.rename_columns([k, f"text_{k[-1]}"]),
             batch_format="pyarrow")
 
+    # cut between the joins: the second join's schema probe would re-run
+    # the first join's full sort on a lazy input, and two all-to-alls in
+    # one streaming plan throttle the executor (see dedup_clusters note)
     with_a = bucketed_join(cand, docs_as("doc_a"), on=["doc_a"],
-                           num_buckets=n_buckets)
+                           num_buckets=n_buckets
+                           ).repartition(n_buckets).materialize()
     with_ab = bucketed_join(with_a, docs_as("doc_b"), on=["doc_b"],
                             num_buckets=n_buckets)
 

@@ -123,7 +123,14 @@ def remap_column_bucketed(ds, links_ds, col: str, num_buckets: int = 64):
         return t.drop_columns(["_canon"]).set_column(
             i, col, pc.cast(merged, pa.string()))
 
-    return joined.map_batches(fold, batch_format="pyarrow")
+    # MATERIALIZE the remapped output: callers chain two remaps (subj
+    # then obj) and feed further exchanges — a lazy chain both stalls
+    # the streaming executor (multiple all-to-alls in one plan) and
+    # re-runs the first join's full sort for the second join's schema
+    # probe (bucketed_join needs schemas; on a lazy input that is a
+    # limit-1 execution THROUGH the sort)
+    return joined.map_batches(fold,
+                              batch_format="pyarrow").materialize()
 
 
 def compute_links(entities_ds, cfg: LinkingConfig | None = None,
