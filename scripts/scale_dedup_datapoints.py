@@ -206,6 +206,31 @@ def main():
                                       / len(planted_nr_sim), 4)}),
         flush=True)
 
+    # Manku permuted-prefix twin: (a) same capped corpus for a direct
+    # comparison against banding (identical pair set required), (b) the
+    # FULL corpus — the ~N²/2³² bucket regime is the point of the op
+    t0 = time.perf_counter()
+    mk = td.simhash_dup_pairs_manku(sf_dir, sigs_ds=sim_sigs).to_pandas()
+    t_mk = time.perf_counter() - t0
+    mk_pairs = set(zip(mk.doc_a, mk.doc_b))
+    print(json.dumps({
+        "op": "simhash_dup_pairs_manku", "n_docs": n_sim,
+        "sec": round(t_mk, 1), "pairs": len(mk_pairs),
+        "equal_to_banding": bool(mk_pairs == sh_pairs)}), flush=True)
+
+    full_sigs = td.simhash_signatures(sf_dir).materialize()
+    t0 = time.perf_counter()
+    mk_full = td.simhash_dup_pairs_manku(sf_dir,
+                                         sigs_ds=full_sigs).to_pandas()
+    t_mkf = time.perf_counter() - t0
+    mkf_pairs = set(zip(mk_full.doc_a, mk_full.doc_b))
+    planted_ex_full = {(i - 1, i) for i in range(n_docs) if i % 33 == 31}
+    print(json.dumps({
+        "op": "simhash_dup_pairs_manku_full", "n_docs": n_docs,
+        "sec": round(t_mkf, 1), "pairs": len(mkf_pairs),
+        "recall_exact": round(len(mkf_pairs & planted_ex_full)
+                              / len(planted_ex_full), 4)}), flush=True)
+
     # end-to-end curation (annotate → gates → exact dedup → LSH
     # near-dedup drop), recomputing signatures/candidates/verify inside —
     # the honest single-pipeline cost.  The synthetic vocab has no
