@@ -106,16 +106,30 @@ def dedup_triples(triples_rows_ds, cfg: KGConfig):
     unbounded ``context: Vec<ChunkId>`` does not scale; SURVEY §2.5)."""
     # batch_size=None → combine over the WHOLE block (max pre-shuffle
     # collapse; a hub triple contributes one row per block to the shuffle)
-    partial = triples_rows_ds.map_batches(partial_triple_agg, batch_format="pyarrow",
-                                          batch_size=None)
+    partial = triples_partial(triples_rows_ds)
     return hash_grouped_aggregate(
-        partial, ["subj", "pred", "obj"],
-        grouped_arrow_agg(["subj", "pred", "obj"],
-                          [("conf", "max"), ("n_contexts", "sum"),
-                           ("context_sample", "min")],
-                          rename=["subj", "pred", "obj", "conf", "n_contexts",
-                                  "context_sample"]),
+        partial, ["subj", "pred", "obj"], triple_final_agg(),
         num_buckets=cfg.num_shards * 4)
+
+
+def triples_partial(triples_rows_ds):
+    """The pre-exchange combine stage of triple dedup (shared by the
+    in-store path above and the disk-shuffle path in ``write_graph``)."""
+    return triples_rows_ds.map_batches(partial_triple_agg,
+                                       batch_format="pyarrow",
+                                       batch_size=None)
+
+
+def triple_final_agg():
+    """The per-group finishing aggregate of triple dedup — ONE
+    definition so the in-store and disk-shuffle paths are semantically
+    identical by construction."""
+    return grouped_arrow_agg(
+        ["subj", "pred", "obj"],
+        [("conf", "max"), ("n_contexts", "sum"),
+         ("context_sample", "min")],
+        rename=["subj", "pred", "obj", "conf", "n_contexts",
+                "context_sample"])
 
 
 def triples_dataset(pages_ds, cfg: KGConfig | None = None):
@@ -146,6 +160,9 @@ class KGResult:
                                   # empty on the bucketed scale path)
     fingerprint: str = ""         # build-config fingerprint (resume token)
     n_links: int = 0              # fuzzy link count (both paths)
+    t_partial: "object" = None    # pre-exchange partial triple rows —
+                                  # the disk-shuffle sink consumes these
+                                  # instead of the in-store dedup
 
 
 def build_kg(pages_ds, cfg: KGConfig | None = None, work_dir: str | None = None) -> KGResult:
@@ -218,7 +235,7 @@ def build_kg(pages_ds, cfg: KGConfig | None = None, work_dir: str | None = None)
 
     return KGResult(entities=entities, triples=triples, links=links,
                     fingerprint=fingerprint_config("combined", cfg),
-                    n_links=n_links)
+                    n_links=n_links, t_partial=triples_partial(t_rows))
 
 
 def partial_entity_agg_from_final(batch: pa.Table) -> pa.Table:
@@ -279,7 +296,7 @@ def export_graph(result: KGResult, out_dir: str, fmt: str = "graphml") -> dict:
 
 
 def write_graph(result: KGResult, out_dir: str, num_shards: int = 16,
-                input_token: str = "") -> dict:
+                input_token: str = "", disk_shuffle: bool = False) -> dict:
     """Materialize the graph: ``entities/`` + ``triples/shard=K/`` adjacency
     shards partitioned by hash(subj) % P, each with a manifest (lineage +
     counts) for resume and metrics.
@@ -294,7 +311,22 @@ def write_graph(result: KGResult, out_dir: str, num_shards: int = 16,
     KGResult's build-config fingerprint, so a config change upstream
     invalidates the sink even at equal shard count.  Same token = same
     input assumed (the standard same-job-rerun-after-failure contract);
-    a changed token or shard count invalidates every partition."""
+    a changed token or shard count invalidates every partition.
+
+    ``disk_shuffle=True`` replaces the in-object-store triple-dedup sort
+    with a DISK-partitioned shuffle for exchange volumes that exceed the
+    store (measured at 16M pages: 197.6M partial rows / 22.6 GB sank the
+    default 37 GB store — spill storms, then an 85 GB driver OOM):
+    the pre-exchange partial rows (``result.t_partial``) stream straight
+    to ``_shuffle/shard=K/`` Parquet in ONE map-only pass (no all-to-all
+    anywhere), then each shard is reduced by an independent Ray task
+    (pyarrow ``group_by`` with EXACTLY the in-store path's aggregate —
+    ``triple_final_agg``) into its final adjacency shard.  Raw tasks are
+    justified here: Ray Data cannot express a per-directory reduce
+    without re-shuffling.  Peak memory per reduce = one shard
+    (total/num_shards — num_shards is the memory knob); the stage dir is
+    fingerprint-gated so a crashed run resumes it for free, and shard
+    reduces keep the usual partition-granular resume."""
     import glob
     import shutil
 
@@ -349,21 +381,62 @@ def write_graph(result: KGResult, out_dir: str, num_shards: int = 16,
                 pa.int32()), pa.int32())
             return batch.append_column("shard", h)
 
-        sharded = result.triples.map_batches(add_shard,
-                                             batch_format="pyarrow")
-        if done:
-            todo = pa.array(missing, pa.int32())
+        if disk_shuffle:
+            import ray
 
-            def keep_missing(t: pa.Table) -> pa.Table:
-                return t.filter(pc.is_in(t.column("shard"),
-                                         value_set=todo))
-            sharded = sharded.map_batches(keep_missing,
-                                          batch_format="pyarrow")
-        sharded.write_parquet(tri_dir, partition_cols=["shard"])
-        for k in missing:
-            d = os.path.join(tri_dir, f"shard={k}")
-            os.makedirs(d, exist_ok=True)     # empty shards get a dir too
-            write_manifest(d, "triples_shard", shard_fp(k), rows=_count(d))
+            stage_dir = os.path.join(out_dir, "_shuffle")
+            stage_fp = fingerprint_config("graph-shuffle", num_shards,
+                                          input_token)
+            if not stage_complete(stage_dir, stage_fp):
+                if os.path.exists(stage_dir):     # crashed stage write
+                    shutil.rmtree(stage_dir)
+                os.makedirs(stage_dir)
+                (result.t_partial
+                 .map_batches(add_shard, batch_format="pyarrow")
+                 .write_parquet(stage_dir, partition_cols=["shard"]))
+                write_manifest(stage_dir, "graph_shuffle", stage_fp)
+
+            @ray.remote(num_cpus=1)
+            def reduce_shard(k: int) -> int:
+                files = glob.glob(os.path.join(stage_dir, f"shard={k}",
+                                               "*.parquet"))
+                d = os.path.join(tri_dir, f"shard={k}")
+                os.makedirs(d, exist_ok=True)
+                if not files:
+                    return 0
+                t = pads.dataset(files).to_table(
+                    columns=["subj", "pred", "obj", "conf",
+                             "n_contexts", "context_sample"])
+                out = triple_final_agg()(t)
+                import pyarrow.parquet as pq
+                pq.write_table(out, os.path.join(d, "part-0.parquet"))
+                return out.num_rows
+
+            rows_by_shard = dict(zip(
+                missing, ray.get([reduce_shard.remote(k)
+                                  for k in missing])))
+            for k in missing:
+                d = os.path.join(tri_dir, f"shard={k}")
+                os.makedirs(d, exist_ok=True)
+                write_manifest(d, "triples_shard", shard_fp(k),
+                               rows=rows_by_shard[k])
+        else:
+            sharded = result.triples.map_batches(add_shard,
+                                                 batch_format="pyarrow")
+            if done:
+                todo = pa.array(missing, pa.int32())
+
+                def keep_missing(t: pa.Table) -> pa.Table:
+                    return t.filter(pc.is_in(t.column("shard"),
+                                             value_set=todo))
+                sharded = sharded.map_batches(keep_missing,
+                                              batch_format="pyarrow")
+            sharded.write_parquet(tri_dir, partition_cols=["shard"])
+            for k in missing:
+                d = os.path.join(tri_dir, f"shard={k}")
+                os.makedirs(d, exist_ok=True)  # empty shards get a dir too
+                write_manifest(d, "triples_shard", shard_fp(k),
+                               rows=_count(d))
 
     # per-partition lineage rollup from the shard manifests
     shard_counts = {f"shard={k}":

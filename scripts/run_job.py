@@ -48,6 +48,10 @@ def main() -> int:
     ap.add_argument("--export", default=None, choices=["graphml", "ntriples"],
                     help="also export the built graph for external tools "
                          "(written to <out>_export.<fmt>/)")
+    ap.add_argument("--disk-shuffle", action="store_true",
+                    help="disk-partitioned triple dedup (for exchange "
+                         "volumes beyond the object store; see "
+                         "write_graph docstring)")
     args = ap.parse_args()
 
     import ray
@@ -75,7 +79,8 @@ def main() -> int:
 
     t0 = time.perf_counter()
     result = build_kg(pages, cfg, work_dir=args.work_dir)
-    manifest = write_graph(result, args.out, num_shards=args.num_shards)
+    manifest = write_graph(result, args.out, num_shards=args.num_shards,
+                           disk_shuffle=args.disk_shuffle)
     export_stats = None
     if args.export:
         from graphrag_rs_ray.pipelines.kg import export_graph

@@ -590,6 +590,51 @@ def test_write_graph_shard_resume(ray_session, tmp_path):
     shutil.rmtree(out)
 
 
+def test_write_graph_disk_shuffle_equals_instore(ray_session, tmp_path):
+    """disk_shuffle=True must produce EXACTLY the in-store path's
+    triples (same dedup semantics via the shared triple_final_agg), keep
+    partition-granular resume, and redo a crashed shard from the staged
+    partition without recomputing the build."""
+    import pyarrow.dataset as pads
+
+    from graphrag_rs_ray.config import KGConfig
+    from graphrag_rs_ray.pipelines.kg import build_kg, write_graph
+    from graphrag_rs_ray.sources.pages import pages_dataset
+    from graphrag_rs_ray.state.manifests import read_manifest
+
+    res = build_kg(pages_dataset(40, seed=3), KGConfig())
+    out_a = str(tmp_path / "graph_store")
+    out_b = str(tmp_path / "graph_disk")
+    m_a = write_graph(res, out_a, num_shards=4)
+    m_b = write_graph(res, out_b, num_shards=4, disk_shuffle=True)
+    assert m_b["n_triples"] == m_a["n_triples"] > 0
+    assert m_b["shard_rows"] == m_a["shard_rows"]
+
+    def triples_table(out):
+        t = (pads.dataset(os.path.join(out, "triples"),
+                          partitioning="hive").to_table()
+             .to_pandas())
+        cols = ["subj", "pred", "obj", "conf", "n_contexts",
+                "context_sample"]
+        return (t[cols].sort_values(cols[:3]).reset_index(drop=True))
+
+    ta, tb = triples_table(out_a), triples_table(out_b)
+    assert ta.equals(tb)
+
+    # crashed-shard redo: only the victim shard is reduced again, from
+    # the staged shuffle partition (stage manifest untouched)
+    victim = os.path.join(out_b, "triples", "shard=1")
+    os.remove(os.path.join(victim, "_MANIFEST.json"))
+    os.remove(os.path.join(out_b, "_MANIFEST.json"))
+    stage_m = read_manifest(os.path.join(out_b, "_shuffle"))
+    m_b2 = write_graph(res, out_b, num_shards=4, disk_shuffle=True)
+    assert m_b2["resumed_shards"] == [0, 2, 3]
+    assert m_b2["n_triples"] == m_a["n_triples"]
+    assert read_manifest(os.path.join(out_b, "_shuffle"))[
+        "completed_at"] == stage_m["completed_at"]
+    assert triples_table(out_b).equals(ta)
+
+
 def test_write_graph_empty_result(ray_session, tmp_path):
     """A build with zero triples still writes a complete, resumable
     graph layout: every shard dir exists with a rows=0 manifest and the
