@@ -118,7 +118,10 @@ def remap_column_bucketed(ds, links_ds, col: str, num_buckets: int = 64):
 
     def fold(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        merged = pc.coalesce(t.column("_canon"), t.column(col))
+        # an all-miss bucket comes back with a null-TYPED _canon column
+        # (pandas → arrow inference); cast before coalesce
+        merged = pc.coalesce(pc.cast(t.column("_canon"), pa.string()),
+                             t.column(col))
         i = t.column_names.index(col)
         return t.drop_columns(["_canon"]).set_column(
             i, col, pc.cast(merged, pa.string()))
