@@ -171,10 +171,13 @@ def compute_similarity_normalized(n1: str, n2: str,
     return max(scores) if scores else 0.0
 
 
-def greedy_cluster(items: list[tuple[str, str, float]],
-                   cfg: LinkingConfig = DEFAULT_LINKING) -> dict[str, str]:
+def greedy_cluster_reference(items: list[tuple[str, str, float]],
+                             cfg: LinkingConfig = DEFAULT_LINKING) -> dict[str, str]:
     """Greedy single-pass clustering over (entity_id, name, confidence)
-    items of ONE entity type; port of ``string_similarity_linker.rs:68-127``.
+    items of ONE entity type; direct port of
+    ``string_similarity_linker.rs:68-127`` (O(m²) full pairwise scoring).
+    Kept as the equality gate for :func:`greedy_cluster`, which produces
+    IDENTICAL output via sound candidate pruning.
 
     Returns {entity_id → canonical entity_id} for non-canonical members.
     Callers MUST pass ``items`` sorted by a stable key (we sort by entity_id
@@ -202,6 +205,111 @@ def greedy_cluster(items: list[tuple[str, str, float]],
             for k in cluster:
                 if k != canonical:
                     links[items[k][0]] = canonical_id
+    return links
+
+
+_FOLD = 64  # char-histogram fold width (power of two; ord(c) & 63)
+
+
+def greedy_cluster(items: list[tuple[str, str, float]],
+                   cfg: LinkingConfig = DEFAULT_LINKING) -> dict[str, str]:
+    """Candidate-pruned greedy clustering — EXACTLY equal output to
+    :func:`greedy_cluster_reference` (gated by
+    ``tests/test_similarity.py::test_pruned_equals_reference_*``) at
+    O(m·c) full-similarity calls instead of O(m²).
+
+    Greedy membership is pure pairwise (within one seed's scan, absorbing
+    j does not affect other j's), so for each seed we can vector-screen
+    every open j with SOUND upper bounds per metric and run the Python
+    scorer only on survivors:
+
+    * Jaro ≤ (I/l1 + I/l2 + 1)/3 where I = char-multiset intersection
+      (folded 64-way histograms; folding only RAISES I, keeping the bound
+      sound), and Jaro-Winkler ≤ J + p·0.1·(1−J) with p the EXACT common
+      prefix (vectorized over unfolded char codes, capped at 4).
+    * Levenshtein d ≥ max(|l1−l2|, ⌈L1(hist)/2⌉) (each edit moves the
+      histogram L1 by ≤ 2), and the metric scores 0 above
+      ``max_edit_distance``.
+    * Token Jaccard ≥ θ needs equal token SETS (score 1) or, for unequal
+      sets, intersection ≥ θ/(1−θ) and min/max token count ≥ θ.
+    * Phonetic (when enabled, θ ≤ 0.9): soundex equality is exact.
+
+    Every bound over-approximates its metric, so no qualifying pair is
+    ever skipped — identical links on ALL inputs, not just tested ones.
+    """
+    n = len(items)
+    if n < 24:  # numpy setup costs more than it saves on tiny blocks
+        return greedy_cluster_reference(items, cfg)
+    import numpy as np
+
+    items = sorted(items, key=lambda t: t[0])
+    norms = [normalize_string(name, cfg) for _, name, _ in items]
+    theta = cfg.min_similarity
+    lens = np.array([len(s) for s in norms], np.float64)
+    M = np.zeros((n, _FOLD), np.int32)
+    for k, s in enumerate(norms):
+        if s:
+            codes = np.frombuffer(s.encode("utf-32-le"), np.uint32) & (_FOLD - 1)
+            M[k] = np.bincount(codes, minlength=_FOLD)
+    # exact-prefix matrix (first 4 true char codes, 0-padded) for the
+    # Winkler bonus — sentinel 0 never equals a real code
+    P = np.zeros((n, 4), np.uint32)
+    for k, s in enumerate(norms):
+        head = s[:4]
+        if head:
+            P[k, :len(head)] = np.frombuffer(head.encode("utf-32-le"), np.uint32)
+    tok_sets = [frozenset(s.split()) for s in norms]
+    ts_ids: dict = {}
+    tsid = np.array([ts_ids.setdefault(t, len(ts_ids)) for t in tok_sets],
+                    np.int64)
+    tcnt = np.array([len(t) for t in tok_sets], np.float64)
+    use_phon = cfg.use_phonetic and theta <= 0.9
+    if use_phon:
+        sd_ids: dict = {}
+        sdx = np.array([sd_ids.setdefault(soundex(s), len(sd_ids))
+                        for s in norms], np.int64)
+    jmin = theta / (1.0 - theta) if theta < 1.0 else float("inf")
+    clustered = np.zeros(n, bool)
+    links: dict[str, str] = {}
+    for i in range(n):
+        if clustered[i]:
+            continue
+        clustered[i] = True
+        rest = slice(i + 1, n)
+        open_j = ~clustered[rest]
+        if open_j.any():
+            I = np.minimum(M[i], M[rest]).sum(1, dtype=np.int64).astype(np.float64)
+            L1 = np.abs(M[i] - M[rest]).sum(1, dtype=np.int64)
+            d_lb = np.maximum(np.abs(lens[rest] - lens[i]), (L1 + 1) // 2)
+            maxlen = np.maximum(np.maximum(lens[rest], lens[i]), 1.0)
+            mask = np.zeros(n - i - 1, bool)
+            if cfg.fuzzy_matching:
+                mask |= ((d_lb <= cfg.max_edit_distance)
+                         & (1.0 - d_lb / maxlen >= theta))
+            J_ub = (I / max(lens[i], 1.0) + I / np.maximum(lens[rest], 1.0)
+                    + 1.0) / 3.0
+            zero = (lens[rest] == 0) | (lens[i] == 0)
+            p = np.cumprod(P[rest] == P[i], axis=1).sum(1)  # exact prefix ≤ 4
+            mask |= (J_ub + p * 0.1 * (1.0 - J_ub) >= theta) | zero
+            minc = np.minimum(tcnt[rest], tcnt[i])
+            maxc = np.maximum(tcnt[rest], tcnt[i])
+            mask |= (tsid[rest] == tsid[i]) | ((minc >= jmin)
+                                               & (minc >= theta * maxc))
+            if use_phon:
+                mask |= sdx[rest] == sdx[i]
+            mask &= open_j
+            cluster = [i]
+            for off in np.nonzero(mask)[0]:
+                j = i + 1 + int(off)
+                if compute_similarity_normalized(norms[i], norms[j], cfg) >= theta:
+                    cluster.append(j)
+                    clustered[j] = True
+            if len(cluster) > 1:
+                canonical = max(cluster, key=lambda k: (items[k][2], items[k][0]))
+                canonical_id = items[canonical][0]
+                for k in cluster:
+                    if k != canonical:
+                        links[items[k][0]] = canonical_id
     return links
 
 

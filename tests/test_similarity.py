@@ -96,3 +96,78 @@ def test_phonetic_config():
     cfg = LinkingConfig(use_phonetic=True, min_similarity=0.85)
     s = compute_similarity("Smith", "Smyth", "PERSON", "PERSON", cfg)
     assert s >= 0.85
+
+
+# ---------------------------------------------------------------------------
+# Pruned greedy_cluster == reference O(m²) greedy (sound-bound equality gate)
+# ---------------------------------------------------------------------------
+
+def _rand_items(n, seed, typo_rate=0.3, shared_prefix=False):
+    """Blocks of pronounceable words + planted typo variants, mimicking the
+    (type, soundex) block composition the linker actually sees."""
+    import numpy as np
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cons, vow = "bcdfghjklmnpqrstvwz", "aeiou"
+    items = []
+    for i in range(n):
+        if i % 3 == 2 and typo_rate and rng.random() < typo_rate:
+            # vowel-swap / char-substitution typo of the previous item
+            w = list(items[-1][1].lower())
+            pos = int(rng.integers(1, max(2, len(w) - 1)))
+            w[pos] = vow[int(rng.integers(0, 5))]
+            name = "".join(w).capitalize()
+        else:
+            syll = int(rng.integers(2, 8))
+            w = "".join(cons[int(rng.integers(0, len(cons)))]
+                        + vow[int(rng.integers(0, len(vow)))]
+                        for _ in range(syll))
+            if shared_prefix:
+                w = "smith" + w       # dense chance-prefix block regime
+            if rng.random() < 0.3:    # some multi-token names
+                w += " " + cons[int(rng.integers(0, len(cons)))] + "ox"
+            name = w.capitalize()
+        items.append((f"PERSON_e{i:05d}", name, float(rng.integers(1, 99)) / 100))
+    return items
+
+
+def test_pruned_equals_reference_random_blocks():
+    from graphrag_rs_ray.functions.similarity import greedy_cluster_reference
+    for seed in range(8):
+        items = _rand_items(120, seed)
+        assert greedy_cluster(items) == greedy_cluster_reference(items), seed
+
+
+def test_pruned_equals_reference_dense_prefix_block():
+    # the hot-block regime: long shared prefixes, JW prefix bonus active
+    from graphrag_rs_ray.functions.similarity import greedy_cluster_reference
+    for seed in (101, 102):
+        items = _rand_items(150, seed, shared_prefix=True)
+        assert greedy_cluster(items) == greedy_cluster_reference(items), seed
+
+
+def test_pruned_equals_reference_config_matrix():
+    from graphrag_rs_ray.functions.similarity import greedy_cluster_reference
+    items = _rand_items(90, 7)
+    for cfg in (LinkingConfig(use_phonetic=True),
+                LinkingConfig(fuzzy_matching=False),
+                LinkingConfig(min_similarity=0.7),
+                LinkingConfig(min_similarity=0.95),
+                LinkingConfig(use_phonetic=True, min_similarity=0.9),
+                LinkingConfig(max_edit_distance=4)):
+        assert greedy_cluster(items, cfg) == greedy_cluster_reference(items, cfg), cfg
+
+
+def test_pruned_equals_reference_edge_strings():
+    from graphrag_rs_ray.functions.similarity import greedy_cluster_reference
+    # empties, punctuation-only (normalizes to ""), unicode, identical norms,
+    # 6+-token names (the Jaccard-only linking class), single chars
+    base = [
+        ("E00", "", 0.5), ("E01", "!!!", 0.4), ("E02", "  ", 0.3),
+        ("E03", "Ünïcode Nâme", 0.9), ("E04", "Unicode Name", 0.8),
+        ("E05", "a b c d e f g", 0.7), ("E06", "a b c d e f h", 0.6),
+        ("E07", "g f e d c b a", 0.5), ("E08", "x", 0.9), ("E09", "y", 0.2),
+        ("E10", "John   Smith!", 0.9), ("E11", "john smith", 0.3),
+    ]
+    items = base + _rand_items(40, 3)
+    for cfg in (LinkingConfig(), LinkingConfig(use_phonetic=True)):
+        assert greedy_cluster(items, cfg) == greedy_cluster_reference(items, cfg)
