@@ -1274,7 +1274,7 @@ def winnow_fingerprints(sf_dir: str, k: int = 12, w: int = 5, docs_ds=None):
 
 def winnow_dup_pairs(sf_dir: str, k: int = 12, w: int = 5,
                      min_shared: int = 4, max_docs_per_fp: int = 16,
-                     docs_ds=None):
+                     docs_ds=None, hot_broadcast_limit: int = 1_000_000):
     """Near-dup candidate pairs from shared winnowing fingerprints: docs
     sharing ≥ ``min_shared`` distinct fingerprint values, with the shared
     count.  Fingerprints held by more than ``max_docs_per_fp`` docs are
@@ -1282,11 +1282,17 @@ def winnow_dup_pairs(sf_dir: str, k: int = 12, w: int = 5,
     and at web scale a hot fingerprint bucket is a quadratic pair bomb);
     the cap is part of the operator contract and the oracle replays it.
 
-    Same two-phase hot-bucket shape as ``minhash_lsh_candidates``, but the
-    bucket key is a single int64 so the filter is a vectorized
-    ``pc.is_in``."""
+    Same two-PATH hot-key filter as ``minhash_lsh_candidates``: the hot
+    set is ~|fps shared by 2..max_docs_per_fp docs| — unbounded in corpus
+    dup mass — so it is collected + broadcast (vectorized ``pc.is_in`` on
+    the single int64 key) only below ``hot_broadcast_limit``; above, the
+    hot keys stay a Dataset and the filter is a bucketed semi-join
+    (``stages/hashagg.bucketed_join``) — nothing ships to the driver.
+    Path equality is gated by
+    ``tests/test_winnow_paths.py::test_winnow_broadcast_and_join_paths_equal``."""
     import ray
-    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+    from ..stages.hashagg import (bucketed_join, grouped_arrow_agg,
+                                  hash_grouped_aggregate)
 
     fps = hash_grouped_aggregate(
         winnow_fingerprints(sf_dir, k, w, docs_ds=docs_ds), ["doc_id", "fp"],
@@ -1297,13 +1303,23 @@ def winnow_dup_pairs(sf_dir: str, k: int = 12, w: int = 5,
         fps, ["fp"],
         grouped_arrow_agg(["fp"], [("doc_id", "count")], rename=["fp", "nd"]))
     hot = counts.filter(
-        expr=f"nd > 1 and nd <= {max_docs_per_fp}").to_pandas()
-    hot_arr = pa.array([] if hot.empty else hot["fp"].astype(np.int64),
-                       pa.int64())
-    hot_ref = ray.put(hot_arr)
+        expr=f"nd > 1 and nd <= {max_docs_per_fp}").materialize()
+    n_hot = hot.count()
+    if n_hot > hot_broadcast_limit:
+        hot_keys = hot.map_batches(lambda t: t.select(["fp"]),
+                                   batch_format="pyarrow")
+        hot_fps = bucketed_join(fps, hot_keys, ["fp"]).materialize()
+    else:
+        hot_pd = hot.to_pandas()
+        hot_arr = pa.array([] if hot_pd.empty
+                           else hot_pd["fp"].astype(np.int64), pa.int64())
+        hot_ref = ray.put(hot_arr)
 
-    def only_hot(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column("fp"), ray.get(hot_ref)))
+        def only_hot(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("fp"),
+                                         ray.get(hot_ref)))
+
+        hot_fps = fps.map_batches(only_hot, batch_format="pyarrow")
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
         # whole BUCKET of colliding fps at once: sort, slice contiguous
@@ -1325,9 +1341,7 @@ def winnow_dup_pairs(sf_dir: str, k: int = 12, w: int = 5,
         return pa.table({"doc_a": pa.array(np.array(a, np.int64)),
                          "doc_b": pa.array(np.array(b, np.int64))})
 
-    cand = hash_grouped_aggregate(
-        fps.map_batches(only_hot, batch_format="pyarrow"), ["fp"],
-        bucket_pairs)
+    cand = hash_grouped_aggregate(hot_fps, ["fp"], bucket_pairs)
     shared = hash_grouped_aggregate(
         cand, ["doc_a", "doc_b"],
         grouped_arrow_agg(["doc_a", "doc_b"], [("doc_a", "count")],

@@ -75,6 +75,18 @@ def main():
             round(len(got & planted_near) / len(planted_near), 4)}),
         flush=True)
 
+    # two-path gate at scale: hot_broadcast_limit=0 forces the bucketed
+    # semi-join path; the pair set must be identical to the broadcast run
+    t0 = time.perf_counter()
+    pairs_j = td.winnow_dup_pairs(sf_dir, hot_broadcast_limit=0).to_pandas()
+    t_join = time.perf_counter() - t0
+    got_j = {(min(a, b), max(a, b))
+             for a, b in zip(pairs_j["doc_a"], pairs_j["doc_b"])}
+    print(json.dumps({
+        "op": "winnow_dup_pairs_join_path", "n_docs": n_docs,
+        "sec": round(t_join, 1), "pairs": len(got_j),
+        "equal_to_broadcast_path": bool(got_j == got)}), flush=True)
+
     t0 = time.perf_counter()
     prof = td.dup_span_profile(sf_dir)
 
