@@ -3686,6 +3686,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_event_counts": td.windowed_event_counts,
         "temporal_edges": td.temporal_edges,
         "temporal_snapshot": td.temporal_snapshot,
+        "temporal_evolution": td.temporal_evolution,
+        "temporal_node_churn": td.temporal_node_churn,
+        "temporal_top_growing": td.temporal_top_growing,
+        "temporal_centrality": td.temporal_centrality,
         "session_windows": td.session_windows,
         "sliding_window_counts": td.sliding_window_counts,
         "purchases_asof_click": td.purchases_asof_click,
@@ -8939,6 +8943,116 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM te CROSS JOIN r
             WHERE fs <= mid AND ls >= mid
             GROUP BY user_id
+        """,
+        # temporal analytics (graph/temporal.rs:271-407) — interval edges
+        # (user, event_type) over [first_seen, last_seen], namespaced
+        # string nodes; all ratios are int/int DOUBLE divisions
+        "temporal_evolution": """
+            WITH te AS (
+              SELECT 'u' || user_id::VARCHAR AS src,
+                     'e:' || event_type AS dst,
+                     min(epoch_us(ts)) AS fs, max(epoch_us(ts)) AS ls
+              FROM events GROUP BY user_id, event_type),
+            p AS (SELECT min(fs) AS lo, max(ls) AS hi,
+                         greatest(1, (max(ls) - min(fs)) // 8) AS g
+                  FROM te),
+            w AS (SELECT lo + g * i AS w, g FROM p,
+                  generate_series(0, 8192) AS t(i)
+                  WHERE lo + g * i <= hi),
+            act AS (SELECT w.w, te.src, te.dst FROM te JOIN w
+                    ON te.fs <= w.w + w.g AND te.ls >= w.w),
+            ec AS (SELECT w, count(*)::BIGINT AS ec FROM act GROUP BY w),
+            nc AS (SELECT w, count(DISTINCT node)::BIGINT AS nc FROM (
+                     SELECT w, src AS node FROM act
+                     UNION ALL SELECT w, dst FROM act) GROUP BY w)
+            SELECT w.w AS window_start,
+                   coalesce(nc.nc, 0) AS node_count,
+                   coalesce(ec.ec, 0) AS edge_count,
+                   CASE WHEN coalesce(nc.nc, 0) >= 2
+                        THEN coalesce(ec.ec, 0)::DOUBLE /
+                             ((nc.nc * (nc.nc - 1)) // 2)
+                        ELSE 0.0 END AS density,
+                   CASE WHEN coalesce(nc.nc, 0) > 0
+                        THEN 2.0 * coalesce(ec.ec, 0) / nc.nc
+                        ELSE 0.0 END AS avg_degree
+            FROM w LEFT JOIN ec ON w.w = ec.w LEFT JOIN nc ON w.w = nc.w
+        """,
+        "temporal_node_churn": """
+            WITH te AS (
+              SELECT 'u' || user_id::VARCHAR AS src,
+                     'e:' || event_type AS dst,
+                     min(epoch_us(ts)) AS fs, max(epoch_us(ts)) AS ls
+              FROM events GROUP BY user_id, event_type),
+            r AS (SELECT min(fs) AS lo, max(ls) AS hi FROM te),
+            f AS (
+              SELECT src AS node,
+                     (fs <= lo AND ls >= lo)::BIGINT AS s,
+                     (fs <= hi AND ls >= hi)::BIGINT AS e
+              FROM te, r WHERE (fs <= lo AND ls >= lo)
+                            OR (fs <= hi AND ls >= hi)
+              UNION ALL
+              SELECT dst,
+                     (fs <= lo AND ls >= lo)::BIGINT,
+                     (fs <= hi AND ls >= hi)::BIGINT
+              FROM te, r WHERE (fs <= lo AND ls >= lo)
+                            OR (fs <= hi AND ls >= hi)),
+            n AS (SELECT node, max(s) AS s, max(e) AS e FROM f GROUP BY node)
+            SELECT node, CASE WHEN s = 1 AND e = 1 THEN 'stable'
+                              WHEN e = 1 THEN 'added'
+                              ELSE 'removed' END AS status
+            FROM n
+        """,
+        "temporal_top_growing": """
+            WITH te AS (
+              SELECT 'u' || user_id::VARCHAR AS src,
+                     'e:' || event_type AS dst,
+                     min(epoch_us(ts)) AS fs, max(epoch_us(ts)) AS ls
+              FROM events GROUP BY user_id, event_type),
+            p AS (SELECT min(fs) AS lo, max(ls) AS hi,
+                         greatest(1, (max(ls) - min(fs)) // 8) AS g
+                  FROM te),
+            sd AS (SELECT node, count(*)::BIGINT AS deg FROM (
+                     SELECT src AS node FROM te, p
+                     WHERE fs <= lo + g AND ls >= lo
+                     UNION ALL SELECT dst FROM te, p
+                     WHERE fs <= lo + g AND ls >= lo) GROUP BY node),
+            ed AS (SELECT node, count(*)::BIGINT AS deg FROM (
+                     SELECT src AS node FROM te, p
+                     WHERE fs <= hi AND ls >= hi - g
+                     UNION ALL SELECT dst FROM te, p
+                     WHERE fs <= hi AND ls >= hi - g) GROUP BY node)
+            SELECT ed.node,
+                   CASE WHEN coalesce(sd.deg, 0) > 0
+                        THEN (ed.deg - sd.deg)::DOUBLE / sd.deg
+                        ELSE ed.deg::DOUBLE END AS growth
+            FROM ed LEFT JOIN sd ON ed.node = sd.node
+            ORDER BY growth DESC, ed.node LIMIT 10
+        """,
+        "temporal_centrality": """
+            WITH te AS (
+              SELECT 'u' || user_id::VARCHAR AS src,
+                     'e:' || event_type AS dst,
+                     min(epoch_us(ts)) AS fs, max(epoch_us(ts)) AS ls
+              FROM events GROUP BY user_id, event_type),
+            p AS (SELECT min(fs) AS lo, max(ls) AS hi,
+                         greatest(1, (max(ls) - min(fs)) // 8) AS g
+                  FROM te),
+            w AS (SELECT lo + g * i AS w, g FROM p,
+                  generate_series(0, 8192) AS t(i)
+                  WHERE lo + g * i <= hi),
+            act AS (SELECT w.w, te.src, te.dst FROM te JOIN w
+                    ON te.fs <= w.w + w.g AND te.ls >= w.w),
+            nodes AS (SELECT w, src AS node FROM act
+                      UNION ALL SELECT w, dst FROM act),
+            deg AS (SELECT w, node, count(*)::BIGINT AS deg
+                    FROM nodes GROUP BY w, node),
+            nc AS (SELECT w, count(DISTINCT node)::BIGINT AS nc
+                   FROM nodes GROUP BY w)
+            SELECT deg.node, deg.w AS window_start,
+                   CASE WHEN nc.nc > 1
+                        THEN deg.deg::DOUBLE / (nc.nc - 1)
+                        ELSE 0.0 END AS centrality
+            FROM deg JOIN nc ON deg.w = nc.w
         """,
         "windowed_event_counts": """
             SELECT event_type,

@@ -370,6 +370,8 @@ def run_bench() -> dict:
     timed("knn_bruteforce", lambda: q["knn_bruteforce"](sf_dir).count())
     timed("quality_scores", lambda: q["quality_scores"](sf_dir).count())
     timed("windowed_event_counts", lambda: q["windowed_event_counts"](sf_dir).count())
+    timed("temporal_evolution", lambda: q["temporal_evolution"](sf_dir).num_rows)
+    timed("temporal_centrality", lambda: q["temporal_centrality"](sf_dir).count())
     # round-2 additions: graph analytics, Dataset-native pagerank, ANN
     # index path, transactions-side report, RAPTOR trees
     # graph analytics, un-staged production paths over the shared triples

@@ -2666,6 +2666,265 @@ def temporal_snapshot(sf_dir: str):
                           rename=["user_id", "n_active"]))
 
 
+# ------------------------------------------- temporal analytics ---------
+# Port of the analytics half of ``graph/temporal.rs:271-407``
+# (evolution_metrics, node_churn, top_growing_nodes, temporal_centrality)
+# over the same event-derived interval-edge model as ``temporal_snapshot``:
+# one edge per (user, event_type) valid over [first_seen, last_seen].
+# Node ids are namespaced strings ('u<user_id>' / 'e:<event_type>') so the
+# bipartite graph has the reference's generic string-node shape.
+
+
+def _temporal_interval_edges(sf_dir: str, edges_ds=None):
+    """(src, dst, fs, ls) interval edges.  ``edges_ds`` injects a pre-built
+    edge table (the ported reference unit tests use the Rust test graph);
+    otherwise edges derive from the events table exactly as
+    ``temporal_snapshot`` does (timestamps as int64 epoch-µs)."""
+    if edges_ds is not None:
+        return edges_ds
+    import ray.data as rd
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+    iv = hash_grouped_aggregate(
+        ds, ["user_id", "event_type"],
+        grouped_arrow_agg(["user_id", "event_type"],
+                          [("ts", "min"), ("ts", "max")],
+                          rename=["user_id", "event_type", "fs", "ls"]))
+
+    def nodes(t: pa.Table) -> pa.Table:
+        uid = pc.binary_join_element_wise(
+            pa.array(["u"] * t.num_rows, pa.string()),
+            pc.cast(t.column("user_id"), pa.string()), "")
+        et = pc.binary_join_element_wise(
+            pa.array(["e:"] * t.num_rows, pa.string()),
+            pc.cast(t.column("event_type"), pa.string()), "")
+        return pa.table({
+            "src": uid, "dst": et,
+            "fs": pc.cast(pc.cast(t.column("fs"), pa.timestamp("us")),
+                          pa.int64()),
+            "ls": pc.cast(pc.cast(t.column("ls"), pa.timestamp("us")),
+                          pa.int64())})
+
+    return iv.map_batches(nodes, batch_format="pyarrow")
+
+
+def _temporal_range(edges) -> tuple[int, int]:
+    from ray.data.aggregate import Max, Min
+    r = edges.aggregate(Min("fs", alias_name="lo"), Max("ls", alias_name="hi"))
+    return int(r["lo"]), int(r["hi"])
+
+
+def _temporal_windows(lo: int, hi: int, granularity: int | None):
+    """``evolution_metrics``' window walk (``temporal.rs:273-291``):
+    t = start; while t <= end: window [t, t+g]; t += g."""
+    g = granularity if granularity else max(1, (hi - lo) // 8)
+    starts = list(range(lo, hi + 1, g))
+    return g, starts
+
+
+def _window_expand(starts: list[int], g: int):
+    """Edge batch → one row per (window, edge) the edge is active in
+    (interval overlap ``temporal.rs:52-60``: fs ≤ w_end AND ls ≥ w_start)."""
+    def fn(t: pa.Table) -> pa.Table:
+        outs = []
+        for w in starts:
+            m = pc.and_(pc.less_equal(t.column("fs"), w + g),
+                        pc.greater_equal(t.column("ls"), w))
+            f = t.filter(m)
+            outs.append(pa.table({
+                "w": pa.array(np.full(f.num_rows, w, np.int64)),
+                "src": f.column("src"), "dst": f.column("dst")}))
+        return pa.concat_tables(outs)
+    return fn
+
+
+def _per_window_counts(edges, starts, g):
+    """{window → (edge_count, node_count)} — distributed distinct-node
+    counting (group (w, node) then count by w), tiny W-row collect."""
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    wexp = edges.map_batches(_window_expand(starts, g),
+                             batch_format="pyarrow").materialize()
+    ec = hash_grouped_aggregate(
+        wexp, ["w"], grouped_arrow_agg(["w"], [("src", "count")],
+                                       rename=["w", "n"])).to_pandas()
+
+    def nodes_of(col):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"w": t.column("w"), "node": t.column(col)})
+        return fn
+
+    nodes = wexp.map_batches(nodes_of("src"), batch_format="pyarrow").union(
+        wexp.map_batches(nodes_of("dst"), batch_format="pyarrow"))
+    distinct = hash_grouped_aggregate(
+        nodes, ["w", "node"],
+        grouped_arrow_agg(["w", "node"], [("node", "count")],
+                          rename=["w", "node", "_c"]))
+    nc = hash_grouped_aggregate(
+        distinct, ["w"], grouped_arrow_agg(["w"], [("node", "count")],
+                                           rename=["w", "n"])).to_pandas()
+    e_of = dict(zip(ec["w"], ec["n"]))
+    n_of = dict(zip(nc["w"], nc["n"]))
+    return {w: (int(e_of.get(w, 0)), int(n_of.get(w, 0))) for w in starts}
+
+
+def temporal_evolution(sf_dir: str, granularity: int | None = None,
+                       edges_ds=None) -> pa.Table:
+    """``evolution_metrics`` (``temporal.rs:271-291``): per window —
+    node_count, edge_count, density (``:110-119``: E / (N·(N−1)/2),
+    integer max_edges), avg_degree (``:294-307``: Σdegree/N = 2E/N).
+    Default granularity (hi−lo)//8 over the corpus time range.  All
+    ratios are int/int float64 divisions — bit-exact vs the SQL oracle."""
+    edges = _temporal_interval_edges(sf_dir, edges_ds).materialize()
+    lo, hi = _temporal_range(edges)
+    g, starts = _temporal_windows(lo, hi, granularity)
+    counts = _per_window_counts(edges, starts, g)
+    dens, avg = [], []
+    for w in starts:
+        e, n = counts[w]
+        max_edges = (n * (n - 1)) // 2
+        dens.append(e / max_edges if n >= 2 else 0.0)
+        avg.append(2.0 * e / n if n else 0.0)
+    return pa.table({
+        "window_start": pa.array(starts, pa.int64()),
+        "node_count": pa.array([counts[w][1] for w in starts], pa.int64()),
+        "edge_count": pa.array([counts[w][0] for w in starts], pa.int64()),
+        "density": pa.array(dens, pa.float64()),
+        "avg_degree": pa.array(avg, pa.float64())})
+
+
+def temporal_node_churn(sf_dir: str, edges_ds=None):
+    """``node_churn`` (``temporal.rs:310-345``): point snapshots at the
+    range endpoints (edge active at t iff fs ≤ t ≤ ls, ``:42-49``);
+    status = added (end only) / removed (start only) / stable (both)."""
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    edges = _temporal_interval_edges(sf_dir, edges_ds).materialize()
+    lo, hi = _temporal_range(edges)
+
+    def flags(col):
+        def fn(t: pa.Table) -> pa.Table:
+            a0 = pc.and_(pc.less_equal(t.column("fs"), lo),
+                         pc.greater_equal(t.column("ls"), lo))
+            a1 = pc.and_(pc.less_equal(t.column("fs"), hi),
+                         pc.greater_equal(t.column("ls"), hi))
+            keep = pc.or_(a0, a1)
+            f = pa.table({"node": t.column(col),
+                          "at_start": pc.cast(a0, pa.int64()),
+                          "at_end": pc.cast(a1, pa.int64())})
+            return f.filter(keep)
+        return fn
+
+    nodes = edges.map_batches(flags("src"), batch_format="pyarrow").union(
+        edges.map_batches(flags("dst"), batch_format="pyarrow"))
+    per_node = hash_grouped_aggregate(
+        nodes, ["node"],
+        grouped_arrow_agg(["node"], [("at_start", "max"), ("at_end", "max")],
+                          rename=["node", "s", "e"]))
+
+    def status(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        st = np.where(s & e, "stable", np.where(e, "added", "removed"))
+        return pa.table({"node": t.column("node"),
+                         "status": pa.array(st.tolist(), pa.string())})
+
+    return per_node.map_batches(status, batch_format="pyarrow")
+
+
+def temporal_top_growing(sf_dir: str, top_k: int = 10,
+                         granularity: int | None = None, edges_ds=None):
+    """``top_growing_nodes`` (``temporal.rs:348-372``): degree in the
+    first window [lo, lo+g] vs the last [hi−g, hi]; nodes present in the
+    END snapshot score (end−start)/start (or end when start degree 0);
+    top_k by growth desc.  The reference's tie order is HashSet iteration
+    (nondeterministic); we fix ties by node asc — documented delta."""
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    edges = _temporal_interval_edges(sf_dir, edges_ds).materialize()
+    lo, hi = _temporal_range(edges)
+    g = granularity if granularity else max(1, (hi - lo) // 8)
+
+    def window_degrees(ws, we):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.less_equal(t.column("fs"), we),
+                        pc.greater_equal(t.column("ls"), ws))
+            f = t.filter(m)
+            return pa.table({"node": pa.concat_arrays(
+                [f.column("src").combine_chunks().cast(pa.string()),
+                 f.column("dst").combine_chunks().cast(pa.string())])})
+        return hash_grouped_aggregate(
+            edges.map_batches(fn, batch_format="pyarrow"), ["node"],
+            grouped_arrow_agg(["node"], [("node", "count")],
+                              rename=["node", "deg"])).materialize()
+
+    start_deg = window_degrees(lo, lo + g)
+    end_deg = window_degrees(hi - g, hi)
+    from ..stages.hashagg import bucketed_join
+    joined = bucketed_join(
+        end_deg.map_batches(lambda t: t.rename_columns(["node", "e"]),
+                            batch_format="pyarrow"),
+        start_deg.map_batches(lambda t: t.rename_columns(["node", "s"]),
+                              batch_format="pyarrow"),
+        ["node"], how="left").materialize()
+
+    def growth(t: pa.Table) -> pa.Table:
+        e = t.column("e").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = pc.fill_null(pc.cast(t.column("s"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        gr = np.where(s > 0, (e - s) / np.where(s > 0, s, 1.0), e)
+        return pa.table({"node": t.column("node"),
+                         "growth": pa.array(gr, pa.float64())})
+
+    return (joined.map_batches(growth, batch_format="pyarrow")
+            .sort([("growth"), ("node")], descending=[True, False])
+            .limit(top_k))
+
+
+def temporal_centrality(sf_dir: str, granularity: int | None = None,
+                        edges_ds=None):
+    """``temporal_centrality`` (``temporal.rs:375-395``) tabled over ALL
+    active nodes: per window, centrality = degree / (node_count − 1)
+    (0 when the window has ≤ 1 node).  The reference's single-node call
+    is a lookup into this table; windows where a node is inactive
+    (degree 0 rows) are omitted — documented delta."""
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    edges = _temporal_interval_edges(sf_dir, edges_ds).materialize()
+    lo, hi = _temporal_range(edges)
+    g, starts = _temporal_windows(lo, hi, granularity)
+    counts = _per_window_counts(edges, starts, g)
+    nc_of = {w: counts[w][1] for w in starts}
+
+    wexp = edges.map_batches(_window_expand(starts, g),
+                             batch_format="pyarrow")
+
+    def nodes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "w": pa.concat_arrays([t.column("w").combine_chunks().cast(pa.int64())] * 2),
+            "node": pa.concat_arrays(
+                [t.column("src").combine_chunks().cast(pa.string()),
+                 t.column("dst").combine_chunks().cast(pa.string())])})
+
+    deg = hash_grouped_aggregate(
+        wexp.map_batches(nodes, batch_format="pyarrow"), ["w", "node"],
+        grouped_arrow_agg(["w", "node"], [("node", "count")],
+                          rename=["w", "node", "deg"]))
+
+    def cent(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+        nc = np.array([nc_of[x] for x in w], np.float64)
+        c = np.where(nc > 1, d / np.where(nc > 1, nc - 1.0, 1.0), 0.0)
+        return pa.table({"node": t.column("node"),
+                         "window_start": pa.array(w, pa.int64()),
+                         "centrality": pa.array(c, pa.float64())})
+
+    return deg.map_batches(cent, batch_format="pyarrow")
+
+
 def session_windows(sf_dir: str, gap_minutes: int = 30):
     """Gap-based session windows per user: a new session starts when the
     gap to the previous event exceeds ``gap_minutes``.  Ray Data has no
