@@ -100,12 +100,34 @@ def node2vec_walks_ds(graph: EmbeddingGraph, cfg: EmbeddingConfig
     return _nodes_ds(graph).map_batches(walks_fn, batch_format="pyarrow")
 
 
-def node2vec_embeddings(edges_ds, cfg: EmbeddingConfig) -> rd.Dataset:
+def node2vec_embeddings(edges_ds, cfg: EmbeddingConfig,
+                        max_walk_tokens: int = 50_000_000) -> rd.Dataset:
     """Full Node2Vec: distributed walks → deterministic walk reorder
     (walk-index-major over sorted start nodes = the kernel's order) →
-    sequential skip-gram on the driver (reference semantics) → node
-    embedding table."""
+    sequential skip-gram on the driver (reference semantics:
+    ``graph/embeddings.rs:132-509`` applies ±lr updates to a single
+    mutable table in walk order, an inherently sequential recurrence) →
+    node embedding table.
+
+    The walk ``take_all`` and the training loop are DRIVER-BOUND by those
+    semantics, so the same guard discipline as the ``small_graph_limit``
+    two-path ops applies: refuse (loudly, never a silent 100-GB collect)
+    when the walk volume ``nodes × walks_per_node × walk_length`` exceeds
+    ``max_walk_tokens`` (default ~50M tokens ≈ low-GB driver footprint).
+    There is no faithful sharded twin for the training step — for a
+    distributed embedding use ``graphsage_embeddings`` (sharded path)."""
     graph = _graph_from_edges_ds(edges_ds)
+    est_tokens = len(graph.nodes) * cfg.walks_per_node * cfg.walk_length
+    if est_tokens > max_walk_tokens:
+        raise ValueError(
+            f"node2vec_embeddings: walk volume ~{est_tokens:,} tokens "
+            f"({len(graph.nodes):,} nodes x {cfg.walks_per_node} walks x "
+            f"{cfg.walk_length} steps) exceeds max_walk_tokens="
+            f"{max_walk_tokens:,}; the skip-gram training is sequential "
+            "on the driver by reference semantics "
+            "(graph/embeddings.rs:132-509). Raise max_walk_tokens "
+            "explicitly if the driver has the memory, or use "
+            "graphsage_embeddings (sharded) for a distributed embedding.")
     rows = node2vec_walks_ds(graph, cfg).take_all()
     rows.sort(key=lambda r: (r["walk_idx"], r["start"]))
     walks = [list(r["walk"]) for r in rows]

@@ -3337,9 +3337,10 @@ def bpe_token_stats(sf_dir: str, n_merges: int = 20, max_types: int = 300,
 
 # ------------------------------------------------------------ SemDeDup --
 
-def semdedup(sf_dir: str, threshold: float = 0.35, n_centroids: int = 8,
+def semdedup(sf_dir: str, threshold: float = 0.35,
+             n_centroids: int | None = None,
              seed: int = 11, sample_size: int = 512, kmeans_iters: int = 8,
-             cent=None):
+             cent=None, target_cluster_size: int = 1024):
     """SemDeDup (Abbas+ 2023, PAPERS.md): semantic near-dedup via
     k-means blocking.  Spherical k-means centroids from a bounded
     driver-side sample (the ``ivf_index`` build), stateless cluster
@@ -3354,12 +3355,25 @@ def semdedup(sf_dir: str, threshold: float = 0.35, n_centroids: int = 8,
     Scale shape: the only exchange is the cluster groupby
     (``hash_grouped_aggregate``); the quadratic verify is bounded per
     cluster by the k choice — the paper's own device (k grows with the
-    corpus so cluster size stays fixed).  Centroids broadcast once via
-    ``ray.put``; union-find runs inside the bucket, never driver-side.
+    corpus so cluster size stays fixed).  ``n_centroids=None`` (the
+    default) ENFORCES that device: k = max(8, n_vecs //
+    target_cluster_size), so expected cluster size stays
+    ~``target_cluster_size`` and the within-cluster O(m²) is bounded as
+    the corpus grows (the k-means sample is widened to 8·k so every
+    centroid can seed).  Pass an explicit k to reproduce a fixed-k run.
+    Centroids broadcast once via ``ray.put``; union-find runs inside the
+    bucket, never driver-side.
     """
     from ..stages.hashagg import hash_grouped_aggregate
 
     if cent is None:
+        if n_centroids is None:
+            import ray.data as rd
+            n_vecs = rd.read_parquet(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id"]).count()
+            n_centroids = max(8, int(n_vecs) // target_cluster_size)
+            sample_size = max(sample_size, 8 * n_centroids)
         _, _, cent, _ = ivf_index(
             sf_dir, n_queries=1, n_centroids=n_centroids, nprobe=1,
             seed=seed, sample_size=sample_size, kmeans_iters=kmeans_iters)

@@ -229,3 +229,19 @@ def test_distributed_node2vec_and_graphsage(edges_ds):
     for _, row in stbl.iterrows():
         assert np.allclose(row["embedding"], slocal[row["node"]],
                            atol=0, rtol=0)
+
+
+def test_node2vec_driver_guard(edges_ds):
+    """The driver-bound walk collect refuses above max_walk_tokens with a
+    documented error instead of a silent unbounded take_all."""
+    import pytest
+    from graphrag_rs_ray.pipelines.graph_embeddings import node2vec_embeddings
+    from graphrag_rs_ray.functions.graph_embeddings import EmbeddingConfig
+
+    cfg = EmbeddingConfig(dimension=8, walks_per_node=2, walk_length=5,
+                          epochs=1)
+    with pytest.raises(ValueError, match="max_walk_tokens"):
+        node2vec_embeddings(edges_ds, cfg, max_walk_tokens=3)
+    # and the default limit admits the small fixture unchanged
+    out = node2vec_embeddings(edges_ds, cfg).to_pandas()
+    assert len(out) > 0

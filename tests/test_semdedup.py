@@ -49,3 +49,25 @@ def test_semdedup_planted(ray_session, planted_dir):
     assert (rows[5].keep, rows[6].keep) == (True, False)
     # cluster assignment: 1-4 → centroid 0, 5-6 → centroid 1
     assert list(out["cluster"]) == [0, 0, 0, 0, 1, 1]
+
+
+def test_semdedup_auto_k(ray_session, tmp_path):
+    """n_centroids=None auto-scales k = max(8, n_vecs // target_cluster_size)
+    so per-cluster work stays bounded as the corpus grows (the paper's
+    k-grows-with-corpus device, now enforced by default)."""
+    rng = np.random.Generator(np.random.PCG64(5))
+    n = 640
+    vecs = rng.normal(size=(n, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, os.path.join(tmp_path, "embeddings.parquet"))
+    out = td.semdedup(str(tmp_path), threshold=0.95,
+                      target_cluster_size=40).to_pandas()
+    # k = max(8, 640 // 40) = 16 clusters; every vec assigned exactly once
+    assert len(out) == n and out["vec_id"].is_unique
+    n_clusters = out["cluster"].nunique()
+    assert 8 < n_clusters <= 16          # some centroids may end empty
+    assert out["cluster"].value_counts().max() < n  # genuinely blocked
