@@ -33,6 +33,13 @@ def main():
     import ray.data as rd
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    # fingerprint density is ~2/(w+1) per normalized char; the default
+    # (k=12, w=5) is the operator default, but at 10M docs that exchange
+    # is ~80 GB on this box — pass a MOSS-standard wider window
+    # (e.g. k=25 w=19, guarantee t=43) for the big datapoints
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    w = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    skip_span = "--skip-span" in sys.argv
 
     if not ray.is_initialized():
         ray.init(address="local",
@@ -60,14 +67,14 @@ def main():
     td._docs(sf_dir).count()   # warm page cache + worker pool untimed
 
     t0 = time.perf_counter()
-    pairs = td.winnow_dup_pairs(sf_dir).to_pandas()
+    pairs = td.winnow_dup_pairs(sf_dir, k=k, w=w).to_pandas()
     t_pairs = time.perf_counter() - t0
     got = {(min(a, b), max(a, b))
            for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
     planted_exact = {(i - 1, i) for i in range(n_docs) if i % 33 == 31}
     planted_near = {(i - 2, i) for i in range(n_docs) if i % 33 == 32}
     print(json.dumps({
-        "op": "winnow_dup_pairs", "n_docs": n_docs,
+        "op": "winnow_dup_pairs", "n_docs": n_docs, "k": k, "w": w,
         "sec": round(t_pairs, 1), "pairs": len(got),
         "recall_planted_exact":
             round(len(got & planted_exact) / len(planted_exact), 4),
@@ -78,7 +85,7 @@ def main():
     # two-path gate at scale: hot_broadcast_limit=0 forces the bucketed
     # semi-join path; the pair set must be identical to the broadcast run
     t0 = time.perf_counter()
-    pairs_j = td.winnow_dup_pairs(sf_dir, hot_broadcast_limit=0).to_pandas()
+    pairs_j = td.winnow_dup_pairs(sf_dir, k=k, w=w, hot_broadcast_limit=0).to_pandas()
     t_join = time.perf_counter() - t0
     got_j = {(min(a, b), max(a, b))
              for a, b in zip(pairs_j["doc_a"], pairs_j["doc_b"])}
@@ -86,6 +93,10 @@ def main():
         "op": "winnow_dup_pairs_join_path", "n_docs": n_docs,
         "sec": round(t_join, 1), "pairs": len(got_j),
         "equal_to_broadcast_path": bool(got_j == got)}), flush=True)
+
+    if skip_span:
+        ray.shutdown()
+        return
 
     t0 = time.perf_counter()
     prof = td.dup_span_profile(sf_dir)
