@@ -808,3 +808,82 @@ def to_kg_config(sc: SetConfig):
         if filters.excluded_patterns:
             kwargs["excluded_patterns"] = tuple(filters.excluded_patterns)
     return KGConfig(**kwargs)
+
+
+# --------------------------------------------------------------- save side
+# Port of ``setconfig.rs:1711-1728`` (``save_to_file``): serialize the
+# config tree to TOML with the reference's exact header comment.  The
+# reference delegates to ``toml::to_string_pretty``; this emits the same
+# document structure (scalars before sub-tables, dotted [a.b] headers,
+# basic-string escaping, lowercase bools) — byte formatting may differ
+# from toml-rs, but the output round-trips through ``loads_setconfig``
+# bit-equal (gated in tests/test_setconfig.py).
+
+_TOML_HEADER = (
+    "# ==========================================================="
+    "==================\n"
+    "# GraphRAG Configuration File\n"
+    "# Complete configuration with extensive parameters for easy "
+    "customization\n"
+    "# ==========================================================="
+    "==================\n\n")
+
+
+def _toml_scalar(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        s = repr(v)
+        return s if ("." in s or "e" in s or "inf" in s or "nan" in s) \
+            else s + ".0"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        esc = v.replace("\\", "\\\\").replace('"', '\\"') \
+               .replace("\n", "\\n").replace("\t", "\\t")
+        return f'"{esc}"'
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_scalar(x) for x in v) + "]"
+    raise ConfigError(f"TOML serialize error: unsupported value {v!r}")
+
+
+def _toml_table(obj, path: str, out: list) -> None:
+    import dataclasses as _dc
+    scalars, subs = [], []
+    for f in _dc.fields(obj):
+        v = getattr(obj, f.name)
+        if v is None:
+            continue                     # Option::None fields are omitted
+        if _dc.is_dataclass(v):
+            subs.append((f.name, v))
+        else:
+            scalars.append((f.name, v))
+    if path and (scalars or not subs):
+        out.append(f"[{path}]")
+        for name, v in scalars:
+            out.append(f"{name} = {_toml_scalar(v)}")
+        out.append("")
+    elif not path:
+        for name, v in scalars:
+            out.append(f"{name} = {_toml_scalar(v)}")
+        if scalars:
+            out.append("")
+    for name, v in subs:
+        _toml_table(v, f"{path}.{name}" if path else name, out)
+
+
+def dumps_setconfig(sc: SetConfig) -> str:
+    """SetConfig → TOML string (no header; the file writer adds it)."""
+    out: list[str] = []
+    _toml_table(sc, "", out)
+    return "\n".join(out)
+
+
+def save_setconfig(sc: SetConfig, path: str) -> None:
+    """Port of ``setconfig.rs:1711-1728``: TOML body prefixed with the
+    reference's header comment, written atomically."""
+    body = _TOML_HEADER + dumps_setconfig(sc)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(body)
+    os.replace(tmp, path)

@@ -226,3 +226,37 @@ def test_json_config_loading(tmp_path):
     bad.write_text("{nope")
     with pytest.raises(ConfigError, match="JSON5 parse error"):
         load_setconfig(str(bad))
+
+
+# ----------------------------------------------------------- save side --
+
+def test_toml_save_roundtrip_default(tmp_path):
+    from graphrag_rs_ray.setconfig import (SetConfig, dumps_setconfig,
+                                           load_setconfig, loads_setconfig,
+                                           save_setconfig)
+    sc = SetConfig()
+    assert loads_setconfig(dumps_setconfig(sc)) == sc
+    p = str(tmp_path / "cfg.toml")
+    save_setconfig(sc, p)
+    body = open(p).read()
+    # setconfig.rs:1719-1724 — the reference's exact header comment
+    assert body.startswith("# ======")
+    assert "# GraphRAG Configuration File" in body
+    assert "# Complete configuration with extensive parameters for easy "
+    assert load_setconfig(p) == sc
+
+
+def test_toml_save_roundtrip_modified(tmp_path):
+    from graphrag_rs_ray.setconfig import (SetConfig, load_setconfig,
+                                           save_setconfig)
+    sc = SetConfig()
+    sc.mode.approach = "hybrid"
+    sc.pipeline.text_extraction.chunk_size = 999
+    sc.general.output_dir = 'weird "dir"\nwith\tescapes'
+    sc.pipeline.workflows = ["extract_text"]
+    sc.performance.worker_threads = 3
+    p = str(tmp_path / "cfg.toml")
+    save_setconfig(sc, p)
+    rt = load_setconfig(p)
+    assert rt == sc
+    assert rt.general.output_dir == 'weird "dir"\nwith\tescapes'
