@@ -112,12 +112,29 @@ def dedup_triples(triples_rows_ds, cfg: KGConfig):
         num_buckets=cfg.num_shards * 4)
 
 
-def triples_partial(triples_rows_ds):
+def triples_partial(triples_rows_ds, coalesce_rows: int = 2_000_000):
     """The pre-exchange combine stage of triple dedup (shared by the
-    in-store path above and the disk-shuffle path in ``write_graph``)."""
-    return triples_rows_ds.map_batches(partial_triple_agg,
-                                       batch_format="pyarrow",
-                                       batch_size=None)
+    in-store path above and the disk-shuffle path in ``write_graph``).
+
+    Two combine levels: per-BLOCK first (cheap, streaming), then a
+    window of ``coalesce_rows`` partial rows re-combined with the final
+    aggregate's associative ops (conf max / n_contexts sum /
+    context_sample min — ``triple_final_agg``, so the semantics are
+    shared by construction).  Level 2 merges a hub triple's per-block
+    rows across ~dozens of blocks before the exchange: at 16M pages the
+    single-level combine still emitted 197.6M partial rows (22.6 GB of
+    exchange) from 601k distinct triples because every block re-emits
+    the saturated vocabulary; windowing across blocks divides exchange
+    volume by the window/block ratio.  Set ``coalesce_rows=None`` to
+    skip level 2."""
+    partial = triples_rows_ds.map_batches(partial_triple_agg,
+                                          batch_format="pyarrow",
+                                          batch_size=None)
+    if not coalesce_rows:
+        return partial
+    return partial.map_batches(triple_final_agg(),
+                               batch_format="pyarrow",
+                               batch_size=coalesce_rows)
 
 
 def triple_final_agg():
