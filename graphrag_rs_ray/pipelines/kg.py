@@ -112,21 +112,21 @@ def dedup_triples(triples_rows_ds, cfg: KGConfig):
         num_buckets=cfg.num_shards * 4)
 
 
-def triples_partial(triples_rows_ds, coalesce_rows: int = 2_000_000):
+def triples_partial(triples_rows_ds, coalesce_rows: int | None = None):
     """The pre-exchange combine stage of triple dedup (shared by the
     in-store path above and the disk-shuffle path in ``write_graph``).
 
-    Two combine levels: per-BLOCK first (cheap, streaming), then a
-    window of ``coalesce_rows`` partial rows re-combined with the final
-    aggregate's associative ops (conf max / n_contexts sum /
-    context_sample min — ``triple_final_agg``, so the semantics are
-    shared by construction).  Level 2 merges a hub triple's per-block
-    rows across ~dozens of blocks before the exchange: at 16M pages the
-    single-level combine still emitted 197.6M partial rows (22.6 GB of
-    exchange) from 601k distinct triples because every block re-emits
-    the saturated vocabulary; windowing across blocks divides exchange
-    volume by the window/block ratio.  Set ``coalesce_rows=None`` to
-    skip level 2."""
+    ``coalesce_rows`` adds a SECOND combine level: windows of that many
+    partial rows re-combined across blocks with the final aggregate's
+    associative ops (conf max / n_contexts sum / context_sample min —
+    ``triple_final_agg``, so the semantics are shared by construction).
+    The disk-shuffle sink passes it (at 16M pages single-level combining
+    still emitted 197.6M partial rows / 22.6 GB because every block
+    re-emits the saturated vocabulary; windowing cut the 64M stage to
+    9.1 GB).  The DEFAULT in-store path must NOT: bundling partial
+    blocks into multi-million-row batches serializes the streaming
+    pipeline (measured: the sf0.1 headline went 1.6 s → 21 s when level
+    2 ran before the in-store exchange)."""
     partial = triples_rows_ds.map_batches(partial_triple_agg,
                                           batch_format="pyarrow",
                                           batch_size=None)
@@ -414,7 +414,13 @@ def write_graph(result: KGResult, out_dir: str, num_shards: int = 16,
                 if os.path.exists(stage_dir):     # crashed stage write
                     shutil.rmtree(stage_dir)
                 os.makedirs(stage_dir)
+                # level-2 window combine before the disk write (see
+                # triples_partial: 22.6 GB → 9.1 GB of stage volume);
+                # safe HERE because the sink is a terminal write, not a
+                # streaming exchange
                 (result.t_partial
+                 .map_batches(triple_final_agg(), batch_format="pyarrow",
+                              batch_size=2_000_000)
                  .map_batches(add_shard, batch_format="pyarrow")
                  .write_parquet(stage_dir, partition_cols=["shard"]))
                 write_manifest(stage_dir, "graph_shuffle", stage_fp)
