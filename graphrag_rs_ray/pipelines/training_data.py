@@ -1302,18 +1302,29 @@ def winnow_dup_pairs(sf_dir: str, k: int = 12, w: int = 5,
     counts = hash_grouped_aggregate(
         fps, ["fp"],
         grouped_arrow_agg(["fp"], [("doc_id", "count")], rename=["fp", "nd"]))
-    hot = counts.filter(
-        expr=f"nd > 1 and nd <= {max_docs_per_fp}").materialize()
-    n_hot = hot.count()
-    if n_hot > hot_broadcast_limit:
+    hot = counts.filter(expr=f"nd > 1 and nd <= {max_docs_per_fp}")
+    # stream the hot set to the driver ONCE, aborting the collect the
+    # moment it crosses the broadcast limit (the common ≤-limit case
+    # costs exactly what the old single-path collect did — no extra
+    # materialize barrier); above the limit, re-derive it lazily for the
+    # bucketed semi-join (the giant-corpus path, where a recompute of
+    # the counts exchange is the acceptable price of never holding the
+    # set driver-side)
+    chunks, n_hot, oversize = [], 0, False
+    for b in hot.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            n_hot += b.num_rows
+            if n_hot > hot_broadcast_limit:
+                oversize = True
+                break
+            chunks.append(b.column("fp").combine_chunks().cast(pa.int64()))
+    if oversize:
         hot_keys = hot.map_batches(lambda t: t.select(["fp"]),
                                    batch_format="pyarrow")
         hot_fps = bucketed_join(fps, hot_keys, ["fp"]).materialize()
     else:
-        hot_pd = hot.to_pandas()
-        hot_arr = pa.array([] if hot_pd.empty
-                           else hot_pd["fp"].astype(np.int64), pa.int64())
-        hot_ref = ray.put(hot_arr)
+        hot_ref = ray.put(pa.concat_arrays(chunks) if chunks
+                          else pa.array([], pa.int64()))
 
         def only_hot(batch: pa.Table) -> pa.Table:
             return batch.filter(pc.is_in(batch.column("fp"),
