@@ -858,6 +858,31 @@ def write_curated_corpus(curated_ds, out_dir: str, num_shards: int = 16,
 
 # ---------------------------------------------------- similarity search --
 
+def _lowest_vec_rows(path: str, n: int) -> pa.Table:
+    """The ``n`` rows with the smallest vec_ids, ascending — the
+    deterministic query/sample selector every ANN entry point uses.
+    Distributed partial min-k (per-block smallest-n, driver merge of
+    blocks × n candidate rows), never a whole-table driver read: the
+    old ``pq.read_table`` of the full embeddings table is a driver OOM
+    at corpus scale."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def smallest(t: pa.Table) -> pa.Table:
+        return t.take(pc.sort_indices(t.column("vec_id"))[:n])
+
+    parts = [b for b in ds.map_batches(
+        smallest, batch_format="pyarrow",
+        batch_size=None).iter_batches(batch_format="pyarrow")
+        if b.num_rows]
+    if not parts:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "embedding": pa.array([], pa.list_(pa.float32()))})
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    return merged.take(pc.sort_indices(merged.column("vec_id"))[:n])
+
+
 def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
     """Brute-force cosine top-k: the first ``n_queries`` vectors (by vec_id)
     are the query set, broadcast once (``ray.put``); each batch computes a
@@ -869,11 +894,9 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
 
-    import pyarrow.parquet as pq
-    head = pq.read_table(path, columns=["vec_id", "embedding"])
-    order = pc.sort_indices(head.column("vec_id"))[:n_queries]
-    qids = pc.take(head.column("vec_id"), order).to_pylist()
-    qmat = np.array(pc.take(head.column("embedding"), order).to_pylist(), dtype=np.float64)
+    head = _lowest_vec_rows(path, n_queries)
+    qids = head.column("vec_id").to_pylist()
+    qmat = np.array(head.column("embedding").to_pylist(), dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
     qref = ray.put((qids, qmat))
 
@@ -968,13 +991,10 @@ def ivf_index(sf_dir: str, n_queries: int = 5, n_centroids: int = 32,
     """Driver-side IVF index build (deterministic): spherical k-means
     centroids from a fixed sample + per-query probe lists.  Split out of
     ``ivf_topk`` so the assignments/probes can be staged for the oracle."""
-    import pyarrow.parquet as pq
-
     path = os.path.join(sf_dir, "embeddings.parquet")
-    head = pq.read_table(path, columns=["vec_id", "embedding"])
-    order = pc.sort_indices(head.column("vec_id"))
-    sample = np.array(pc.take(head.column("embedding"),
-                              order[:sample_size]).to_pylist(), dtype=np.float64)
+    head = _lowest_vec_rows(path, max(sample_size, n_queries))
+    sample = np.array(head.column("embedding")[:sample_size].to_pylist(),
+                      dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.Generator(np.random.PCG64(seed))
     n_centroids = min(n_centroids, len(sample))
@@ -987,9 +1007,9 @@ def ivf_index(sf_dir: str, n_queries: int = 5, n_centroids: int = 32,
                 v = m.sum(axis=0)
                 cent[c] = v / max(np.linalg.norm(v), 1e-12)
 
-    qids = pc.take(head.column("vec_id"), order[:n_queries]).to_pylist()
-    qmat = np.array(pc.take(head.column("embedding"),
-                            order[:n_queries]).to_pylist(), dtype=np.float64)
+    qids = head.column("vec_id")[:n_queries].to_pylist()
+    qmat = np.array(head.column("embedding")[:n_queries].to_pylist(),
+                    dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
     probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]   # (nq, nprobe)
     return qids, qmat, cent, probe
@@ -1091,14 +1111,11 @@ def hnsw_shard_candidates(sf_dir: str, n_queries: int = 5,
     low-cardinality shard groupby is one exchange of the vector table."""
     import ray
     import ray.data as rd
-    import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    head = pq.read_table(path, columns=["vec_id", "embedding"])
-    order = pc.sort_indices(head.column("vec_id"))[:n_queries]
-    qids = pc.take(head.column("vec_id"), order).to_pylist()
-    qmat = np.array(pc.take(head.column("embedding"), order).to_pylist(),
-                    dtype=np.float64)
+    head = _lowest_vec_rows(path, n_queries)
+    qids = head.column("vec_id").to_pylist()
+    qmat = np.array(head.column("embedding").to_pylist(), dtype=np.float64)
     qref = ray.put((qids, qmat))
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
 
