@@ -2768,13 +2768,16 @@ def _window_expand(starts: list[int], g: int):
     return fn
 
 
-def _per_window_counts(edges, starts, g):
+def _per_window_counts(edges, starts, g, wexp=None):
     """{window → (edge_count, node_count)} — distributed distinct-node
-    counting (group (w, node) then count by w), tiny W-row collect."""
+    counting (group (w, node) then count by w), tiny W-row collect.
+    Pass a pre-materialized ``wexp`` to share one window expansion
+    across consumers (``temporal_centrality`` reuses it for degrees)."""
     from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
 
-    wexp = edges.map_batches(_window_expand(starts, g),
-                             batch_format="pyarrow").materialize()
+    if wexp is None:
+        wexp = edges.map_batches(_window_expand(starts, g),
+                                 batch_format="pyarrow").materialize()
     ec = hash_grouped_aggregate(
         wexp, ["w"], grouped_arrow_agg(["w"], [("src", "count")],
                                        rename=["w", "n"])).to_pandas()
@@ -2923,11 +2926,10 @@ def temporal_centrality(sf_dir: str, granularity: int | None = None,
     edges = _temporal_interval_edges(sf_dir, edges_ds).materialize()
     lo, hi = _temporal_range(edges)
     g, starts = _temporal_windows(lo, hi, granularity)
-    counts = _per_window_counts(edges, starts, g)
-    nc_of = {w: counts[w][1] for w in starts}
-
     wexp = edges.map_batches(_window_expand(starts, g),
-                             batch_format="pyarrow")
+                             batch_format="pyarrow").materialize()
+    counts = _per_window_counts(edges, starts, g, wexp=wexp)
+    nc_of = {w: counts[w][1] for w in starts}
 
     def nodes(t: pa.Table) -> pa.Table:
         return pa.table({
