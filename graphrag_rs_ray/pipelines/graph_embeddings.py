@@ -115,7 +115,20 @@ def node2vec_embeddings(edges_ds, cfg: EmbeddingConfig,
     when the walk volume ``nodes × walks_per_node × walk_length`` exceeds
     ``max_walk_tokens`` (default ~50M tokens ≈ low-GB driver footprint).
     There is no faithful sharded twin for the training step — for a
-    distributed embedding use ``graphsage_embeddings`` (sharded path)."""
+    distributed embedding use ``graphsage_embeddings`` (sharded path).
+    The adjacency build itself is also driver-side, so the edge table is
+    bounded FIRST (same 2M-row default as ``graphsage_embeddings``'s
+    broadcast path) — the walk-volume check alone would only fire after
+    an unbounded edge collect."""
+    n_edges = edges_ds.count()
+    if n_edges > 2_000_000:
+        raise ValueError(
+            f"node2vec_embeddings: {n_edges:,} edge rows exceed the "
+            "2,000,000-row driver adjacency bound; the reference's "
+            "skip-gram training is sequential on the driver "
+            "(graph/embeddings.rs:132-509) so this path cannot shard. "
+            "Use graphsage_embeddings (sharded) for a distributed "
+            "embedding, or node2vec_walks_sharded for walks alone.")
     graph = _graph_from_edges_ds(edges_ds)
     est_tokens = len(graph.nodes) * cfg.walks_per_node * cfg.walk_length
     if est_tokens > max_walk_tokens:
