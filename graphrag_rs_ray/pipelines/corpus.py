@@ -32,7 +32,8 @@ from graphrag_rs_ray.functions.corpus_index import (
     global_entities_from_clusters,
     quality_filter,
 )
-from graphrag_rs_ray.stages.hashagg import hash_grouped_aggregate
+from graphrag_rs_ray.stages.hashagg import (grouped_arrow_agg,
+                                             hash_grouped_aggregate)
 
 # extension cycle used to synthesize file paths for the sf documents
 # (the tables carry no filenames); doc_id % len cycle keeps the mapping
@@ -157,7 +158,7 @@ def corpus_concepts(pages_ds):
     return pages_ds.map_batches(extract, batch_format="pyarrow")
 
 
-def concept_cluster_table(concepts_ds):
+def concept_cluster_table(concepts_ds, collect_limit: int = 2_000_000):
     """Exact-text concept clusters
     (``collection_processor.rs:313-352``): bucketed group by lowercased
     trimmed text (members kept in (doc_id, scan) order), then
@@ -195,21 +196,78 @@ def concept_cluster_table(concepts_ds):
 
     grouped = hash_grouped_aggregate(
         concepts_ds.map_batches(norm, batch_format="pyarrow"),
-        ["canonical_text"], per_group)
-    rows = sorted(grouped.take_all(),
-                  key=lambda r: r["canonical_text"].encode())
+        ["canonical_text"], per_group).materialize()
     import ray.data as rd
-    return rd.from_arrow(pa.table({
-        "cluster_id": pa.array([f"cluster_{k}" for k in range(len(rows))],
-                               pa.string()),
-        "canonical_text": pa.array([r["canonical_text"] for r in rows],
+    if grouped.count() <= collect_limit:
+        rows = sorted(grouped.take_all(),
+                      key=lambda r: r["canonical_text"].encode())
+        return rd.from_arrow(pa.table({
+            "cluster_id": pa.array([f"cluster_{k}"
+                                    for k in range(len(rows))], pa.string()),
+            "canonical_text": pa.array([r["canonical_text"] for r in rows],
+                                       pa.string()),
+            "member_concept_ids": pa.array(
+                [r["member_concept_ids"] for r in rows], pa.string()),
+            "n_members": pa.array([r["n_members"] for r in rows], pa.int64()),
+            "document_frequency": pa.array([1] * len(rows), pa.int64()),
+            "total_mentions": pa.array([1] * len(rows), pa.int64()),
+            "confidence": pa.array([0.8] * len(rows), pa.float64())}))
+
+    # ABOVE-limit path (open concept vocabulary): distributed exact
+    # lexicographic rank — bucket by the first two bytes of the encoded
+    # text (monotone w.r.t. full bytes order; ties resolve inside the
+    # bucket), per-bucket counts roll up to the driver (≤ 65,536 ints),
+    # a prefix walk yields bucket base offsets, and within-bucket sorted
+    # rank + offset IS the global rank.  Identical ids to the collect
+    # path (equality-gated in tests/test_concept_cluster_paths.py).
+    import ray
+
+    def bkey(t: pa.Table) -> pa.Table:
+        ks = []
+        for s in t.column("canonical_text").to_pylist():
+            b = s.encode()
+            ks.append(((b[0] << 8) | b[1]) if len(b) > 1
+                      else ((b[0] << 8) if b else 0))
+        return t.append_column("_bk", pa.array(ks, pa.int64()))
+
+    keyed = grouped.map_batches(bkey, batch_format="pyarrow").materialize()
+    counts = hash_grouped_aggregate(
+        keyed, ["_bk"],
+        grouped_arrow_agg(["_bk"], [("canonical_text", "count")],
+                          rename=["_bk", "n"])).to_pandas()
+    counts = counts.sort_values("_bk")
+    offsets, acc = {}, 0
+    for bk, n in zip(counts["_bk"], counts["n"]):
+        offsets[int(bk)] = acc
+        acc += int(n)
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(t: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        import pandas as pd
+        df = t.to_pandas()
+        df["_sk"] = [s.encode() for s in df["canonical_text"]]
+        df = df.sort_values(["_bk", "_sk"], kind="stable")
+        out = []
+        local: dict[int, int] = {}
+        for bk in df["_bk"]:
+            r = local.get(int(bk), 0)
+            out.append(offs[int(bk)] + r)
+            local[int(bk)] = r + 1
+        df["_rank"] = out
+        n = len(df)
+        return pa.table({
+            "cluster_id": pa.array([f"cluster_{k}" for k in df["_rank"]],
                                    pa.string()),
-        "member_concept_ids": pa.array(
-            [r["member_concept_ids"] for r in rows], pa.string()),
-        "n_members": pa.array([r["n_members"] for r in rows], pa.int64()),
-        "document_frequency": pa.array([1] * len(rows), pa.int64()),
-        "total_mentions": pa.array([1] * len(rows), pa.int64()),
-        "confidence": pa.array([0.8] * len(rows), pa.float64())}))
+            "canonical_text": pa.array(df["canonical_text"], pa.string()),
+            "member_concept_ids": pa.array(df["member_concept_ids"],
+                                           pa.string()),
+            "n_members": pa.array(df["n_members"], pa.int64()),
+            "document_frequency": pa.array([1] * n, pa.int64()),
+            "total_mentions": pa.array([1] * n, pa.int64()),
+            "confidence": pa.array([0.8] * n, pa.float64())})
+
+    return hash_grouped_aggregate(keyed, ["_bk"], rank_bucket)
 
 
 def corpus_kg_tables(clusters: list[dict]):
