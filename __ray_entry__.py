@@ -8958,6 +8958,9 @@ def _oracle_sql_base() -> dict[str, str]:
                   FROM te),
             w AS (SELECT lo + g * i AS w, g FROM p,
                   generate_series(0, 8192) AS t(i)
+                  -- default-granularity only: g=(hi-lo)//8 so
+                  -- (hi-lo)//g <= 8 << 8192; a small explicit g
+                  -- would need a bound of (hi-lo)//g (ADVICE r04)
                   WHERE lo + g * i <= hi),
             act AS (SELECT w.w, te.src, te.dst FROM te JOIN w
                     ON te.fs <= w.w + w.g AND te.ls >= w.w),
@@ -9039,6 +9042,9 @@ def _oracle_sql_base() -> dict[str, str]:
                   FROM te),
             w AS (SELECT lo + g * i AS w, g FROM p,
                   generate_series(0, 8192) AS t(i)
+                  -- default-granularity only: g=(hi-lo)//8 so
+                  -- (hi-lo)//g <= 8 << 8192; a small explicit g
+                  -- would need a bound of (hi-lo)//g (ADVICE r04)
                   WHERE lo + g * i <= hi),
             act AS (SELECT w.w, te.src, te.dst FROM te JOIN w
                     ON te.fs <= w.w + w.g AND te.ls >= w.w),

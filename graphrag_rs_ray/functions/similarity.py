@@ -22,6 +22,13 @@ class LinkingConfig:
     use_phonetic: bool = False
     max_edit_distance: int = 2
     fuzzy_matching: bool = True
+    # OPT-IN web-scale bound (None = faithful reference semantics): a
+    # (type, soundex) block larger than this is sub-blocked by
+    # (first-2-chars, length-band) of the normalized name BEFORE greedy
+    # clustering, bounding the per-task quadratic at the cost of missing
+    # links that straddle a sub-block boundary (divergence measured in
+    # BASELINE.md; see stages/linking.py::compute_links_ds).
+    max_block_size: int | None = None
 
 
 DEFAULT_LINKING = LinkingConfig()

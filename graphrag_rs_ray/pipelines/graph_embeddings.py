@@ -119,7 +119,10 @@ def node2vec_embeddings(edges_ds, cfg: EmbeddingConfig,
     The adjacency build itself is also driver-side, so the edge table is
     bounded FIRST (same 2M-row default as ``graphsage_embeddings``'s
     broadcast path) — the walk-volume check alone would only fire after
-    an unbounded edge collect."""
+    an unbounded edge collect.  The edge dataset is materialized ONCE
+    up front (ADVICE r04): ``count()`` then ``_graph_from_edges_ds`` on
+    a lazy lineage executed the upstream twice."""
+    edges_ds = edges_ds.materialize()
     n_edges = edges_ds.count()
     if n_edges > 2_000_000:
         raise ValueError(
@@ -157,7 +160,10 @@ def graphsage_embeddings(edges_ds, cfg: GraphSAGEConfig,
     pair re-broadcast each layer (num_layers broadcasts, no shuffle);
     above it → ``graphsage_embeddings_sharded`` (no broadcast; requires
     an ``eidx`` column).  ``small_graph_limit=0`` forces the sharded
-    path; both produce bit-identical embeddings (equality-gated)."""
+    path; both produce bit-identical embeddings (equality-gated).
+    Materialized once up front so the guard count and the downstream
+    build share one execution of the edge lineage (ADVICE r04)."""
+    edges_ds = edges_ds.materialize()
     if edges_ds.count() > small_graph_limit:
         return graphsage_embeddings_sharded(edges_ds, cfg,
                                             num_buckets=num_buckets)

@@ -3367,6 +3367,13 @@ def bpe_token_stats(sf_dir: str, n_merges: int = 20, max_types: int = 300,
 
 # ------------------------------------------------------------ SemDeDup --
 
+# Driver-side k-means bounds for auto-k (ADVICE r04): sample rows the
+# driver will hold/cluster, and the largest auto-k before the build must
+# move off-driver.  Both are loud bounds, not silent truncations.
+_SEMDEDUP_SAMPLE_CAP = 262_144
+_SEMDEDUP_MAX_DRIVER_K = 16_384
+
+
 def semdedup(sf_dir: str, threshold: float = 0.35,
              n_centroids: int | None = None,
              seed: int = 11, sample_size: int = 512, kmeans_iters: int = 8,
@@ -3393,6 +3400,16 @@ def semdedup(sf_dir: str, threshold: float = 0.35,
     centroid can seed).  Pass an explicit k to reproduce a fixed-k run.
     Centroids broadcast once via ``ray.put``; union-find runs inside the
     bucket, never driver-side.
+
+    Driver bound (same guard discipline as ``node2vec_embeddings``): the
+    centroid build is driver-side k-means at O(k · sample · dim · iters),
+    so the widened sample is CAPPED at ``_SEMDEDUP_SAMPLE_CAP`` rows
+    (never ~n_vecs/128 — the uncapped widening re-grew driver footprint
+    with the corpus) and auto-k REFUSES loudly past
+    ``_SEMDEDUP_MAX_DRIVER_K`` centroids (~16M vecs at the default
+    target) rather than silently burning driver hours; past that bound
+    build centroids externally (e.g. distributed mini-batch k-means) and
+    pass ``cent=``, or raise ``target_cluster_size``.
     """
     from ..stages.hashagg import hash_grouped_aggregate
 
@@ -3403,7 +3420,17 @@ def semdedup(sf_dir: str, threshold: float = 0.35,
                 os.path.join(sf_dir, "embeddings.parquet"),
                 columns=["vec_id"]).count()
             n_centroids = max(8, int(n_vecs) // target_cluster_size)
-            sample_size = max(sample_size, 8 * n_centroids)
+            if n_centroids > _SEMDEDUP_MAX_DRIVER_K:
+                raise ValueError(
+                    f"semdedup: auto n_centroids={n_centroids:,} exceeds "
+                    f"the driver k-means bound {_SEMDEDUP_MAX_DRIVER_K:,} "
+                    f"({n_vecs:,} vecs / target_cluster_size="
+                    f"{target_cluster_size}); the centroid build is "
+                    "driver-side at O(k*sample*dim*iters). Build centroids "
+                    "externally and pass cent=, or raise "
+                    "target_cluster_size.")
+            sample_size = max(sample_size,
+                              min(8 * n_centroids, _SEMDEDUP_SAMPLE_CAP))
         _, _, cent, _ = ivf_index(
             sf_dir, n_queries=1, n_centroids=n_centroids, nprobe=1,
             seed=seed, sample_size=sample_size, kmeans_iters=kmeans_iters)

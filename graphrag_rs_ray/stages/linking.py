@@ -25,16 +25,31 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.similarity import LinkingConfig, greedy_cluster, soundex
+from ..functions.similarity import (LinkingConfig, greedy_cluster,
+                                    normalize_string, soundex)
 
 
-def add_block_key(batch: pa.Table) -> pa.Table:
+def _sub_block_key(name: str, cfg: LinkingConfig) -> str:
+    """Secondary blocking key for the opt-in ``max_block_size`` bound:
+    (first-2-chars, length-band-of-8) of the normalized name.  Soundex
+    already pins char 1, so char 2 splits dense phonetic blocks; the
+    8-wide length band keeps edit-distance-≤2 variants together except
+    at band boundaries (the measured divergence, BASELINE.md)."""
+    norm = normalize_string(name or "", cfg)
+    return f"{norm[:2]}|{len(norm) // 8}"
+
+
+def add_block_key(batch: pa.Table, dense_keys=None,
+                  cfg: LinkingConfig | None = None) -> pa.Table:
     names = batch.column("name").to_pylist()
     types = batch.column("type").to_pylist()
     keys = []
     for n, t in zip(names, types):
         first_tok = (n or "").split(" ", 1)[0]
-        keys.append(f"{t}|{soundex(first_tok)}")
+        key = f"{t}|{soundex(first_tok)}"
+        if dense_keys is not None and key in dense_keys:
+            key = f"{key}§{_sub_block_key(n, cfg)}"
+        keys.append(key)
     return batch.append_column("block_key", pa.array(keys, pa.string()))
 
 
@@ -77,9 +92,51 @@ def compute_links_ds(entities_ds, cfg: LinkingConfig | None = None,
                      embedding_threshold: float | None = None):
     """entities Dataset → links Dataset (entity_id, canonical_id) — the
     scale-safe form: link rows never leave the cluster.  One exchange
-    (the block-key groupby); greedy clustering runs inside each block."""
+    (the block-key groupby); greedy clustering runs inside each block.
+
+    With ``cfg.max_block_size`` set (OPT-IN; default None = faithful
+    reference semantics) a cheap pre-pass counts rows per block key
+    (block-key cardinality is bounded by types × soundex codes, so the
+    count table is tiny) and every block above the bound gets the
+    secondary :func:`_sub_block_key` appended to its key — the dense
+    (type, soundex) quadratic becomes many bounded sub-block quadratics
+    that Ray schedules as separate groups.  Sub-blocking can miss links
+    whose members straddle a sub-block boundary; divergence + planted-typo
+    recall vs the faithful path are measured in BASELINE.md
+    (scripts/scale_fuzzy_links_datapoints.py --max-block-size)."""
     cfg = cfg or LinkingConfig()
-    blocked = entities_ds.map_batches(add_block_key, batch_format="pyarrow")
+    dense_ref = None
+    if cfg.max_block_size is not None:
+        import ray
+        entities_ds = entities_ds.materialize()   # two passes, one execution
+        counts: dict[str, int] = {}
+
+        def partial_counts(t: pa.Table) -> pa.Table:
+            kb = add_block_key(t)
+            import pyarrow.compute as pc
+            vc = pc.value_counts(kb.column("block_key"))
+            return pa.table({"block_key": vc.field("values"),
+                             "n": vc.field("counts")})
+
+        for b in entities_ds.map_batches(
+                partial_counts, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            for k, c in zip(b.column("block_key").to_pylist(),
+                            b.column("n").to_pylist()):
+                counts[k] = counts.get(k, 0) + c
+        dense = frozenset(k for k, c in counts.items()
+                          if c > cfg.max_block_size)
+        if dense:
+            dense_ref = ray.put(dense)
+
+    if dense_ref is not None:
+        import ray
+
+        def key_fn(t: pa.Table) -> pa.Table:
+            return add_block_key(t, ray.get(dense_ref), cfg)
+    else:
+        key_fn = add_block_key
+    blocked = entities_ds.map_batches(key_fn, batch_format="pyarrow")
     # native groupby is safe HERE (exception to the hashagg rule): block
     # keys are coarse (first-char/phonetic), so group count ≪ entity count
     return blocked.groupby("block_key").map_groups(

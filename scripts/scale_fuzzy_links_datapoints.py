@@ -173,6 +173,42 @@ def main():
     hits = links_ds.map_batches(planted_hits,
                                 batch_format="pyarrow").sum("n")
 
+    # ------- opt-in max_block_size leg (round-4 verdict task 1) -------
+    mbs = int(os.environ.get("GRAFT_MAX_BLOCK_SIZE", "0"))
+    if mbs:
+        from graphrag_rs_ray.functions.similarity import LinkingConfig
+        t0 = time.perf_counter()
+        sub_links = compute_links_ds(
+            ents, LinkingConfig(max_block_size=mbs)).materialize()
+        t_sub = time.perf_counter() - t0
+        sub_n = sub_links.count()
+        sub_hits = int(sub_links.map_batches(
+            planted_hits, batch_format="pyarrow").sum("n"))
+        # divergence vs the faithful path: symmetric difference of the
+        # (entity_id -> canonical_id) maps
+        faithful = {}
+        for b in links_ds.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                faithful.update(zip(b.column("entity_id").to_pylist(),
+                                    b.column("canonical_id").to_pylist()))
+        bounded = {}
+        for b in sub_links.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                bounded.update(zip(b.column("entity_id").to_pylist(),
+                                   b.column("canonical_id").to_pylist()))
+        same = sum(1 for k, v in bounded.items() if faithful.get(k) == v)
+        print(json.dumps({
+            "op": "compute_links_ds_max_block_size",
+            "n_entities": n_cluster, "max_block_size": mbs,
+            "sec": round(t_sub, 1), "sec_faithful": round(t_links, 1),
+            "n_links": sub_n, "n_links_faithful": got_links,
+            "planted_recovered": sub_hits, "planted": planted,
+            "recall_observed": round(sub_hits / planted, 4) if planted
+            else 1.0,
+            "links_agreeing_with_faithful": same,
+            "divergent_or_missing": (got_links - same) + (sub_n - same),
+        }), flush=True)
+
     # EXACTNESS gate: distributed links == driver-side greedy replay on
     # sampled blocks (recall above is observational; see docstring)
     import random

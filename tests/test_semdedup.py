@@ -71,3 +71,31 @@ def test_semdedup_auto_k(ray_session, tmp_path):
     n_clusters = out["cluster"].nunique()
     assert 8 < n_clusters <= 16          # some centroids may end empty
     assert out["cluster"].value_counts().max() < n  # genuinely blocked
+
+
+def test_semdedup_auto_k_driver_guard(ray_session, tmp_path):
+    """Auto-k REFUSES loudly past the driver k-means bound (ADVICE r04):
+    the centroid build is O(k*sample*dim*iters) on the driver, so a
+    corpus whose auto-k exceeds _SEMDEDUP_MAX_DRIVER_K must error with
+    the explicit escapes (cent=, target_cluster_size) instead of
+    silently burning driver hours — and the widened sample is capped."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    n = 64
+    vecs = rng.normal(size=(n, 4))
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, os.path.join(tmp_path, "embeddings.parquet"))
+    # shrink the bound so a tiny table trips it (64 // 2 = 32 > 16)
+    orig = td._SEMDEDUP_MAX_DRIVER_K
+    td._SEMDEDUP_MAX_DRIVER_K = 16
+    try:
+        with pytest.raises(ValueError, match="driver k-means bound"):
+            td.semdedup(str(tmp_path), target_cluster_size=2)
+    finally:
+        td._SEMDEDUP_MAX_DRIVER_K = orig
+    # sample widening is capped at _SEMDEDUP_SAMPLE_CAP
+    assert td._SEMDEDUP_SAMPLE_CAP == 262_144
+    out = td.semdedup(str(tmp_path), target_cluster_size=8).to_pandas()
+    assert len(out) == n
