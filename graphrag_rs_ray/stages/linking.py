@@ -29,14 +29,23 @@ from ..functions.similarity import (LinkingConfig, greedy_cluster,
                                     normalize_string, soundex)
 
 
+_VOWELS = frozenset("aeiou ")
+
+
 def _sub_block_key(name: str, cfg: LinkingConfig) -> str:
     """Secondary blocking key for the opt-in ``max_block_size`` bound:
-    (first-2-chars, length-band-of-8) of the normalized name.  Soundex
-    already pins char 1, so char 2 splits dense phonetic blocks; the
-    8-wide length band keeps edit-distance-≤2 variants together except
-    at band boundaries (the measured divergence, BASELINE.md)."""
+    (first-2-consonants, length-band-of-8) of the normalized name.
+    Consonants rather than raw chars because single-char typos are
+    disproportionately vowel substitutions (soundex ignores vowels for
+    the same reason) — a vowel-swap variant keeps its consonant skeleton
+    and its length, so it stays in its original's sub-block (measured:
+    raw first-2-chars cut planted vowel-typo recall 0.64→0.18 at 1M;
+    consonants keep it, BASELINE.md).  Typos in the first two consonants
+    or across a band boundary still diverge — the measured cost of the
+    bound."""
     norm = normalize_string(name or "", cfg)
-    return f"{norm[:2]}|{len(norm) // 8}"
+    cons = "".join(c for c in norm if c not in _VOWELS)[:2]
+    return f"{cons}|{len(norm) // 8}"
 
 
 def add_block_key(batch: pa.Table, dense_keys=None,
