@@ -3452,7 +3452,10 @@ def q_vector_store_topk(sf_dir: str):
     embeddings table into ONE shared-index actor (batched add RPCs),
     build, then top-10 cosine per query (first 5 vec_ids) — ranks tied
     by vec_id ascending, matching the knn oracle convention.  Backend is
-    exact cosine instead of Voy's k-d tree (documented swap)."""
+    a real median-split k-d tree (exact branch-and-bound k-NN on unit
+    vectors + f64 cosine rerank — state/vector_store.py::KDTree), the
+    same index family voy_store.rs wraps; tree == scan gated by
+    tests/test_vector_store.py."""
     import ray
     import ray.data as rd
     store, path = _loaded_vector_store(sf_dir)
