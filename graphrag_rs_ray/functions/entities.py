@@ -113,14 +113,14 @@ EVENT_LIKE = frozenset({"EVENT", "EXPERIMENT", "HAPPENING"})
 OBJECT_LIKE = frozenset({"OBJECT", "TOOL", "ARTIFACT", "ITEM"})
 
 
-@dataclass
+@dataclass(slots=True)
 class Mention:
     start: int
     end: int
     confidence: float
 
 
-@dataclass
+@dataclass(slots=True)
 class ExtractedEntity:
     entity_id: str
     name: str
@@ -182,15 +182,27 @@ _TOKEN_MEMO_MAX = 500_000
 
 def _token_features(word: str) -> tuple:
     """(clean, clean_lower, raw_is_capitalized, clean_is_person_word,
-    clean_lower_in_NON_PERSON_WORDS) for one raw whitespace token."""
+    clean_lower_in_NON_PERSON_WORDS, person_eligible, is_title,
+    seeds_known_name, clean_is_capitalized) for one raw whitespace
+    token.  [5] folds the single/two-word phase test ([2] and [3] and
+    not [4] — [3] already implies len ≥ 2) into one flag; [6]/[7] are
+    the title / known-name phase prechecks; [8] folds the two-word
+    phase's ``is_likely_person_name`` (clean tokens are space-free and
+    non-empty under [5], so the two-part name test reduces to both
+    cleans capitalized) — all pure functions of the token, so memoizing
+    cannot change extraction output."""
     f = _TOKEN_MEMO.get(word)
     if f is None:
         clean = clean_word(word)
         cl = clean.lower()
-        f = (clean, cl,
-             bool(word) and word[0].isupper(),
-             is_likely_person_word(clean),
-             cl in NON_PERSON_WORDS)
+        cap = bool(word) and word[0].isupper()
+        pw = is_likely_person_word(clean)
+        npw = cl in NON_PERSON_WORDS
+        f = (clean, cl, cap, pw, npw,
+             cap and pw and not npw,
+             cl in PERSON_TITLES,
+             cl in _KNOWN_BY_FIRST,
+             bool(clean) and clean[0].isupper())
         if len(_TOKEN_MEMO) < _TOKEN_MEMO_MAX:
             _TOKEN_MEMO[word] = f
     return f
@@ -271,13 +283,13 @@ def calculate_confidence(name: str, entity_type: str) -> float:
 def find_mentions(name: str, text: str, confidence: float) -> list[Mention]:
     """Non-overlapping substring scan; port of ``entity/mod.rs:596-608``."""
     mentions = []
-    start = 0
-    while True:
-        pos = text.find(name, start)
-        if pos == -1:
-            break
-        mentions.append(Mention(start=pos, end=pos + len(name), confidence=confidence))
-        start = pos + len(name)
+    find = text.find
+    ln = len(name)
+    pos = find(name)
+    while pos != -1:
+        end = pos + ln
+        mentions.append(Mention(pos, end, confidence))
+        pos = find(name, end)
     return mentions
 
 
@@ -301,14 +313,19 @@ class PatternEntityExtractor:
 
     # ---- person phases ------------------------------------------------
 
-    def _extract_known_names(self, words, clean_lower, processed, entities, text):
-        n = len(words)
+    # The four phases test the memoized per-token flags FIRST and the
+    # ``processed`` position flags second (independent conditions, so the
+    # reorder is output-identical) — the flag tests are a single tuple
+    # index on a mostly-False bit, which is the common case.  ``processed``
+    # is a bytearray (O(1) indexing, no hashing) instead of a set.
+
+    def _extract_known_names(self, feats, clean_lower, processed, entities,
+                             text):
+        n = len(feats)
         for i in range(n):
-            if i in processed:
+            if not feats[i][7] or processed[i]:
                 continue
-            candidates = _KNOWN_BY_FIRST.get(clean_lower[i])
-            if not candidates:
-                continue
+            candidates = _KNOWN_BY_FIRST[clean_lower[i]]
             for name_words in candidates:
                 k = len(name_words)
                 if i + k <= n and all(clean_lower[i + j] == name_words[j].lower()
@@ -317,23 +334,22 @@ class PatternEntityExtractor:
                     if 0.95 >= self.min_confidence:
                         entities.append(self._mk(name, "PERSON", 0.95, text))
                     for j in range(k):
-                        processed.add(i + j)
+                        processed[i + j] = 1
                     break
 
     def _extract_title_based(self, feats, processed, entities, text):
         n = len(feats)
         for i in range(n):
-            if i in processed:
+            if not feats[i][6] or processed[i]:
                 continue
-            if feats[i][1] in PERSON_TITLES and i + 1 < n \
-                    and (i + 1) not in processed:
+            if i + 1 < n and not processed[i + 1]:
                 f1 = feats[i + 1]
                 if f1[2] and f1[3]:
                     next_word = f1[0]
-                    if i + 2 < n and (i + 2) not in processed:
+                    if i + 2 < n and not processed[i + 2]:
                         f2 = feats[i + 2]
                         if f2[2] and f2[3]:
-                            processed.add(i + 2)
+                            processed[i + 2] = 1
                             name = f"{next_word} {f2[0]}"
                         else:
                             name = next_word
@@ -341,42 +357,42 @@ class PatternEntityExtractor:
                         name = next_word
                     if 0.9 >= self.min_confidence:
                         entities.append(self._mk(name, "PERSON", 0.9, text))
-                    processed.add(i)
-                    processed.add(i + 1)
+                    processed[i] = 1
+                    processed[i + 1] = 1
 
     def _extract_two_word(self, feats, processed, entities, text):
         for i in range(len(feats) - 1):
-            if i in processed or (i + 1) in processed:
+            f0 = feats[i]
+            if not f0[5]:
                 continue
-            f0, f1 = feats[i], feats[i + 1]
-            if f0[2] and f1[2] and f0[3] and f1[3] and not f0[4] and not f1[4]:
+            f1 = feats[i + 1]
+            if f1[5] and f0[8] and f1[8] \
+                    and not processed[i] and not processed[i + 1]:
+                # f0[8]/f1[8] ≡ is_likely_person_name(clean0 + " " + clean1)
+                # for space-free non-empty cleans (see _token_features)
                 name = f"{f0[0]} {f1[0]}"
-                if is_likely_person_name(name):
-                    conf = calculate_confidence(name, "PERSON")
-                    if conf >= self.min_confidence:
-                        entities.append(self._mk(name, "PERSON", conf, text))
-                    processed.add(i)
-                    processed.add(i + 1)
+                conf = calculate_confidence(name, "PERSON")
+                if conf >= self.min_confidence:
+                    entities.append(self._mk(name, "PERSON", conf, text))
+                processed[i] = 1
+                processed[i + 1] = 1
 
     def _extract_single_word(self, feats, processed, entities, text):
         for i, f in enumerate(feats):
-            if i in processed:
-                continue
-            word = f[0]
-            if len(word) < 2 or f[4]:
-                continue
-            if f[2] and f[3]:
-                conf = calculate_confidence(word, "PERSON")
+            if f[5] and not processed[i]:
+                conf = calculate_confidence(f[0], "PERSON")
                 if conf >= self.min_confidence:
-                    entities.append(self._mk(word, "PERSON", conf, text))
+                    entities.append(self._mk(f[0], "PERSON", conf, text))
 
     def extract_persons(self, text: str) -> list[ExtractedEntity]:
         words = text.split()
-        feats = [_token_features(w) for w in words]
+        # inline the memo hit path (feature tuples are always truthy)
+        tm_get = _TOKEN_MEMO.get
+        feats = [tm_get(w) or _token_features(w) for w in words]
         clean_lower = [f[1] for f in feats]
-        processed: set[int] = set()
+        processed = bytearray(len(words))
         entities: list[ExtractedEntity] = []
-        self._extract_known_names(words, clean_lower, processed, entities, text)
+        self._extract_known_names(feats, clean_lower, processed, entities, text)
         self._extract_title_based(feats, processed, entities, text)
         self._extract_two_word(feats, processed, entities, text)
         self._extract_single_word(feats, processed, entities, text)
@@ -558,22 +574,34 @@ def extract_relationships(entities: list[ExtractedEntity], chunk_text: str) -> l
     Returns ``(subj, pred, obj)`` triples (the reference returns
     (source, target, type) tuples; we normalize to subject-predicate-object
     order everywhere downstream)."""
-    out = []
+    subs, preds, objs = relationship_columns(entities, chunk_text)
+    return list(zip(subs, preds, objs))
+
+
+def relationship_columns(entities: list[ExtractedEntity],
+                         chunk_text: str) -> tuple[list, list, list]:
+    """Column form of :func:`extract_relationships` — same pairs in the
+    same order as three parallel (subj, pred, obj) lists, which is what
+    the Arrow-assembling extraction stage actually needs (no per-pair
+    tuple objects, no ``zip(*...)`` transpose)."""
     n = len(entities)
-    # Per-chunk predicate memo: the inferred type depends only on the
+    ids = [e.entity_id for e in entities]
+    types = [e.entity_type for e in entities]
+    subs: list = []
+    preds: list = []
+    objs: list = []
+    # Per-chunk predicate table: the inferred type depends only on the
     # (type1, type2) pair and the chunk text, but the naive loop re-scans
-    # the text for every one of the O(k²) pairs.  Distinct type pairs per
-    # chunk ≤ |types|², so memoizing per call is output-identical.
-    memo: dict[tuple[str, str], str] = {}
+    # the text for every one of the O(k²) pairs.  Distinct types per
+    # chunk ≤ |configured types|, so precomputing the full pair table
+    # (infer_relationship_type is pure — extra unused cells are
+    # side-effect-free) keeps the O(k²) emit loop at C-level list ops.
+    distinct = set(types)
+    pred_of = {t1: {t2: infer_relationship_type(t1, t2, chunk_text)
+                    for t2 in distinct} for t1 in distinct}
     for i in range(n):
-        e1 = entities[i]
-        t1, id1 = e1.entity_type, e1.entity_id
-        for j in range(i + 1, n):
-            e2 = entities[j]
-            key = (t1, e2.entity_type)
-            pred = memo.get(key)
-            if pred is None:
-                pred = infer_relationship_type(t1, e2.entity_type, chunk_text)
-                memo[key] = pred
-            out.append((id1, pred, e2.entity_id))
-    return out
+        prow = pred_of[types[i]]
+        subs.extend([ids[i]] * (n - 1 - i))
+        preds.extend([prow[t] for t in types[i + 1:]])
+        objs.extend(ids[i + 1:])
+    return subs, preds, objs

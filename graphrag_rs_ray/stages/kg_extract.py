@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import KGConfig
-from ..functions.entities import PatternEntityExtractor, extract_relationships
+from ..functions.entities import PatternEntityExtractor, relationship_columns
 
 COMBINED_SCHEMA = pa.schema([
     ("kind", pa.string()),           # "e" | "t"
@@ -66,7 +66,8 @@ class ExtractKG:
         for chunk_id, doc_id, text in zip(chunk_ids, doc_ids, texts):
             try:
                 entities = self.extractor.extract(text or "")
-                rels = extract_relationships(entities, text or "")
+                r_subs, r_preds, r_objs = relationship_columns(
+                    entities, text or "")
             except Exception as ex:  # noqa: BLE001 — poison-pill row routing
                 # SURVEY §4: a bad row must not fail the run; emit an error
                 # row ("x") so failures are countable downstream.
@@ -78,15 +79,15 @@ class ExtractKG:
             # bulk C-level extends: a chunk emits k entity rows + O(k²)
             # triple rows; per-row .append() across 11 columns dominated
             # this stage's assembly time at ~75 rows/chunk
-            ne, nr = len(entities), len(rels)
+            ne, nr = len(entities), len(r_subs)
             if ne:
                 kind.extend("e" * ne)
                 c_cid.extend([chunk_id] * ne); c_did.extend([doc_id] * ne)
-                eid.extend(e.entity_id for e in entities)
-                name.extend(e.name for e in entities)
-                etype.extend(e.entity_type for e in entities)
-                conf.extend(e.confidence for e in entities)
-                mcount.extend(len(e.mentions) for e in entities)
+                eid.extend([e.entity_id for e in entities])
+                name.extend([e.name for e in entities])
+                etype.extend([e.entity_type for e in entities])
+                conf.extend([e.confidence for e in entities])
+                mcount.extend([len(e.mentions) for e in entities])
                 subj.extend([None] * ne); pred.extend([None] * ne)
                 obj.extend([None] * ne)
             if nr:
@@ -95,8 +96,8 @@ class ExtractKG:
                 eid.extend([None] * nr); name.extend([None] * nr)
                 etype.extend([None] * nr)
                 conf.extend([rel_conf] * nr); mcount.extend([0] * nr)
-                s_l, p_l, o_l = zip(*rels)
-                subj.extend(s_l); pred.extend(p_l); obj.extend(o_l)
+                subj.extend(r_subs); pred.extend(r_preds)
+                obj.extend(r_objs)
 
         return pa.table({
             "kind": pa.array(kind, pa.string()),
