@@ -108,11 +108,21 @@ def main():
                       "dup_groups": n_dup_groups,
                       "planted_exact": planted_exact}), flush=True)
 
+    disk = os.environ.get("GRAFT_DISK_SHUFFLE") == "1"
     t0 = time.perf_counter()
-    cand = td.minhash_lsh_candidates(sf_dir).materialize()
+    if disk:
+        # band volume beyond the in-store/spill budget (the 20M case):
+        # map-only hash-partitioned Parquet stage + per-shard reduces,
+        # equality-gated vs the in-store path (tests/test_dedup_disk.py)
+        cand = td.minhash_lsh_candidates_disk(
+            sf_dir, stage_dir=os.path.join(sf_dir, "_minhash_stage"),
+            num_shards=128).materialize()
+    else:
+        cand = td.minhash_lsh_candidates(sf_dir).materialize()
     n_cand = cand.count()
     t_cand = time.perf_counter() - t0
     print(json.dumps({"op": "minhash_lsh_candidates", "n_docs": n_docs,
+                      "disk_shuffle": disk,
                       "sec": round(t_cand, 1), "n_candidates": n_cand}),
           flush=True)
 
