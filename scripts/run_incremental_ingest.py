@@ -186,6 +186,11 @@ def run_job(out: str, batches: int = 4, docs_per_batch: int = 100_000,
                   "sec": round(time.perf_counter() - t0, 1)}
         write_manifest(bdir, "ingest_batch", bfp, rows=int(man["rows"]),
                        extra={"counts": counts})
+        # batch is durable (manifest written) — its staging dirs are
+        # dead weight now, and at 10M docs/batch they would otherwise
+        # accumulate ~15 GB per batch of scratch
+        shutil.rmtree(sf_b, ignore_errors=True)
+        shutil.rmtree(cur_dir, ignore_errors=True)
         summary["redone"] += 1
         summary["batches"].append({**counts, "batch": b, "resumed": False})
         if crash_after is not None and b + 1 >= crash_after:
