@@ -45,8 +45,12 @@ def exact_dedup(sf_dir: str):
     from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
 
     def add_fp(batch: pa.Table) -> pa.Table:
+        # project to (fp, doc_id) BEFORE the exchange: the aggregate
+        # never needs the text column, and shipping it through the sort
+        # was ~20x the exchange volume (the 20M-doc out-of-disk)
         fps = [fingerprint(t) for t in batch.column("text").to_pylist()]
-        return batch.append_column("fp", pa.array(fps, pa.string()))
+        return pa.table({"fp": pa.array(fps, pa.string()),
+                         "doc_id": batch.column("doc_id")})
 
     return hash_grouped_aggregate(
         _docs(sf_dir).map_batches(add_fp, batch_format="pyarrow"),
