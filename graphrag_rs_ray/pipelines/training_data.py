@@ -752,7 +752,9 @@ def corpus_curation(sf_dir: str, min_tokens: int = 20,
                     max_punct: float = 0.2, min_stopword: float = 0.01,
                     jaccard_threshold: float = 0.8,
                     survivors_ds=None, bands_ds=None,
-                    keep_text: bool = False, lang: str | None = "en"):
+                    keep_text: bool = False, lang: str | None = "en",
+                    disk_shuffle: bool = False,
+                    stage_dir: str | None = None):
     """End-to-end webtext curation over ``documents``: language-ID +
     quality gates → exact dedup (md5 groups, keep min doc_id) →
     MinHash-LSH near-dedup (banded candidates → char-trigram Jaccard
@@ -767,16 +769,48 @@ def corpus_curation(sf_dir: str, min_tokens: int = 20,
     to the corpus by construction).
 
     ``survivors_ds`` / ``bands_ds`` let the query layer stage the band
-    rows so the whole composition is DuckDB-oracle-checked."""
+    rows so the whole composition is DuckDB-oracle-checked.
+
+    ``disk_shuffle=True`` (corpus volumes beyond the object-store/spill
+    budget — the 20M-doc curation leg ENOSPC'd the in-store path):
+    survivors stream to a Parquet stage instead of materializing in the
+    store (their text column is the corpus — the dominant volume), and
+    candidates come from :func:`minhash_lsh_candidates_disk`.  Output
+    identical (equality-gated in tests/test_dedup_disk.py)."""
     import ray
 
-    surv = (survivors_ds if survivors_ds is not None
-            else curation_survivors(sf_dir, min_tokens, max_punct,
-                                    min_stopword, lang=lang).materialize())
-    bands = bands_ds if bands_ds is not None else minhash_signatures(
-        sf_dir, docs_ds=surv.map_batches(
-            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"))
-    cand = minhash_lsh_candidates(sf_dir, bands_ds=bands).materialize()
+    if disk_shuffle and survivors_ds is None:
+        import shutil
+        import ray.data as rd
+        stage_dir = stage_dir or os.path.join(
+            "/tmp", "graft_curation_stage",
+            os.path.basename(os.path.normpath(sf_dir)))
+        surv_dir = os.path.join(stage_dir, "survivors")
+        if not os.path.exists(os.path.join(stage_dir, "_SURV_DONE")):
+            if os.path.exists(stage_dir):
+                shutil.rmtree(stage_dir)
+            os.makedirs(surv_dir)
+            curation_survivors(sf_dir, min_tokens, max_punct,
+                               min_stopword,
+                               lang=lang).write_parquet(surv_dir)
+            open(os.path.join(stage_dir, "_SURV_DONE"), "w").write("1")
+        surv = rd.read_parquet(surv_dir)
+        cand = minhash_lsh_candidates_disk(
+            sf_dir, docs_ds=surv.map_batches(
+                lambda t: t.select(["doc_id", "text"]),
+                batch_format="pyarrow"),
+            stage_dir=os.path.join(stage_dir, "minhash"),
+            num_shards=128).materialize()
+    else:
+        surv = (survivors_ds if survivors_ds is not None
+                else curation_survivors(sf_dir, min_tokens, max_punct,
+                                        min_stopword, lang=lang)
+                .materialize())
+        bands = bands_ds if bands_ds is not None else minhash_signatures(
+            sf_dir, docs_ds=surv.map_batches(
+                lambda t: t.select(["doc_id", "text"]),
+                batch_format="pyarrow"))
+        cand = minhash_lsh_candidates(sf_dir, bands_ds=bands).materialize()
 
     drop: set[int] = set()
     if cand.count() > 0:

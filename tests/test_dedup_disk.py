@@ -56,3 +56,15 @@ def test_disk_feeds_dedup_clusters(ray_session, tmp_path):
     a = out[cols].sort_values(cols).reset_index(drop=True)
     b = ref[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_curation_disk_equals_default(ray_session, tmp_path):
+    """corpus_curation(disk_shuffle=True) — Parquet-staged survivors +
+    disk candidates — must equal the in-store composition row-for-row."""
+    a = td.corpus_curation(SF_DIR, min_stopword=0.0).to_pandas()
+    b = td.corpus_curation(SF_DIR, min_stopword=0.0, disk_shuffle=True,
+                           stage_dir=str(tmp_path / "cur")).to_pandas()
+    cols = sorted(a.columns)
+    x = a[cols].sort_values(cols).reset_index(drop=True)
+    y = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(x, y)
