@@ -80,7 +80,8 @@ def _stage_docs(ds, path: str):
 
 
 def run_job(out: str, batches: int = 4, docs_per_batch: int = 100_000,
-            num_shards: int = 8, crash_after: int | None = None) -> dict:
+            num_shards: int = 8, crash_after: int | None = None,
+            fp_k: int = 40, fp_w: int = 10) -> dict:
     import ray.data as rd
 
     from graphrag_rs_ray.pipelines import training_data as td
@@ -94,7 +95,12 @@ def run_job(out: str, batches: int = 4, docs_per_batch: int = 100_000,
     step = 3 * m // 4
     work = out + "_stage"
     os.makedirs(work, exist_ok=True)
-    idx = FingerprintIndex(os.path.join(work, "fp_index"))
+    # fp-k/fp-w size the winnow fingerprint density: the default k=40
+    # w=10 emits ~120 fps/doc (fine to ~1M docs/batch); at 10M docs per
+    # batch that is a ~24 GB exchange against this box's ~50 GB
+    # effective spill budget — the ladder runs k=25 w=39 (~2/40 density,
+    # the 10M winnow precedent in BASELINE.md)
+    idx = FingerprintIndex(os.path.join(work, "fp_index"), k=fp_k, w=fp_w)
     summary = {"batches": [], "redone": 0, "skipped": 0}
     t_all = time.perf_counter()
 
@@ -169,7 +175,9 @@ def run_job(out: str, batches: int = 4, docs_per_batch: int = 100_000,
         # the deterministic word-id vocabulary — same device as
         # scale_dedup_datapoints' curation entry)
         curated = td.corpus_curation(sf_b, lang=None, min_stopword=0.0,
-                                     keep_text=True)
+                                     keep_text=True, disk_shuffle=True,
+                                     stage_dir=os.path.join(
+                                         work, f"curstage_{b:04d}"))
         cur_dir = os.path.join(work, f"curated_{b:04d}")
         if os.path.exists(cur_dir):
             shutil.rmtree(cur_dir)
@@ -191,6 +199,8 @@ def run_job(out: str, batches: int = 4, docs_per_batch: int = 100_000,
         # accumulate ~15 GB per batch of scratch
         shutil.rmtree(sf_b, ignore_errors=True)
         shutil.rmtree(cur_dir, ignore_errors=True)
+        shutil.rmtree(os.path.join(work, f"curstage_{b:04d}"),
+                      ignore_errors=True)
         summary["redone"] += 1
         summary["batches"].append({**counts, "batch": b, "resumed": False})
         if crash_after is not None and b + 1 >= crash_after:
@@ -208,6 +218,8 @@ def main() -> int:
     ap.add_argument("--docs-per-batch", type=int, default=100_000)
     ap.add_argument("--num-shards", type=int, default=8)
     ap.add_argument("--crash-after", type=int, default=None)
+    ap.add_argument("--fp-k", type=int, default=40)
+    ap.add_argument("--fp-w", type=int, default=10)
     args = ap.parse_args()
 
     import ray
@@ -220,7 +232,8 @@ def main() -> int:
     ctx.op_resource_reservation_enabled = False
 
     summary = run_job(args.out, args.batches, args.docs_per_batch,
-                      args.num_shards, args.crash_after)
+                      args.num_shards, args.crash_after,
+                      fp_k=args.fp_k, fp_w=args.fp_w)
     print(json.dumps(summary), flush=True)
     ray.shutdown()
     return 0
