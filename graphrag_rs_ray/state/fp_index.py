@@ -75,13 +75,48 @@ class FingerprintIndex:
         """Flag ``docs_ds`` against every batch ALREADY ingested, then
         append this batch's fingerprints (idempotent per batch_id).
         Returns a Dataset (doc_id, n_fps, n_shared_with_corpus,
-        dup_of_corpus) covering every doc in the batch."""
+        dup_of_corpus) covering every doc in the batch.
+
+        Scale shape (reworked after the 10M-docs/batch ladder ENOSPC'd
+        the original): the batch's fingerprints are persisted to their
+        Parquet batch dir FIRST and read back from disk — no
+        object-store copy of the ~40-row-per-doc fp table stays pinned —
+        and every per-fp leg feeding the flags sort is pre-aggregated to
+        per-(block, doc) partial counts inside ``map_batches`` (the
+        per-block-combiner rule), so the union exchange carries ~|docs|
+        rows instead of ~|fps|.  The final reduce sums partials, so the
+        output is identical."""
         import ray.data as rd
         from ..stages.hashagg import (bucketed_join, grouped_arrow_agg,
                                       hash_grouped_aggregate)
 
-        new_fps = self._distinct_fps(docs_ds)
-        new_fps = new_fps.materialize() if new_fps is not None else None
+        # --- persist this batch's fps, then read them from disk --------
+        fpc = fingerprint_config("fp_index", batch_id, self.k, self.w)
+        bdir = self._batch_dir(batch_id)
+        lazy_fps = self._distinct_fps(docs_ds)
+        new_fps = None
+        if lazy_fps is not None:
+            if not stage_complete(bdir, fpc):
+                def write(tmp_dir):
+                    lazy_fps.write_parquet(tmp_dir)
+
+                atomic_write_dir(write, bdir)
+                rows = rd.read_parquet(bdir).count()   # metadata count
+                write_manifest(bdir, "fp_index_batch", fpc, rows=rows)
+            if batch_id not in self.batches():
+                self._write_meta(self.batches() + [batch_id])
+            new_fps = rd.read_parquet(bdir)
+
+        def _doc_counts(tag: int):
+            import pyarrow.compute as pc
+
+            def f(t: pa.Table) -> pa.Table:
+                g = t.group_by(["doc_id"]).aggregate([("fp", "count")])
+                return pa.table({
+                    "doc_id": g.column("doc_id"),
+                    "n": pc.cast(g.column("fp_count"), pa.int64()),
+                    "tag": pa.array([tag] * g.num_rows, pa.int64())})
+            return f
 
         # --- membership against the already-ingested corpus ------------
         shared = None
@@ -97,12 +132,7 @@ class FingerprintIndex:
                                   rename=["fp", "_nd"])
             ).select_columns(["fp"])
             hit = bucketed_join(new_fps, old_fp, on=["fp"])
-            shared = hit.map_batches(
-                lambda t: pa.table({
-                    "doc_id": t.column("doc_id"),
-                    "n": pa.array([1] * len(t), pa.int64()),
-                    "tag": pa.array([1] * len(t), pa.int64())}),
-                batch_format="pyarrow")
+            shared = hit.map_batches(_doc_counts(1), batch_format="pyarrow")
 
         def per_doc_fps(batch: pa.Table) -> pa.Table:
             return pa.table({"doc_id": batch.column("doc_id"),
@@ -112,12 +142,8 @@ class FingerprintIndex:
         base = docs_ds.map_batches(per_doc_fps, batch_format="pyarrow")
         cnt = None
         if new_fps is not None:
-            cnt = new_fps.map_batches(
-                lambda t: pa.table({
-                    "doc_id": t.column("doc_id"),
-                    "n": pa.array([1] * len(t), pa.int64()),
-                    "tag": pa.array([2] * len(t), pa.int64())}),
-                batch_format="pyarrow")
+            cnt = new_fps.map_batches(_doc_counts(2),
+                                      batch_format="pyarrow")
         tagged = base
         for extra in (cnt, shared):
             if extra is not None:
@@ -138,17 +164,4 @@ class FingerprintIndex:
 
         flags = hash_grouped_aggregate(tagged, ["doc_id"], reduce)
 
-        # --- append this batch's fingerprints (idempotent) -------------
-        fpc = fingerprint_config("fp_index", batch_id, self.k, self.w)
-        bdir = self._batch_dir(batch_id)
-        if new_fps is not None and not stage_complete(bdir, fpc):
-            rows = new_fps.count()
-
-            def write(tmp_dir):
-                new_fps.write_parquet(tmp_dir)
-
-            atomic_write_dir(write, bdir)
-            write_manifest(bdir, "fp_index_batch", fpc, rows=rows)
-            if batch_id not in self.batches():
-                self._write_meta(self.batches() + [batch_id])
         return flags
