@@ -700,9 +700,25 @@ def curation_survivors(sf_dir: str, min_tokens: int = 20,
 
     Returns survivor rows carrying ``text`` (the near-dedup stage still
     needs it) + ``n_exact_dups`` (exact-duplicate group size)."""
-    import pandas as pd
-
     from ..stages.hashagg import hash_grouped_aggregate
+
+    def dedup_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["fp", "doc_id"])
+        first = df.drop_duplicates("fp", keep="first").set_index("fp")
+        first["n_exact_dups"] = df.groupby("fp").size().astype("int64")
+        return pa.Table.from_pandas(first.reset_index(drop=True),
+                                    preserve_index=False)
+
+    annotated = _curation_annotated(sf_dir, min_tokens, max_punct,
+                                    min_stopword, lang)
+    return hash_grouped_aggregate(annotated, ["fp"], dedup_bucket)
+
+
+def _curation_annotated(sf_dir: str, min_tokens: int = 20,
+                        max_punct: float = 0.2, min_stopword: float = 0.01,
+                        lang: str | None = "en"):
+    """Annotated + quality-gated doc rows (with text and fp) — the
+    shared no-shuffle front half of both survivor paths."""
 
     def annotate(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -735,17 +751,96 @@ def curation_survivors(sf_dir: str, min_tokens: int = 20,
                                      min_stopword)))
         return batch.filter(mask)
 
-    def dedup_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["fp", "doc_id"])
-        first = df.drop_duplicates("fp", keep="first").set_index("fp")
-        first["n_exact_dups"] = df.groupby("fp").size().astype("int64")
-        return pa.Table.from_pandas(first.reset_index(drop=True),
-                                    preserve_index=False)
+    return (_docs(sf_dir)
+            .map_batches(annotate, batch_format="pyarrow")
+            .map_batches(keep, batch_format="pyarrow"))
 
-    annotated = (_docs(sf_dir)
-                 .map_batches(annotate, batch_format="pyarrow")
-                 .map_batches(keep, batch_format="pyarrow"))
-    return hash_grouped_aggregate(annotated, ["fp"], dedup_bucket)
+
+def curation_survivors_skinny(sf_dir: str, ann_dir: str,
+                              min_tokens: int = 20, max_punct: float = 0.2,
+                              min_stopword: float = 0.01,
+                              lang: str | None = "en",
+                              dup_broadcast_limit: int = 20_000_000):
+    """Skinny-exchange twin of :func:`curation_survivors` for corpora
+    whose text volume exceeds the exchange budget (the 10M-docs/batch
+    ingest ladder: shipping annotated TEXT through the exact-dedup sort
+    produced ~200 GB of transient spill+fallback).  Identical output
+    (equality-gated via the corpus_curation disk-mode test):
+
+    1. the annotated+gated rows stream ONCE to ``ann_dir`` Parquet
+       (map-only, no exchange; texts only ever live map-side or on
+       disk);
+    2. the only exchange is over projected (fp, doc_id) rows — a
+       per-fp (rep=min doc_id, n) aggregate;
+    3. groups with n > 1 (the duplicate groups — small relative to the
+       corpus; bounded by ``dup_broadcast_limit`` rows, above which
+       this path REFUSES and the sorted-exchange path must be used)
+       broadcast via ``ray.put``, and a final stateless map filters
+       non-representative dup members and attaches ``n_exact_dups``
+       (1 for every fp not in the broadcast)."""
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+
+    if not os.path.exists(os.path.join(ann_dir, "_ANN_DONE")):
+        if os.path.exists(ann_dir):
+            shutil.rmtree(ann_dir)
+        os.makedirs(ann_dir)
+        _curation_annotated(sf_dir, min_tokens, max_punct, min_stopword,
+                            lang).write_parquet(ann_dir)
+        open(os.path.join(ann_dir, "_ANN_DONE"), "w").write("1")
+    ann = rd.read_parquet(ann_dir)
+
+    groups = hash_grouped_aggregate(
+        ann.map_batches(lambda t: t.select(["fp", "doc_id"]),
+                        batch_format="pyarrow"),
+        ["fp"],
+        grouped_arrow_agg(["fp"], [("doc_id", "min"), ("doc_id", "count")],
+                          rename=["fp", "rep", "n"]))
+    dups = groups.filter(expr="n > 1").materialize()
+    n_dup_groups = dups.count()
+    if n_dup_groups > dup_broadcast_limit:
+        raise ValueError(
+            f"curation_survivors_skinny: {n_dup_groups:,} duplicate "
+            f"fp groups exceed dup_broadcast_limit="
+            f"{dup_broadcast_limit:,}; use the sorted-exchange "
+            "curation_survivors path (or raise the limit if the "
+            "driver/workers have the memory).")
+    chunks = [b for b in dups.iter_batches(batch_format="pyarrow")
+              if b.num_rows]
+    dup_tbl = (pa.concat_tables(chunks) if chunks
+               else pa.table({"fp": pa.array([], pa.string()),
+                              "rep": pa.array([], pa.int64()),
+                              "n": pa.array([], pa.int64())}))
+    dup_ref = ray.put(dup_tbl)
+    _dup_cache: dict = {}
+
+    def finalize(t: pa.Table) -> pa.Table:
+        d = _dup_cache.get("m")
+        if d is None:
+            dt = ray.get(dup_ref)
+            d = dict(zip(dt.column("fp").to_pylist(),
+                         zip(dt.column("rep").to_pylist(),
+                             dt.column("n").to_pylist())))
+            _dup_cache["m"] = d
+        fps = t.column("fp").to_pylist()
+        ids = t.column("doc_id").to_pylist()
+        keep_m, n_out = [], []
+        for f, i in zip(fps, ids):
+            rn = d.get(f)
+            if rn is None:
+                keep_m.append(True)
+                n_out.append(1)
+            else:
+                keep_m.append(i == rn[0])
+                n_out.append(rn[1])
+        t = t.append_column("n_exact_dups", pa.array(n_out, pa.int64()))
+        return t.filter(pa.array(keep_m, pa.bool_())).drop_columns(["fp"])
+
+    return ann.map_batches(finalize, batch_format="pyarrow")
 
 
 def corpus_curation(sf_dir: str, min_tokens: int = 20,
@@ -790,9 +885,13 @@ def corpus_curation(sf_dir: str, min_tokens: int = 20,
             if os.path.exists(stage_dir):
                 shutil.rmtree(stage_dir)
             os.makedirs(surv_dir)
-            curation_survivors(sf_dir, min_tokens, max_punct,
-                               min_stopword,
-                               lang=lang).write_parquet(surv_dir)
+            # skinny twin: annotated rows stage once to Parquet; only
+            # (fp, doc_id) is exchanged; dup groups broadcast — the
+            # text column never enters a shuffle (equality-gated)
+            curation_survivors_skinny(
+                sf_dir, os.path.join(stage_dir, "annotated"),
+                min_tokens, max_punct, min_stopword,
+                lang=lang).write_parquet(surv_dir)
             open(os.path.join(stage_dir, "_SURV_DONE"), "w").write("1")
         surv = rd.read_parquet(surv_dir)
         cand = minhash_lsh_candidates_disk(
