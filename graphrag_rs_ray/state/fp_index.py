@@ -7,14 +7,16 @@ Layout (one directory per ingested batch, manifest-guarded so re-running
 a crashed or duplicate ingest is a no-op — same discipline as
 ``pipelines/kg.write_graph``):
 
-    <base>/index.json                  — k/w config, ingested batch ids
-    <base>/batch=<id>/*.parquet        — distinct (doc_id, fp) rows
+    <base>/index.json                     — k/w config, ingested batch ids
+    <base>/batch=<id>/shard=K/*.parquet   — distinct (doc_id, fp) rows,
+                                            hash-partitioned by fp
     <base>/batch=<id>/_manifest.json
 
-At 100 TB the index is the small side per shard only in aggregate — the
-membership check is a ``bucketed_join`` on fp against the stored
-Parquet (partition-prunable by fp hash if the store is later bucketed),
-never an in-memory set of the whole corpus.
+At 100 TB the membership check never enters the object store: every
+batch is persisted hash-partitioned by fp (shard = fp % FP_SHARDS, a
+pure function of the join key), so a new batch's shard=K files only
+ever intersect the SAME shard of every prior batch — one disk-local
+sorted-set intersection task per shard, however large the index grows.
 """
 
 from __future__ import annotations
@@ -30,6 +32,8 @@ from .manifests import (atomic_write_dir, fingerprint_config,
 
 
 class FingerprintIndex:
+    FP_SHARDS = 64        # hash-partition width of every persisted batch
+
     def __init__(self, base_dir: str, k: int = 40, w: int = 10):
         self.base_dir = base_dir
         self.k, self.w = k, w
@@ -109,26 +113,46 @@ class FingerprintIndex:
         rows instead of ~|fps|.  The final reduce sums partials, so the
         output is identical."""
         import ray.data as rd
-        from ..stages.hashagg import (bucketed_join, grouped_arrow_agg,
-                                      hash_grouped_aggregate)
 
-        # --- persist this batch's fps, then read them from disk --------
+        from ..stages.hashagg import hash_grouped_aggregate
+
+        # --- persist this batch's fps (hash-partitioned by fp), then
+        # read them from disk.  Partitioning at write time is what makes
+        # the membership check below disk-local: shard = fp % FP_SHARDS
+        # is a pure function of the join key, so each shard's new fps
+        # only ever need that same shard of every PRIOR batch — no
+        # in-store exchange, ever, however large the index grows.
         fpc = fingerprint_config("fp_index", batch_id, self.k, self.w)
         bdir = self._batch_dir(batch_id)
         lazy_fps = self._distinct_fps(docs_ds)
         new_fps = None
         if lazy_fps is not None:
             if not stage_complete(bdir, fpc):
+                def add_shard(t: pa.Table) -> pa.Table:
+                    f = t.column("fp").to_numpy(zero_copy_only=False)
+                    # uint64 view: winnow fps are int64 bit patterns and
+                    # numpy's % keeps the dividend's sign
+                    s = f.astype(np.int64).view(np.uint64) \
+                        % np.uint64(self.FP_SHARDS)
+                    return t.append_column(
+                        "shard", pa.array(s.astype(np.int32), pa.int32()))
+
                 def write(tmp_dir):
-                    lazy_fps.write_parquet(tmp_dir)
+                    lazy_fps.map_batches(
+                        add_shard,
+                        batch_format="pyarrow").write_parquet(
+                        tmp_dir, partition_cols=["shard"])
                     import glob as _g
-                    if not _g.glob(os.path.join(tmp_dir, "*.parquet")):
+                    if not _g.glob(os.path.join(tmp_dir, "shard=*")):
                         import pyarrow.parquet as pq
+                        os.makedirs(os.path.join(tmp_dir, "shard=0"),
+                                    exist_ok=True)
                         pq.write_table(          # empty batch: keep the
                             pa.table({           # dir readable
                                 "doc_id": pa.array([], pa.int64()),
                                 "fp": pa.array([], pa.int64())}),
-                            os.path.join(tmp_dir, "part-empty.parquet"))
+                            os.path.join(tmp_dir, "shard=0",
+                                         "part-empty.parquet"))
 
                 atomic_write_dir(write, bdir)
                 rows = rd.read_parquet(bdir).count()   # metadata count
@@ -149,20 +173,72 @@ class FingerprintIndex:
             return f
 
         # --- membership against the already-ingested corpus ------------
+        # disk-local per fp shard: this batch's shard=k files intersect
+        # the UNION of every prior batch's shard=k files (sorted-set
+        # np.isin), emitting per-doc partial shared counts — the index
+        # can grow without any membership exchange ever entering the
+        # object store (the old distinct+bucketed-join spilled ~33 GB
+        # per 10M-doc batch).
         shared = None
         prior = [b for b in self.batches() if b != batch_id]
         if new_fps is not None and prior:
-            import glob
-            files = [f for b in prior for f in sorted(
-                glob.glob(os.path.join(self._batch_dir(b), "*.parquet")))]
-            old = rd.read_parquet(files)
-            old_fp = hash_grouped_aggregate(
-                old, ["fp"],
-                grouped_arrow_agg(["fp"], [("doc_id", "count")],
-                                  rename=["fp", "_nd"])
-            ).select_columns(["fp"])
-            hit = bucketed_join(new_fps, old_fp, on=["fp"])
-            shared = hit.map_batches(_doc_counts(1), batch_format="pyarrow")
+            import glob as _glob
+
+            import ray
+
+            prior_dirs = [self._batch_dir(b) for b in prior]
+            new_dir = bdir
+            nshards = self.FP_SHARDS
+            empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "n": pa.array([], pa.int64()),
+                              "tag": pa.array([], pa.int64())})
+
+            @ray.remote(num_cpus=1)
+            def shard_shared(k: int) -> pa.Table:
+                import pyarrow.dataset as pads
+                new_files = _glob.glob(os.path.join(
+                    new_dir, f"shard={k}", "*.parquet"))
+                if not new_files:
+                    return empty
+                old_parts = []
+                for d in prior_dirs:
+                    part = _glob.glob(os.path.join(d, f"shard={k}",
+                                                   "*.parquet"))
+                    if part:
+                        old_parts.append((part, False))
+                        continue
+                    flat = _glob.glob(os.path.join(d, "*.parquet"))
+                    if flat:       # pre-sharded layout: filter in-task
+                        old_parts.append((flat, True))
+                if not old_parts:
+                    return empty
+                t = pads.dataset(new_files).to_table(
+                    columns=["doc_id", "fp"])
+                if t.num_rows == 0:
+                    return empty
+                chunks = []
+                for files, needs_filter in old_parts:
+                    a = pads.dataset(files).to_table(
+                        columns=["fp"]).column("fp").to_numpy(
+                        zero_copy_only=False)
+                    if needs_filter:
+                        a = a[a.astype(np.int64).view(np.uint64)
+                              % np.uint64(nshards) == k]
+                    chunks.append(a)
+                old_fp = np.unique(np.concatenate(chunks))
+                fps = t.column("fp").to_numpy(zero_copy_only=False)
+                hit_docs = t.column("doc_id").to_numpy(
+                    zero_copy_only=False)[np.isin(fps, old_fp)]
+                if hit_docs.size == 0:
+                    return empty
+                u, c = np.unique(hit_docs, return_counts=True)
+                return pa.table({
+                    "doc_id": pa.array(u, pa.int64()),
+                    "n": pa.array(c.astype(np.int64), pa.int64()),
+                    "tag": pa.array(np.ones(u.size, np.int64), pa.int64())})
+
+            refs = [shard_shared.remote(k) for k in range(self.FP_SHARDS)]
+            shared = rd.from_arrow_refs(refs)
 
         def per_doc_fps(batch: pa.Table) -> pa.Table:
             return pa.table({"doc_id": batch.column("doc_id"),
