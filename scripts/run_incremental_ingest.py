@@ -203,6 +203,14 @@ def run_job(out: str, batches: int = 4, docs_per_batch: int = 100_000,
 
         # 3. curate the survivors (gates → exact → near dedup, in-batch)
         sf_b = _stage_docs(keep, os.path.join(work, f"delta_{b:04d}"))
+        # everything the curation needs is now on disk — release the
+        # in-store datasets so their spilled copies are GC'd before the
+        # curation stages start (measured: holding them through the
+        # batch body kept ~20-30 GB of spill pinned)
+        n_crawled = int(docs.count())
+        del docs, delta, keep, flags, dup_ids
+        if b > 0:
+            del diff, keep_ids
         # gates tuned for the synthetic corpus (no English stopwords in
         # the deterministic word-id vocabulary — same device as
         # scale_dedup_datapoints' curation entry)
@@ -219,7 +227,7 @@ def run_job(out: str, batches: int = 4, docs_per_batch: int = 100_000,
         # 4. append to the sharded corpus (partition-granular manifests)
         man = td.write_corpus_shards(cur_dir, bdir, num_shards=num_shards,
                                      seed=f"inc{b}", input_token=bfp)
-        counts = {"n_crawled": int(docs.count()),
+        counts = {"n_crawled": n_crawled,
                   "n_unchanged_dropped": int(n_same),
                   "n_corpus_dups_flagged": int(n_corpus_dup),
                   "n_written": int(man["rows"]),
